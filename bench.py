@@ -1,0 +1,50 @@
+"""Benchmark harness: runs the declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (full execution, no driver
+collect) so timings measure the plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tradingview_data_pipeline_spark.session import get_spark  # noqa: E402
+from tradingview_data_pipeline_spark.plans import analytics  # noqa: E402
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM/JIT + parquet footer caches, not counted
+    analytics.QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in analytics.QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "declared_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

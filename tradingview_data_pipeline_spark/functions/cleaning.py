@@ -1,0 +1,182 @@
+"""Scalar cleaning / normalization functions (SURVEY §2.8, F1–F16).
+
+Every function here returns a ``pyspark.sql.Column`` built from native
+expressions — JVM-side, whole-stage-codegen friendly, no Python UDFs.
+Semantics are pinned to the reference's pandas behavior (citations below
+are file:line in ``/root/reference/``); edge cases (NaN vs NULL, empty
+string, unicode minus, coerce-to-null) are covered by ``tests/test_cleaning.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# F1 — clean_value (reference: uploadtodb.py:126-138, funda_uploadtodb.py:113-136)
+# NaN/None/±Inf -> NULL; floats rounded to 2dp; strings stripped, empty -> NULL.
+# ---------------------------------------------------------------------------
+
+def clean_value(col: Column, *, decimals: int = 2) -> Column:
+    """Numeric edge-cleaning: NaN and ±Inf collapse to NULL, round to 2dp.
+
+    pandas ``clean_value`` treats NaN/inf as missing; Spark doubles can hold
+    NaN/Infinity from bad casts, so normalize them to SQL NULL before
+    rounding (round(NaN) would stay NaN and poison aggregates).
+    """
+    c = col.cast("double")
+    finite = ~(F.isnan(c) | c.isin(float("inf"), float("-inf")))
+    return F.when(c.isNotNull() & finite, F.round(c, decimals))
+
+
+def clean_string(col: Column) -> Column:
+    """String edge-cleaning: strip whitespace, empty/whitespace-only -> NULL."""
+    return F.nullif(F.trim(col), F.lit(""))
+
+
+# F2 — tolerant long cast (funda_uploadtodb.py:117-126: shares_outstanding
+# arrives as float text; non-numeric -> NULL).
+
+def clean_long(col: Column) -> Column:
+    return col.cast("double").cast("long")
+
+
+# ---------------------------------------------------------------------------
+# F3 — parse_unit_string (sectorscore.py:64-70, indscores.py:64-70)
+# "−12.5%" / "+3.2%" / "1,234.56" / "2.5T INR" -> double; garbage -> NULL
+# (pandas to_numeric(errors='coerce')). NOTE: the reference DROPS the T/B
+# multipliers rather than applying them; we preserve that observed semantic
+# by default and offer apply_multipliers=True as the corrected mode.
+# ---------------------------------------------------------------------------
+
+def parse_unit_string(col: Column, *, apply_multipliers: bool = False) -> Column:
+    s = F.regexp_replace(col, "−", "-")          # unicode minus
+    s = F.regexp_replace(s, "[%,+]", "")               # %, thousands sep, plus
+    s = F.trim(F.regexp_replace(s, "\\s*(INR|USD)\\s*$", ""))
+    if apply_multipliers:
+        mult = (
+            F.when(s.rlike("[Tt]$"), F.lit(1e12))
+            .when(s.rlike("[Bb]$"), F.lit(1e9))
+            .when(s.rlike("[Mm]$"), F.lit(1e6))
+            .when(s.rlike("[Kk]$"), F.lit(1e3))
+            .otherwise(F.lit(1.0))
+        )
+        num = F.regexp_replace(s, "[TtBbMmKk]$", "").cast("double")
+        return num * mult
+    # reference behavior: strip the unit letter, keep the mantissa
+    return F.trim(F.regexp_replace(s, "[TtBbMmKk]$", "")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# F4 — normalize_text (sectormerged_improved.py:115-148, industrymerged.py:113-146)
+# mojibake / unicode-space repair + whitespace collapse + guarded comma strip.
+# ---------------------------------------------------------------------------
+
+_MOJIBAKE = [
+    (" ", " "),      # narrow no-break space
+    (" ", " "),      # no-break space
+    ("‑", "-"),      # non-breaking hyphen
+    ("–", "-"),      # en dash
+    ("—", "-"),      # em dash
+    ("−", "-"),      # unicode minus
+    ("‚àí", "-"),  # UTF-8 mojibake of minus ("‚àí")
+    ("â€™", "'"),  # mojibake right single quote
+    ("â€“", "-"),  # mojibake en dash
+]
+
+_NUMERIC_WITH_UNITS = r"^[\d,]+\.?\d*\s*[KMBT]?\s*(INR|%)?$"
+
+
+def normalize_text(col: Column) -> Column:
+    c = col
+    for bad, good in _MOJIBAKE:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    # strip thousands separators only when the cell is numeric-with-units
+    return F.when(c.rlike(_NUMERIC_WITH_UNITS), F.regexp_replace(c, ",", "")).otherwise(c)
+
+
+# ---------------------------------------------------------------------------
+# F5 — analyst rating -> ordinal score (calcompositescore.py:99-109)
+# null -> 'Hold' first, then map, unmapped -> 3.
+# ---------------------------------------------------------------------------
+
+_RATING_SCORES = {
+    "Strong Buy": 5, "Strong buy": 5,
+    "Buy": 4,
+    "Hold": 3, "Neutral": 3,
+    "Sell": 2,
+    "Strong Sell": 1, "Strong sell": 1,
+}
+
+
+def rating_to_score(col: Column) -> Column:
+    filled = F.coalesce(col, F.lit("Hold"))
+    mapping = F.create_map(*[F.lit(x) for kv in _RATING_SCORES.items() for x in kv])
+    return F.coalesce(mapping[filled], F.lit(3))
+
+
+# F6 — guarded relative difference (calcompositescore.py:111-136):
+# (x - price)/price where price != 0 else 0.0.
+
+def guarded_rel_diff(x: Column, price: Column) -> Column:
+    return F.when(price != 0, (x - price) / price).otherwise(F.lit(0.0))
+
+
+# F7 — MACD histogram (calcompositescore.py:139): level.fillna(0) - signal.fillna(0)
+
+def macd_histogram(level: Column, signal: Column) -> Column:
+    return F.coalesce(level, F.lit(0.0)) - F.coalesce(signal, F.lit(0.0))
+
+
+# F8 — clip upper (calfundamentalscore.py:84-88,183-193)
+
+def clip_upper(col: Column, cap: float) -> Column:
+    return F.least(col, F.lit(float(cap)))
+
+
+# F9 — min-max normalize (sectorscore.py:72-78): all-equal group -> constant 1.0
+
+def minmax_normalize(col: Column, cmin: Column, cmax: Column) -> Column:
+    return F.when(cmax == cmin, F.lit(1.0)).otherwise((col - cmin) / (cmax - cmin))
+
+
+# F10 — volatility int-scaling storage parity (pyc:volatility_helper:
+# "stored as INTEGER with values scaled by 1000")
+
+def scale_volatility(col: Column) -> Column:
+    return F.round(col * 1000, 0).cast("int")
+
+
+def unscale_volatility(col: Column) -> Column:
+    return col.cast("double") / 1000.0
+
+
+# F11 — hash id (newsflow_scraper.py:296-302): "tv_" + md5(url)[:20]
+
+def hash_id(col: Column, prefix: str = "tv_", length: int = 20) -> Column:
+    return F.concat(F.lit(prefix), F.substring(F.md5(col), 1, length))
+
+
+# F12 — truncate (newsflow_scraper.py:302-303)
+
+def truncate_str(col: Column, n: int = 500) -> Column:
+    return F.substring(col, 1, n)
+
+
+# F13 — provider-prefix strip (newsflow_scraper.py:210-215)
+
+_PROVIDERS = ["Reuters", "Moneycontrol", "CNBC TV18", "Bloomberg",
+              "Economic Times", "PTI", "ANI", "TradingView"]
+
+
+def strip_prefix(col: Column, prefixes: list[str] | None = None) -> Column:
+    pats = "|".join(p.replace(" ", "\\s") for p in (prefixes or _PROVIDERS))
+    return F.regexp_replace(col, f"^({pats})\\s*[:\\-]?\\s*", "")
+
+
+# F16 — URL composition (newsflow_scraper.py:222)
+
+def compose_url(href: Column, base: str = "https://in.tradingview.com") -> Column:
+    return F.when(href.startswith("http"), href).otherwise(F.concat(F.lit(base), href))

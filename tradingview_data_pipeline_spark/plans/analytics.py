@@ -1,0 +1,517 @@
+"""Declared analytics queries + matching DuckDB oracle SQL.
+
+Each query demonstrates one operator family from SURVEY.md §2 on the
+driver's TPC-H-ish tables, implemented Spark-first with the engine's
+operator/function library. ``QUERIES[name](spark, sf_dir)`` returns a
+DataFrame; ``ORACLE[name]`` is ANSI SQL DuckDB runs over the same parquet.
+
+Cross-engine determinism policy (so value hashes match exactly):
+- Sums/averages of doubles go through DECIMAL accumulators
+  (``_dsum``): per-row double arithmetic is IEEE-deterministic, decimal
+  summation is order-independent, and the final cast back to double is
+  identical in both engines. Plain double SUM would differ in the last ulp
+  depending on aggregation order.
+- Rank/count-based statistics (percentiles, row_number buckets) are exact
+  integers — no float risk.
+- Ties in any rank/limit are broken by a unique key so both engines pick
+  identical rows.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.functions import cleaning as fx
+from tradingview_data_pipeline_spark.operators import scoring as ops
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dsum(c, scale="25,6"):
+    """Order-independent sum of doubles: decimal accumulate, double out.
+
+    Only safe on columns whose doubles are exactly N-dp values (the driver's
+    metric columns are all 2-dp): both engines round the cast to the same
+    decimal. For sums of *products*, cast the factors to decimal first
+    (``_dec``) and multiply exactly — casting a double product would hit
+    engine-specific rounding (Spark goes through Java's shortest-repr
+    ``BigDecimal.valueOf``; DuckDB rounds the exact binary expansion).
+    """
+    return F.sum(c.cast(f"decimal({scale})")).cast("double")
+
+
+def _dsum_over(c, w, scale="25,6"):
+    return F.sum(c.cast(f"decimal({scale})")).over(w).cast("double")
+
+
+def _dec(c, scale="12,2"):
+    """Exact decimal image of a 2-dp double column."""
+    return c.cast(f"decimal({scale})")
+
+
+# ---------------------------------------------------------------------------
+# q1 — pricing summary (flagship; SURVEY A1/A5/F15 shapes — grouped
+# multi-aggregate over the fact table, the reference's per-group
+# mean/count pattern at calcompositescore.py:246-270).
+# ---------------------------------------------------------------------------
+
+@register("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = _dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"), "4,2"))
+    charge = disc * (one + _dec(F.col("l_tax"), "4,2"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2 — scan + predicate + projection (S1/P2/P4/P8; pushdown-verified).
+# ---------------------------------------------------------------------------
+
+@register("q2_scan_filter", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity > 45
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+""")
+def q2_scan_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") > 45)
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3 — top-k with deterministic tie-break (W7/O1; TakeOrderedAndProject,
+# no global sort — reference nlargest at calcompositescore.py:396-399).
+# ---------------------------------------------------------------------------
+
+@register("q3_topk_orders", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
+LIMIT 10
+""")
+def q3_topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return ops.top_k(o, "o_totalprice", 10, tie_break="o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# q4 — dimension-enrich broadcast joins + grouped agg (J2;
+# calcompositescore.py:357-368 stock⟕sector⟕industry analog).
+# ---------------------------------------------------------------------------
+
+@register("q4_join_enrich", oracle="""
+SELECT r_name, n_name,
+       COUNT(*) AS num_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""")
+def q4_join_enrich(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("num_customers"),
+             _dsum(F.col("c_acctbal")).alias("total_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5 — full-outer join with key coalesce (J1;
+# sectormerged_improved.py:433-468 overview⟗performance merge analog).
+# ---------------------------------------------------------------------------
+
+@register("q5_fullouter_coalesce", oracle="""
+WITH o AS (SELECT o_custkey AS k, COUNT(*) AS open_orders
+           FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+     f AS (SELECT o_custkey AS k, COUNT(*) AS closed_orders
+           FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+SELECT COALESCE(o.k, f.k) AS custkey,
+       COALESCE(open_orders, 0) AS open_orders,
+       COALESCE(closed_orders, 0) AS closed_orders
+FROM o FULL OUTER JOIN f ON o.k = f.k
+""")
+def q5_fullouter_coalesce(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    open_ = (o.where(F.col("o_orderstatus") == "O")
+             .groupBy(F.col("o_custkey").alias("k"))
+             .agg(F.count(F.lit(1)).alias("open_orders")))
+    closed = (o.where(F.col("o_orderstatus") == "F")
+              .groupBy(F.col("o_custkey").alias("k"))
+              .agg(F.count(F.lit(1)).alias("closed_orders")))
+    return (
+        open_.join(closed, open_.k == closed.k, "full_outer")
+        .select(
+            F.coalesce(open_.k, closed.k).alias("custkey"),
+            F.coalesce(F.col("open_orders"), F.lit(0)).alias("open_orders"),
+            F.coalesce(F.col("closed_orders"), F.lit(0)).alias("closed_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6 — anti-join dedup (J4; newsflow_scraper.py:281-293 "skip URLs already
+# in the table" as a left-anti join instead of a collected set).
+# ---------------------------------------------------------------------------
+
+@register("q6_antijoin", oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def q6_antijoin(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_acctbal"))
+
+
+# ---------------------------------------------------------------------------
+# q7 — per-group z-score with min-group + zero-std gates (W3+A1;
+# calcompositescore.py:222-270). Exact-deterministic formulation: decimal
+# sums for mean/M2, then identical double arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+@register("q7_group_zscore", oracle="""
+WITH b AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s2,
+         COUNT(c_acctbal) OVER w AS n
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey)
+)
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CASE WHEN c_acctbal IS NULL OR n < 3 OR sd = 0.0 OR sd IS NULL
+            THEN 0.0 ELSE (c_acctbal - mu) / sd END AS acctbal_z
+FROM (
+  SELECT *, s1 / n AS mu,
+         SQRT(GREATEST((s2 - (s1 * s1) / n) / (n - 1), 0.0)) AS sd
+  FROM b
+)
+""")
+def q7_group_zscore(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    v = F.col("c_acctbal")
+    s1 = _dsum_over(v, w)
+    s2 = F.sum(_dec(v) * _dec(v)).over(w).cast("double")
+    n = F.count(v).over(w)
+    mu = s1 / n
+    sd = F.sqrt(F.greatest((s2 - (s1 * s1) / n) / (n - 1), F.lit(0.0)))
+    z = F.when(v.isNull() | (n < 3) | (sd == 0.0) | sd.isNull(), F.lit(0.0)) \
+         .otherwise((v - mu) / sd)
+    return c.select("c_custkey", "c_nationkey", "c_acctbal", z.alias("acctbal_z"))
+
+
+# ---------------------------------------------------------------------------
+# q8 — peer-relative percentile, count-comparison form (W4/A9;
+# calfundamentalscore.py:137-159): pct = 100*#{peers < v}/#peers via
+# rank()-1; <2 peers -> 50.0; null -> null. Exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+@register("q8_peer_percentile", oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CASE WHEN c_acctbal IS NULL THEN NULL
+            WHEN COUNT(c_acctbal) OVER wg < 2 THEN 50.0
+            ELSE (RANK() OVER wr - 1) * 100.0 / COUNT(c_acctbal) OVER wg
+       END AS acctbal_pct
+FROM customer
+WINDOW wr AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC NULLS LAST),
+       wg AS (PARTITION BY c_nationkey)
+""")
+def q8_peer_percentile(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    out = ops.peer_percentile(c, "c_acctbal", ["c_nationkey"], "acctbal_pct")
+    return out.select("c_custkey", "c_nationkey", "c_acctbal", "acctbal_pct")
+
+
+# ---------------------------------------------------------------------------
+# q9 — hierarchical peer-group fallback (W5;
+# calfundamentalscore.py:162-180): stat at (brand,type) if the group has
+# >= 5 members, elif brand-level if >= 5, else global. Counts include all
+# rows (the reference gates on group membership, not valid values).
+# ---------------------------------------------------------------------------
+
+@register("q9_hier_fallback", oracle="""
+WITH b AS (
+  SELECT p_partkey, p_brand, p_type, p_retailprice,
+         COUNT(*) OVER w2 AS n2,
+         COUNT(*) OVER w1 AS n1,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) OVER w2 AS DOUBLE) / COUNT(p_retailprice) OVER w2 AS mu2,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) OVER w1 AS DOUBLE) / COUNT(p_retailprice) OVER w1 AS mu1,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) OVER () AS DOUBLE) / COUNT(p_retailprice) OVER () AS mu0
+  FROM part
+  WINDOW w2 AS (PARTITION BY p_brand, p_type), w1 AS (PARTITION BY p_brand)
+)
+SELECT p_partkey, p_brand, p_type, p_retailprice,
+       CASE WHEN n2 >= 5 THEN mu2 WHEN n1 >= 5 THEN mu1 ELSE mu0 END AS peer_avg_price,
+       CASE WHEN n2 >= 5 THEN 'brand_type' WHEN n1 >= 5 THEN 'brand' ELSE 'all' END AS peer_level
+FROM b
+""")
+def q9_hier_fallback(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    v = F.col("p_retailprice")
+    w2 = Window.partitionBy("p_brand", "p_type")
+    w1 = Window.partitionBy("p_brand")
+    w0 = Window.partitionBy()
+    n2, n1 = F.count(F.lit(1)).over(w2), F.count(F.lit(1)).over(w1)
+    mu2 = _dsum_over(v, w2) / F.count(v).over(w2)
+    mu1 = _dsum_over(v, w1) / F.count(v).over(w1)
+    mu0 = _dsum_over(v, w0) / F.count(v).over(w0)
+    df = p.select("p_partkey", "p_brand", "p_type", "p_retailprice",
+                  n2.alias("n2"), n1.alias("n1"),
+                  mu2.alias("mu2"), mu1.alias("mu1"), mu0.alias("mu0"))
+    pick = F.when(F.col("n2") >= 5, F.col("mu2")) \
+            .when(F.col("n1") >= 5, F.col("mu1")).otherwise(F.col("mu0"))
+    level = F.when(F.col("n2") >= 5, F.lit("brand_type")) \
+             .when(F.col("n1") >= 5, F.lit("brand")).otherwise(F.lit("all"))
+    return df.select("p_partkey", "p_brand", "p_type", "p_retailprice",
+                     pick.alias("peer_avg_price"), level.alias("peer_level"))
+
+
+# ---------------------------------------------------------------------------
+# q10 — global ordinal rank bucketing (W1; calcompositescore.py:206-218
+# market-cap categories). Parity mode: single window at test scale.
+# ---------------------------------------------------------------------------
+
+@register("q10_rank_bucket", oracle="""
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_totalprice IS NULL THEN NULL
+            WHEN rn <= 100 THEN 'Large Cap'
+            WHEN rn <= 250 THEN 'Mid Cap'
+            WHEN rn <= 500 THEN 'Small Cap'
+            ELSE 'Micro Cap' END AS price_category
+FROM (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC) AS rn
+  FROM orders
+)
+""")
+def q10_rank_bucket(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = ops.bucket_by_global_rank(
+        o, "o_totalprice", out_col="price_category", tie_break="o_orderkey")
+    return out.select("o_orderkey", "o_totalprice", "price_category")
+
+
+# ---------------------------------------------------------------------------
+# q11 — rank within partition (W2; calfundamentalscore.py:339-349
+# fundamental_rank per market-cap category).
+# ---------------------------------------------------------------------------
+
+@register("q11_rank_partition", oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC) AS segment_rank
+FROM customer
+""")
+def q11_rank_partition(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    out = ops.rank_within(c, ["c_mktsegment"], "c_acctbal",
+                          out_col="segment_rank", tie_break="c_custkey")
+    return out.select("c_custkey", "c_mktsegment", "c_acctbal", "segment_rank")
+
+
+# ---------------------------------------------------------------------------
+# q12 — horizontal weighted sum with null-as-zero (A6;
+# calcompositescore.py:161-198 composite score). Per-row IEEE arithmetic,
+# identical association order in both engines.
+# ---------------------------------------------------------------------------
+
+@register("q12_weighted_sum", oracle="""
+SELECT l_orderkey, l_linenumber,
+       COALESCE(l_quantity, 0.0) * 0.2
+         + COALESCE(l_extendedprice, 0.0) * 0.5
+         + COALESCE(l_discount, 0.0) * 0.2
+         + COALESCE(l_tax, 0.0) * 0.1 AS line_score
+FROM lineitem
+""")
+def q12_weighted_sum(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    score = ops.weighted_sum({"l_quantity": 0.2, "l_extendedprice": 0.5,
+                              "l_discount": 0.2, "l_tax": 0.1})
+    return li.select("l_orderkey", "l_linenumber", score.alias("line_score"))
+
+
+# ---------------------------------------------------------------------------
+# q13 — weighted mean with weight renormalization over present metrics
+# (A7; calfundamentalscore.py:206-228). Nulls manufactured via NULLIF so
+# the renormalization path is exercised.
+# ---------------------------------------------------------------------------
+
+@register("q13_weighted_mean_renorm", oracle="""
+WITH m AS (
+  SELECT l_orderkey, l_linenumber,
+         NULLIF(l_discount, 0.0) AS m_disc,
+         NULLIF(l_tax, 0.0) AS m_tax,
+         NULLIF(l_quantity, 1.0) AS m_qty
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN (CASE WHEN m_disc IS NOT NULL THEN 0.5 ELSE 0.0 END
+                + CASE WHEN m_tax IS NOT NULL THEN 0.3 ELSE 0.0 END
+                + CASE WHEN m_qty IS NOT NULL THEN 0.2 ELSE 0.0 END) > 0
+       THEN (CASE WHEN m_disc IS NOT NULL THEN m_disc * 0.5 ELSE 0.0 END
+           + CASE WHEN m_tax IS NOT NULL THEN m_tax * 0.3 ELSE 0.0 END
+           + CASE WHEN m_qty IS NOT NULL THEN m_qty * 0.2 ELSE 0.0 END)
+          / (CASE WHEN m_disc IS NOT NULL THEN 0.5 ELSE 0.0 END
+           + CASE WHEN m_tax IS NOT NULL THEN 0.3 ELSE 0.0 END
+           + CASE WHEN m_qty IS NOT NULL THEN 0.2 ELSE 0.0 END)
+       END AS blended
+FROM m
+""")
+def q13_weighted_mean_renorm(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.select(
+        "l_orderkey", "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("m_disc"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("m_tax"),
+        F.nullif(F.col("l_quantity"), F.lit(1.0)).alias("m_qty"),
+    )
+    blended = ops.weighted_mean_renormalized({"m_disc": 0.5, "m_tax": 0.3, "m_qty": 0.2})
+    return m.select("l_orderkey", "l_linenumber", blended.alias("blended"))
+
+
+# ---------------------------------------------------------------------------
+# q14 — min-max normalization per group with all-equal guard (A2/F9;
+# sectorscore.py:72-78). min/max are exact (no summation).
+# ---------------------------------------------------------------------------
+
+@register("q14_minmax_norm", oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CASE WHEN mx = mn THEN 1.0 ELSE (o_totalprice - mn) / (mx - mn) END AS price_norm
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         MIN(o_totalprice) OVER w AS mn, MAX(o_totalprice) OVER w AS mx
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority)
+)
+""")
+def q14_minmax_norm(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    mn, mx = F.min("o_totalprice").over(w), F.max("o_totalprice").over(w)
+    norm = fx.minmax_normalize(F.col("o_totalprice"), mn, mx)
+    return o.select("o_orderkey", "o_orderpriority", "o_totalprice",
+                    norm.alias("price_norm"))
+
+
+# ---------------------------------------------------------------------------
+# q15 — unit-string parsing (F3; sectorscore.py:64-70): strings with
+# unicode minus / '%' / thousands separators round-trip to doubles.
+# ---------------------------------------------------------------------------
+
+@register("q15_parse_units", oracle="""
+SELECT doc_id,
+       '−' || format('{:,}', n_chars) || '%' AS raw,
+       CAST(REPLACE(REPLACE(REPLACE(REPLACE('−' || format('{:,}', n_chars) || '%',
+            '−', '-'), '%', ''), ',', ''), '+', '') AS DOUBLE) AS parsed
+FROM documents
+""")
+def q15_parse_units(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("−"), F.format_number(F.col("n_chars"), 0), F.lit("%"))
+    return d.select(
+        "doc_id", raw.alias("raw"),
+        fx.parse_unit_string(raw).alias("parsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — hash ids + truncation (F11/F12; newsflow_scraper.py:296-303).
+# ---------------------------------------------------------------------------
+
+@register("q16_hash_id", oracle="""
+SELECT doc_id,
+       'tv_' || substr(md5(text), 1, 20) AS fingerprint_id,
+       substr(text, 1, 120) AS title
+FROM documents
+""")
+def q16_hash_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fx.hash_id(F.col("text")).alias("fingerprint_id"),
+        fx.truncate_str(F.col("text"), 120).alias("title"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — exact deduplication by content hash (training-data op; scale path:
+# hash-groupBy shuffles only the 32-byte digest + key, not the payload).
+# ---------------------------------------------------------------------------
+
+@register("q17_dedup_exact", oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS copies
+FROM documents
+GROUP BY md5(text)
+""")
+def q17_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count(F.lit(1)).alias("copies"))
+    )

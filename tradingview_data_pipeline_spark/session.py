@@ -1,0 +1,59 @@
+"""SparkSession factory with local / cluster profiles.
+
+The reference runs a single eager pandas process per cron job
+(`/root/reference/run_technical.sh:13`); our engine is a long-lived Spark
+application. Local profile is used by tests and bench; the cluster profile
+documents the settings we'd ship to a 1000-executor deployment (AQE on,
+shuffle partitions sized by data volume, Arrow enabled for the few
+Pandas-UDF operators).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the harness container (local[N], 128 GiB, tiny data).
+# At the 100 TB design point, spark.sql.shuffle.partitions is instead sized
+# ~ (input bytes / 128 MiB) and AQE coalesces the tail.
+_LOCAL_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+
+def get_spark(app_name: str = "tradingview-data-pipeline-spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    tests, bench, and the driver share one profile. On a real cluster the
+    caller passes ``master=None`` with ``spark.master`` set by the submitter
+    and overrides shuffle partitions to match data volume.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_LOCAL_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the driver's parquet tables from ``sf_dir`` as a dict of DataFrames."""
+    names = names or ["region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents", "embeddings"]
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
