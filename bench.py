@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tradingview_data_pipeline_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402  (imports register all plan modules)
 from tradingview_data_pipeline_spark.plans import analytics  # noqa: E402
 
 

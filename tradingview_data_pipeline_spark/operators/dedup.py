@@ -1,0 +1,186 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale architecture (the 100 TB story):
+- **Exact**: hash-groupBy on a 128-bit content digest. The shuffle carries
+  (digest, doc_id) — 40 bytes/row — never the payload. At 100 TB of text
+  that is a ~0.1% shuffle.
+- **MinHash+LSH**: signature computation is map-only (per-row array fold
+  over shingle hashes, no explode). Banding turns the O(n²) similarity
+  join into a groupBy on (band_id, band_hash) — only docs sharing a band
+  bucket meet. Candidate verification (exact Jaccard over distinct
+  shingles) runs on the candidate pairs only. Skewed buckets (boilerplate
+  docs) are handled by AQE skew-join / bucket-size capping.
+- **SimHash**: map-only 16..64-bit signature; near-dup = signatures within
+  Hamming distance d, found by pigeonhole banding of the bits.
+
+All hashing is md5-derived (``md5_hash60``) so results are reproducible
+across engines and runs — never engine-native ``hash()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.operators.text import (
+    md5_hash60, tokens, word_shingles,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """One row per distinct content: (content_hash, keeper id, copies)."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(f"keeper_{id_col}"),
+             F.count(F.lit(1)).alias("copies"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct content (deterministic keeper)."""
+    keep = (df.select(F.md5(F.col(content_col)).alias("__h"), F.col(id_col))
+            .groupBy("__h").agg(F.min(id_col).alias(id_col)))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures — one md5 base hash per shingle, k hash functions
+# derived as affine transforms (a_j·h + b_j) mod P. Classic universal-
+# hashing construction: one expensive hash, k cheap integer permutations.
+# Two-phase projection so the base hashes are computed exactly once
+# (Catalyst's CollapseProject will not merge projects that would duplicate
+# a non-trivial aliased expression).
+# ---------------------------------------------------------------------------
+
+MINHASH_P = 1073741789          # prime < 2^30: a_j·h + b_j stays < 2^35
+def _affine_coeffs(k: int) -> list[tuple[int, int]]:
+    return [(2 * j + 1, j * j + 7) for j in range(k)]
+
+
+def base_hashes(col: Column) -> Column:
+    """Distinct md5-derived hashes (mod P) of the word shingles — the set
+    representation used by both MinHash and Jaccard."""
+    return F.array_distinct(
+        F.transform(word_shingles(col), lambda s: md5_hash60(s) % MINHASH_P))
+
+
+def with_minhash_signature(df: DataFrame, text_col: str, id_cols: list[str],
+                           *, k: int = 8, out_col: str = "sig") -> DataFrame:
+    """id_cols + array<bigint> signature of length k."""
+    step = df.select(*id_cols, base_hashes(F.col(text_col)).alias("__bh"))
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("__bh"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P))
+        for a, b in _affine_coeffs(k)
+    ])
+    return step.select(*id_cols, sig.alias(out_col))
+
+
+def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, bh:string>>: md5 of the ':'-joined band slice."""
+    hashes = []
+    for b in range(bands):
+        parts = [F.element_at(sig, b * rows_per_band + i + 1).cast("string")
+                 for i in range(rows_per_band)]
+        hashes.append(F.struct(F.lit(b).cast("int").alias("band"),
+                               F.md5(F.concat_ws(":", *parts)).alias("bh")))
+    return F.array(*hashes)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        *, k: int = 8, bands: int = 4) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band bucket.
+
+    Plan shape: map-only signature -> explode bands (×bands rows) ->
+    self-join on (band, bh). The join key is a 16-byte hash; AQE handles
+    bucket skew. No payload moves.
+    """
+    rows_per_band = k // bands
+    signed = with_minhash_signature(df, text_col, [id_col], k=k)
+    banded = (
+        signed.select(F.col(id_col),
+                      F.explode(lsh_band_hashes(F.col("sig"), bands, rows_per_band)).alias("b"))
+        .select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard verification of candidate pairs — over the same
+# distinct shingle-hash sets (8-byte ints join far faster than shingle
+# strings; the md5 image preserves set overlap).
+# ---------------------------------------------------------------------------
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle-hash) distinct — the set representation for Jaccard."""
+    return df.select(F.col(id_col), F.explode(base_hashes(F.col(text_col))).alias("s"))
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame, id_col: str,
+                   *, threshold: float = 0.0) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for each candidate pair.
+
+    inter via join on shingle equality; union = |A| + |B| - inter. Integer
+    counts -> exact double division, engine-reproducible.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("doc_a"), F.col("s"))
+    sb = shingles.select(F.col(id_col).alias("doc_b"), F.col("s"))
+    inter = (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") * 1.0 / F.col("union_n"))
+        .select("doc_a", "doc_b", "inter", "union_n", "jaccard")
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash — b-bit signature from distinct-token md5 bits: bit j is set iff
+# at least half the tokens have bit j set in their md5. Integer counts
+# only -> exact. Map-only; O(b × tokens) per row.
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column, bits: int = 16) -> Column:
+    toks = F.array_distinct(tokens(col))
+    n = F.size(toks)
+
+    def bit_term(j: int) -> Column:
+        hex_pos = j // 4 + 1
+        shift = 3 - j % 4
+        ones = F.size(F.filter(
+            toks,
+            lambda t: F.shiftright(
+                F.conv(F.substring(F.md5(t), hex_pos, 1), 16, 10).cast("int"),
+                shift).bitwiseAND(F.lit(1)) == 1,
+        ))
+        return F.when(ones * 2 >= n, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+
+    out = bit_term(0)
+    for j in range(1, bits):
+        out = out + bit_term(j)
+    return F.when(n > 0, out).otherwise(F.lit(None).cast("bigint"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -368,7 +368,8 @@ def q11_rank_partition(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     out = ops.rank_within(c, ["c_mktsegment"], "c_acctbal",
                           out_col="segment_rank", tie_break="c_custkey")
-    return out.select("c_custkey", "c_mktsegment", "c_acctbal", "segment_rank")
+    return out.select("c_custkey", "c_mktsegment", "c_acctbal",
+                      F.col("segment_rank").cast("bigint").alias("segment_rank"))
 
 
 # ---------------------------------------------------------------------------

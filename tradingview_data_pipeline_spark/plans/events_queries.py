@@ -1,0 +1,151 @@
+"""Event-time window queries over the ``events`` table (SURVEY §2.9 —
+the streaming-shaped semantics; same DataFrame code works under
+Structured Streaming with a watermark, see ``streaming/``).
+
+The events parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+rejects; we read nanos as long (legacy conf, set at runtime) and truncate
+to microseconds — exactly what DuckDB's reader does natively, so both
+engines see identical µs timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.plans.analytics import register, _dsum
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# ---------------------------------------------------------------------------
+# q18 — tumbling window aggregation (Structured Streaming shape; batch
+# equivalence with DuckDB date_trunc).
+# ---------------------------------------------------------------------------
+
+@register("q18_events_tumbling", oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""")
+def q18_events_tumbling(spark, sf_dir):
+    e = events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             _dsum(F.col("value"), scale="18,2").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — sliding window (1 h window, 15 min slide): each event lands in 4
+# windows; oracle replicates via an offset cross join.
+# ---------------------------------------------------------------------------
+
+@register("q19_events_sliding", oracle="""
+WITH base AS (
+  SELECT date_trunc('minute', ts)
+           - (CAST(EXTRACT(minute FROM ts) AS INT) % 15) * INTERVAL '1 minute' AS floor15,
+         value
+  FROM events
+)
+SELECT floor15 - k.k * INTERVAL '15 minutes' AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM base CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+GROUP BY 1
+""")
+def q19_events_sliding(spark, sf_dir):
+    e = events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             _dsum(F.col("value"), scale="18,2").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — session windows (30 min gap) per user. Spark merges events whose
+# gap is strictly < 30 min; the oracle's gaps-and-islands flags a new
+# session at gap >= 30 min — same boundary.
+# ---------------------------------------------------------------------------
+
+@register("q20_events_session", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, sid
+""")
+def q20_events_session(spark, sf_dir):
+    e = events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             _dsum(F.col("value"), scale="18,2").alias("total_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — JSON property extraction (scalar-function family; the reference's
+# JSON surface is serialization-only, S3/K7 — here it's a data-plane op).
+# ---------------------------------------------------------------------------
+
+@register("q21_events_json", oracle="""
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+""")
+def q21_events_json(spark, sf_dir):
+    e = events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type", (k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — calendar rollup on the orders fact (date functions family F14).
+# ---------------------------------------------------------------------------
+
+@register("q22_orders_monthly", oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY date_trunc('month', o_orderdate), o_orderpriority
+""")
+def q22_orders_monthly(spark, sf_dir):
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"), "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             _dsum(F.col("o_totalprice"), scale="18,2").alias("total_price"))
+    )

@@ -1,0 +1,290 @@
+"""Training-data pipeline queries: text analysis, dedup (exact /
+MinHash-LSH / SimHash / n-gram Jaccard), similarity search — over the
+``documents`` and ``embeddings`` tables.
+
+Oracle SQL is generated from the same marker tables / salts as the Spark
+expressions so both sides stay in lockstep. Hashing is md5-derived
+(cross-engine reproducible); vector math uses left-to-right folds
+(bit-identical between Spark ``aggregate`` and DuckDB ``list_reduce``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.operators import dedup as dd
+from tradingview_data_pipeline_spark.operators import similarity as sim
+from tradingview_data_pipeline_spark.operators import text as tx
+from tradingview_data_pipeline_spark.plans.analytics import register, _t
+
+# --- shared DuckDB fragments (mirror operators/text.py exactly) -----------
+
+_TOKS = ("CASE WHEN trim(text) = '' THEN [] "
+         "ELSE regexp_split_to_array(trim(text), '\\s+') END")
+
+_SHINGLES = ("CASE WHEN len(w) >= 3 THEN "
+             "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) "
+             "ELSE [array_to_string(w, ' ')] END")
+
+_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _hits_sql(markers: list[str]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(toks, t -> t IN ({inlist})))"
+
+
+# ---------------------------------------------------------------------------
+# q23 — token statistics (token counting for a BPE-ish budget model).
+# ---------------------------------------------------------------------------
+
+@register("q23_token_stats", oracle=f"""
+WITH t AS (SELECT doc_id, text, n_chars, {_TOKS} AS toks FROM documents)
+SELECT doc_id, n_chars,
+       len(toks) AS n_tokens,
+       CASE WHEN len(toks) > 0
+            THEN length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len(toks)
+            ELSE 0.0 END AS avg_token_len
+FROM t
+""")
+def q23_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    step = d.select(
+        "doc_id", "n_chars",
+        tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace("text", "\\s", "")).alias("__nonspace"),
+    )
+    n = F.col("n_tokens")
+    return step.select(
+        "doc_id", "n_chars", "n_tokens",
+        F.when(n > 0, F.col("__nonspace") * 1.0 / n).otherwise(F.lit(0.0)).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — language ID (marker-token argmax; first-in-table wins ties).
+# ---------------------------------------------------------------------------
+
+def _langid_oracle() -> str:
+    hits = {lang: _hits_sql(m) for lang, m in tx.LANG_MARKERS.items()}
+    cols = ", ".join(f"{h} AS h_{lang}" for lang, h in hits.items())
+    names = ", ".join(f"h_{lang}" for lang in hits)
+    best = f"greatest({names})"
+    cases = " ".join(f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in hits)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, lang, {cols} FROM t)
+SELECT doc_id, lang, h_en,
+       CASE WHEN {best} = 0 THEN 'und' {cases} END AS predicted_lang
+FROM h
+"""
+
+
+@register("q24_lang_id", oracle=_langid_oracle())
+def q24_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = tx.lang_id_table(d, "text", ["doc_id", "lang"])
+    return out.select("doc_id", "lang", "h_en", "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# q25 — quality scoring (length/stopword/punctuation blend).
+# ---------------------------------------------------------------------------
+
+_EN = ", ".join(f"'{m}'" for m in tx.LANG_MARKERS["en"])
+
+@register("q25_quality_score", oracle=f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         100.0 - least(abs(CAST(length(text) AS DOUBLE) - 300.0) / 300.0 * 100.0, 100.0) AS len_score,
+         (CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, t -> t IN ({_EN}))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END) * 100.0 AS sw,
+         (CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+               ELSE 0.0 END) * 100.0 AS pr
+  FROM t
+)
+SELECT doc_id,
+       len_score * 0.5 + least(sw, 50.0) * 0.8 + least(pr, 20.0) * 0.5 AS quality
+FROM b
+""")
+def q25_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# q26 — document fingerprint (min shingle hash; 1-function MinHash).
+# ---------------------------------------------------------------------------
+
+@register("q26_doc_fingerprint", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t)
+SELECT doc_id,
+       list_min(list_transform(sh, s -> {_H60.format(expr='s')})) AS fingerprint
+FROM s
+""")
+def q26_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# q27 — MinHash signatures, k=8, over distinct shingles (exploded rows so
+# the value-hash covers every signature component).
+# ---------------------------------------------------------------------------
+
+_P = 1073741789  # keep in sync with operators.dedup.MINHASH_P
+
+_MH_CTE = f"""
+t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+shd AS (SELECT DISTINCT doc_id, {_H60.format(expr='s')} % {_P} AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
+mh AS (
+  SELECT doc_id, j,
+         MIN(((2*j+1) * h + (j*j+7)) % {_P}) AS minhash
+  FROM shd, range(8) AS r(j)
+  GROUP BY doc_id, j
+)"""
+
+@register("q27_minhash_signatures", oracle=f"""
+WITH {_MH_CTE}
+SELECT doc_id, j, minhash FROM mh
+""")
+def q27_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    signed = dd.with_minhash_signature(d, "text", ["doc_id"], k=8)
+    return (signed.select("doc_id", F.posexplode("sig").alias("j", "minhash"))
+            .select("doc_id", F.col("j").cast("bigint").alias("j"), "minhash"))
+
+
+# ---------------------------------------------------------------------------
+# q28 — MinHash-LSH near-duplicate pairs (bands of 2) verified with exact
+# n-gram Jaccard >= 0.2. The flagship dedup pipeline.
+# ---------------------------------------------------------------------------
+
+@register("q28_lsh_near_dup", oracle=f"""
+WITH {_MH_CTE},
+bands AS (
+  SELECT doc_id, CAST(j // 2 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY j)) AS bh
+  FROM mh GROUP BY doc_id, j // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.doc_a
+  JOIN shd y ON y.doc_id = c.doc_b AND y.h = x.h
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b, i.inter,
+       na.n + nb.n - i.inter AS union_n,
+       i.inter * 1.0 / (na.n + nb.n - i.inter) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.2
+""")
+def q28_lsh_near_dup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", k=8, bands=4)
+    shingles = dd.shingle_rows(d, "doc_id", "text")
+    return dd.jaccard_verify(pairs, shingles, "doc_id", threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# q29 — SimHash signatures (16-bit, distinct-token majority vote).
+# ---------------------------------------------------------------------------
+
+def _simhash_oracle(bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        hex_pos = j // 4 + 1
+        shift = 3 - j % 4
+        bitexpr = (f"((('0x' || substr(md5(t), {hex_pos}, 1))::INT >> {shift}) & 1) = 1")
+        terms.append(
+            f"CASE WHEN 2 * len(list_filter(toks, t -> {bitexpr})) >= len(toks) "
+            f"THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    total = " + ".join(terms)
+    return f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN len(toks) > 0 THEN {total} ELSE NULL END AS simhash
+FROM t
+"""
+
+
+@register("q29_simhash", oracle=_simhash_oracle())
+def q29_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", dd.simhash(F.col("text"), bits=16).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# q30 — brute-force cosine top-k (ANN baseline): 5 query vectors against
+# the corpus, top-5 each.
+# ---------------------------------------------------------------------------
+
+_DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)")
+_NSQ = ("list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "(x, y) -> x + y)")
+
+@register("q30_cosine_topk", oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a="qv", b="cv")}
+         / (sqrt({_NSQ.format(a="qv")}) * sqrt({_NSQ.format(a="cv")})) AS cos
+  FROM c CROSS JOIN q
+  WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+""")
+def q30_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# q31 — bucketed (IVF-style) approximate top-k: search restricted to the
+# query's cluster (label column as coarse quantizer cell).
+# ---------------------------------------------------------------------------
+
+@register("q31_ann_bucketed", oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS bk
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS bk FROM embeddings),
+scored AS (
+  SELECT query_id, c.bk, neighbor_id,
+         {_DOT.format(a="qv", b="cv")}
+         / (sqrt({_NSQ.format(a="qv")}) * sqrt({_NSQ.format(a="cv")})) AS cos
+  FROM c JOIN q USING (bk)
+  WHERE neighbor_id != query_id
+)
+SELECT query_id, bk, neighbor_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+""")
+def q31_ann_bucketed(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.bucketed_topk(e, e.where(F.col("vec_id") < 5), "vec_id", "embedding",
+                             "label", k=3)
