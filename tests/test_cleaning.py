@@ -1,0 +1,108 @@
+"""F1-F16 cleaning functions — pinned to the reference's pandas edge cases
+(SURVEY §2.8; uploadtodb.py:126-138, sectorscore.py:64-70,
+sectormerged_improved.py:115-148, newsflow_scraper.py:296-303)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.functions import cleaning as fx
+
+
+def one(spark, col, **cols):
+    data = [tuple(cols.values())] if cols else [(None,)]
+    names = list(cols.keys()) or ["x"]
+    df = spark.createDataFrame(data, names)
+    return df.select(col.alias("out")).collect()[0]["out"]
+
+
+def test_clean_value_rounds_and_nullifies(spark):
+    df = spark.createDataFrame(
+        [(1.239,), (float("nan"),), (float("inf",),), (float("-inf"),), (None,)],
+        "x double")
+    out = [r["out"] for r in df.select(fx.clean_value(F.col("x")).alias("out")).collect()]
+    assert out == [1.24, None, None, None, None]
+
+
+def test_clean_string_empty_to_null(spark):
+    df = spark.createDataFrame([("  a  ",), ("   ",), ("",), (None,)], "x string")
+    out = [r["out"] for r in df.select(fx.clean_string(F.col("x")).alias("out")).collect()]
+    assert out == ["a", None, None, None]
+
+
+def test_parse_unit_string_reference_semantics(spark):
+    # reference drops T/B multipliers (sectorscore.py:64-70)
+    cases = {"−12.5%": -12.5, "+3.2%": 3.2, "1,234.56": 1234.56,
+             "2.5T INR": 2.5, "800B INR": 800.0, "garbage": None, "": None}
+    df = spark.createDataFrame([(k,) for k in cases], "x string")
+    out = df.select("x", fx.parse_unit_string(F.col("x")).alias("out")).collect()
+    for r in out:
+        assert r["out"] == cases[r["x"]], r
+
+
+def test_parse_unit_string_applied_multipliers(spark):
+    df = spark.createDataFrame([("2.5T INR",), ("800B INR",), ("1.5K",)], "x string")
+    out = [r["out"] for r in df.select(
+        fx.parse_unit_string(F.col("x"), apply_multipliers=True).alias("out")).collect()]
+    assert out == [2.5e12, 800e9, 1500.0]
+
+
+def test_normalize_text_mojibake_and_comma_guard(spark):
+    df = spark.createDataFrame(
+        [("a b",), ("x − y",), ("1,234.5 INR",), ("a, b",)], "x string")
+    out = [r["out"] for r in df.select(fx.normalize_text(F.col("x")).alias("out")).collect()]
+    assert out[0] == "a b"
+    assert out[1] == "x - y"
+    assert out[2] == "1234.5 INR"      # comma stripped: numeric-with-units
+    assert out[3] == "a, b"            # comma kept: not numeric
+
+
+def test_rating_to_score_null_and_unmapped(spark):
+    df = spark.createDataFrame(
+        [("Strong Buy",), ("Strong buy",), ("Buy",), ("Neutral",),
+         ("Sell",), ("Strong sell",), ("Whatever",), (None,)], "x string")
+    out = [r["out"] for r in df.select(fx.rating_to_score(F.col("x")).alias("out")).collect()]
+    assert out == [5, 5, 4, 3, 2, 1, 3, 3]   # null -> 'Hold' -> 3
+
+
+def test_guarded_rel_diff_zero_price(spark):
+    assert one(spark, fx.guarded_rel_diff(F.col("a"), F.col("b")), a=110.0, b=100.0) == 0.1
+    assert one(spark, fx.guarded_rel_diff(F.col("a"), F.col("b")), a=110.0, b=0.0) == 0.0
+
+
+def test_macd_histogram_fillna(spark):
+    df = spark.createDataFrame([(None, 2.0), (3.0, None), (None, None)],
+                               "l double, s double")
+    out = [r["out"] for r in df.select(
+        fx.macd_histogram(F.col("l"), F.col("s")).alias("out")).collect()]
+    assert out == [-2.0, 3.0, 0.0]
+
+
+def test_clip_upper(spark):
+    assert one(spark, fx.clip_upper(F.col("x"), 3.0), x=5.0) == 3.0
+    assert one(spark, fx.clip_upper(F.col("x"), 3.0), x=2.0) == 2.0
+
+
+def test_minmax_all_equal_is_one(spark):
+    assert one(spark, fx.minmax_normalize(F.col("x"), F.col("mn"), F.col("mx")),
+               x=5.0, mn=5.0, mx=5.0) == 1.0
+    assert one(spark, fx.minmax_normalize(F.col("x"), F.col("mn"), F.col("mx")),
+               x=5.0, mn=0.0, mx=10.0) == 0.5
+
+
+def test_volatility_scaling_roundtrip(spark):
+    assert one(spark, fx.scale_volatility(F.col("x")), x=1.234) == 1234
+    assert one(spark, fx.unscale_volatility(F.col("x")), x=1234) == 1.234
+
+
+def test_hash_id_shape(spark):
+    out = one(spark, fx.hash_id(F.col("x")), x="http://example.com/a")
+    assert out.startswith("tv_") and len(out) == 23
+
+
+def test_truncate_and_prefix_strip(spark):
+    assert one(spark, fx.truncate_str(F.col("x"), 5), x="abcdefgh") == "abcde"
+    assert one(spark, fx.strip_prefix(F.col("x")), x="Reuters: Market up") == "Market up"
+    assert one(spark, fx.compose_url(F.col("x")), x="/news/1") == \
+        "https://in.tradingview.com/news/1"
+    assert one(spark, fx.compose_url(F.col("x")), x="https://z.com/1") == "https://z.com/1"

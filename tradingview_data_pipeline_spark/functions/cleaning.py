@@ -25,7 +25,7 @@ def clean_value(col: Column, *, decimals: int = 2) -> Column:
     NaN/Infinity from bad casts, so normalize them to SQL NULL before
     rounding (round(NaN) would stay NaN and poison aggregates).
     """
-    c = col.cast("double")
+    c = col.try_cast("double")
     finite = ~(F.isnan(c) | c.isin(float("inf"), float("-inf")))
     return F.when(c.isNotNull() & finite, F.round(c, decimals))
 
@@ -39,7 +39,7 @@ def clean_string(col: Column) -> Column:
 # arrives as float text; non-numeric -> NULL).
 
 def clean_long(col: Column) -> Column:
-    return col.cast("double").cast("long")
+    return col.try_cast("double").cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -62,10 +62,10 @@ def parse_unit_string(col: Column, *, apply_multipliers: bool = False) -> Column
             .when(s.rlike("[Kk]$"), F.lit(1e3))
             .otherwise(F.lit(1.0))
         )
-        num = F.regexp_replace(s, "[TtBbMmKk]$", "").cast("double")
+        num = F.regexp_replace(s, "[TtBbMmKk]$", "").try_cast("double")
         return num * mult
     # reference behavior: strip the unit letter, keep the mantissa
-    return F.trim(F.regexp_replace(s, "[TtBbMmKk]$", "")).cast("double")
+    return F.trim(F.regexp_replace(s, "[TtBbMmKk]$", "")).try_cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -133,7 +133,8 @@ def macd_histogram(level: Column, signal: Column) -> Column:
 # F8 — clip upper (calfundamentalscore.py:84-88,183-193)
 
 def clip_upper(col: Column, cap: float) -> Column:
-    return F.least(col, F.lit(float(cap)))
+    # least() skips NULLs (would turn NULL into the cap); pandas clip keeps NaN
+    return F.when(col.isNotNull(), F.least(col, F.lit(float(cap))))
 
 
 # F9 — min-max normalize (sectorscore.py:72-78): all-equal group -> constant 1.0

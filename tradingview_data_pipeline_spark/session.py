@@ -25,6 +25,10 @@ _LOCAL_DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # wide scoring plans chain one WindowExec per (partition, order) spec;
+    # the default 1m thread stack overflows around ~40 chained operators
+    "spark.driver.extraJavaOptions": "-Xss32m",
+    "spark.executor.extraJavaOptions": "-Xss32m",
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }

@@ -1,0 +1,114 @@
+"""Tolerant CSV ingestion with header mapping (SURVEY S1/S2, P1-P4, F1).
+
+The reference picks "the newest CSV with prefix X" from a downloads
+directory (uploadtodb.py:46-57), reads it with pandas, renames headers via
+an explicit map, drops unmapped columns, cleans every value, stamps an
+audit timestamp. Here the same contract is a declarative pipeline:
+
+    read csv (all-string, header row)
+      -> rename via header map (withColumnsRenamed)
+      -> project to mapped columns, aligned to the declared schema
+      -> cast + clean (F1/F2 semantics: NaN/Inf/empty -> NULL, round 2dp)
+      -> audit timestamp
+
+Duplicate CSV headers: Spark appends numeric suffixes differently from
+pandas, so the adapter normalizes the second occurrence of a header to
+pandas' ``.1`` convention before mapping (uploadtodb.py:113-114 parity).
+
+Scale note: for directory-ingest at scale use ``streaming/file_ingest``
+(Structured Streaming file source with Trigger.AvailableNow) — this batch
+adapter is the single-file path; both share the mapping/cleaning step.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tradingview_data_pipeline_spark.functions.cleaning import clean_value, clean_string
+
+
+def newest_file_by_prefix(directory: str, prefix: str, suffix: str = ".csv") -> str | None:
+    """Newest (mtime desc) file matching prefix/suffix — the reference's
+    micro-batch unit of work (uploadtodb.py:46-57)."""
+    try:
+        names = [n for n in os.listdir(directory)
+                 if n.startswith(prefix) and n.endswith(suffix)]
+    except FileNotFoundError:
+        return None
+    if not names:
+        return None
+    names.sort(key=lambda n: os.path.getmtime(os.path.join(directory, n)), reverse=True)
+    return os.path.join(directory, names[0])
+
+
+def read_csv_with_mapping(
+    spark: SparkSession,
+    path: str,
+    header_map: dict[str, str],
+    schema: T.StructType,
+    *,
+    audit_col: str = "last_modified_date",
+) -> DataFrame:
+    """Read a headered CSV and align it to ``schema`` via ``header_map``.
+
+    - columns not in the map are dropped (P2);
+    - mapped columns missing from the file come back as typed NULLs
+      (sink-schema alignment, sectormerged_improved.py:655-680 semantics);
+    - numeric columns get F1 cleaning (NaN/±Inf/empty -> NULL, round 2dp),
+      longs are tolerant-cast (F2), strings are trimmed with empty -> NULL.
+    """
+    raw = spark.read.option("header", True).csv(path)  # all strings
+
+    # Spark disambiguates duplicate headers with positional suffixes
+    # ("Col2", "Col3"); pandas uses "Col", "Col.1". Re-read the header
+    # line (driver-side, one line) and rename positionally to the pandas
+    # convention the reference's map expects (uploadtodb.py:113-114).
+    import csv as _csv
+    with open(path, newline="") as fh:
+        header = next(_csv.reader(fh))
+    if len(header) == len(raw.columns):
+        seen: dict[str, int] = {}
+        cols = []
+        for c in header:
+            if c in seen:
+                seen[c] += 1
+                cols.append(f"{c}.{seen[c]}")
+            else:
+                seen[c] = 0
+                cols.append(c)
+        raw = raw.toDF(*cols)
+
+    target_fields = {f.name: f for f in schema.fields}
+    exprs = []
+    mapped = {src: dst for src, dst in header_map.items() if dst in target_fields}
+    for src, dst in mapped.items():
+        f = target_fields[dst]
+        if src in raw.columns:
+            col = F.col(f"`{src}`")
+            if isinstance(f.dataType, T.DoubleType):
+                exprs.append(clean_value(col).alias(dst))
+            elif isinstance(f.dataType, T.LongType):
+                exprs.append(col.try_cast("double").cast("long").alias(dst))
+            elif isinstance(f.dataType, T.TimestampType):
+                exprs.append(col.try_cast("timestamp").alias(dst))
+            else:
+                exprs.append(clean_string(col).alias(dst))
+        else:
+            exprs.append(F.lit(None).cast(f.dataType).alias(dst))
+    out = raw.select(*exprs)
+    if audit_col and audit_col in target_fields:
+        out = out.withColumn(audit_col, F.current_timestamp())
+    return out
+
+
+def ingest_newest(spark: SparkSession, directory: str, prefix: str,
+                  header_map: dict[str, str], schema: T.StructType) -> DataFrame | None:
+    """S2 + S1 + adapter in one call; None when no file is waiting."""
+    path = newest_file_by_prefix(directory, prefix)
+    if path is None:
+        return None
+    return read_csv_with_mapping(spark, path, header_map, schema)
