@@ -1,0 +1,123 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side contract is fully real — schemas, partition-aware batch
+processing via ``mapInPandas`` (Arrow-batched, one Python worker round
+trip per partition, never per row), metadata pushdown-friendly layout —
+while the codec step itself is STUBBED: this container has no image/audio
+libraries, so ``decode_image_meta`` ships a deterministic fake decoder
+behind the same signature a real one (PIL/ffmpeg) would use, and
+``register_decoder`` swaps in a real implementation in production.
+
+Layout guidance for 100 TB: store media as parquet/Lance-style binary
+columns partitioned by (modality, date) with the metadata struct in the
+same row group — filter/prune on metadata happens without touching bytes;
+the binary column is only deserialized inside the mapInPandas stage, and
+``spark.sql.files.maxPartitionBytes`` bounds per-task memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("modality", T.StringType()),        # image | audio | video
+    T.StructField("mime_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ])),
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("content_sha1", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decode: derives shape and a
+    16-dim 'feature' from the bytes. Replace via ``register_decoder``."""
+    digest = hashlib.sha1(payload or b"").digest()
+    w = 64 + digest[0] % 192
+    h = 64 + digest[1] % 192
+    feat = [x / 255.0 for x in digest[:16]]
+    return {"width": w, "height": h, "feature": feat,
+            "sha1": hashlib.sha1(payload or b"").hexdigest()}
+
+
+_DECODER: Callable[[bytes], dict] = _fake_decode
+
+
+def register_decoder(fn: Callable[[bytes], dict]) -> None:
+    """Swap in a real decoder (e.g. PIL-based) with the same contract:
+    bytes -> {width, height, feature: list[float], sha1}."""
+    global _DECODER
+    _DECODER = fn
+
+
+def extract_image_features(df: DataFrame, *, batch_hint: int | None = None) -> DataFrame:
+    """media table -> per-image features via mapInPandas (Arrow batches).
+
+    The pandas iterator shape keeps peak memory at one Arrow batch per
+    task regardless of partition size; the decoder runs vectorized over
+    the batch without per-row Python<->JVM crossings.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            decoded = [_DECODER(p if p is not None else b"") for p in b["payload"]]
+            yield pd.DataFrame({
+                "media_id": b["media_id"],
+                "width": [d["width"] for d in decoded],
+                "height": [d["height"] for d in decoded],
+                "n_bytes": [len(p) if p is not None else 0 for p in b["payload"]],
+                "content_sha1": [d["sha1"] for d in decoded],
+                "feature": [d["feature"] for d in decoded],
+            })
+
+    src = df.select("media_id", "payload")
+    return src.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_spec(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Plan a resize: pure-metadata computation of target dims (native
+    expressions; the byte transform itself would run in the same
+    mapInPandas stage as ``extract_image_features``)."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h).cast("double"))
+    return df.withColumn("target_width", F.ceil(w * scale).cast("int")) \
+             .withColumn("target_height", F.ceil(h * scale).cast("int"))
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: explode target frame timestamps from
+    duration metadata (native sequence; decode happens downstream)."""
+    dur = F.col("meta.duration_ms")
+    ts = F.when(dur.isNotNull() & (dur > 0),
+                F.sequence(F.lit(0).cast("long"), dur - 1, F.lit(every_ms).cast("long"))) \
+        .otherwise(F.array().cast("array<long>"))
+    return df.select("media_id", F.explode(ts).alias("frame_ms"))
+
+
+def make_fake_media(spark, n: int = 16) -> DataFrame:
+    """Deterministic fixture for plumbing tests."""
+    rows = []
+    for i in range(n):
+        payload = struct.pack("<I", i) * (i + 1)
+        rows.append((f"m{i:03d}", "image", "image/fake", payload,
+                     (32 + i, 24 + i, None, None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

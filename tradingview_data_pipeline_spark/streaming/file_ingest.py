@@ -1,0 +1,87 @@
+"""Streaming file ingestion (SURVEY §2.9, M6).
+
+The reference's cron + "newest CSV by mtime" loop (uploadtodb.py:46-57,
+README.md:161-167) is a file-arrival micro-batch pattern. Structured
+Streaming expresses it directly: a file source watches the directory,
+``Trigger.AvailableNow`` processes everything pending then stops (cron-
+compatible), checkpointing replaces the mtime bookkeeping, and every file
+is processed exactly once — the reference would silently skip a second
+file landing between cron ticks; the stream does not.
+
+The per-batch sink is the same MERGE used by the batch path (foreachBatch
+-> ParquetTable.merge_upsert), so batch and streaming share one code path
+— the unified-API property this engine is designed around.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tradingview_data_pipeline_spark.functions.cleaning import clean_string, clean_value
+from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+
+
+def _mapped_select(df: DataFrame, header_map: dict[str, str],
+                   schema: T.StructType, audit_col: str = "last_modified_date"):
+    """Same mapping/cleaning contract as sources.csv_adapter, expressed on
+    a streaming DataFrame (no duplicate-header rewrite — streaming reads
+    use the declared all-string schema, so headers are already unique)."""
+    target_fields = {f.name: f for f in schema.fields}
+    exprs = []
+    for src, dst in header_map.items():
+        f = target_fields.get(dst)
+        if f is None:
+            continue
+        if src in df.columns:
+            col = F.col(f"`{src}`")
+            if isinstance(f.dataType, T.DoubleType):
+                exprs.append(clean_value(col).alias(dst))
+            elif isinstance(f.dataType, T.LongType):
+                exprs.append(col.try_cast("double").cast("long").alias(dst))
+            else:
+                exprs.append(clean_string(col).alias(dst))
+        else:
+            exprs.append(F.lit(None).cast(f.dataType).alias(dst))
+    out = df.select(*exprs)
+    if audit_col in target_fields:
+        out = out.withColumn(audit_col, F.current_timestamp())
+    return out
+
+
+def stream_csv_to_table(
+    spark: SparkSession,
+    directory: str,
+    header_map: dict[str, str],
+    table: ParquetTable,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    csv_header_columns: list[str] | None = None,
+):
+    """Watch ``directory`` for CSVs and MERGE each micro-batch into
+    ``table``. Returns the started StreamingQuery.
+
+    ``csv_header_columns``: the file's header order (streaming CSV needs a
+    declared schema; pass the expected raw headers). Defaults to the
+    header_map keys in order.
+    """
+    raw_cols = csv_header_columns or list(header_map.keys())
+    raw_schema = T.StructType([T.StructField(c, T.StringType()) for c in raw_cols])
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 16)
+        .csv(directory)
+    )
+    mapped = _mapped_select(stream, header_map, table.schema)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.merge_upsert(batch_df)
+
+    writer = mapped.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
