@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tradingview_data_pipeline_spark.plans import analytics  # noqa: E402
 from tradingview_data_pipeline_spark.plans import events_queries  # noqa: E402,F401  (registers queries)
 from tradingview_data_pipeline_spark.plans import training_queries  # noqa: E402,F401  (registers queries)
+from tradingview_data_pipeline_spark.plans import relational_extra  # noqa: E402,F401  (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,171 @@
+"""Extended relational coverage: multi-join analytical queries, rollup,
+distinct aggregation, embedding near-dup — operators the reference lacks
+but Spark provides for free (SURVEY §2.4 "absent" list), declared here so
+the correctness gate covers them too.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.operators import similarity as sim
+from tradingview_data_pipeline_spark.plans.analytics import register, _t, _dec, _dsum
+
+
+# ---------------------------------------------------------------------------
+# q32 — embedding near-duplicate pairs within a coarse bucket (the
+# embedding-cosine dedup path; threshold tuned to the synthetic corpus).
+# ---------------------------------------------------------------------------
+
+_DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)")
+_NSQ = ("list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "(x, y) -> x + y)")
+
+@register("q32_embedding_near_dup", oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS bk,
+       {_DOT.format(a="a.embedding", b="b.embedding")}
+       / (sqrt({_NSQ.format(a="a.embedding")}) * sqrt({_NSQ.format(a="b.embedding")})) AS cos
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DOT.format(a="a.embedding", b="b.embedding")}
+      / (sqrt({_NSQ.format(a="a.embedding")}) * sqrt({_NSQ.format(a="b.embedding")})) >= 0.4
+""")
+def q32_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = sim.embedding_near_dups(e, "vec_id", "embedding", "label", threshold=0.4)
+    return out.select("id_a", "id_b", "bk", "cos")
+
+
+# ---------------------------------------------------------------------------
+# q33 — shipping-priority style multi-join + agg + top-k (TPC-H Q3 shape):
+# selective dim filter -> two fact joins -> grouped revenue -> TakeOrdered.
+# ---------------------------------------------------------------------------
+
+@register("q33_shipping_priority", oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""")
+def q33_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = _dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"), "4,2"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — local-supplier volume (TPC-H Q5 shape): 6-table join with the
+# co-nation condition, grouped revenue per nation.
+# ---------------------------------------------------------------------------
+
+@register("q34_local_supplier_volume", oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = (SELECT min(r_name) FROM region)
+GROUP BY n_name
+""")
+def q34_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    first_region = r.agg(F.min("r_name").alias("r_name"))
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = _dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"), "4,2"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.join(first_region, "r_name", "left_semi")),
+              n.n_regionkey == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — rollup (grouping-set aggregation; "free in Spark", SURVEY §2.4).
+# ---------------------------------------------------------------------------
+
+@register("q35_rollup_region_nation", oracle="""
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def q35_rollup_region_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             _dsum(F.col("c_acctbal")).alias("total_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — distinct aggregation + F10 volatility scaling parity in one pass.
+# ---------------------------------------------------------------------------
+
+@register("q36_distinct_agg", oracle="""
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal,
+       CAST(SUM(CAST(ROUND(c_acctbal * 1000, 0) AS BIGINT)) AS BIGINT) AS scaled_sum
+FROM customer
+GROUP BY c_mktsegment
+""")
+def q36_distinct_agg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    scaled = F.round(F.col("c_acctbal") * 1000, 0).cast("bigint")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+             F.count(F.lit(1)).alias("n_customers"),
+             _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+             F.sum(scaled).alias("scaled_sum"))
+    )

@@ -31,6 +31,39 @@ from pyspark.sql import types as T
 from tradingview_data_pipeline_spark.functions.cleaning import clean_value, clean_string
 
 
+def sniff_delimiter(path: str, default: str = ",") -> str:
+    """S3: detect the delimiter from the first KB (reference pyc:csv_to_json
+    uses csv.Sniffer with a comma fallback: 'Could not detect delimiter,
+    using comma')."""
+    import csv as _csv
+    try:
+        with open(path, newline="") as fh:
+            sample = fh.read(1024)
+        return _csv.Sniffer().sniff(sample, delimiters=",;\t|").delimiter
+    except (OSError, _csv.Error):
+        return default
+
+
+def jdbc_partitioned_scan(spark: SparkSession, url: str, table: str,
+                          partition_column: str, lower: int, upper: int,
+                          num_partitions: int = 32, **options: str) -> DataFrame:
+    """S4: the reference pages through PostgREST 1,000 rows at a time
+    sequentially (calcompositescore.py:50-74); the engine expresses the
+    same scan as a partitioned-parallel JDBC read — Catalyst pushes
+    projections and predicates into the source, and the range split runs
+    one partition per executor slot instead of a driver-side loop."""
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table)
+              .option("partitionColumn", partition_column)
+              .option("lowerBound", str(lower))
+              .option("upperBound", str(upper))
+              .option("numPartitions", str(num_partitions)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def newest_file_by_prefix(directory: str, prefix: str, suffix: str = ".csv") -> str | None:
     """Newest (mtime desc) file matching prefix/suffix — the reference's
     micro-batch unit of work (uploadtodb.py:46-57)."""
