@@ -1,17 +1,25 @@
 """Benchmark harness: runs the declared queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the three
+reference pipeline jobs at the REFERENCE'S OWN data scale (1,384-row CSV
+upload, 1,643-row composite/fundamental scoring — BASELINE.md rows 1,3,7)
+for a direct apples-to-apples comparison. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+"sf": ...}.
 
-Each query is materialized with the noop sink (full execution, no driver
-collect) so timings measure the plan, not result transfer.
+Queries are materialized with the noop sink (full execution, no driver
+collect); pipeline jobs include their real table writes (the upsert is
+part of the baseline numbers being compared against).
 """
 
 from __future__ import annotations
 
+import csv
 import json
 import os
+import random
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -19,6 +27,86 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tradingview_data_pipeline_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402  (imports register all plan modules)
 from tradingview_data_pipeline_spark.plans import analytics  # noqa: E402
+
+
+def _write_technical_csv(path: str, n: int = 1384) -> None:
+    """Deterministic 1,384-row × 49-col technical CSV (baseline row 1 shape)."""
+    from tradingview_data_pipeline_spark import schemas
+    rng = random.Random(42)
+    headers = [h for h in schemas.TECHNICAL_HEADER_MAP if not h.endswith(".1")]
+    sectors = [f"Sector{i}" for i in range(20)]
+    industries = [f"Industry{i}" for i in range(119)]
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(headers)
+        for i in range(n):
+            row = []
+            for h in headers:
+                c = schemas.TECHNICAL_HEADER_MAP[h]
+                if c == "symbol":
+                    row.append(f"SYM{i:05d}")
+                elif c == "sector":
+                    row.append(sectors[i % 20])
+                elif c == "industry":
+                    row.append(industries[i % 119])
+                elif c == "market_capitalization":
+                    row.append(str(rng.randint(10**8, 2 * 10**13)))
+                elif c == "analyst_rating":
+                    row.append(rng.choice(["Strong Buy", "Buy", "Hold", "Sell", ""]))
+                elif c in schemas._STRING_COLS:
+                    row.append(f"s{i % 7}")
+                elif rng.random() < 0.05:
+                    row.append("")                      # null-rate parity
+                else:
+                    row.append(f"{rng.uniform(-100, 100):.3f}")
+            w.writerow(row)
+
+
+def _bench_pipelines(spark, timings: dict[str, float]) -> None:
+    from tradingview_data_pipeline_spark import schemas
+    from tradingview_data_pipeline_spark.sources.csv_adapter import ingest_newest
+    from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+    from tradingview_data_pipeline_spark.plans import composite_score as cs
+    from tradingview_data_pipeline_spark.plans import fundamental_score as fs
+
+    work = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        csv_path = os.path.join(work, "Technicals_bench.csv")
+        _write_technical_csv(csv_path)
+        sch = schemas.stock_data_schema()
+        stock = ParquetTable(spark, os.path.join(work, "stock_data"), sch, "symbol")
+
+        # baseline row 1: CSV load + clean + upsert, 1,384 × 49 -> 21.3 s
+        t0 = time.perf_counter()
+        df = ingest_newest(spark, work, "Technicals",
+                           schemas.TECHNICAL_HEADER_MAP, sch)
+        stock.merge_upsert(df)
+        timings["pipeline_technical_upload"] = round(time.perf_counter() - t0, 3)
+
+        # grow to the scoring universe size (baseline rows 3/7: 1,643 symbols)
+        extra = stock.read().limit(259).selectExpr(
+            "concat('EXT', symbol) as symbol",
+            *[c for c in stock.read().columns if c != "symbol"])
+        stock.merge_upsert(extra)
+
+        rankings = ParquetTable(spark, os.path.join(work, "stock_rankings"),
+                                schemas.STOCK_RANKINGS_SCHEMA, "symbol")
+
+        # baseline row 3: composite-score job end-to-end, 1,643 stocks -> 12.9 s
+        t0 = time.perf_counter()
+        scored = cs.composite_scores(stock.read())
+        rankings.merge_upsert(cs.rankings_output(scored))
+        timings["pipeline_composite_score"] = round(time.perf_counter() - t0, 3)
+
+        # baseline row 7: fundamental-score job end-to-end, 1,643 stocks -> 6.7 s
+        t0 = time.perf_counter()
+        fscored = fs.fundamental_ranks(
+            fs.fundamental_scores(stock.read()),
+            rankings.read().select("symbol", "market_cap_category"))
+        rankings.merge_upsert(fs.rankings_output(fscored))
+        timings["pipeline_fundamental_score"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main():
@@ -36,9 +124,11 @@ def main():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    _bench_pipelines(spark, timings)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "metric": "declared_queries_total",
+        "metric": "declared_queries_plus_pipelines_total",
         "value": total,
         "unit": "sec",
         "queries": timings,

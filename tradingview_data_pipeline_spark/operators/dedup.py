@@ -158,8 +158,41 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame, id_col: str,
 # ---------------------------------------------------------------------------
 # SimHash — b-bit signature from distinct-token md5 bits: bit j is set iff
 # at least half the tokens have bit j set in their md5. Integer counts
-# only -> exact. Map-only; O(b × tokens) per row.
+# only -> exact.
+#
+# Two implementations with identical results:
+# - ``simhash`` (column expr): map-only, O(b × tokens) interpreted lambda
+#   evals per row — no shuffle, composable, slower locally.
+# - ``simhash_table`` (df-level): explode distinct tokens -> one md5 per
+#   token -> b conditional sums in one codegen'd aggregate. ~4× faster;
+#   costs a (doc_id, 12-byte) shuffle. Preferred when simhash is the
+#   terminal op; bit j of the signature = bit (bits-1-j) of the md5's
+#   leading 16-bit word in both forms.
 # ---------------------------------------------------------------------------
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str,
+                  bits: int = 16, out_col: str = "simhash") -> DataFrame:
+    assert bits <= 16
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    ex = (df.select(F.col(id_col), F.explode(toks).alias("__t"))
+          .select(id_col,
+                  F.conv(F.substring(F.md5("__t"), 1, 4), 16, 10)
+                  .cast("int").alias("__h16")))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for j in range(bits):
+        shift = 15 - j
+        aggs.append(F.sum(F.shiftright(F.col("__h16"), shift)
+                          .bitwiseAND(F.lit(1))).alias(f"__b{j}"))
+    g = ex.groupBy(id_col).agg(*aggs)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"__b{j}") * 2 >= F.col("__n"),
+                      F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    g = g.select(id_col, sig.alias(out_col))
+    # docs with zero tokens vanish in the explode; rejoin with NULL signature
+    return df.select(id_col).join(g, id_col, "left")
+
 
 def simhash(col: Column, bits: int = 16) -> Column:
     toks = F.array_distinct(tokens(col))

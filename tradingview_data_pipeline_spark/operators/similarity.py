@@ -41,14 +41,18 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
     ``queries`` is expected to be small — Spark broadcasts it, so the
     cross join is a map-side nested loop over the corpus (no shuffle of
-    the corpus). Ranking ties broken by neighbor id.
+    the corpus). Ranking ties broken by neighbor id. Norms are
+    precomputed per row (not per pair) — the dot product is the only
+    per-pair fold.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       F.sqrt(l2_norm_sq(F.col(vec_col))).alias("qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                      F.sqrt(l2_norm_sq(F.col(vec_col))).alias("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -65,13 +69,15 @@ def bucketed_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     co-partitioned, no cross join; each bucket's candidates stay local.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       F.col(bucket_col).alias("bk"))
+                       F.col(bucket_col).alias("bk"),
+                       F.sqrt(l2_norm_sq(F.col(vec_col))).alias("qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                      F.col(bucket_col).alias("bk"))
+                      F.col(bucket_col).alias("bk"),
+                      F.sqrt(l2_norm_sq(F.col(vec_col))).alias("cn"))
     scored = (
         c.join(F.broadcast(q), "bk")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -86,13 +92,15 @@ def embedding_near_dups(corpus: DataFrame, id_col: str, vec_col: str,
     """Near-duplicate pairs by cosine >= threshold, bucketed to avoid the
     full O(n²): only pairs within the same bucket are compared."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                      F.col(bucket_col).alias("bk"))
+                      F.col(bucket_col).alias("bk"),
+                      F.sqrt(l2_norm_sq(F.col(vec_col))).alias("na"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                      F.col(bucket_col).alias("bk"))
+                      F.col(bucket_col).alias("bk"),
+                      F.sqrt(l2_norm_sq(F.col(vec_col))).alias("nb"))
     return (
         a.join(b, "bk")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "bk", "cos")
     )

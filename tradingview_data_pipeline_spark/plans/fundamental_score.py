@@ -74,26 +74,23 @@ def apply_caps(df: DataFrame) -> DataFrame:
     return df
 
 
-def _percentile_at(df: DataFrame, metric: str, keys: list[str],
-                   higher_is_better: bool, positive_only: bool) -> Column:
-    """Percentile of ``metric`` within the group defined by ``keys``
-    (empty = all stocks), as 100*(rank-1)/n with <2-peer neutral 50.
-    ``positive_only`` ranks over a masked value so non-positive rows drop
-    out of the peer set without a second pass over a filtered frame."""
-    v = F.col(metric)
-    ranked_v = F.when(v > 0, v) if positive_only else v
-    direction = ranked_v.asc_nulls_last() if higher_is_better else ranked_v.desc_nulls_last()
-    wr = Window.partitionBy(*keys).orderBy(direction) if keys else Window.orderBy(direction)
-    wg = Window.partitionBy(*keys) if keys else Window.partitionBy()
-    n = F.count(ranked_v).over(wg)
-    pct = F.round((F.rank().over(wr) - F.lit(1)) * 100.0 / n, 2)  # :159 round
-    # self is in the peer set; a masked (non-positive) self never ranks
-    return F.when(n < 2, F.lit(50.0)).otherwise(pct)
-
-
 def fundamental_scores(df: DataFrame) -> DataFrame:
     """Adds ``{metric}_percentile``, peer_level, four category scores and
-    fundamental_score to ``df``."""
+    fundamental_score to ``df``.
+
+    Plan shape: instead of one rank-window per (metric × granularity) —
+    ~54 chained sorts — the metrics are MELTED to long form
+    (symbol, metric, value), so each granularity needs exactly ONE window
+    spec partitioned by (metric, group-key): 3 windows total regardless of
+    metric count. Percentiles pivot back to wide. This is both the local
+    fix (per-operator overhead × 54 → × 3) and the scale design (three
+    passes over the fact, not fifty-four).
+
+    Direction handling: lower-is-better metrics rank on the NEGATED value
+    — #{peers > v} ≡ #{-peers < -v}, exact for doubles. Valuation metrics
+    mask non-positive values out of the ranked column so the peer set is
+    positives-only (P6) without a second filtered frame.
+    """
     df = apply_caps(df)
 
     w_ind = Window.partitionBy("industry")
@@ -109,24 +106,42 @@ def fundamental_scores(df: DataFrame) -> DataFrame:
          .otherwise(F.lit("all")),
     )
 
-    for m, (_, hib, _) in ALL_METRICS.items():
-        if m not in df.columns:
-            continue
-        positive_only = m in VALUATION_METRICS
-        p_ind = _percentile_at(df, m, ["industry"], hib, positive_only)
-        p_sec = _percentile_at(df, m, ["sector"], hib, positive_only)
-        p_all = _percentile_at(df, m, [], hib, positive_only)
-        pct = F.when(F.col("peer_level") == "industry", p_ind) \
-               .when(F.col("peer_level") == "sector", p_sec) \
-               .otherwise(p_all)
-        v = F.col(m)
-        if positive_only:
-            # loss-makers score 0 outright (:275-281); null stays null
-            pct = F.when(v.isNull(), F.lit(None).cast("double")) \
-                   .when(v <= 0, F.lit(0.0)).otherwise(pct)
-        else:
-            pct = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(pct)
-        df = df.withColumn(f"{m}_percentile", pct)
+    metrics = [m for m in ALL_METRICS if m in df.columns]
+    if metrics:
+        stack = ", ".join(f"'{m}', `{m}`" for m in metrics)
+        long = df.select(
+            "symbol", "sector", "industry", "peer_level",
+            F.expr(f"stack({len(metrics)}, {stack}) AS (metric, v)"))
+
+        hib_map = F.create_map(*[x for m in metrics
+                                 for x in (F.lit(m), F.lit(ALL_METRICS[m][1]))])
+        pos_map = F.create_map(*[x for m in metrics
+                                 for x in (F.lit(m), F.lit(m in VALUATION_METRICS))])
+        v = F.col("v")
+        masked = F.when(pos_map[F.col("metric")] & (v <= 0), F.lit(None).cast("double")) \
+                  .otherwise(v)
+        signed = F.when(hib_map[F.col("metric")], masked).otherwise(-masked)
+        long = long.withColumn("sv", signed)
+
+        def pct_at(keys: list[str]):
+            wr = Window.partitionBy("metric", *keys).orderBy(F.col("sv").asc_nulls_last())
+            wg = Window.partitionBy("metric", *keys)
+            n = F.count("sv").over(wg)
+            pct = F.round((F.rank().over(wr) - F.lit(1)) * 100.0 / n, 2)
+            return F.when(n < 2, F.lit(50.0)).otherwise(pct)
+
+        chosen = F.when(F.col("peer_level") == "industry", pct_at(["industry"])) \
+                  .when(F.col("peer_level") == "sector", pct_at(["sector"])) \
+                  .otherwise(pct_at([]))
+        final = F.when(v.isNull(), F.lit(None).cast("double")) \
+                 .when(pos_map[F.col("metric")] & (v <= 0), F.lit(0.0)) \
+                 .otherwise(chosen)
+        long = long.select("symbol", "metric", final.alias("pct"))
+
+        wide = long.groupBy("symbol").pivot("metric", metrics).agg(F.first("pct"))
+        wide = wide.select("symbol", *[F.col(m).alias(f"{m}_percentile")
+                                       for m in metrics])
+        df = df.join(wide, "symbol", "left")
 
     for cat_col, metrics in [("quality_score", QUALITY_METRICS),
                              ("growth_score", GROWTH_METRICS),
@@ -134,12 +149,16 @@ def fundamental_scores(df: DataFrame) -> DataFrame:
                              ("health_score", HEALTH_METRICS)]:
         num, den = None, None
         for m, (w, _, _) in metrics.items():
+            if f"{m}_percentile" not in df.columns:
+                continue            # metric column absent from the input
             s = F.col(f"{m}_percentile")
             t_num = F.when(s.isNotNull(), s * F.lit(w)).otherwise(F.lit(0.0))
             t_den = F.when(s.isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
             num = t_num if num is None else num + t_num
             den = t_den if den is None else den + t_den
-        df = df.withColumn(cat_col, F.round(F.when(den > 0, num / den), 2))
+        cat_val = F.round(F.when(den > 0, num / den), 2) if den is not None \
+            else F.lit(None).cast("double")
+        df = df.withColumn(cat_col, cat_val)
 
     blend = None
     for cat_col, w in CATEGORY_BLEND.items():

@@ -228,7 +228,7 @@ FROM t
 @register("q29_simhash", oracle=_simhash_oracle())
 def q29_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", dd.simhash(F.col("text"), bits=16).alias("simhash"))
+    return dd.simhash_table(d, "doc_id", "text", bits=16)
 
 
 # ---------------------------------------------------------------------------
