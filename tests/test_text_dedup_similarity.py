@@ -1,0 +1,118 @@
+"""Unit tests for the text / dedup / similarity operator library (the
+oracle queries verify them end-to-end; these pin unit-level semantics)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.operators import dedup as dd
+from tradingview_data_pipeline_spark.operators import similarity as sim
+from tradingview_data_pipeline_spark.operators import text as tx
+
+
+def test_tokens_and_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("one  two",), ("solo",), ("",), ("   ",)], "text string")
+    out = df.select(
+        tx.token_count(F.col("text")).alias("n"),
+        tx.word_shingles(F.col("text")).alias("sh")).collect()
+    assert [r["n"] for r in out] == [4, 2, 1, 0, 0]
+    assert out[0]["sh"] == ["a b c", "b c d"]
+    assert out[1]["sh"] == ["one two"]      # <3 words -> whole normalized text
+    assert out[2]["sh"] == ["solo"]
+    assert out[3]["sh"] == [""]
+
+
+def test_lang_id_argmax_and_tie(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",),        # en
+         ("el que la de los",),           # es
+         ("xyzzy qwerty",),               # no markers -> und
+         ("the el",)],                    # 1-1 tie -> first in table (en)
+        "text string")
+    out = tx.lang_id_table(df, "text", [])
+    assert [r["predicted_lang"] for r in out.collect()] == ["en", "es", "und", "en"]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string")
+    kept = dd.drop_exact_duplicates(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    groups = {r["keeper_doc_id"]: r["copies"]
+              for r in dd.exact_dedup_groups(df, "text", "doc_id").collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_detects_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("runs", "walks")
+    other = "completely different content about spark window aggregation internals"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)], "doc_id long, text string")
+    pairs = dd.lsh_candidate_pairs(df, "doc_id", "text", k=8, bands=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 4) in got                     # exact copy always a candidate
+    verified = dd.jaccard_verify(pairs, dd.shingle_rows(df, "doc_id", "text"),
+                                 "doc_id", threshold=0.3)
+    v = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified.collect()}
+    assert v[(1, 4)] == 1.0
+    for (a, b) in v:
+        assert 3 not in (a, b)               # unrelated doc never survives
+
+
+def test_minhash_long_matches_array_form(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common words here") for i in range(6)],
+        "doc_id long, text string")
+    arr = dd.with_minhash_signature(df, "text", ["doc_id"], k=4)
+    from_arr = {(r["doc_id"], j): r["sig"][j] for r in arr.collect() for j in range(4)}
+    long = dd.minhash_signatures_long(df, "doc_id", "text", k=4)
+    from_long = {(r["doc_id"], r["j"]): r["minhash"] for r in long.collect()}
+    assert from_arr == from_long
+
+
+def test_simhash_forms_agree_and_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon"),
+         (3, "unrelated totally different words entirely"), (4, "")],
+        "doc_id long, text string")
+    col_form = {r["doc_id"]: r["s"] for r in
+                df.select("doc_id", dd.simhash(F.col("text"), 16).alias("s")).collect()}
+    tab_form = {r["doc_id"]: r["simhash"] for r in
+                dd.simhash_table(df, "doc_id", "text", 16).collect()}
+    assert col_form == tab_form
+    assert col_form[4] is None               # empty doc -> NULL signature
+    d12 = bin(col_form[1] ^ col_form[2]).count("1")
+    d13 = bin(col_form[1] ^ col_form[3]).count("1")
+    assert d12 < d13                         # similar docs closer in Hamming space
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    out = sim.brute_force_topk(df, df.where("vec_id = 0"), "vec_id", "embedding", k=3)
+    got = [(r["neighbor_id"], r["cos"]) for r in
+           out.orderBy("rk").collect()]
+    v = vecs.astype("float64")
+    cos = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    cos[0] = -np.inf
+    expect = np.argsort(-cos)[:3]
+    assert [g[0] for g in got] == list(expect)
+    for nid, c in got:
+        assert c == pytest.approx(cos[nid], abs=1e-6)
+
+
+def test_embedding_near_dups_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.01], 0), (3, [0.0, 1.0], 0),
+         (4, [1.0, 0.0], 1)],                 # other bucket: never compared
+        "vec_id long, embedding array<float>, label int")
+    out = sim.embedding_near_dups(df, "vec_id", "embedding", "label", threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2)}

@@ -79,6 +79,25 @@ def with_minhash_signature(df: DataFrame, text_col: str, id_cols: list[str],
     return step.select(*id_cols, sig.alias(out_col))
 
 
+def _minhash_agg(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, m0..m{k-1}) via explode + one codegen'd aggregate."""
+    ex = df.select(F.col(id_col), F.explode(base_hashes(F.col(text_col))).alias("h"))
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{j}")
+            for j, (a, b) in enumerate(_affine_coeffs(k))]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_long(df: DataFrame, id_col: str, text_col: str,
+                            *, k: int = 8) -> DataFrame:
+    """(id, j, minhash) long form via explode + one codegen'd aggregate —
+    the fastest shape when signatures are the terminal output (a Generate
+    over the array form re-evaluates the signature expression per output
+    row). Results identical to ``with_minhash_signature``."""
+    g = _minhash_agg(df, id_col, text_col, k)
+    stack = ", ".join(f"CAST({j} AS BIGINT), m{j}" for j in range(k))
+    return g.select(id_col, F.expr(f"stack({k}, {stack}) AS (j, minhash)"))
+
+
 def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
     """array<struct<band:int, bh:string>>: md5 of the ':'-joined band slice."""
     hashes = []
@@ -99,12 +118,15 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     bucket skew. No payload moves.
     """
     rows_per_band = k // bands
-    signed = with_minhash_signature(df, text_col, [id_col], k=k)
-    banded = (
-        signed.select(F.col(id_col),
-                      F.explode(lsh_band_hashes(F.col("sig"), bands, rows_per_band)).alias("b"))
-        .select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    )
+    g = _minhash_agg(df, id_col, text_col, k)
+    entries = []
+    for b in range(bands):
+        cols = ", ".join(f"CAST(m{b * rows_per_band + i} AS STRING)"
+                         for i in range(rows_per_band))
+        entries.append(f"CAST({b} AS INT), md5(concat_ws(':', {cols}))")
+    banded = g.select(
+        F.col(id_col),
+        F.expr(f"stack({bands}, {', '.join(entries)}) AS (band, bh)"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -158,9 +158,7 @@ SELECT doc_id, j, minhash FROM mh
 """)
 def q27_minhash_signatures(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    signed = dd.with_minhash_signature(d, "text", ["doc_id"], k=8)
-    return (signed.select("doc_id", F.posexplode("sig").alias("j", "minhash"))
-            .select("doc_id", F.col("j").cast("bigint").alias("j"), "minhash"))
+    return dd.minhash_signatures_long(d, "doc_id", "text", k=8)
 
 
 # ---------------------------------------------------------------------------
