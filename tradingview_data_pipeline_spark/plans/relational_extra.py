@@ -8,10 +8,13 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark.operators import similarity as sim
-from tradingview_data_pipeline_spark.plans.analytics import register, _t, _dec, _dsum
+from tradingview_data_pipeline_spark.plans.analytics import (
+    register, _t, _dec, _dsum, _dsum_over,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -169,3 +172,71 @@ def q36_distinct_agg(spark, sf_dir):
              _dsum(F.col("c_acctbal")).alias("total_acctbal"),
              F.sum(scaled).alias("scaled_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q37 — the composite-score pipeline SHAPE on the driver's tables: per-
+# group z-scores at two granularities with the reference's gates (n>=3,
+# std!=0, null->0), group-size-2 fallback, level weights 1.0/0.8, then a
+# weighted horizontal sum (calcompositescore.py:202-302 analog; the exact
+# formulation of q7 extended to the full W3+W6+A6 tree).
+# ---------------------------------------------------------------------------
+
+def _z_sql(v: str, part: str, lw: str) -> str:
+    return f"""
+    CASE WHEN {v} IS NULL OR n_{part} < 3 OR sd_{part} = 0.0 OR sd_{part} IS NULL
+         THEN 0.0 ELSE ({v} - mu_{part}) / sd_{part} * {lw} END"""
+
+
+_Q37_STATS = """
+  CAST(SUM(CAST({v} AS DECIMAL(25,6))) OVER {w} AS DOUBLE) AS s1_{tag},
+  CAST(SUM(CAST({v} AS DECIMAL(12,2)) * CAST({v} AS DECIMAL(12,2))) OVER {w} AS DOUBLE) AS s2_{tag},
+  COUNT({v}) OVER {w} AS n_{tag}"""
+
+@register("q37_composite_shape", oracle=f"""
+WITH b AS (
+  SELECT p_partkey, p_brand, p_type,
+         CAST(p_retailprice AS DOUBLE) AS vp, CAST(p_size AS DOUBLE) AS vs,
+         COUNT(*) OVER w2 AS members2,
+         {_Q37_STATS.format(v="CAST(p_retailprice AS DOUBLE)", w="w2", tag="p2")},
+         {_Q37_STATS.format(v="CAST(p_retailprice AS DOUBLE)", w="w1", tag="p1")},
+         {_Q37_STATS.format(v="CAST(p_size AS DOUBLE)", w="w2", tag="s2")},
+         {_Q37_STATS.format(v="CAST(p_size AS DOUBLE)", w="w1", tag="s1")}
+  FROM part
+  WINDOW w2 AS (PARTITION BY p_brand, p_type), w1 AS (PARTITION BY p_brand)
+), m AS (
+  SELECT *,
+         s1_p2 / n_p2 AS mu_p2, SQRT(GREATEST((s2_p2 - (s1_p2*s1_p2)/n_p2)/(n_p2-1), 0.0)) AS sd_p2,
+         s1_p1 / n_p1 AS mu_p1, SQRT(GREATEST((s2_p1 - (s1_p1*s1_p1)/n_p1)/(n_p1-1), 0.0)) AS sd_p1,
+         s1_s2 / n_s2 AS mu_s2, SQRT(GREATEST((s2_s2 - (s1_s2*s1_s2)/n_s2)/(n_s2-1), 0.0)) AS sd_s2,
+         s1_s1 / n_s1 AS mu_s1, SQRT(GREATEST((s2_s1 - (s1_s1*s1_s1)/n_s1)/(n_s1-1), 0.0)) AS sd_s1
+  FROM b
+)
+SELECT p_partkey, p_brand, p_type,
+       (CASE WHEN members2 >= 2 THEN {_z_sql("vp", "p2", "1.0")}
+             ELSE {_z_sql("vp", "p1", "0.8")} END) * 0.6
+     + (CASE WHEN members2 >= 2 THEN {_z_sql("vs", "s2", "1.0")}
+             ELSE {_z_sql("vs", "s1", "0.8")} END) * 0.4 AS composite
+FROM m
+""")
+def q37_composite_shape(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    w2 = Window.partitionBy("p_brand", "p_type")
+    w1 = Window.partitionBy("p_brand")
+    members2 = F.count(F.lit(1)).over(w2)
+
+    def zexact(v, w, lw):
+        s1 = _dsum_over(v, w)
+        s2 = F.sum(_dec(v) * _dec(v)).over(w).cast("double")
+        n = F.count(v).over(w)
+        mu = s1 / n
+        sd = F.sqrt(F.greatest((s2 - (s1 * s1) / n) / (n - 1), F.lit(0.0)))
+        return F.when(v.isNull() | (n < 3) | (sd == 0.0) | sd.isNull(),
+                      F.lit(0.0)).otherwise((v - mu) / sd * F.lit(lw))
+
+    vp = F.col("p_retailprice").cast("double")
+    vs = F.col("p_size").cast("double")
+    zp = F.when(members2 >= 2, zexact(vp, w2, 1.0)).otherwise(zexact(vp, w1, 0.8))
+    zs = F.when(members2 >= 2, zexact(vs, w2, 1.0)).otherwise(zexact(vs, w1, 0.8))
+    return p.select("p_partkey", "p_brand", "p_type",
+                    (zp * 0.6 + zs * 0.4).alias("composite"))
