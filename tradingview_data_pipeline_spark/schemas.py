@@ -29,6 +29,7 @@ TECHNICAL_HEADER_MAP: dict[str, str] = {
     "Price": "price",
     "Price - Currency": "price_currency",
     "Market capitalization": "market_capitalization",
+    "Market capitalization - Currency": "market_capitalization_currency",
     "Analyst Rating": "analyst_rating",
     "Technical Rating 1 day": "technical_rating_1_day",
     "Moving Averages Rating 1 day": "moving_averages_rating_1_day",
@@ -40,8 +41,8 @@ TECHNICAL_HEADER_MAP: dict[str, str] = {
     "Commodity Channel Index (20) 1 day": "cci_20_1_day",
     "Rate of Change (9) 1 day": "roc_9_1_day",
     "Average Directional Index (14) 1 day": "adx_14_1_day",
-    "Ultimate Oscillator (7,14,28) 1 day": "ultimate_oscillator_1_day",
-    "Williams Percent Range (14) 1 day": "williams_percent_range_1_day",
+    "Ultimate Oscillator (7,14,28) 1 day": "ultimate_oscillator_7_14_28_1_day",
+    "Williams Percent Range (14) 1 day": "williams_percent_range_14_1_day",
     "Stochastic (14,3,3) 1 day, %K": "stochastic_k_14_3_3_1_day",
     "Stochastic (14,3,3) 1 day, %D": "stochastic_d_14_3_3_1_day",
     "Candlestick Pattern 1 day": "candlestick_pattern_1_day",
@@ -49,8 +50,8 @@ TECHNICAL_HEADER_MAP: dict[str, str] = {
     # (uploadtodb.py:113-114)
     "Moving Average Convergence Divergence (12,26) 1 day, Level": "macd_12_26_level_1_day",
     "Moving Average Convergence Divergence (12,26) 1 day, Signal": "macd_12_26_signal_1_day",
-    "Moving Average Convergence Divergence (12,26) 1 day, Level.1": "macd_12_26_level_1_day_dup",
-    "Moving Average Convergence Divergence (12,26) 1 day, Signal.1": "macd_12_26_signal_1_day_dup",
+    "Moving Average Convergence Divergence (12,26) 1 day, Level.1": "macd_12_26_level_1_day_2",
+    "Moving Average Convergence Divergence (12,26) 1 day, Signal.1": "macd_12_26_signal_1_day_2",
     "Simple Moving Average (50) 1 day": "sma_50_1_day",
     "Simple Moving Average (200) 1 day": "sma_200_1_day",
     "Bollinger Bands (20) 1 day, Upper": "bollinger_upper_20_1_day",
@@ -66,11 +67,12 @@ TECHNICAL_HEADER_MAP: dict[str, str] = {
     "Performance % Year to date": "performance_ytd",
     "Performance % 1 year": "performance_1_year",
     "Target price 1 year": "target_price_1_year",
+    "Target price 1 year - Currency": "target_price_1_year_currency",
     "Target price performance % 1 year": "target_price_performance_1_year",
     "Beta 1 year": "beta_1_year",
-    "Volatility 1 week": "volatility_1_week",
+    "Volatility 1 week": "volatility_1w",
     "Volatility 1 month": "volatility_1_month",
-    "Index": "index_membership",
+    "Index": "index_memberships",
 }
 
 # ---------------------------------------------------------------------------
@@ -80,31 +82,55 @@ TECHNICAL_HEADER_MAP: dict[str, str] = {
 
 FUNDAMENTAL_HEADER_MAP: dict[str, str] = {
     "Symbol": "symbol",
+    "Description": "description",
+    "Price": "price",
+    "Price - Currency": "price_currency",
+    "Market capitalization": "market_capitalization",
+    "Market capitalization - Currency": "market_capitalization_currency",
     "Sector": "sector",
     "Industry": "industry",
-    "Market capitalization": "market_capitalization",
+    "Analyst Rating": "analyst_rating",
     "Price to earnings ratio": "pe_ratio",
     "Price to book ratio": "price_to_book_ratio",
     "Price to sales ratio": "price_to_sales_ratio",
     "Price to earning to growth, Trailing 12 months": "price_to_earnings_growth_ttm",
+    "Price to cash flow ratio": "price_to_free_cash_flow_ratio",
+    "Enterprise value": "enterprise_value",
+    "Enterprise value to revenue ratio, Trailing 12 months": "enterprise_value_to_revenue_ttm",
     "Enterprise value to EBITDA ratio, Trailing 12 months": "enterprise_value_to_ebitda_ttm",
     "Return on equity %, Trailing 12 months": "return_on_equity_ttm",
-    "Return on assets %, Trailing 12 months": "return_on_assets",
+    "Return on assets %, Trailing 12 months": "return_on_assets_ttm",
     "Return on invested capital %, Trailing 12 months": "return_on_invested_capital_ttm",
-    "Gross margin %, Trailing 12 months": "gross_margin_annual",
-    "Operating margin %, Trailing 12 months": "operating_margin_ttm",
+    "Gross margin %, Annual": "gross_margin_annual",
+    "Operating margin %, Annual": "operating_margin_ttm",
     "Net margin %, Trailing 12 months": "net_margin_ttm",
-    "Free cash flow margin %, Trailing 12 months": "fcf_margin_ttm",
+    "Earnings per share diluted, Trailing 12 months": "eps_diluted_ttm",
+    "Earnings per share basic, Trailing 12 months": "basic_eps_ttm",
     "Earnings per share diluted growth %, TTM YoY": "eps_diluted_growth_ttm_yoy",
-    "Revenue growth %, Annual YoY": "revenue_growth_annual_yoy",
-    "Net income growth %, Annual YoY": "net_income_growth_annual_yoy",
     "Earnings per share diluted growth %, Annual YoY": "eps_diluted_growth_annual_yoy",
-    "Current ratio, Most recent quarter": "current_ratio_quarterly",
-    "Quick ratio, Most recent quarter": "quick_ratio_quarterly",
-    "Debt to equity ratio, Most recent quarter": "debt_to_equity_ratio_quarterly",
+    "Earnings per share diluted growth %, Quarterly YoY": "eps_diluted_growth_quarterly_yoy",
+    "Earnings per share diluted growth %, Quarterly QoQ": "eps_diluted_growth_quarterly_qoq",
+    "Earnings per share estimate, Quarterly": "eps_forecast_quarterly",
+    "Total revenue, Annual": "total_revenue_annual",
+    "Net income, Annual": "net_income_annual",
+    "Net income, Trailing 12 months": "net_income_ttm",
+    "EBITDA, Trailing 12 months": "ebitda_ttm",
+    "Revenue growth %, Annual YoY": "revenue_growth_annual_yoy",
+    "Revenue growth %, Quarterly YoY": "revenue_growth_quarterly_yoy",
+    "Revenue growth %, Quarterly QoQ": "revenue_growth_quarterly_qoq",
+    "Net income growth %, Annual YoY": "net_income_growth_annual_yoy",
+    "Free cash flow, Annual": "free_cash_flow_annual",
+    "Operating cash flow per share, Trailing 12 months": "cash_from_operating_activities_ttm",
+    "Total debt, Quarterly": "total_debt_quarterly",
+    "Debt to equity ratio, Quarterly": "debt_to_equity_ratio_quarterly",
+    "Debt to EBITDA ratio, Annual": "debt_to_ebitda_ratio_annual",
     "Interest coverage, Trailing 12 months": "ebitda_interest_coverage_ttm",
+    "Current ratio, Quarterly": "current_ratio_quarterly",
+    "Quick ratio, Quarterly": "quick_ratio_quarterly",
+    "Dividend yield %, Trailing 12 months": "dividend_yield_ttm",
+    "Cash & equivalents, Annual": "cash_and_equivalents_annual",
     "Total common shares outstanding": "shares_outstanding",
-    "Dividend yield %, Trailing 12 months": "dividend_yield",
+    "Free float %": "float_percent",
 }
 
 # Numeric technical/fundamental columns get DoubleType; identifiers and
@@ -112,9 +138,10 @@ FUNDAMENTAL_HEADER_MAP: dict[str, str] = {
 
 _STRING_COLS = {
     "symbol", "description", "sector", "industry", "price_currency",
+    "market_capitalization_currency", "target_price_1_year_currency",
     "analyst_rating", "technical_rating_1_day", "moving_averages_rating_1_day",
     "oscillators_rating_1_day", "technical_rating_1_week",
-    "candlestick_pattern_1_day", "index_membership",
+    "candlestick_pattern_1_day", "index_memberships",
 }
 _LONG_COLS = {"market_capitalization", "shares_outstanding"}
 
@@ -131,7 +158,7 @@ def stock_data_schema() -> T.StructType:
     cols: list[str] = []
     for m in (TECHNICAL_HEADER_MAP, FUNDAMENTAL_HEADER_MAP):
         for c in m.values():
-            if c not in cols and not c.endswith("_dup"):
+            if c not in cols and not c.endswith("_1_day_2"):
                 cols.append(c)
     fields = [_field(c) for c in cols]
     fields.append(T.StructField("last_modified_date", T.TimestampType()))
