@@ -1,0 +1,83 @@
+"""Lifecycle job runners: the full §3 DAG driven through plans/jobs.py,
+including the technical+fundamental MERGE fan-in on stock_data."""
+
+import csv
+import random
+
+from tradingview_data_pipeline_spark import schemas
+from tradingview_data_pipeline_spark.plans import jobs
+
+
+def _write_csv(path, header_map, n=30, prefix="SYM"):
+    rng = random.Random(11)
+    headers = [h for h in header_map if not h.endswith(".1")]
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(headers)
+        for i in range(n):
+            row = []
+            for h in headers:
+                c = header_map[h]
+                if c == "symbol":
+                    row.append(f"{prefix}{i:03d}")
+                elif c == "sector":
+                    row.append(f"S{i % 3}")
+                elif c == "industry":
+                    row.append(f"I{i % 5}")
+                elif c in ("market_capitalization", "shares_outstanding"):
+                    row.append(str(rng.randint(10**8, 10**12)))
+                elif c == "analyst_rating":
+                    row.append("Buy")
+                elif c in schemas._STRING_COLS:
+                    row.append("x")
+                else:
+                    row.append(f"{rng.uniform(1, 99):.2f}")
+            w.writerow(row)
+
+
+def test_full_dag(spark, tmp_path):
+    downloads = tmp_path / "downloads"
+    downloads.mkdir()
+    _write_csv(downloads / "Technicals_1.csv", schemas.TECHNICAL_HEADER_MAP)
+    _write_csv(downloads / "funda_1.csv", schemas.FUNDAMENTAL_HEADER_MAP)
+
+    tables = jobs.warehouse_tables(spark, str(tmp_path / "wh"))
+
+    assert jobs.run_technical_upload(spark, str(downloads), tables) == 30
+    assert jobs.run_fundamental_upload(spark, str(downloads), tables) == 30
+
+    # fan-in: same rows carry both technical and fundamental columns
+    row = tables["stock_data"].read().where("symbol = 'SYM001'").collect()[0]
+    assert row["rsi_14_1_day"] is not None          # technical side
+    assert row["pe_ratio"] is not None              # fundamental side
+
+    top = jobs.run_composite_job(spark, tables)
+    assert top.count() == 10
+    r = tables["stock_rankings"].read()
+    assert r.where("composite_score is not null").count() == 30
+
+    jobs.run_fundamental_job(spark, tables)
+    r = tables["stock_rankings"].read()
+    both = r.where("composite_score is not null and fundamental_score is not null")
+    assert both.count() == 30
+    ranks = sorted(x["fundamental_rank"] for x in
+                   r.where("market_cap_category = 'Large Cap'").collect())
+    assert ranks == list(range(1, 31))
+
+    # segment job (sector)
+    ov = spark.createDataFrame(
+        [("Alpha", "2.5T INR", "100"), ("Beta", "1.0T INR", "50")],
+        "sector string, market_cap string, stocks string")
+    pf = spark.createDataFrame(
+        [("Alpha", "+5%", "1", "2", "3", "4", "5", "6"),
+         ("Beta", "−5%", "2", "3", "4", "5", "6", "7")],
+        "sector string, change_pct string, perf_1w string, perf_1m string, "
+        "perf_3m string, perf_6m string, perf_ytd string, perf_1y string")
+    assert jobs.run_segment_job(spark, tables, ov, pf, key="sector") == 2
+    seg = {r["sector"]: r for r in tables["sector_data"].read().collect()}
+    assert seg["Alpha"]["normalized_score_3m"] is not None
+
+
+def test_missing_download_is_noop(spark, tmp_path):
+    tables = jobs.warehouse_tables(spark, str(tmp_path / "wh2"))
+    assert jobs.run_technical_upload(spark, str(tmp_path / "empty"), tables) == 0

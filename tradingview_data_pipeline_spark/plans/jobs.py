@@ -1,0 +1,141 @@
+"""End-to-end job runners — the engine's equivalents of the reference's
+cron entry points (SURVEY §3 lifecycle):
+
+| reference cron job | runner here |
+|---|---|
+| uploadtodb.py (via run_technical.sh) | ``run_technical_upload`` |
+| funda_uploadtodb.py | ``run_fundamental_upload`` |
+| calcompositescore.py | ``run_composite_job`` |
+| calfundamentalscore.py | ``run_fundamental_job`` |
+| sectormerged_improved.py + sectorscore.py | ``run_segment_job`` |
+| industrymerged.py + indscores.py | ``run_segment_job`` (key="industry") |
+
+Each runner is also callable from the CLI:
+
+    python -m tradingview_data_pipeline_spark.plans.jobs technical \
+        --downloads-dir /data/downloads --warehouse /data/warehouse
+
+The warehouse layout is one ParquetTable per domain table (production:
+Delta/Iceberg paths, same call sites).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tradingview_data_pipeline_spark import schemas
+from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+from tradingview_data_pipeline_spark.plans import composite_score as cs
+from tradingview_data_pipeline_spark.plans import fundamental_score as fs
+from tradingview_data_pipeline_spark.plans import segment_merge as sm
+from tradingview_data_pipeline_spark.plans import segment_score as ss
+from tradingview_data_pipeline_spark.sources.csv_adapter import ingest_newest
+
+
+def warehouse_tables(spark: SparkSession, warehouse: str) -> dict[str, ParquetTable]:
+    sch = schemas.stock_data_schema()
+    return {
+        "stock_data": ParquetTable(spark, os.path.join(warehouse, "stock_data"),
+                                   sch, "symbol"),
+        "stock_rankings": ParquetTable(spark, os.path.join(warehouse, "stock_rankings"),
+                                       schemas.STOCK_RANKINGS_SCHEMA, "symbol"),
+        "sector_data": ParquetTable(spark, os.path.join(warehouse, "sector_data"),
+                                    schemas.segment_schema("sector"), "sector"),
+        "industry_data": ParquetTable(spark, os.path.join(warehouse, "industry_data"),
+                                      schemas.segment_schema("industry"), "industry"),
+        "twitter_posted_tweets": ParquetTable(
+            spark, os.path.join(warehouse, "twitter_posted_tweets"),
+            schemas.NEWS_SCHEMA, "tweet_id"),
+    }
+
+
+def run_technical_upload(spark: SparkSession, downloads_dir: str,
+                         tables: dict[str, ParquetTable]) -> int:
+    """Newest Technicals*.csv -> clean -> MERGE stock_data (§3.1 stage 2)."""
+    df = ingest_newest(spark, downloads_dir, "Technicals",
+                       schemas.TECHNICAL_HEADER_MAP, tables["stock_data"].schema)
+    if df is None:
+        return 0
+    tables["stock_data"].merge_upsert(df)
+    return tables["stock_data"].read().count()
+
+
+def run_fundamental_upload(spark: SparkSession, downloads_dir: str,
+                           tables: dict[str, ParquetTable]) -> int:
+    """Newest funda*.csv -> clean -> MERGE stock_data (§3.2 stage 2)."""
+    df = ingest_newest(spark, downloads_dir, "funda",
+                       schemas.FUNDAMENTAL_HEADER_MAP, tables["stock_data"].schema)
+    if df is None:
+        return 0
+    tables["stock_data"].merge_upsert(df)
+    return tables["stock_data"].read().count()
+
+
+def run_composite_job(spark: SparkSession, tables: dict[str, ParquetTable],
+                      *, bucket_mode: str = "parity") -> DataFrame:
+    """stock_data -> composite scores -> MERGE stock_rankings; returns the
+    top-10 report (§3.1 stage 3)."""
+    scored = cs.composite_scores(tables["stock_data"].read(), bucket_mode=bucket_mode)
+    tables["stock_rankings"].merge_upsert(cs.rankings_output(scored))
+    top, _ = cs.top_bottom_report(scored)
+    return top
+
+
+def run_fundamental_job(spark: SparkSession, tables: dict[str, ParquetTable]) -> DataFrame:
+    """stock_data -> fundamental scores + ranks -> MERGE stock_rankings
+    (§3.2 stage 3); returns the scored frame projection."""
+    scored = fs.fundamental_scores(tables["stock_data"].read())
+    ranked = fs.fundamental_ranks(
+        scored, tables["stock_rankings"].read().select("symbol", "market_cap_category"))
+    out = fs.rankings_output(ranked)
+    tables["stock_rankings"].merge_upsert(out)
+    return out
+
+
+def run_segment_job(spark: SparkSession, tables: dict[str, ParquetTable],
+                    overview: DataFrame, performance: DataFrame,
+                    *, key: str = "sector") -> int:
+    """scraped overview+performance -> J1 merge -> scores -> overwrite
+    segment table (secondary DAG, §3 end)."""
+    merged = sm.merge_overview_performance(overview, performance, key)
+    scored = ss.segment_scores(merged)
+    table = tables[f"{key}_data"]
+    table.overwrite(scored)
+    return table.read().count()
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from tradingview_data_pipeline_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(prog="tradingview-data-pipeline-spark jobs")
+    ap.add_argument("job", choices=["technical", "fundamental", "composite",
+                                    "fundamental-score", "all"])
+    ap.add_argument("--downloads-dir", default="./downloads")
+    ap.add_argument("--warehouse", default="./warehouse")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("jobs")
+    tables = warehouse_tables(spark, args.warehouse)
+    if args.job in ("technical", "all"):
+        n = run_technical_upload(spark, args.downloads_dir, tables)
+        print(f"technical upload: stock_data now {n} rows")
+    if args.job in ("fundamental", "all"):
+        n = run_fundamental_upload(spark, args.downloads_dir, tables)
+        print(f"fundamental upload: stock_data now {n} rows")
+    if args.job in ("composite", "all"):
+        top = run_composite_job(spark, tables)
+        print("composite top-10:")
+        for r in top.collect():
+            print("  ", r["symbol"], r["composite_score"])
+    if args.job in ("fundamental-score", "all"):
+        run_fundamental_job(spark, tables)
+        print("fundamental scores merged into stock_rankings")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
