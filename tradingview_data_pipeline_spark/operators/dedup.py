@@ -79,9 +79,15 @@ def with_minhash_signature(df: DataFrame, text_col: str, id_cols: list[str],
     return step.select(*id_cols, sig.alias(out_col))
 
 
-def _minhash_agg(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, m0..m{k-1}) via explode + one codegen'd aggregate."""
-    ex = df.select(F.col(id_col), F.explode(base_hashes(F.col(text_col))).alias("h"))
+def _minhash_agg(df: DataFrame, id_col: str, text_col: str, k: int,
+                 shingles: DataFrame | None = None) -> DataFrame:
+    """(id, m0..m{k-1}) via explode + one codegen'd aggregate. Pass a
+    precomputed (id, s) shingle-hash frame (``shingle_rows``, ideally
+    cached) to share the md5 work with Jaccard verification."""
+    if shingles is not None:
+        ex = shingles.select(F.col(id_col), F.col("s").alias("h"))
+    else:
+        ex = df.select(F.col(id_col), F.explode(base_hashes(F.col(text_col))).alias("h"))
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{j}")
             for j, (a, b) in enumerate(_affine_coeffs(k))]
     return ex.groupBy(id_col).agg(*aggs)
@@ -110,7 +116,8 @@ def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
-                        *, k: int = 8, bands: int = 4) -> DataFrame:
+                        *, k: int = 8, bands: int = 4,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band bucket.
 
     Plan shape: map-only signature -> explode bands (×bands rows) ->
@@ -118,7 +125,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     bucket skew. No payload moves.
     """
     rows_per_band = k // bands
-    g = _minhash_agg(df, id_col, text_col, k)
+    g = _minhash_agg(df, id_col, text_col, k, shingles=shingles)
     entries = []
     for b in range(bands):
         cols = ", ".join(f"CAST(m{b * rows_per_band + i} AS STRING)"

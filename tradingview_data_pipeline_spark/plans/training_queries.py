@@ -196,8 +196,11 @@ WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.2
 """)
 def q28_lsh_near_dup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", k=8, bands=4)
-    shingles = dd.shingle_rows(d, "doc_id", "text")
+    # one cached shingle-hash frame feeds both the LSH banding and the
+    # exact-Jaccard verification (the md5 pass runs once)
+    shingles = dd.shingle_rows(d, "doc_id", "text").cache()
+    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", k=8, bands=4,
+                                   shingles=shingles)
     return dd.jaccard_verify(pairs, shingles, "doc_id", threshold=0.2)
 
 
