@@ -240,3 +240,98 @@ def q37_composite_shape(spark, sf_dir):
     zs = F.when(members2 >= 2, zexact(vs, w2, 1.0)).otherwise(zexact(vs, w1, 0.8))
     return p.select("p_partkey", "p_brand", "p_type",
                     (zp * 0.6 + zs * 0.4).alias("composite"))
+
+
+# ---------------------------------------------------------------------------
+# q38 — the fundamental-score pipeline SHAPE on the driver's tables
+# (calfundamentalscore analog; W5 fallback >= 5 members, W4 rank-based
+# percentiles with direction, P6 positivity masking on a signed metric,
+# A7 weight renormalization, A8 neutral-50 blend). Exact: integer rank
+# arithmetic + identical double association.
+# ---------------------------------------------------------------------------
+
+@register("q38_fundamental_shape", oracle="""
+WITH b AS (
+  SELECT p_partkey, p_brand, p_type,
+         CAST(p_retailprice AS DOUBLE) AS vq,
+         CAST(p_size AS DOUBLE) - 25.0 AS vv,
+         COUNT(*) OVER (PARTITION BY p_brand, p_type) AS n2,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n1
+  FROM part
+), lvl AS (
+  SELECT *, CASE WHEN n2 >= 5 THEN 'fine' WHEN n1 >= 5 THEN 'mid'
+                 ELSE 'all' END AS peer_level,
+         CASE WHEN vv <= 0 THEN NULL ELSE vv END AS vv_m
+  FROM b
+), p AS (
+  SELECT *,
+    CASE WHEN COUNT(vq) OVER w2g < 2 THEN 50.0
+         ELSE ROUND((RANK() OVER (PARTITION BY p_brand, p_type ORDER BY vq ASC NULLS LAST) - 1)
+                    * 100.0 / COUNT(vq) OVER w2g, 2) END AS q_fine,
+    CASE WHEN COUNT(vq) OVER w1g < 2 THEN 50.0
+         ELSE ROUND((RANK() OVER (PARTITION BY p_brand ORDER BY vq ASC NULLS LAST) - 1)
+                    * 100.0 / COUNT(vq) OVER w1g, 2) END AS q_mid,
+    CASE WHEN COUNT(vq) OVER () < 2 THEN 50.0
+         ELSE ROUND((RANK() OVER (ORDER BY vq ASC NULLS LAST) - 1)
+                    * 100.0 / COUNT(vq) OVER (), 2) END AS q_all,
+    CASE WHEN COUNT(vv_m) OVER w2g < 2 THEN 50.0
+         ELSE ROUND((RANK() OVER (PARTITION BY p_brand, p_type ORDER BY (-vv_m) ASC NULLS LAST) - 1)
+                    * 100.0 / COUNT(vv_m) OVER w2g, 2) END AS v_fine,
+    CASE WHEN COUNT(vv_m) OVER w1g < 2 THEN 50.0
+         ELSE ROUND((RANK() OVER (PARTITION BY p_brand ORDER BY (-vv_m) ASC NULLS LAST) - 1)
+                    * 100.0 / COUNT(vv_m) OVER w1g, 2) END AS v_mid,
+    CASE WHEN COUNT(vv_m) OVER () < 2 THEN 50.0
+         ELSE ROUND((RANK() OVER (ORDER BY (-vv_m) ASC NULLS LAST) - 1)
+                    * 100.0 / COUNT(vv_m) OVER (), 2) END AS v_all
+  FROM lvl
+  WINDOW w2g AS (PARTITION BY p_brand, p_type), w1g AS (PARTITION BY p_brand)
+), s AS (
+  SELECT p_partkey, p_brand, p_type, peer_level,
+         CASE WHEN vq IS NULL THEN NULL
+              WHEN peer_level = 'fine' THEN q_fine
+              WHEN peer_level = 'mid' THEN q_mid ELSE q_all END AS quality_pct,
+         CASE WHEN vv IS NULL THEN NULL
+              WHEN vv <= 0 THEN 0.0
+              WHEN peer_level = 'fine' THEN v_fine
+              WHEN peer_level = 'mid' THEN v_mid ELSE v_all END AS value_pct
+  FROM p
+)
+SELECT p_partkey, p_brand, p_type, peer_level, quality_pct, value_pct,
+       ROUND(COALESCE(quality_pct, 50.0) * 0.6
+             + COALESCE(value_pct, 50.0) * 0.4, 2) AS blended_score
+FROM s
+""")
+def q38_fundamental_shape(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    vq = F.col("p_retailprice").cast("double")
+    vv = F.col("p_size").cast("double") - 25.0
+    vv_m = F.when(vv <= 0, F.lit(None).cast("double")).otherwise(vv)
+
+    w2g = Window.partitionBy("p_brand", "p_type")
+    w1g = Window.partitionBy("p_brand")
+    wg = Window.partitionBy()
+    n2, n1 = F.count(F.lit(1)).over(w2g), F.count(F.lit(1)).over(w1g)
+    level = F.when(n2 >= 5, F.lit("fine")).when(n1 >= 5, F.lit("mid")) \
+             .otherwise(F.lit("all"))
+
+    def pct(v, keys):
+        wr = (Window.partitionBy(*keys).orderBy(v.asc_nulls_last())
+              if keys else Window.orderBy(v.asc_nulls_last()))
+        wgk = Window.partitionBy(*keys) if keys else Window.partitionBy()
+        n = F.count(v).over(wgk)
+        val = F.round((F.rank().over(wr) - F.lit(1)) * 100.0 / n, 2)
+        return F.when(n < 2, F.lit(50.0)).otherwise(val)
+
+    q_pick = F.when(level == "fine", pct(vq, ["p_brand", "p_type"])) \
+              .when(level == "mid", pct(vq, ["p_brand"])).otherwise(pct(vq, []))
+    neg = -vv_m
+    v_pick = F.when(level == "fine", pct(neg, ["p_brand", "p_type"])) \
+              .when(level == "mid", pct(neg, ["p_brand"])).otherwise(pct(neg, []))
+    quality_pct = F.when(vq.isNull(), F.lit(None).cast("double")).otherwise(q_pick)
+    value_pct = F.when(vv.isNull(), F.lit(None).cast("double")) \
+                 .when(vv <= 0, F.lit(0.0)).otherwise(v_pick)
+    blended = F.round(F.coalesce(quality_pct, F.lit(50.0)) * 0.6
+                      + F.coalesce(value_pct, F.lit(50.0)) * 0.4, 2)
+    return p.select("p_partkey", "p_brand", "p_type", level.alias("peer_level"),
+                    quality_pct.alias("quality_pct"), value_pct.alias("value_pct"),
+                    blended.alias("blended_score"))
