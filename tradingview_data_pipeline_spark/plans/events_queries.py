@@ -149,3 +149,39 @@ def q22_orders_monthly(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"),
              _dsum(F.col("o_totalprice"), scale="18,2").alias("total_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — conversion funnel: for each user, 'view' events followed by a
+# 'click' within 30 minutes (temporal range self-join — the
+# event-sequence op a training-data pipeline needs for behavioral
+# filtering). Plan: equi-join on user_id with the time bounds as a
+# post-join range filter; at scale both sides pre-bucketed by user_id.
+# ---------------------------------------------------------------------------
+
+@register("q39_event_funnel", oracle="""
+SELECT v.user_id,
+       COUNT(*) AS view_click_pairs,
+       COUNT(DISTINCT v.event_id) AS converting_views,
+       MIN(c.ts) AS first_conversion_ts
+FROM events v
+JOIN events c
+  ON c.user_id = v.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+GROUP BY v.user_id
+""")
+def q39_event_funnel(spark, sf_dir):
+    e = events(spark, sf_dir)
+    v = e.where(F.col("event_type") == "view") \
+         .select(F.col("user_id"), F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("v_ts"))
+    c = e.where(F.col("event_type") == "click") \
+         .select(F.col("user_id"), F.col("ts").alias("c_ts"))
+    joined = v.join(c, "user_id").where(
+        (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")))
+    return (joined.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("view_click_pairs"),
+                 F.countDistinct("view_id").alias("converting_views"),
+                 F.min("c_ts").alias("first_conversion_ts")))
