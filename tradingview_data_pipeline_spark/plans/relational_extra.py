@@ -335,3 +335,27 @@ def q38_fundamental_shape(spark, sf_dir):
     return p.select("p_partkey", "p_brand", "p_type", level.alias("peer_level"),
                     quality_pct.alias("quality_pct"), value_pct.alias("value_pct"),
                     blended.alias("blended_score"))
+
+
+# ---------------------------------------------------------------------------
+# q40 — exact interpolated quantiles per group (median/p90; Spark
+# `percentile` ≡ DuckDB `quantile_cont`, verified bit-identical). The
+# scale path swaps in approx_percentile with a documented error bound.
+# ---------------------------------------------------------------------------
+
+@register("q40_group_quantiles", oracle="""
+SELECT c_mktsegment,
+       quantile_cont(c_acctbal, 0.5) AS median_bal,
+       quantile_cont(c_acctbal, 0.9) AS p90_bal,
+       COUNT(*) AS n
+FROM customer
+GROUP BY c_mktsegment
+""")
+def q40_group_quantiles(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.expr("percentile(c_acctbal, 0.5)").alias("median_bal"),
+             F.expr("percentile(c_acctbal, 0.9)").alias("p90_bal"),
+             F.count(F.lit(1)).alias("n"))
+    )
