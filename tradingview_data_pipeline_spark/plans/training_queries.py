@@ -289,3 +289,30 @@ def q31_ann_bucketed(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return sim.bucketed_topk(e, e.where(F.col("vec_id") < 5), "vec_id", "embedding",
                              "label", k=3)
+
+
+# ---------------------------------------------------------------------------
+# q41 — token-budget estimation: whitespace tokens + a BPE-ish estimate
+# (≈1 subword per 4 chars per word, integer-exact in both engines) — the
+# budgeting pass a training-data pipeline runs before packing sequences.
+# ---------------------------------------------------------------------------
+
+@register("q41_token_budget", oracle=f"""
+WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents)
+SELECT doc_id, n_chars,
+       len(toks) AS ws_tokens,
+       CAST(list_sum(list_transform(toks,
+            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est_tokens
+FROM t
+""")
+def q41_token_budget(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    step = d.select("doc_id", "n_chars", toks.alias("__toks"))
+    bpe = F.aggregate(
+        F.transform(F.col("__toks"),
+                    lambda t: F.ceil(F.length(t) / 4.0).cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    return step.select("doc_id", "n_chars",
+                       F.size("__toks").cast("bigint").alias("ws_tokens"),
+                       bpe.alias("bpe_est_tokens"))

@@ -192,18 +192,31 @@ STOCK_RANKINGS_SCHEMA = T.StructType([
 SEGMENT_PERF_COLS = ["perf_1w", "perf_1m", "perf_3m", "perf_6m", "perf_ytd",
                      "perf_1y", "perf_5y", "perf_10y", "perf_all_time"]
 
+# analyst-text + rating columns carried by the reference's segment tables
+# (sectormerged_improved.py:667-677, industrymerged.py:769-779)
+SEGMENT_ANALYST_COLS = [
+    "macro_summary", "short_term_classification", "short_term_performance",
+    "short_term_catalysts", "long_term_classification", "long_term_performance",
+    "long_term_catalysts", "upside_risks", "downside_risks",
+    "quantitative_assessment", "old_macro_call", "overall_rating", "rationale",
+]
+
 
 def segment_schema(key: str) -> T.StructType:
     fields = [T.StructField(key, T.StringType(), False),
               T.StructField("market_cap", T.DoubleType()),
-              T.StructField("div_yield", T.DoubleType()),
+              T.StructField("div_yield_indicated", T.DoubleType()),
               T.StructField("change_pct", T.DoubleType()),
               T.StructField("volume", T.DoubleType()),
+              T.StructField("industries", T.LongType()),
               T.StructField("stocks", T.LongType())]
     fields += [T.StructField(c, T.DoubleType()) for c in SEGMENT_PERF_COLS]
     fields += [T.StructField("normalized_score_3m", T.DoubleType()),
                T.StructField("normalized_score_6m", T.DoubleType()),
-               T.StructField("normalized_score_1y", T.DoubleType()),
+               T.StructField("normalized_score_1y", T.DoubleType())]
+    fields += [T.StructField(c, T.StringType()) for c in SEGMENT_ANALYST_COLS]
+    fields += [T.StructField("macro_rank", T.DoubleType()),
+               T.StructField(f"{key}_atm_iv", T.DoubleType()),
                T.StructField("updated_at", T.TimestampType())]
     return T.StructType(fields)
 
@@ -213,7 +226,7 @@ SEGMENT_HEADER_MAP: dict[str, str] = {
     "Sector": "sector",
     "Industry": "industry",
     "Market cap": "market_cap",
-    "Div yield % (indicated)": "div_yield",
+    "Div yield % (indicated)": "div_yield_indicated",
     "Change %": "change_pct",
     "Volume": "volume",
     "Industries": "industries",
