@@ -116,3 +116,26 @@ def test_embedding_near_dups_threshold(spark):
     out = sim.embedding_near_dups(df, "vec_id", "embedding", "label", threshold=0.99)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_connected_components_chains_and_keeper(spark):
+    # components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; isolated via
+    # dedup_clusters only
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 9), (5, 6)], "doc_a long, doc_b long")
+    comp = {r["doc_id"]: r["cluster_id"] for r in
+            dd.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base.replace("runs", "walks")),
+         (4, "entirely different text about columnar execution engines here now")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dd.dedup_clusters(df, "doc_id", "text", jaccard_threshold=0.3).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[1]["is_keeper"] and not out[2]["is_keeper"]
+    assert out[4]["cluster_id"] == 4 and out[4]["is_keeper"]   # singleton

@@ -246,3 +246,98 @@ def simhash(col: Column, bits: int = 16) -> Column:
 
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-duplicate pairs -> dedup clusters.
+# Iterative label propagation (small-star style): each node's label
+# converges to the minimum id reachable through the pair graph, giving
+# one deterministic keeper per cluster. Iterative joins with
+# localCheckpoint every round to truncate the growing lineage — the
+# standard Spark pattern for fixpoint algorithms (non-SQL-expressible;
+# declared with a rows-only correctness check).
+#
+# Scale: each iteration is one shuffle on node id; rounds needed =
+# O(log(diameter)) with the bidirectional edge closure below. Dedup
+# clusters are tiny (near-dup groups), so 5-10 rounds is ample.
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, *, max_iter: int = 10,
+                         driver_threshold: int = 100_000) -> DataFrame:
+    """(doc_a, doc_b) pairs -> (doc_id, cluster_id) where cluster_id is the
+    min doc id in the component. Nodes appearing in no pair are absent
+    (callers union isolated docs as their own cluster).
+
+    Scale-adaptive: near-dup pair sets are tiny relative to the corpus
+    (the LSH+Jaccard funnel has already reduced them), so below
+    ``driver_threshold`` pairs a driver-side union-find (one collect of
+    16-byte rows, O(n α)) beats 3-10 distributed fixpoint rounds of pure
+    scheduling overhead. Above it, iterative label-propagation joins with
+    lineage truncation — each round one shuffle on node id.
+    """
+    # one action decides the path AND fetches the rows for the small case
+    rows = pairs.select("doc_a", "doc_b").limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = find(r["doc_a"]), find(r["doc_b"])
+            if a != b:
+                lo, hi = (a, b) if (a < b) else (b, a)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r["doc_a"], r["doc_b"])}
+        out = [(x, find(x)) for x in nodes]
+        return pairs.sparkSession.createDataFrame(out, "doc_id long, cluster_id long")
+
+    edges = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+             .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+             .distinct())
+    labels = (edges.selectExpr("src AS doc_id")
+              .union(edges.selectExpr("dst AS doc_id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("doc_id")))
+    for _ in range(max_iter):
+        # each node adopts the min label among itself and its neighbors
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
+            .withColumnRenamed("src", "doc_id"))
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("cluster_id"),
+                            F.coalesce(F.col("nbr_min"), F.col("cluster_id")))
+                    .alias("cluster_id")))
+        updated = updated.localCheckpoint(eager=True)
+        changed = (updated.alias("u").join(labels.alias("l"), "doc_id")
+                   .where(F.col("u.cluster_id") != F.col("l.cluster_id")).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
+                   *, k: int = 8, bands: int = 4,
+                   jaccard_threshold: float = 0.5) -> DataFrame:
+    """Full near-dup clustering: LSH candidates -> Jaccard verify ->
+    connected components -> (id, cluster_id, is_keeper). Isolated docs
+    form singleton clusters."""
+    shingles = shingle_rows(df, id_col, text_col)
+    pairs = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands,
+                                shingles=shingles)
+    verified = jaccard_verify(pairs, shingles, id_col,
+                              threshold=jaccard_threshold) \
+        .select("doc_a", "doc_b")
+    comp = connected_components(verified)
+    out = (df.select(F.col(id_col).alias("doc_id"))
+           .join(comp, "doc_id", "left")
+           .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+           .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id"))))
+    return out

@@ -316,3 +316,17 @@ def q41_token_budget(spark, sf_dir):
     return step.select("doc_id", "n_chars",
                        F.size("__toks").cast("bigint").alias("ws_tokens"),
                        bpe.alias("bpe_est_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# q42 — near-duplicate CLUSTERS: LSH candidates -> Jaccard verify ->
+# iterative connected components -> deterministic keeper per cluster.
+# Iterative fixpoint (non-SQL-expressible) -> declared without an oracle;
+# the driver records the rows-only check, and tests/test_text_dedup_similarity
+# pins the clustering semantics on known graphs.
+# ---------------------------------------------------------------------------
+
+@register("q42_dedup_clusters")
+def q42_dedup_clusters(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.dedup_clusters(d, "doc_id", "text", jaccard_threshold=0.5)
