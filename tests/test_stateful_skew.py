@@ -49,6 +49,45 @@ def test_running_entity_stats_state_across_batches(spark, tmp_path):
     assert 2 not in got2          # untouched key not re-emitted in update mode
 
 
+def test_running_entity_stats_event_time_eviction(spark, tmp_path):
+    """Idle keys are evicted once the watermark passes last_ts + gap:
+    a key reappearing after the session gap restarts from zero."""
+    t0 = dt.datetime(2026, 8, 13, 12, 0, 0)
+    src = tmp_path / "ev2"
+    src.mkdir()
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src) + "/*")
+    out = running_entity_stats(stream, watermark="10 minutes",
+                               session_gap_ms=30 * 60 * 1000)
+
+    def run_once():
+        captured = []
+        q = (out.writeStream.outputMode("update")
+             .foreachBatch(lambda b, _id: captured.extend(b.collect()))
+             .option("checkpointLocation", str(tmp_path / "ck2"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r["key"]: r for r in captured}
+
+    _batch([(1, t0, 10.0)], spark, str(src / "b1"))
+    got = run_once()
+    assert got[1]["n_events"] == 1
+
+    # advance the watermark far past key 1's (t0 + 30min) timeout via key 2
+    _batch([(2, t0 + dt.timedelta(hours=2), 1.0)], spark, str(src / "b2"))
+    run_once()
+    _batch([(2, t0 + dt.timedelta(hours=3), 1.0)], spark, str(src / "b3"))
+    got3 = run_once()
+    assert got3[2]["n_events"] == 2          # key 2 accumulated
+    assert 1 not in got3                     # eviction emits no row
+
+    # key 1 returns after the gap: state restarted, not carried over
+    _batch([(1, t0 + dt.timedelta(hours=4), 7.0)], spark, str(src / "b4"))
+    got4 = run_once()
+    assert got4[1]["n_events"] == 1 and got4[1]["total_value"] == 7.0
+    assert got4[1]["first_ts"] == t0 + dt.timedelta(hours=4)
+
+
 def test_salted_aggregate_matches_plain(spark):
     rows = [(1, float(i)) for i in range(1000)] + [(2, 1.0)] * 10
     df = spark.createDataFrame(rows, "k long, v double")

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tradingview_data_pipeline_spark.operators.text import (
     md5_hash60, tokens, word_shingles,
@@ -293,7 +294,11 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 10,
                 parent[hi] = lo
         nodes = {x for r in rows for x in (r["doc_a"], r["doc_b"])}
         out = [(x, find(x)) for x in nodes]
-        return pairs.sparkSession.createDataFrame(out, "doc_id long, cluster_id long")
+        # derive the id type from the input so string/any-typed doc ids work
+        id_type = pairs.schema["doc_a"].dataType
+        out_schema = T.StructType([T.StructField("doc_id", id_type),
+                                   T.StructField("cluster_id", id_type)])
+        return pairs.sparkSession.createDataFrame(out, out_schema)
 
     edges = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
              .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))

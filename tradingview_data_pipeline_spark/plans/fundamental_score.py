@@ -173,8 +173,14 @@ def fundamental_ranks(df: DataFrame, categories: DataFrame | None = None) -> Dat
     if categories is not None:
         df = df.join(categories.select("symbol", "market_cap_category"),
                      "symbol", "left")
-    return rank_within(df, ["market_cap_category"], "fundamental_score",
-                       out_col="fundamental_rank", tie_break="symbol")
+    ranked = rank_within(df, ["market_cap_category"], "fundamental_score",
+                         out_col="fundamental_rank", tie_break="symbol")
+    # reference leaves uncategorized symbols unranked (uploads NULL when the
+    # rank is 0/NaN) — don't hand rows in the NULL-category partition 1..N
+    return ranked.withColumn(
+        "fundamental_rank",
+        F.when(F.col("market_cap_category").isNotNull(),
+               F.col("fundamental_rank")))
 
 
 def rankings_output(df: DataFrame) -> DataFrame:

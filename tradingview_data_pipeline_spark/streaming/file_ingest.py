@@ -65,13 +65,17 @@ def stream_csv_to_table(
 
     ``csv_header_columns``: the file's header order (streaming CSV needs a
     declared schema; pass the expected raw headers). Defaults to the
-    header_map keys in order.
+    header_map keys in order. Because Spark binds a user CSV schema
+    POSITIONALLY, ``enforceSchema`` is set false so the reader validates
+    each file's header against the declared names and fails loudly on a
+    column-order mismatch instead of silently mis-assigning fields.
     """
     raw_cols = csv_header_columns or list(header_map.keys())
     raw_schema = T.StructType([T.StructField(c, T.StringType()) for c in raw_cols])
     stream = (
         spark.readStream.schema(raw_schema)
         .option("header", True)
+        .option("enforceSchema", False)
         .option("maxFilesPerTrigger", 16)
         .csv(directory)
     )

@@ -5,9 +5,11 @@ The reference fetches ALL existing article URLs into a Python set per run
 (newsflow_scraper.py:243-272) — unbounded state that grows with history.
 The stream replaces it with:
 
-- ``dropDuplicates`` on the synthetic key within the stream, state
-  bounded by a watermark on ``posted_at`` (late events beyond the horizon
-  are dropped rather than tracked forever);
+- ``dropDuplicatesWithinWatermark`` on the synthetic key within the
+  stream: unlike plain ``dropDuplicates`` (which only evicts state when
+  the event-time column is part of the key subset), this operator evicts
+  per-key state once the watermark on ``posted_at`` passes, so state is
+  genuinely bounded by the watermark horizon;
 - an idempotent ``append_dedup`` MERGE sink, which also de-dups against
   rows already in the table (covers keys older than the watermark
   horizon at a cost proportional to the table, not the history scan the
@@ -56,11 +58,11 @@ def stream_news_to_table(
     available_now: bool = True,
 ):
     """normalize -> watermark -> in-stream dedup -> MERGE append_dedup."""
-    deduped = (
-        normalize_news(raw_stream)
-        .withWatermark("posted_at", watermark)
-        .dropDuplicates(["tweet_id"])
-    )
+    normalized = normalize_news(raw_stream).withWatermark("posted_at", watermark)
+    # Spark 3.5+: state for a key is dropped once the watermark passes its
+    # event time. Plain dropDuplicates(["tweet_id"]) would keep state forever
+    # because the event-time column is not part of the dedup key.
+    deduped = normalized.dropDuplicatesWithinWatermark(["tweet_id"])
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         table.append_dedup(batch_df)
