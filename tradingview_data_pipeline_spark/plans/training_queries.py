@@ -166,8 +166,7 @@ def q27_minhash_signatures(spark, sf_dir):
 # n-gram Jaccard >= 0.2. The flagship dedup pipeline.
 # ---------------------------------------------------------------------------
 
-@register("q28_lsh_near_dup", oracle=f"""
-WITH {_MH_CTE},
+_PAIRS_CTE = f"""{_MH_CTE},
 bands AS (
   SELECT doc_id, CAST(j // 2 AS INT) AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY j)) AS bh
@@ -185,14 +184,20 @@ inter AS (
   JOIN shd y ON y.doc_id = c.doc_b AND y.h = x.h
   GROUP BY c.doc_a, c.doc_b
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id)
-SELECT i.doc_a, i.doc_b, i.inter,
-       na.n + nb.n - i.inter AS union_n,
-       i.inter * 1.0 / (na.n + nb.n - i.inter) AS jaccard
-FROM inter i
-JOIN sizes na ON na.doc_id = i.doc_a
-JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= 0.2
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+scored_pairs AS (
+  SELECT i.doc_a, i.doc_b, i.inter,
+         na.n + nb.n - i.inter AS union_n,
+         i.inter * 1.0 / (na.n + nb.n - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+)"""
+
+@register("q28_lsh_near_dup", oracle=f"""
+WITH {_PAIRS_CTE}
+SELECT doc_a, doc_b, inter, union_n, jaccard
+FROM scored_pairs WHERE jaccard >= 0.2
 """)
 def q28_lsh_near_dup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -320,13 +325,33 @@ def q41_token_budget(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # q42 — near-duplicate CLUSTERS: LSH candidates -> Jaccard verify ->
-# iterative connected components -> deterministic keeper per cluster.
-# Iterative fixpoint (non-SQL-expressible) -> declared without an oracle;
-# the driver records the rows-only check, and tests/test_text_dedup_similarity
-# pins the clustering semantics on known graphs.
+# connected components -> deterministic keeper per cluster. The Spark side
+# is an iterative fixpoint (union-find / label propagation); the oracle
+# expresses the SAME semantics — cluster_id = min doc id reachable through
+# the verified-pair graph — as a DuckDB recursive CTE computing the
+# transitive closure (near-dup components are tiny, so closure depth and
+# size are bounded in practice).
 # ---------------------------------------------------------------------------
 
-@register("q42_dedup_clusters")
+@register("q42_dedup_clusters", oracle=f"""
+WITH RECURSIVE {_PAIRS_CTE},
+verified AS (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+walk(doc_id, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+),
+comp AS (SELECT doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+""")
 def q42_dedup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dd.dedup_clusters(d, "doc_id", "text", jaccard_threshold=0.5)
