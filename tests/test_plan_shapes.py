@@ -2,6 +2,7 @@
 and join strategies are part of the engine contract (SCALING.md), so a
 change that silently breaks them should fail here, not in a bench run."""
 
+import __spark_entry__ as entry          # noqa: F401 — loads every query module
 from tradingview_data_pipeline_spark.plans import analytics
 
 SF = "/root/testdata/sf0.001"
@@ -48,3 +49,37 @@ def test_no_cartesian_products_anywhere(spark):
     for name, fn in analytics.QUERIES.items():
         p = explain(fn(spark, SF))
         assert "CartesianProduct" not in p, name
+
+
+def test_region_pick_joins_are_broadcast(spark):
+    for q in ("q33_shipping_priority", "q34_local_supplier_volume"):
+        p = explain(analytics.QUERIES[q](spark, SF))
+        assert "BroadcastHashJoin" in p, q
+
+
+# ---------------------------------------------------------------------------
+# Scale audit: a SinglePartition exchange is only acceptable when it
+# carries aggregated (bounded) data — the partial->final step of a global
+# aggregate, or a bucket-totals frame bounded by a constant. A
+# SinglePartition exchange over NON-aggregated input means a full-table
+# global sort/window running in one task — the 100 TB killer this guards
+# against. q10 parity mode is the one documented exception (it exists to
+# reproduce the reference bit-for-bit and has a tested mode="scale").
+# ---------------------------------------------------------------------------
+
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+_SINGLE_PARTITION_EXCEPTIONS = {"q10_rank_bucket"}
+
+
+def test_single_partition_exchanges_carry_only_aggregates(spark):
+    for name, fn in analytics.QUERIES.items():
+        if name in _SINGLE_PARTITION_EXCEPTIONS:
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert any(a in child for a in _AGG_NODES), \
+                f"{name}: full-table SinglePartition exchange\n{ln}\n{child}"

@@ -110,6 +110,42 @@ def test_hierarchical_coalesce_gates(spark):
     assert got["d"] == "IND"       # i3 has 5 members
 
 
+def test_attach_peer_percentile_exact_matches_window(spark):
+    """Set-based exact percentile == (rank-1)*100/n window formula,
+    globally and per group, with ties and nulls."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, ["x", "y", "z"][i % 3],
+             None if i % 11 == 0 else round(rng.uniform(0, 10), 1))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+
+    from pyspark.sql import Window
+    for keys in ([], ["grp"]):
+        got = ops.attach_peer_percentile_exact(
+            df, "v", "pct", group_keys=keys, min_peers=2, round_digits=2)
+        wr = Window.partitionBy(*keys).orderBy(F.col("v").asc_nulls_last())
+        wg = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+        n = F.count("v").over(wg)
+        ref_pct = F.when(F.col("v").isNull(), F.lit(None).cast("double")) \
+                   .when(n < 2, F.lit(50.0)) \
+                   .otherwise(F.round((F.rank().over(wr) - 1) * 100.0 / n, 2))
+        exp = df.withColumn("pct", ref_pct)
+        g = {r["id"]: r["pct"] for r in got.collect()}
+        x = {r["id"]: r["pct"] for r in exp.collect()}
+        assert g == x, keys
+
+
+def test_attach_peer_percentile_small_group_gets_neutral(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 1.0), (3, "b", 2.0)],
+        "id long, grp string, v double")
+    out = ops.attach_peer_percentile_exact(df, "v", "pct", group_keys=["grp"])
+    got = {r["id"]: r["pct"] for r in out.collect()}
+    assert got[1] == 50.0            # singleton group -> neutral
+    assert got[2] == 0.0 and got[3] == 50.0
+
+
 def test_weighted_sum_null_as_zero(spark):
     df = spark.createDataFrame([(1.0, None), (None, 2.0)], "a double, b double")
     out = [r["s"] for r in df.select(

@@ -1,4 +1,5 @@
 from tradingview_data_pipeline_spark.operators.scoring import (
+    attach_peer_percentile_exact,
     bucket_by_global_rank,
     rank_within,
     group_zscore,
@@ -11,7 +12,7 @@ from tradingview_data_pipeline_spark.operators.scoring import (
 )
 
 __all__ = [
-    "bucket_by_global_rank", "rank_within", "group_zscore", "peer_percentile",
+    "attach_peer_percentile_exact", "bucket_by_global_rank", "rank_within", "group_zscore", "peer_percentile",
     "hierarchical_coalesce", "weighted_sum", "weighted_mean_renormalized",
     "blend_with_default", "top_k",
 ]

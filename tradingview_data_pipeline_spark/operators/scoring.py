@@ -161,6 +161,106 @@ def peer_percentile_col(value: Column, rank_w: WindowSpec, group_w: WindowSpec,
 
 
 # ---------------------------------------------------------------------------
+# W4 at the "all" granularity — exact global (or tiny-key-grouped) peer
+# percentile WITHOUT a single-task window. An empty-partition Window
+# evaluates the whole table in one task; this operator gets the identical
+# numbers from set-based passes:
+#
+#   pct(v) = 100 * #{peers < v} / #peers        (== (rank(v)-1)*100/n)
+#
+#   1. histogram: groupBy(keys, value) -> count          [shuffle on value]
+#   2. range-bucket the distinct values by approxQuantile split points
+#      (bucket choice affects BALANCE only — the counts stay exact)
+#   3. running count within (keys, bucket)               [bounded windows]
+#      + broadcast-joined per-bucket offsets (<= groups x buckets rows,
+#      data-size-independent) -> #{< v}
+#   4. broadcast per-keys totals -> n
+#   5. left-join the (keys, value) -> pct lookup back onto the fact
+#
+# Every stage is either a hash aggregate, a window over a bounded frame,
+# or a broadcast join — nothing holds O(table) rows in one task.
+# ---------------------------------------------------------------------------
+
+def attach_peer_percentile_exact(
+    df: DataFrame,
+    value_col: str,
+    out_col: str,
+    *,
+    group_keys: Sequence[str] = (),
+    min_peers: int = 2,
+    round_digits: int | None = None,
+    buckets: int = 64,
+) -> DataFrame:
+    """Attach ``out_col`` = exact ascending peer percentile of
+    ``value_col`` within ``group_keys`` (empty = global peer set).
+
+    Matches ``(rank() over (order by v asc nulls last) - 1) * 100 / n``
+    bit-for-bit: #{< v} and n are exact integers, combined with the same
+    double arithmetic. Rows with NULL value get NULL (callers mask).
+    Groups with fewer than ``min_peers`` non-null values get 50.0.
+    """
+    keys = list(group_keys)
+    v = F.col(value_col)
+    nn = df.where(v.isNotNull()).select(*keys, v.alias("__gv"))
+    hist = nn.groupBy(*keys, "__gv").agg(F.count(F.lit(1)).alias("__c"))
+
+    # split points: balance only; dedup + sort so bucket ids are ordered
+    probs = [i / buckets for i in range(1, buckets)]
+    try:
+        bounds = sorted(set(nn.stat.approxQuantile("__gv", probs, 1.0 / (4 * buckets))))
+    except Exception:        # empty input
+        bounds = []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bid = F.size(F.filter(barr, lambda b: b < F.col("__gv")))
+    else:
+        bid = F.lit(0)
+    hist = hist.withColumn("__b", bid)
+
+    # per-(keys, bucket) totals -> running offsets. This frame is bounded
+    # by |key groups| x buckets regardless of table size, so the window
+    # here (over a constant partition when keys are empty) is NOT a
+    # global-window scale hazard.
+    bt = hist.groupBy(*keys, "__b").agg(F.sum("__c").alias("__bt"))
+    if not keys:
+        bt = bt.withColumn("__all", F.lit(0))
+    woff = (Window.partitionBy(*(keys or ["__all"])).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select(*keys, "__b",
+                     F.coalesce(F.sum("__bt").over(woff), F.lit(0)).alias("__off"))
+
+    tot = (hist.groupBy(*keys).agg(F.sum("__c").alias("__n")) if keys
+           else hist.agg(F.sum("__c").alias("__n")))
+
+    wloc = (Window.partitionBy(*keys, "__b").orderBy("__gv")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    hist = hist.withColumn("__lt", F.sum("__c").over(wloc) - F.col("__c"))
+    hist = hist.join(F.broadcast(offs), keys + ["__b"])
+    hist = hist.join(F.broadcast(tot), keys) if keys else \
+        hist.crossJoin(F.broadcast(tot))
+
+    pct = (F.col("__lt") + F.col("__off")) * 100.0 / F.col("__n")
+    if round_digits is not None:
+        pct = F.round(pct, round_digits)
+    pct = F.when(F.col("__n") < min_peers, F.lit(50.0)).otherwise(pct)
+
+    lookup = hist.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.col("__gv"), pct.alias(out_col))
+    cond = [df[k].eqNullSafe(lookup[f"__k_{k}"]) for k in keys]
+    cond.append(df[value_col] == lookup["__gv"])
+    joined = df.join(lookup, on=_and_all(cond), how="left")
+    return joined.drop("__gv", *[f"__k_{k}" for k in keys])
+
+
+def _and_all(conds: Sequence[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+# ---------------------------------------------------------------------------
 # W5/W6 — hierarchical peer-group fallback (calfundamentalscore.py:162-180;
 # calcompositescore.py:292-299). Group = finest granularity whose member
 # count (including NaN-metric rows) >= min_members, else next, else coarsest.
@@ -183,15 +283,25 @@ def hierarchical_coalesce(
     columns over the same keys, so everything resolves in one select.
     """
     assert len(granularities) == len(value_at)
+    # The last granularity is the unconditional floor, so its count is
+    # never consulted — the global ("all") level therefore needs no window
+    # at all when it sits last (the common shape). A non-final global
+    # level gets its count from a 1-row agg + broadcast cross join instead
+    # of an empty-partition window (which would run the whole table in one
+    # task).
     counts = []
-    for keys in granularities:
-        w = Window.partitionBy(*keys) if keys else Window.partitionBy()
-        counts.append(F.count(F.lit(1)).over(w))
+    for keys in granularities[:-1]:
+        if keys:
+            counts.append(F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        else:
+            df = df.crossJoin(F.broadcast(
+                df.agg(F.count(F.lit(1)).alias("__hc_total"))))
+            counts.append(F.col("__hc_total"))
     # build from coarsest backward so finest granularity wins
     expr = value_at[-1]
-    for cnt, val in zip(counts[:-1][::-1], list(value_at[:-1])[::-1]):
+    for cnt, val in zip(counts[::-1], list(value_at[:-1])[::-1]):
         expr = F.when(cnt >= min_members, val).otherwise(expr)
-    return df.withColumn(out_col, expr)
+    return df.withColumn(out_col, expr).drop("__hc_total")
 
 
 # ---------------------------------------------------------------------------

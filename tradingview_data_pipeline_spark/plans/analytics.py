@@ -312,14 +312,16 @@ def q9_hier_fallback(spark, sf_dir):
     v = F.col("p_retailprice")
     w2 = Window.partitionBy("p_brand", "p_type")
     w1 = Window.partitionBy("p_brand")
-    w0 = Window.partitionBy()
     n2, n1 = F.count(F.lit(1)).over(w2), F.count(F.lit(1)).over(w1)
     mu2 = _dsum_over(v, w2) / F.count(v).over(w2)
     mu1 = _dsum_over(v, w1) / F.count(v).over(w1)
-    mu0 = _dsum_over(v, w0) / F.count(v).over(w0)
-    df = p.select("p_partkey", "p_brand", "p_type", "p_retailprice",
+    # global mean via 1-row agg + broadcast cross join — not an
+    # empty-partition window (which would hold the whole table in one task)
+    g = p.agg((_dsum(v) / F.count(v)).alias("mu0"))
+    df = p.crossJoin(F.broadcast(g)) \
+          .select("p_partkey", "p_brand", "p_type", "p_retailprice",
                   n2.alias("n2"), n1.alias("n1"),
-                  mu2.alias("mu2"), mu1.alias("mu1"), mu0.alias("mu0"))
+                  mu2.alias("mu2"), mu1.alias("mu1"), "mu0")
     pick = F.when(F.col("n2") >= 5, F.col("mu2")) \
             .when(F.col("n1") >= 5, F.col("mu1")).otherwise(F.col("mu0"))
     level = F.when(F.col("n2") >= 5, F.lit("brand_type")) \

@@ -27,7 +27,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark.functions.cleaning import clip_upper
-from tradingview_data_pipeline_spark.operators.scoring import rank_within
+from tradingview_data_pipeline_spark.operators.scoring import (
+    attach_peer_percentile_exact, rank_within,
+)
 
 MIN_PEERS = 5     # calfundamentalscore.py:49
 
@@ -130,9 +132,15 @@ def fundamental_scores(df: DataFrame) -> DataFrame:
             pct = F.round((F.rank().over(wr) - F.lit(1)) * 100.0 / n, 2)
             return F.when(n < 2, F.lit(50.0)).otherwise(pct)
 
+        # "all"-level percentile per metric: a (metric)-partitioned window
+        # holds the FULL table in one task per metric at scale, so it comes
+        # from the set-based exact-percentile operator instead.
+        long = attach_peer_percentile_exact(long, "sv", "__pct_all",
+                                            group_keys=["metric"],
+                                            min_peers=2, round_digits=2)
         chosen = F.when(F.col("peer_level") == "industry", pct_at(["industry"])) \
                   .when(F.col("peer_level") == "sector", pct_at(["sector"])) \
-                  .otherwise(pct_at([]))
+                  .otherwise(F.col("__pct_all"))
         final = F.when(v.isNull(), F.lit(None).cast("double")) \
                  .when(pos_map[F.col("metric")] & (v <= 0), F.lit(0.0)) \
                  .otherwise(chosen)

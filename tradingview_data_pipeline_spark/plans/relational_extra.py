@@ -12,6 +12,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark.operators import similarity as sim
+from tradingview_data_pipeline_spark.operators.scoring import (
+    attach_peer_percentile_exact,
+)
 from tradingview_data_pipeline_spark.plans.analytics import (
     register, _t, _dec, _dsum, _dsum_over,
 )
@@ -307,34 +310,44 @@ def q38_fundamental_shape(spark, sf_dir):
     vv = F.col("p_size").cast("double") - 25.0
     vv_m = F.when(vv <= 0, F.lit(None).cast("double")).otherwise(vv)
 
+    # the "all"-level percentiles come from the set-based exact-percentile
+    # operator (histogram + bucket offsets + broadcast joins) — NOT an
+    # empty-partition window, which would evaluate the whole table in one
+    # task at scale. Keyed levels keep business-key windows.
+    base = p.select("p_partkey", "p_brand", "p_type",
+                    vq.alias("__vq"), vv.alias("__vv"), (-vv_m).alias("__negv"))
+    base = attach_peer_percentile_exact(base, "__vq", "__q_all", round_digits=2)
+    base = attach_peer_percentile_exact(base, "__negv", "__v_all", round_digits=2)
+
     w2g = Window.partitionBy("p_brand", "p_type")
     w1g = Window.partitionBy("p_brand")
-    wg = Window.partitionBy()
     n2, n1 = F.count(F.lit(1)).over(w2g), F.count(F.lit(1)).over(w1g)
     level = F.when(n2 >= 5, F.lit("fine")).when(n1 >= 5, F.lit("mid")) \
              .otherwise(F.lit("all"))
 
-    def pct(v, keys):
-        wr = (Window.partitionBy(*keys).orderBy(v.asc_nulls_last())
-              if keys else Window.orderBy(v.asc_nulls_last()))
-        wgk = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    def pct(colname, keys):
+        v = F.col(colname)
+        wr = Window.partitionBy(*keys).orderBy(v.asc_nulls_last())
+        wgk = Window.partitionBy(*keys)
         n = F.count(v).over(wgk)
         val = F.round((F.rank().over(wr) - F.lit(1)) * 100.0 / n, 2)
         return F.when(n < 2, F.lit(50.0)).otherwise(val)
 
-    q_pick = F.when(level == "fine", pct(vq, ["p_brand", "p_type"])) \
-              .when(level == "mid", pct(vq, ["p_brand"])).otherwise(pct(vq, []))
-    neg = -vv_m
-    v_pick = F.when(level == "fine", pct(neg, ["p_brand", "p_type"])) \
-              .when(level == "mid", pct(neg, ["p_brand"])).otherwise(pct(neg, []))
-    quality_pct = F.when(vq.isNull(), F.lit(None).cast("double")).otherwise(q_pick)
-    value_pct = F.when(vv.isNull(), F.lit(None).cast("double")) \
-                 .when(vv <= 0, F.lit(0.0)).otherwise(v_pick)
+    vq_c, vv_c = F.col("__vq"), F.col("__vv")
+    q_pick = F.when(level == "fine", pct("__vq", ["p_brand", "p_type"])) \
+              .when(level == "mid", pct("__vq", ["p_brand"])) \
+              .otherwise(F.col("__q_all"))
+    v_pick = F.when(level == "fine", pct("__negv", ["p_brand", "p_type"])) \
+              .when(level == "mid", pct("__negv", ["p_brand"])) \
+              .otherwise(F.col("__v_all"))
+    quality_pct = F.when(vq_c.isNull(), F.lit(None).cast("double")).otherwise(q_pick)
+    value_pct = F.when(vv_c.isNull(), F.lit(None).cast("double")) \
+                 .when(vv_c <= 0, F.lit(0.0)).otherwise(v_pick)
     blended = F.round(F.coalesce(quality_pct, F.lit(50.0)) * 0.6
                       + F.coalesce(value_pct, F.lit(50.0)) * 0.4, 2)
-    return p.select("p_partkey", "p_brand", "p_type", level.alias("peer_level"),
-                    quality_pct.alias("quality_pct"), value_pct.alias("value_pct"),
-                    blended.alias("blended_score"))
+    return base.select("p_partkey", "p_brand", "p_type", level.alias("peer_level"),
+                       quality_pct.alias("quality_pct"), value_pct.alias("value_pct"),
+                       blended.alias("blended_score"))
 
 
 # ---------------------------------------------------------------------------
