@@ -62,6 +62,75 @@ def test_update_where_merge(spark, tmp_path):
     assert rows(t) == {"A": (9.0, 2.0), "B": (3.0, 4.0)}
 
 
+def _bucket_file_state(path):
+    """{bucket_dir: {file: (size, sha)}} for every bucket subdir."""
+    import hashlib
+    state = {}
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("__bucket="):
+            continue
+        files = {}
+        for f in sorted(os.listdir(os.path.join(path, d))):
+            fp = os.path.join(path, d, f)
+            with open(fp, "rb") as fh:
+                files[f] = (os.path.getsize(fp),
+                            hashlib.sha256(fh.read()).hexdigest())
+        state[d] = files
+    return state
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    path = str(tmp_path / "bt")
+    t = ParquetTable(spark, path, SCHEMA, key="symbol", buckets=8)
+    base = [(f"SYM{i}", float(i), float(i) / 2) for i in range(40)]
+    t.overwrite(spark.createDataFrame(base, SCHEMA))
+    before = _bucket_file_state(path)
+    assert len(before) > 1                     # spread across buckets
+
+    # upsert exactly one key -> exactly one bucket may change
+    t.merge_upsert(spark.createDataFrame([("SYM3", 99.0)],
+                                         "symbol string, price double"))
+    after = _bucket_file_state(path)
+    changed = [d for d in before
+               if before[d] != after.get(d)]
+    assert len(changed) == 1, changed          # one bucket rewritten
+    untouched = [d for d in before if d not in changed]
+    for d in untouched:                        # byte-identical files
+        assert before[d] == after[d], d
+
+    got = rows(t)
+    assert got["SYM3"] == (99.0, 1.5)          # merged, pe preserved
+    assert len(got) == 40
+
+
+def test_bucketed_ops_match_unbucketed_semantics(spark, tmp_path):
+    tb = ParquetTable(spark, str(tmp_path / "b"), SCHEMA, "symbol", buckets=4)
+    tu = ParquetTable(spark, str(tmp_path / "u"), SCHEMA, "symbol")
+    for t in (tb, tu):
+        t.overwrite(spark.createDataFrame(
+            [("A", 10.0, 5.0), ("B", 20.0, 6.0)], SCHEMA))
+        t.merge_upsert(spark.createDataFrame(
+            [("A", 11.0), ("C", 30.0)], "symbol string, price double"))
+        t.append_dedup(spark.createDataFrame(
+            [("C", 1.0, 1.0), ("D", 2.0, 2.0)], SCHEMA))
+        t.update_where(spark.createDataFrame(
+            [("B", 21.0)], "symbol string, price double"))
+    assert rows(tb) == rows(tu) == {
+        "A": (11.0, 5.0), "B": (21.0, 6.0), "C": (30.0, None), "D": (2.0, 2.0)}
+
+
+def test_bucketed_insert_creates_new_bucket_dir(spark, tmp_path):
+    path = str(tmp_path / "nb")
+    t = ParquetTable(spark, path, SCHEMA, key="symbol", buckets=64)
+    t.overwrite(spark.createDataFrame([("A", 1.0, 1.0)], SCHEMA))
+    n_before = len(_bucket_file_state(path))
+    # with 64 buckets and fresh keys, a new bucket dir almost surely appears
+    t.merge_upsert(spark.createDataFrame(
+        [(f"NEW{i}", float(i), None) for i in range(20)], SCHEMA))
+    assert len(_bucket_file_state(path)) > n_before
+    assert len(rows(t)) == 21
+
+
 def test_align_to_schema(spark):
     df = spark.createDataFrame([("A", "1.5", "x")], "symbol string, price string, junk string")
     out = align_to_schema(df, SCHEMA)

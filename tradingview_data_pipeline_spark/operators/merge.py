@@ -14,11 +14,27 @@ are set-based:
 - ``overwrite``     = truncate-and-load (K3).
 - ``append_dedup``  = insert only keys not already present (K5/J4).
 
-Scale notes: the merge join shuffles on the key — at 100 TB the target
-would be bucketed/partitioned by the same key so the join is co-located;
-with Delta/Iceberg, file-level pruning plus deletion vectors avoid the
-full rewrite this parquet fallback performs. Writes go through a temp
-directory + atomic rename so readers never see partial state.
+Scale design — bucket-pruned maintenance: with ``buckets=N`` the table
+is laid out as ``path/__bucket=B/`` subdirs, B = pmod(hash(key), N)
+(Spark's deterministic murmur3). Every maintenance op then
+
+  1. computes the source's touched buckets (<= N distinct values —
+     a bounded collect),
+  2. reads ONLY those buckets of the target (partition pruning on the
+     ``__bucket`` directory column),
+  3. merges and rewrites ONLY those bucket directories (atomic per-bucket
+     rename). Untouched buckets' files are never opened or rewritten.
+
+A daily upsert touching K symbols therefore costs O(K/N * table), not
+O(table) — the poor-man's file pruning that Delta/Iceberg would provide
+transactionally (there the same call sites become ``MERGE INTO`` with
+file skipping + deletion vectors). Unbucketed mode (``buckets=None``)
+keeps the simple whole-directory atomic swap; the cross-bucket rename
+window in bucketed mode is the documented parquet-fallback tradeoff.
+
+At 100 TB: size N so a bucket ~ a few GB (e.g. N=8192 for symbol keys);
+the merge join shuffles only the touched slice, and both sides hash on
+the same key so AQE plans a co-located join.
 """
 
 from __future__ import annotations
@@ -30,6 +46,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_BUCKET_COL = "__bucket"
 
 
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -46,32 +64,63 @@ def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
 
 
 class ParquetTable:
-    """A keyed table stored as parquet with atomic replace-on-write."""
+    """A keyed table stored as parquet with atomic replace-on-write.
+
+    ``buckets=N`` switches to the hash-bucketed layout with bucket-pruned
+    maintenance (see module docstring)."""
 
     def __init__(self, spark: SparkSession, path: str, schema: T.StructType,
-                 key: str):
+                 key: str, *, buckets: int | None = None):
         self.spark = spark
         self.path = path
         self.schema = schema
         self.key = key
+        self.buckets = buckets
 
     # -- read ---------------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or (
-            os.path.isdir(self.path) and any(n.endswith(".parquet")
-                                             for n in os.listdir(self.path)))
+        if not os.path.isdir(self.path):
+            return False
+        names = os.listdir(self.path)
+        return ("_SUCCESS" in names
+                or any(n.endswith(".parquet") for n in names)
+                or any(n.startswith(f"{_BUCKET_COL}=") for n in names))
 
     def read(self) -> DataFrame:
         if not self.exists():
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(self.path)
+        return self._read_raw().drop(_BUCKET_COL) if self.buckets else \
+            self.spark.read.schema(self.schema).parquet(self.path)
+
+    def _read_raw(self) -> DataFrame:
+        """Bucketed read keeping the ``__bucket`` directory column (the
+        partition-pruning handle)."""
+        try:
+            df = self.spark.read.parquet(self.path)
+        except Exception:                      # empty dir (just _SUCCESS)
+            return self.spark.createDataFrame([], self._bucketed_schema())
+        if _BUCKET_COL not in df.columns:      # legacy unbucketed layout
+            df = df.withColumn(_BUCKET_COL, self._bucket_expr())
+        return align_to_schema(df, self._bucketed_schema())
+
+    def _bucketed_schema(self) -> T.StructType:
+        return T.StructType(list(self.schema.fields)
+                            + [T.StructField(_BUCKET_COL, T.IntegerType())])
+
+    def _bucket_expr(self):
+        return F.pmod(F.hash(F.col(self.key)), F.lit(self.buckets)).cast("int")
 
     # -- write primitives ---------------------------------------------------
 
     def _replace_with(self, df: DataFrame) -> None:
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
-        align_to_schema(df, self.schema).write.mode("overwrite").parquet(tmp)
+        out = align_to_schema(df, self.schema)
+        if self.buckets:
+            out.withColumn(_BUCKET_COL, self._bucket_expr()) \
+               .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(tmp)
+        else:
+            out.write.mode("overwrite").parquet(tmp)
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
             os.rename(self.path, old)
@@ -79,9 +128,79 @@ class ParquetTable:
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 
+    def _rewrite_touched_buckets(self, src: DataFrame, combine) -> None:
+        """Bucket-pruned maintenance: read only the buckets the source
+        touches, apply ``combine(tgt_slice, src)``, atomically swap only
+        those bucket directories. Untouched buckets are never read or
+        rewritten."""
+        src = src.withColumn(_BUCKET_COL, self._bucket_expr())
+        touched = sorted(r[0] for r in
+                         src.select(_BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        tgt = (self._read_raw()
+               .where(F.col(_BUCKET_COL).isin([int(b) for b in touched]))
+               .drop(_BUCKET_COL))
+        merged = combine(tgt, src.drop(_BUCKET_COL))
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        align_to_schema(merged, self.schema) \
+            .withColumn(_BUCKET_COL, self._bucket_expr()) \
+            .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(tmp)
+        try:
+            for b in touched:
+                new_dir = os.path.join(tmp, f"{_BUCKET_COL}={b}")
+                dst_dir = os.path.join(self.path, f"{_BUCKET_COL}={b}")
+                if not os.path.isdir(new_dir):
+                    continue                   # nothing landed in this bucket
+                old = f"{dst_dir}__old_{uuid.uuid4().hex[:8]}"
+                if os.path.isdir(dst_dir):
+                    os.rename(dst_dir, old)
+                os.rename(new_dir, dst_dir)
+                if os.path.isdir(old):
+                    shutil.rmtree(old, ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def overwrite(self, df: DataFrame) -> None:
         """K3 truncate-and-load."""
         self._replace_with(df)
+
+    # -- merge frames (shared by whole-table and bucket-pruned paths) -------
+
+    def _merge_frames(self, tgt: DataFrame, src: DataFrame,
+                      source_cols: set, update_only: bool) -> DataFrame:
+        # join on the key name (USING semantics): Spark emits one coalesced
+        # key column for full-outer, exactly the J1 key-coalesce behavior
+        joined = tgt.alias("t").join(src.alias("s"), on=self.key, how="full_outer")
+        out_cols = [F.col(self.key)]
+        for f in self.schema.fields:
+            if f.name == self.key:
+                continue
+            t_c, s_c = F.col(f"t.{f.name}"), F.col(f"s.{f.name}")
+            if update_only and f.name not in source_cols:
+                out_cols.append(t_c.alias(f.name))
+            else:
+                out_cols.append(F.coalesce(s_c, t_c).alias(f.name))
+        return joined.select(*out_cols)
+
+    def _update_frames(self, tgt: DataFrame, src: DataFrame,
+                       src_cols: set) -> DataFrame:
+        joined = tgt.alias("t").join(
+            src.alias("s").select(self.key,
+                                  *[c for c in src_cols if c != self.key]),
+            on=self.key, how="left")
+        out_cols = [F.col(self.key)]
+        for f in self.schema.fields:
+            if f.name == self.key:
+                continue
+            if f.name in src_cols:
+                out_cols.append(F.coalesce(F.col(f"s.{f.name}"), F.col(f"t.{f.name}"))
+                                .cast(f.dataType).alias(f.name))
+            else:
+                out_cols.append(F.col(f"t.{f.name}").alias(f.name))
+        return joined.select(*out_cols)
+
+    # -- maintenance ops -----------------------------------------------------
 
     def merge_upsert(self, source: DataFrame, *,
                      update_only_source_columns: bool = True) -> None:
@@ -102,50 +221,42 @@ class ParquetTable:
         if not self.exists():
             self._replace_with(src)
             return
-        tgt = self.read()
-        # join on the key name (USING semantics): Spark emits one coalesced
-        # key column for full-outer, exactly the J1 key-coalesce behavior
-        joined = tgt.alias("t").join(src.alias("s"), on=self.key, how="full_outer")
-        out_cols = [F.col(self.key)]
-        for f in self.schema.fields:
-            if f.name == self.key:
-                continue
-            t_c, s_c = F.col(f"t.{f.name}"), F.col(f"s.{f.name}")
-            if update_only_source_columns and f.name not in source_cols:
-                out_cols.append(t_c.alias(f.name))
-            else:
-                out_cols.append(F.coalesce(s_c, t_c).alias(f.name))
-        self._replace_with(joined.select(*out_cols))
+        combine = lambda tgt, s: self._merge_frames(
+            tgt, s, source_cols, update_only_source_columns)
+        if self.buckets:
+            self._rewrite_touched_buckets(src, combine)
+        else:
+            self._replace_with(combine(self.read(), src))
 
     def append_dedup(self, source: DataFrame) -> None:
         """K5: insert only rows whose key is not already present
         (left-anti join — the set-based form of the reference's
-        fetch-all-URLs-then-skip loop, newsflow_scraper.py:243-293)."""
+        fetch-all-URLs-then-skip loop, newsflow_scraper.py:243-293).
+        Bucketed: the anti-join probes only the source's buckets (a key
+        can only collide inside its own hash bucket)."""
         src = align_to_schema(source, self.schema) \
             .where(F.col(self.key).isNotNull()) \
             .dropDuplicates([self.key])
         if not self.exists():
             self._replace_with(src)
             return
-        tgt = self.read()
-        fresh = src.join(tgt.select(self.key), on=self.key, how="left_anti")
-        self._replace_with(tgt.unionByName(fresh))
+
+        def combine(tgt: DataFrame, s: DataFrame) -> DataFrame:
+            fresh = s.join(tgt.select(self.key), on=self.key, how="left_anti")
+            return tgt.unionByName(fresh)
+
+        if self.buckets:
+            self._rewrite_touched_buckets(src, combine)
+        else:
+            self._replace_with(combine(self.read(), src))
 
     def update_where(self, updates: DataFrame) -> None:
         """K4 as MERGE (matched-update only): never per-row round trips."""
-        src = align_to_schema(updates, self.schema).dropDuplicates([self.key])
-        tgt = self.read()
+        src = align_to_schema(updates, self.schema).dropDuplicates([self.key]) \
+            .where(F.col(self.key).isNotNull())
         src_cols = set(updates.columns)
-        joined = tgt.alias("t").join(
-            src.alias("s").select(self.key, *[c for c in src_cols if c != self.key]),
-            on=self.key, how="left")
-        out_cols = [F.col(self.key)]
-        for f in self.schema.fields:
-            if f.name == self.key:
-                continue
-            if f.name in src_cols:
-                out_cols.append(F.coalesce(F.col(f"s.{f.name}"), F.col(f"t.{f.name}"))
-                                .cast(f.dataType).alias(f.name))
-            else:
-                out_cols.append(F.col(f"t.{f.name}").alias(f.name))
-        self._replace_with(joined.select(*out_cols))
+        if self.buckets and self.exists():
+            self._rewrite_touched_buckets(
+                src, lambda tgt, s: self._update_frames(tgt, s, src_cols))
+        else:
+            self._replace_with(self._update_frames(self.read(), src, src_cols))
