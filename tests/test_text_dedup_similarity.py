@@ -108,6 +108,25 @@ def test_cosine_topk_matches_numpy(spark):
         assert c == pytest.approx(cos[nid], abs=1e-6)
 
 
+def test_blas_topk_matches_fold_topk(spark):
+    """BLAS (mapInPandas matmul) path returns the same neighbors/ranks as
+    the fold baseline on the real embeddings fixture, and survives a
+    multi-partition corpus (per-batch local top-k composes exactly)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .repartition(7)
+    q = e.where(F.col("vec_id") < 5)
+    base = sim.brute_force_topk(e, q, "vec_id", "embedding", k=5)
+    blas = sim.brute_force_topk_blas(e, q, "vec_id", "embedding", k=5)
+    b = {(r["query_id"], r["rk"]): (r["neighbor_id"], r["cos"])
+         for r in base.collect()}
+    g = {(r["query_id"], r["rk"]): (r["neighbor_id"], r["cos"])
+         for r in blas.collect()}
+    assert set(b) == set(g) and len(b) == 25
+    for key in b:
+        assert b[key][0] == g[key][0], key                 # same neighbor
+        assert g[key][1] == pytest.approx(b[key][1], abs=1e-9)
+
+
 def test_embedding_near_dups_threshold(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0], 0), (2, [1.0, 0.01], 0), (3, [0.0, 1.0], 0),

@@ -62,6 +62,75 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+def brute_force_topk_blas(corpus: DataFrame, queries: DataFrame, id_col: str,
+                          vec_col: str, k: int = 5) -> DataFrame:
+    """BLAS path for brute-force top-k: one numpy matmul per Arrow batch
+    instead of a per-pair fold. Same contract as ``brute_force_topk``
+    (small broadcastable query set, ties by neighbor id).
+
+    Shape: queries are collected once (bounded by contract) and closed
+    over; ``mapInPandas`` scores each corpus batch as a (batch x dim) @
+    (dim x nq) matmul and emits only the batch-local top-k per query
+    ordered by (cos desc, id asc) — so the shuffled candidate set is
+    O(partitions * nq * k), never the corpus. A final per-query window
+    over that bounded set yields the exact global top-k: per-batch top-k
+    under a total order composes associatively.
+
+    The fold path (``brute_force_topk``) stays the cross-engine-
+    deterministic baseline (left-to-right sums match DuckDB bit-for-bit);
+    matmul reassociates the sum, so cos here can differ in the last ulp —
+    rankings agree unless two candidates are within ~1e-15. Crossover vs
+    the fold: the fold's interpreted per-element expression tree loses to
+    Arrow+BLAS from roughly 10^4-10^5 corpus rows x 64+ dims; at 2k rows
+    the JVM fold wins (see bench).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        id_t = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_t}, neighbor_id {id_t}, cos double, rk bigint")
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, cos double"
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            S = (C @ Q.T) / (cn[:, None] * qn[None, :])
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                idx = np.nonzero(ids != qid)[0]
+                if idx.size == 0:
+                    continue
+                # exact local top-k under (cos desc, id asc) — lexsort keys
+                # are applied last-key-primary
+                order = np.lexsort((ids[idx], -S[idx, j]))[:k]
+                sel = idx[order]
+                out_q.extend([qid] * sel.size)
+                out_n.extend(ids[sel])
+                out_c.extend(S[sel, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (cand.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos", "rk"))
+
+
 def bucketed_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                   vec_col: str, bucket_col: str, k: int = 3) -> DataFrame:
     """IVF-style approximate top-k: search only within the query's bucket

@@ -355,3 +355,35 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 def q42_dedup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dd.dedup_clusters(d, "doc_id", "text", jaccard_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# q43 — BLAS ANN path: same top-k contract as q30 but scored by numpy
+# matmul per Arrow batch (mapInPandas) with batch-local top-k pruning —
+# the >=10^5-vector scale path. Output is ids + ranks only: matmul
+# reassociates the dot-product sum, so cos can differ from the fold in
+# the last ulp while the RANKING is identical; integer output keeps the
+# cross-engine hash exact.
+# ---------------------------------------------------------------------------
+
+@register("q43_ann_blas", oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a="qv", b="cv")}
+         / (sqrt({_NSQ.format(a="qv")}) * sqrt({_NSQ.format(a="cv")})) AS cos
+  FROM c CROSS JOIN q
+  WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+""")
+def q43_ann_blas(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = sim.brute_force_topk_blas(e, e.where(F.col("vec_id") < 5),
+                                    "vec_id", "embedding", k=5)
+    return out.select("query_id", "neighbor_id", "rk")
