@@ -15,6 +15,7 @@ import os
 from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark.operators import dedup as dd
+from tradingview_data_pipeline_spark.operators import packing as pk
 from tradingview_data_pipeline_spark.operators import similarity as sim
 from tradingview_data_pipeline_spark.operators import text as tx
 from tradingview_data_pipeline_spark.plans.analytics import register, _t
@@ -387,3 +388,25 @@ def q43_ann_blas(spark, sf_dir):
     out = sim.brute_force_topk_blas(e, e.where(F.col("vec_id") < 5),
                                     "vec_id", "embedding", k=5)
     return out.select("query_id", "neighbor_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# q44 — sequence packing (contiguous model): whitespace-token counts ->
+# per-language bins of <=512 tokens by exclusive running sum over doc id.
+# Integer-exact across engines; the strict-budget first-fit variant is
+# operators/packing.pack_first_fit (pandas-oracle pytest).
+# ---------------------------------------------------------------------------
+
+@register("q44_token_packing", oracle=f"""
+WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS ws_tokens FROM documents)
+SELECT doc_id, lang, CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(floor((SUM(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                   - ws_tokens) / 512.0) AS BIGINT) AS bin_id
+FROM t
+""")
+def q44_token_packing(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    step = d.select("doc_id", "lang",
+                    tx.token_count(F.col("text")).cast("bigint").alias("ws_tokens"))
+    return pk.pack_contiguous(step, "doc_id", "ws_tokens", 512, ["lang"])
