@@ -1,0 +1,82 @@
+"""Deterministic sampling and dataset-split operators.
+
+Training-data pipelines need *reproducible* sampling: the same row must
+land in the same split on every run, on any cluster layout, with no RNG
+state to ship.  All operators here key off a salted md5 of a stable row
+id — pure map-side column expressions (no shuffle, no ``rand()`` whose
+per-partition seeding changes with the physical plan).
+
+The 60-bit digest trick (top 15 hex chars of md5, parsed as a non-
+negative integer) is the repo-wide cross-engine hash; see
+``plans/training_queries._H60`` for the DuckDB mirror.
+
+Scale: every operator is a projection or a (group-key-partitioned)
+window — at 100 TB the split/sample assignment is embarrassingly
+parallel, and ``sample_k_per_group`` shuffles only the group key once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash60(col: Column, salt: str = "") -> Column:
+    """Non-negative 60-bit integer from a salted md5 — stable across
+    runs, engines (DuckDB mirror: ``('0x'||substr(md5(..),1,15))::BIGINT``),
+    and cluster layouts."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))),
+                              1, 15), 16, 10).cast("long")
+
+
+def hash_bucket(col: Column, buckets: int, salt: str = "") -> Column:
+    """Uniform bucket id in [0, buckets) from a stable row id."""
+    return hash60(col, salt) % F.lit(int(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    boundaries: dict[str, int],
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash percentile.
+
+    ``boundaries`` maps split name -> exclusive upper percentile bound in
+    [1, 100], in ascending order; e.g. ``{"train": 80, "val": 90,
+    "test": 100}`` gives an 80/10/10 split.  Deterministic: re-running
+    over a grown table keeps every old row's assignment (the property
+    that makes hash splits the standard over ``randomSplit`` for
+    training corpora).
+    """
+    bounds = sorted(boundaries.items(), key=lambda kv: kv[1])
+    if bounds[-1][1] != 100:
+        raise ValueError("last boundary must be 100")
+    pct = hash_bucket(F.col(id_col), 100, salt)
+    expr = F.lit(bounds[-1][0])
+    for name, upper in reversed(bounds[:-1]):
+        expr = F.when(pct < upper, F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr).withColumn(f"{out}_bucket", pct)
+
+
+def bernoulli_hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically (hash threshold on a
+    1e6 grid)."""
+    thresh = int(round(fraction * 1_000_000))
+    return df.where(hash60(F.col(id_col), salt) % F.lit(1_000_000) < F.lit(thresh))
+
+
+def sample_k_per_group(
+    df: DataFrame, group_cols: list[str], id_col: str, k: int, salt: str = "gk"
+) -> DataFrame:
+    """Uniform deterministic k-row sample per group: rank rows by their
+    salted hash (ties broken by id) inside each group and keep the first
+    ``k``.  One shuffle on the group key; no collect, no RNG.  Adds
+    ``sample_rank`` (1-based)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash60(F.col(id_col), salt).asc(), F.col(id_col).asc())
+    return (df.withColumn("sample_rank", F.row_number().over(w))
+              .where(F.col("sample_rank") <= k))

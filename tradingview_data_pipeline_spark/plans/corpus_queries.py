@@ -1,0 +1,196 @@
+"""Corpus-preparation queries over ``documents``: deterministic splits
+and sampling (q46, q54), chunking (q47), decontamination (q48), TF-IDF
+(q49), and corpus n-gram statistics (q51).
+
+Every oracle mirrors the Spark expression tree exactly: md5-60-bit
+hashing for splits/sampling, single-space-joined ``\\s+`` word shingles
+for n-grams, and linear idf (IEEE mul/div only — correctly rounded,
+hence bit-identical cross-engine; see operators/corpus.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.operators import corpus as cp
+from tradingview_data_pipeline_spark.operators import sampling as sp
+from tradingview_data_pipeline_spark.plans.analytics import register, _t
+
+_TOK_W = ("CASE WHEN trim(text) = '' THEN [] "
+          "ELSE regexp_split_to_array(trim(text), '\\s+') END")
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB word n-grams from token array ``w`` (empty when < n words,
+    matching the Spark-side exact-n filter)."""
+    joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(1, n + 1))
+    return (f"CASE WHEN len(w) >= {n} THEN "
+            f"list_transform(range(len(w)-{n - 1}), i -> {joined}) "
+            f"ELSE [] END")
+
+
+_H60S = "('0x' || substr(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# q46 — deterministic train/val/test hash split (80/10/10) plus an
+# independent 10% Bernoulli hash sample flag.  Pure projections: the
+# same row gets the same split on any cluster layout, and re-running
+# over a grown corpus never reassigns old rows.
+# ---------------------------------------------------------------------------
+
+@register("q46_hash_split", oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_H60S.format(salt='split', col='doc_id')} % 100 AS split_bucket,
+         {_H60S.format(salt='sample', col='doc_id')} % 1000000 AS sv
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN split_bucket < 80 THEN 'train'
+            WHEN split_bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       split_bucket,
+       sv < 100000 AS in_sample
+FROM h
+""")
+def q46_hash_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = sp.hash_split(d, "doc_id", {"train": 80, "val": 90, "test": 100})
+    out = out.withColumn(
+        "in_sample",
+        sp.hash60(F.col("doc_id"), "sample") % F.lit(1_000_000) < F.lit(100_000))
+    return out.select("doc_id", "lang", "split", "split_bucket", "in_sample")
+
+
+# ---------------------------------------------------------------------------
+# q47 — overlapping fixed-size chunking (200-char windows, 50 overlap):
+# map-side sequence + posexplode, no shuffle at all.
+# ---------------------------------------------------------------------------
+
+@register("q47_chunking", oracle="""
+SELECT doc_id,
+       (cs - 1) // 150 AS chunk_idx,
+       cs AS chunk_start,
+       substring(text, CAST(cs AS INT), 200) AS chunk_text,
+       length(substring(text, CAST(cs AS INT), 200)) AS chunk_len
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(1, greatest(length(text), 1), 150)) AS cs) t
+""")
+def q47_chunking(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = cp.chunk_text(d, "doc_id", "text", size=200, overlap=50)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        "chunk_text",
+        F.col("chunk_len").cast("bigint").alias("chunk_len"))
+
+
+# ---------------------------------------------------------------------------
+# q48 — decontamination: flag corpus docs (doc_id % 20 != 0) sharing any
+# word 5-gram with the held-out benchmark slice (doc_id % 20 == 0).
+# Joins 60-bit gram hashes, not strings.
+# ---------------------------------------------------------------------------
+
+@register("q48_decontamination", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_W} AS w FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_grams_sql(5)}) AS g FROM tok
+), hashes AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM grams
+)
+SELECT c.doc_id AS doc_id,
+       COUNT(DISTINCT c.h) AS n_hits,
+       COUNT(DISTINCT b.doc_id) AS n_benchmark_docs
+FROM hashes c
+JOIN hashes b ON c.h = b.h AND b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+GROUP BY c.doc_id
+""")
+def q48_decontamination(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    benchmark = d.where(F.col("doc_id") % 20 == 0)
+    rest = d.where(F.col("doc_id") % 20 != 0)
+    return cp.decontaminate(rest, benchmark, "doc_id", "text", n=5)
+
+
+# ---------------------------------------------------------------------------
+# q49 — TF-IDF top-3 characteristic terms per document (linear idf:
+# score = tf * (N/df), IEEE-exact cross-engine; log-idf variant is
+# pytest-verified in tests/test_corpus.py).
+# ---------------------------------------------------------------------------
+
+@register("q49_tfidf_top_terms", oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(text) = '' THEN []
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+           AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, term_rank FROM ranked WHERE term_rank <= 3
+""")
+def q49_tfidf_top_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = cp.tfidf_top_terms(d, "doc_id", "text", k=3)
+    return out.select("doc_id", "term", "tf", "df", "score",
+                      F.col("term_rank").cast("bigint").alias("term_rank"))
+
+
+# ---------------------------------------------------------------------------
+# q51 — corpus-wide top-20 word bigrams (explode + hash agg +
+# TakeOrderedAndProject; deterministic tie-break on the bigram).
+# ---------------------------------------------------------------------------
+
+@register("q51_top_ngrams", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_W} AS w FROM documents
+), grams AS (
+  SELECT unnest({_grams_sql(2)}) AS ngram FROM tok
+)
+SELECT ngram, COUNT(*) AS cnt FROM grams
+GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20
+""")
+def q51_top_ngrams(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return cp.top_ngrams(d, "text", n=2, k=20)
+
+
+# ---------------------------------------------------------------------------
+# q54 — uniform deterministic 20-doc sample per language (hash-ranked
+# window; one shuffle on lang, no RNG).
+# ---------------------------------------------------------------------------
+
+@register("q54_group_sample", oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, {_H60S.format(salt='gk', col='doc_id')} AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC)
+           AS sample_rank
+  FROM h
+)
+SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20
+""")
+def q54_group_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = sp.sample_k_per_group(d, ["lang"], "doc_id", k=20)
+    return out.select("doc_id", "lang",
+                      F.col("sample_rank").cast("bigint").alias("sample_rank"))
