@@ -1,0 +1,238 @@
+"""Unit tests for the round-2 operator batch: as-of join, bucketed
+interval join, deterministic sampling/splits, chunking, TF-IDF,
+decontamination, and the quantized-centroid / k-means-assign pair.
+
+Each test pins semantics on a small hand-checkable fixture (the oracle
+gate covers the cross-engine numeric path; these cover edge cases the
+synthetic tables don't hit: empty text, no-prior-match as-of rows,
+duplicate timestamps, interval edges, split stability under growth).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.operators import asof as aj
+from tradingview_data_pipeline_spark.operators import corpus as cp
+from tradingview_data_pipeline_spark.operators import sampling as sp
+from tradingview_data_pipeline_spark.operators import similarity as sim
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# --- as-of join ------------------------------------------------------------
+
+def test_asof_join_basic_and_no_prior(spark):
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 10:00:00")),
+         (2, 1, ts("2024-01-01 12:00:00")),
+         (3, 2, ts("2024-01-01 09:00:00"))],  # user 2: no prior right row
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, 1, ts("2024-01-01 09:30:00"), 5.0),
+         (11, 1, ts("2024-01-01 11:00:00"), 7.0),
+         (12, 2, ts("2024-01-01 09:30:00"), 9.0)],
+        "click_id long, user_id long, click_ts timestamp, v double")
+    out = aj.asof_join(left, right, on="user_id", left_time="ts",
+                       right_time="click_ts", payload=["click_id", "v"],
+                       tiebreak="click_id")
+    got = {r["event_id"]: (r["click_id_asof"], r["v_asof"])
+           for r in out.collect()}
+    assert got == {1: (10, 5.0), 2: (11, 7.0), 3: (None, None)}
+
+
+def test_asof_join_equal_ts_and_duplicate_right_ts(spark):
+    t0 = ts("2024-01-01 10:00:00")
+    left = spark.createDataFrame([(1, 1, t0)],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, 1, t0, 1.0), (11, 1, t0, 2.0)],
+        "click_id long, user_id long, click_ts timestamp, v double")
+    out = aj.asof_join(left, right, on="user_id", left_time="ts",
+                       right_time="click_ts", payload=["click_id", "v"],
+                       tiebreak="click_id")
+    # right row AT the left time counts; duplicate ts resolves to the
+    # larger tiebreak (click_id 11).
+    assert out.collect()[0]["click_id_asof"] == 11
+
+
+# --- bucketed interval join ------------------------------------------------
+
+def test_interval_join_bucketed_matches_naive(spark):
+    base = ts("2024-01-01 00:00:00")
+    intervals = spark.createDataFrame(
+        [(i, 1, base + dt.timedelta(minutes=7 * i),
+          base + dt.timedelta(minutes=7 * i + 25)) for i in range(20)],
+        "iv_id long, k long, s timestamp, e timestamp")
+    points = spark.createDataFrame(
+        [(100 + j, 1, base + dt.timedelta(minutes=3 * j)) for j in range(50)],
+        "pt_id long, k long, t timestamp")
+    fast = aj.interval_join_bucketed(intervals, points, on="k", start="s",
+                                     end="e", point_time="t",
+                                     bucket_seconds=1800)
+    naive = intervals.join(points, "k").where(
+        (F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+    fset = {(r["iv_id"], r["pt_id"]) for r in fast.collect()}
+    nset = {(r["iv_id"], r["pt_id"]) for r in naive.collect()}
+    assert fset == nset and len(fset) > 0
+
+
+def test_interval_join_includes_boundaries(spark):
+    s0, e0 = ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")
+    intervals = spark.createDataFrame([(1, 1, s0, e0)],
+                                      "iv_id long, k long, s timestamp, e timestamp")
+    points = spark.createDataFrame(
+        [(1, 1, s0), (2, 1, e0),
+         (3, 1, e0 + dt.timedelta(seconds=1)),
+         (4, 1, s0 - dt.timedelta(seconds=1))],
+        "pt_id long, k long, t timestamp")
+    got = sorted(r["pt_id"] for r in aj.interval_join_bucketed(
+        intervals, points, on="k", start="s", end="e", point_time="t",
+        bucket_seconds=1800).collect())
+    assert got == [1, 2]
+
+
+# --- sampling / splits -----------------------------------------------------
+
+def test_hash_split_stable_under_growth(spark):
+    small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    bounds = {"train": 80, "val": 90, "test": 100}
+    s_small = {r["doc_id"]: r["split"]
+               for r in sp.hash_split(small, "doc_id", bounds).collect()}
+    s_big = {r["doc_id"]: r["split"]
+             for r in sp.hash_split(big, "doc_id", bounds).collect()}
+    # growing the table never reassigns existing rows
+    assert all(s_big[k] == v for k, v in s_small.items())
+    frac_train = sum(v == "train" for v in s_big.values()) / 1000
+    assert 0.7 < frac_train < 0.9
+
+
+def test_hash_split_requires_terminal_boundary(spark):
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        sp.hash_split(df, "doc_id", {"train": 80, "val": 90})
+
+
+def test_sample_k_per_group_exact_k_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(90)], "doc_id long, g string")
+    a = sp.sample_k_per_group(df, ["g"], "doc_id", k=5)
+    b = sp.sample_k_per_group(df, ["g"], "doc_id", k=5)
+    rows_a = sorted((r["g"], r["doc_id"]) for r in a.collect())
+    rows_b = sorted((r["g"], r["doc_id"]) for r in b.collect())
+    assert rows_a == rows_b
+    per_group = a.groupBy("g").count().collect()
+    assert all(r["count"] == 5 for r in per_group)
+
+
+def test_bernoulli_hash_sample_fraction(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    n = sp.bernoulli_hash_sample(df, "doc_id", 0.1).count()
+    assert 800 < n < 1200
+
+
+# --- chunking --------------------------------------------------------------
+
+def test_chunk_text_overlap_and_trailing(spark):
+    text = "abcdefghij" * 35  # 350 chars -> starts 1, 151, 301
+    df = spark.createDataFrame([(1, text), (2, "")],
+                               "doc_id long, text string")
+    out = cp.chunk_text(df, "doc_id", "text", size=200, overlap=50)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    assert rows[(1, 0)]["chunk_text"] == text[0:200]
+    assert rows[(1, 1)]["chunk_text"] == text[150:350]
+    assert rows[(1, 2)]["chunk_text"] == text[300:350]
+    # consecutive chunks overlap by 50 chars
+    assert rows[(1, 0)]["chunk_text"][-50:] == rows[(1, 1)]["chunk_text"][:50]
+    # empty doc still yields one (empty) chunk
+    assert rows[(2, 0)]["chunk_len"] == 0
+    with pytest.raises(ValueError):
+        cp.chunk_text(df, "doc_id", "text", size=100, overlap=100)
+
+
+# --- tf-idf / n-grams / decontamination ------------------------------------
+
+def test_tfidf_log_variant_ranks_distinctive_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple apple common"),
+         (2, "banana banana common"),
+         (3, "cherry common common")],
+        "doc_id long, text string")
+    out = cp.tfidf_top_terms(df, "doc_id", "text", k=1, use_log_idf=True)
+    top = {r["doc_id"]: r["term"] for r in out.collect()}
+    # 'common' appears in every doc -> log idf 0 -> never the top term
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+
+
+def test_top_ngrams_short_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "single"), (3, "")], "doc_id long, text string")
+    got = {(r["ngram"], r["cnt"]) for r in
+           cp.top_ngrams(df, "text", n=2, k=10).collect()}
+    assert got == {("a b", 2), ("b a", 1)}
+
+
+def test_decontaminate_flags_only_real_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "xx the quick brown fox jumps zz"),   # shares 5-grams
+         (2, "completely different words here entirely now"),
+         (3, "quick brown fox")],                  # < 5 words: no 5-gram
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_hits"] for r in
+           cp.decontaminate(corpus, bench, "doc_id", "text", n=5).collect()}
+    assert set(out) == {1} and out[1] == 1  # "the quick brown fox jumps"
+
+
+# --- centroids / k-means assignment ---------------------------------------
+
+def test_group_centroids_quantized_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "a", [3.0, 6.0]), (3, "b", [10.0, 0.0])],
+        "vec_id long, g string, embedding array<float>")
+    cent = {(r["g"], r["dim"]): (r["n"], r["centroid"]) for r in
+            sim.group_centroids_quantized(df, "g", "embedding").collect()}
+    assert cent == {("a", 0): (2, 2.0), ("a", 1): (2, 4.0),
+                    ("b", 0): (1, 10.0), ("b", 1): (1, 0.0)}
+
+
+def test_assign_nearest_centroid_ties_break_low_label(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 10.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, 0, 0.0), (0, 1, 0.0), (1, 0, 10.0), (1, 1, 10.0)],
+        "label int, dim long, centroid double")
+    got = {r["vec_id"]: r["assigned"] for r in sim.assign_nearest_centroid(
+        df, "vec_id", "embedding", cents, "label").collect()}
+    # vec 3 is equidistant -> lower centroid id wins
+    assert got == {1: 0, 2: 1, 3: 0}
+
+
+def test_one_lloyd_iteration_reduces_inertia(spark, tmp_path):
+    # iterate: assign -> recompute centroids on assignment -> inertia drops
+    import random
+    random.seed(7)
+    rows = [(i, i % 2,
+             [random.gauss(5.0 * (i % 2), 1.0) for _ in range(4)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    c0 = sim.group_centroids_quantized(df, "label", "embedding")
+    a0 = sim.assign_nearest_centroid(df, "vec_id", "embedding",
+                                     c0.select("label", "dim", "centroid"),
+                                     "label")
+    inertia0 = a0.agg(F.sum("dist")).collect()[0][0]
+    relabeled = df.join(a0.select("vec_id", "assigned"), "vec_id") \
+                  .select("vec_id", F.col("assigned").alias("label"), "embedding")
+    c1 = sim.group_centroids_quantized(relabeled, "label", "embedding")
+    a1 = sim.assign_nearest_centroid(relabeled, "vec_id", "embedding",
+                                     c1.select("label", "dim", "centroid"),
+                                     "label")
+    inertia1 = a1.agg(F.sum("dist")).collect()[0][0]
+    assert inertia1 <= inertia0 + 1e-9

@@ -173,3 +173,70 @@ def embedding_near_dups(corpus: DataFrame, id_col: str, vec_col: str,
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "bk", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector clustering primitives: exact (quantized) group centroids and
+# nearest-centroid assignment — together, one deterministic Lloyd
+# iteration.  Centroid math over floats is order-dependent in any
+# engine's parallel SUM; quantizing each component to a 1e-6 integer
+# grid first makes the accumulation associative (BIGINT sum) and thus
+# layout- and engine-independent, while a plain groupBy/sum keeps
+# map-side combine — the only centroid formulation that is BOTH
+# 100 TB-scalable and cross-engine hash-stable.  (A float mean loses
+# < 1e-6 absolute precision; for unit-norm embeddings that is far below
+# any clustering decision boundary.)
+# ---------------------------------------------------------------------------
+
+def group_centroids_quantized(df: DataFrame, group_col: str,
+                              vec_col: str) -> DataFrame:
+    """Per-group element-wise mean on a 1e-6 grid: (group, dim, n,
+    centroid).  Long-form posexplode -> BIGINT sum; shuffle rows =
+    groups x dims, payload 8 bytes."""
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"))
+    q = ex.withColumn(
+        "qv", F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("long"))
+    return (
+        q.groupBy(group_col, F.col("dim").cast("bigint").alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qv").alias("sq"))
+        .withColumn("centroid",
+                    F.col("sq").cast("double") / (F.col("n") * F.lit(1000000.0)))
+        .drop("sq")
+    )
+
+
+def assign_nearest_centroid(df: DataFrame, id_col: str, vec_col: str,
+                            centroids_long: DataFrame,
+                            group_col: str) -> DataFrame:
+    """Assign each vector to its nearest centroid by squared L2.
+
+    ``centroids_long`` is (group, dim, centroid) long form (e.g. from
+    ``group_centroids_quantized``); it is pivoted to per-group arrays
+    and broadcast, so the assignment is a map-side broadcast
+    nested-loop over k centroids — no shuffle of the vectors.  The
+    distance is a left-to-right fold (bit-identical to DuckDB
+    ``list_reduce``); ties break on the smaller centroid id.
+    """
+    carr = (
+        centroids_long
+        .groupBy(F.col(group_col).alias("c_label"))
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("a"))
+        .select("c_label", F.expr("transform(a, x -> x.centroid)").alias("cvec"))
+    )
+    sq = F.zip_with(
+        F.col(vec_col), F.col("cvec"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c))
+    dist = F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+    scored = (
+        df.crossJoin(F.broadcast(carr))
+        .withColumn("dist", dist)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(),
+                                           F.col("c_label").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(id_col, F.col("c_label").alias("assigned"), "dist")
+    )
