@@ -37,3 +37,38 @@ def test_tumbling_window_stream_matches_batch(spark, tmp_path):
            for r in spark.sql("select * from win_agg").collect()}
     assert got == expected
     assert len(got) == 4                # 2 hours x 2 event types
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join (streaming/joins.py) produces the
+    same view->click pairs as the identical batch join."""
+    from tradingview_data_pipeline_spark.streaming.joins import view_click_stream_join
+
+    base = dt.datetime(2026, 8, 13, 9, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append((i, i % 5, base + dt.timedelta(minutes=i % 90),
+                     "view" if i % 3 == 0 else "click", float(i % 7)))
+    schema = ("event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    batch_df = spark.createDataFrame(rows, schema)
+    src = tmp_path / "ss_src"
+    batch_df.coalesce(2).write.mode("overwrite").parquet(str(src / "b1"))
+
+    views_b = batch_df.where(F.col("event_type") == "view")
+    clicks_b = batch_df.where(F.col("event_type") == "click")
+    expected = {(r["view_id"], r["click_id"]) for r in
+                view_click_stream_join(views_b, clicks_b).collect()}
+    assert expected  # fixture must actually produce pairs
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src) + "/*")
+    out = view_click_stream_join(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "click"))
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("ss_join")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["view_id"], r["click_id"]) for r in
+           spark.sql("select * from ss_join").collect()}
+    assert got == expected

@@ -372,3 +372,31 @@ def q40_group_quantiles(spark, sf_dir):
              F.expr("percentile(c_acctbal, 0.9)").alias("p90_bal"),
              F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q55 — CUBE with grouping id: every subtotal combination over
+# (returnflag, linestatus) in one pass.  Spark expands grouping sets
+# inside a single hash aggregate (Expand + partial/final agg — one
+# shuffle, map-side combine on every grouping set); at 100 TB this beats
+# 4 separate group-bys by reusing one scan.  grouping_id bit order
+# (first column = MSB) matches DuckDB GROUPING(a, b).
+# ---------------------------------------------------------------------------
+
+@register("q55_cube_grouping", oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q55_cube_grouping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("bigint").alias("gid"),
+             F.count(F.lit(1)).alias("n_rows"),
+             _dsum(F.col("l_quantity")).alias("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+    )
