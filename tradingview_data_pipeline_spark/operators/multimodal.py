@@ -2,11 +2,14 @@
 
 The Spark-side contract is fully real — schemas, partition-aware batch
 processing via ``mapInPandas`` (Arrow-batched, one Python worker round
-trip per partition, never per row), metadata pushdown-friendly layout —
-while the codec step itself is STUBBED: this container has no image/audio
-libraries, so ``decode_image_meta`` ships a deterministic fake decoder
-behind the same signature a real one (PIL/ffmpeg) would use, and
-``register_decoder`` swaps in a real implementation in production.
+trip per partition, never per row), metadata pushdown-friendly layout.
+The codec layer is split by honesty: uncompressed formats have REAL
+zero-dependency decoders (``operators/codecs.py``: PPM P6 images, WAV
+16-bit PCM audio — full decode, nearest-neighbor resize, block-mean /
+RMS features), exercised end-to-end by ``resize_images`` and
+``extract_audio_features`` below.  Compressed formats (JPEG/PNG/MP3)
+remain behind ``register_decoder`` with a deterministic fake until
+their libraries exist in this container.
 
 Layout guidance for 100 TB: store media as parquet/Lance-style binary
 columns partitioned by (modality, date) with the metadata struct in the
@@ -121,3 +124,67 @@ def make_fake_media(spark, n: int = 16) -> DataFrame:
         rows.append((f"m{i:03d}", "image", "image/fake", payload,
                      (32 + i, 24 + i, None, None)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --- real byte-level transforms (PPM / WAV via operators/codecs.py) --------
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("rms_frames", T.ArrayType(T.FloatType())),
+])
+
+
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """REAL image resize for PPM payloads: decode -> nearest-neighbor
+    downscale so max(w, h) <= max_side (never upscales) -> re-encode.
+    Runs in mapInPandas; per-task memory is one Arrow batch of images.
+    """
+    from tradingview_data_pipeline_spark.operators import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for mid, p in zip(b["media_id"], b["payload"]):
+                arr = codecs.decode_ppm(p)
+                h, w = arr.shape[:2]
+                scale = min(1.0, max_side / max(w, h))
+                tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
+                if (tw, th) != (w, h):
+                    arr = codecs.resize_nearest(arr, tw, th)
+                ids.append(mid); ws.append(tw); hs.append(th)
+                outs.append(codecs.encode_ppm(arr))
+            yield pd.DataFrame({"media_id": ids, "width": ws,
+                                "height": hs, "payload": outs})
+
+    return df.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def extract_audio_features(df: DataFrame, n_frames: int = 8) -> DataFrame:
+    """REAL audio feature extraction for WAV PCM payloads: decode ->
+    per-frame RMS energy + duration metadata, Arrow-batched."""
+    from tradingview_data_pipeline_spark.operators import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"media_id": [], "n_samples": [], "sample_rate": [],
+                    "duration_ms": [], "rms_frames": []}
+            for mid, p in zip(b["media_id"], b["payload"]):
+                samples, rate = codecs.decode_wav(p)
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(len(samples))
+                rows["sample_rate"].append(rate)
+                rows["duration_ms"].append(len(samples) * 1000 // rate)
+                rows["rms_frames"].append(codecs.frame_rms(samples, n_frames))
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
