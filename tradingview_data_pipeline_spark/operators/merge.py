@@ -250,6 +250,22 @@ class ParquetTable:
         else:
             self._replace_with(combine(self.read(), src))
 
+    def merge_with(self, source: DataFrame, combine) -> None:
+        """General MERGE with a caller-supplied ``combine(tgt_slice,
+        src) -> DataFrame`` (e.g. additive aggregate-state merging for
+        incremental rollups, operators/incremental.py).  Bucketed tables
+        rewrite only the buckets the source touches — the combine sees
+        exactly the target rows that can interact with the source keys."""
+        src = align_to_schema(source, self.schema) \
+            .where(F.col(self.key).isNotNull())
+        if not self.exists():
+            self._replace_with(combine(self.spark.createDataFrame([], self.schema), src))
+            return
+        if self.buckets:
+            self._rewrite_touched_buckets(src, combine)
+        else:
+            self._replace_with(combine(self.read(), src))
+
     def update_where(self, updates: DataFrame) -> None:
         """K4 as MERGE (matched-update only): never per-row round trips."""
         src = align_to_schema(updates, self.schema).dropDuplicates([self.key]) \
