@@ -236,3 +236,19 @@ def test_one_lloyd_iteration_reduces_inertia(spark, tmp_path):
                                      "label")
     inertia1 = a1.agg(F.sum("dist")).collect()[0][0]
     assert inertia1 <= inertia0 + 1e-9
+
+
+def test_sessionize_gap_semantics(spark):
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 1, base),                                   # session 1
+        (2, 1, base + dt.timedelta(minutes=30)),        # exactly 30m: same
+        (3, 1, base + dt.timedelta(minutes=61)),        # 31m gap: new
+        (4, 2, base),                                   # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    from tradingview_data_pipeline_spark.operators.asof import sessionize
+    got = {r["event_id"]: r["session_seq"]
+           for r in sessionize(df, "user_id", "ts", gap="30 minutes",
+                               tiebreak="event_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}

@@ -125,3 +125,31 @@ def interval_join_bucketed(
         (F.col(point_time) >= F.col(start)) & (F.col(point_time) <= F.col(end))
     )
     return joined.drop("__bucket")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    *,
+    gap: str = "30 minutes",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: assign a per-key ``session_seq``
+    (1-based) that increments whenever the gap since the previous event
+    exceeds ``gap`` — the batch form of a session window, as a lag +
+    running-sum over one key-partitioned window (single shuffle on the
+    key; both window functions share the same sort).
+
+    ``tiebreak`` orders simultaneous events deterministically.
+    """
+    order = [F.col(time_col).asc()] + \
+        ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(time_col).over(w)
+    is_start = F.when(
+        prev.isNull()
+        | (F.col(time_col) > prev + F.expr(f"INTERVAL {gap}")), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_seq",
+                         F.sum(is_start).over(wsum).cast("bigint"))

@@ -115,3 +115,107 @@ def q50_interval_join(spark, sf_dir):
                  F.max("click_ts").alias("last_click_ts"),
                  _dsum(F.col("click_value"), scale="18,2")
                  .alias("click_value_sum")))
+
+
+# ---------------------------------------------------------------------------
+# q56 — gap-based sessionization (30-minute inactivity gap): per-session
+# event counts and spans.  lag + running sum over ONE key-partitioned
+# window (shared sort), then a hash aggregate — two shuffles total on
+# user_id, no self-join.
+# ---------------------------------------------------------------------------
+
+@register("q56_sessionize", oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts > prev_ts + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_start
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_seq
+""")
+def q56_sessionize(spark, sf_dir):
+    e = events(spark, sf_dir).select("user_id", "event_id", "ts")
+    s = aj.sessionize(e, "user_id", "ts", gap="30 minutes",
+                      tiebreak="event_id")
+    return (s.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+# ---------------------------------------------------------------------------
+# q57 — cohort retention: users grouped by first-activity week, distinct
+# active users per (cohort, week offset).  Two hash aggregates + one
+# join on user_id; week offsets are exact integer arithmetic on
+# week-truncated epochs.
+# ---------------------------------------------------------------------------
+
+@register("q57_cohort_retention", oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(floor((epoch(a.act_week) - epoch(f.cohort_week)) / 604800.0)
+            AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM act a JOIN firsts f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+""")
+def q57_cohort_retention(spark, sf_dir):
+    e = events(spark, sf_dir)
+    firsts = (e.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    act = e.select("user_id",
+                   F.date_trunc("week", F.col("ts")).alias("act_week")) \
+           .distinct()
+    off = F.floor(
+        (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week"))
+        / F.lit(604800.0)).cast("bigint")
+    return (act.join(firsts, "user_id")
+            .groupBy("cohort_week", off.alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+# ---------------------------------------------------------------------------
+# q58 — pivot: per-user event-type counts as columns (Spark pivot with a
+# declared value list — one hash aggregate, no second scan; the oracle
+# is the equivalent conditional aggregation).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@register("q58_pivot_event_counts", oracle="""
+SELECT user_id,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS click_cnt,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS error_cnt,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase_cnt,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'signup'), 0) AS signup_cnt,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS view_cnt
+FROM events GROUP BY user_id
+""")
+def q58_pivot_event_counts(spark, sf_dir):
+    e = events(spark, sf_dir)
+    p = (e.groupBy("user_id")
+         .pivot("event_type", _EVENT_TYPES)
+         .agg(F.count(F.lit(1))))
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_cnt")
+          for t in _EVENT_TYPES])
