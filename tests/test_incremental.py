@@ -74,3 +74,37 @@ def test_incremental_untouched_buckets_not_rewritten(spark, tmp_path):
     got = {r["g"]: (r["cnt"], r["vmax"]) for r in roll.read().collect()}
     assert got["g1"] == (2, 100.0)
     assert got["g0"] == (1, 0.0)
+
+
+def test_sharded_export_stable_and_one_file_per_shard(spark, tmp_path):
+    from tradingview_data_pipeline_spark.operators.export import (
+        assign_shard, write_training_shards)
+
+    df = spark.createDataFrame(
+        [(i, "doc %d" % i) for i in range(500)], "doc_id long, text string")
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    write_training_shards(df, p1, "doc_id", 8)
+    # different input partitioning -> identical shard membership
+    write_training_shards(df.repartition(13), p2, "doc_id", 8)
+
+    def shard_sets(path):
+        out = spark.read.parquet(path)
+        return {r["shard"]: None for r in out.select("shard").distinct().collect()}, \
+               {(r["shard"], r["doc_id"]) for r in out.collect()}
+
+    shards1, rows1 = shard_sets(p1)
+    shards2, rows2 = shard_sets(p2)
+    assert rows1 == rows2 and len(rows1) == 500
+    assert set(shards1) == set(range(8))
+
+    # one data file per shard directory
+    import os
+    for k in range(8):
+        files = [f for f in os.listdir(os.path.join(p1, f"shard={k}"))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (k, files)
+
+    # membership matches the pure-projection formula
+    expected = {(r["shard"], r["doc_id"])
+                for r in assign_shard(df, "doc_id", 8).collect()}
+    assert rows1 == expected

@@ -89,8 +89,11 @@ def tfidf_top_terms(
     tf = term_frequencies(df, id_col, text_col)
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    # no broadcast hint on dfreq: |vocab| is unbounded at corpus scale —
+    # the tf⋈dfreq join shares the "term" shuffle tf's aggregation
+    # already produced, and AQE still broadcasts when dfreq is small.
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
     )
     ratio = F.col("n_docs").cast("double") / F.col("df").cast("double")

@@ -410,3 +410,62 @@ def q44_token_packing(spark, sf_dir):
     step = d.select("doc_id", "lang",
                     tx.token_count(F.col("text")).cast("bigint").alias("ws_tokens"))
     return pk.pack_contiguous(step, "doc_id", "ws_tokens", 512, ["lang"])
+
+
+# ---------------------------------------------------------------------------
+# q59 — near-dup graph statistics: per-document degree and triangle
+# membership over the verified LSH pair graph (quality diagnostics for
+# dedup thresholds: high-degree nodes are template/boilerplate docs,
+# triangles indicate dense duplicate clusters).  Degrees via one
+# explode+aggregate over the symmetric edge list; triangles via an
+# ordered two-hop join (a<b<c canonical form — each triangle counted
+# once, never 6 times).  Edge lists are tiny relative to the corpus
+# (pairs passed Jaccard >= 0.2), so the joins are broadcast-scale.
+# ---------------------------------------------------------------------------
+
+@register("q59_neardup_graph_stats", oracle=f"""
+WITH {_PAIRS_CTE},
+edges AS (
+  SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.2
+), sym AS (
+  SELECT doc_a AS d, doc_b AS o FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+), deg AS (
+  SELECT d AS doc_id, COUNT(*) AS degree FROM sym GROUP BY d
+), tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.doc_a = e1.doc_b
+  JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+), tcnt AS (
+  SELECT doc_id, COUNT(*) AS n_triangles FROM (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY doc_id
+)
+SELECT deg.doc_id, deg.degree,
+       COALESCE(tcnt.n_triangles, 0) AS n_triangles
+FROM deg LEFT JOIN tcnt USING (doc_id)
+""")
+def q59_neardup_graph_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    shingles = dd.shingle_rows(d, "doc_id", "text").cache()
+    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", k=8, bands=4,
+                                   shingles=shingles)
+    edges = dd.jaccard_verify(pairs, shingles, "doc_id", threshold=0.2) \
+              .select("doc_a", "doc_b").cache()
+    sym = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
+        edges.select(F.col("doc_b").alias("doc_id")))
+    deg = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tcnt = (tri.select(F.col("a").alias("doc_id"))
+            .unionAll(tri.select(F.col("b").alias("doc_id")))
+            .unionAll(tri.select(F.col("c").alias("doc_id")))
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (deg.join(tcnt, "doc_id", "left")
+            .select("doc_id", "degree",
+                    F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")))
