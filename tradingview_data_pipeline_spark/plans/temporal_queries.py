@@ -137,9 +137,9 @@ WITH o AS (
   FROM o
 ), s AS (
   SELECT user_id, ts,
-         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_seq
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
   FROM f
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
