@@ -190,6 +190,8 @@ def attach_peer_percentile_exact(
     min_peers: int = 2,
     round_digits: int | None = None,
     buckets: int = 64,
+    mode: str = "auto",
+    small_input_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Attach ``out_col`` = exact ascending peer percentile of
     ``value_col`` within ``group_keys`` (empty = global peer set).
@@ -198,18 +200,40 @@ def attach_peer_percentile_exact(
     bit-for-bit: #{< v} and n are exact integers, combined with the same
     double arithmetic. Rows with NULL value get NULL (callers mask).
     Groups with fewer than ``min_peers`` non-null values get 50.0.
+
+    ``mode`` gates the bucketing stage (results are identical in every
+    mode — only the physical plan changes):
+
+    - ``"set"``: always compute ~``buckets`` approx-quantile split points
+      (one eager action) so the ranking window runs per (keys, bucket) —
+      the 100 TB path: no task ever holds more than ~1/buckets of a
+      group's distinct values.
+    - ``"small"``: single bucket, NO approxQuantile action.  The ranking
+      window runs over the per-(keys) distinct-value histogram — an
+      aggregated, bounded frame, so this is safe whenever the histogram
+      fits in a task, and 2 Spark jobs cheaper locally.
+    - ``"auto"`` (default): a bounded LIMIT-probe (reads at most
+      ``small_input_threshold + 1`` rows, never the full table) picks
+      ``small`` below the threshold, ``set`` at or above it.
     """
     keys = list(group_keys)
     v = F.col(value_col)
     nn = df.where(v.isNotNull()).select(*keys, v.alias("__gv"))
     hist = nn.groupBy(*keys, "__gv").agg(F.count(F.lit(1)).alias("__c"))
 
-    # split points: balance only; dedup + sort so bucket ids are ordered
-    probs = [i / buckets for i in range(1, buckets)]
-    try:
-        bounds = sorted(set(nn.stat.approxQuantile("__gv", probs, 1.0 / (4 * buckets))))
-    except Exception:        # empty input
-        bounds = []
+    if mode == "auto":
+        probe = nn.limit(small_input_threshold + 1).count()
+        mode = "small" if probe <= small_input_threshold else "set"
+
+    if mode == "small":
+        bounds: list[float] = []
+    else:
+        # split points: balance only; dedup + sort so bucket ids are ordered
+        probs = [i / buckets for i in range(1, buckets)]
+        try:
+            bounds = sorted(set(nn.stat.approxQuantile("__gv", probs, 1.0 / (4 * buckets))))
+        except Exception:        # empty input
+            bounds = []
     if bounds:
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         bid = F.size(F.filter(barr, lambda b: b < F.col("__gv")))

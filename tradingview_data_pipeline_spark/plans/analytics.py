@@ -175,53 +175,55 @@ def q4_join_enrich(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q5 — full-outer join with key coalesce (J1;
-# sectormerged_improved.py:433-468 overview⟗performance merge analog).
+# q5 — per-customer order activity: full-outer join with key coalesce
+# (J1; sectormerged_improved.py:433-468 overview⟗performance merge
+# analog) UNIONed with the anti-join complement — customers with no
+# orders at all (J4; newsflow_scraper.py:281-293 "skip URLs already in
+# the table" as a left-anti join instead of a collected set).
+# Consolidates the former q5 + q6.
 # ---------------------------------------------------------------------------
 
-@register("q5_fullouter_coalesce", oracle="""
+@register("q5_order_activity", oracle="""
 WITH o AS (SELECT o_custkey AS k, COUNT(*) AS open_orders
            FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
      f AS (SELECT o_custkey AS k, COUNT(*) AS closed_orders
            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
-SELECT COALESCE(o.k, f.k) AS custkey,
+SELECT 'counts' AS kind,
+       COALESCE(o.k, f.k) AS custkey,
        COALESCE(open_orders, 0) AS open_orders,
        COALESCE(closed_orders, 0) AS closed_orders
 FROM o FULL OUTER JOIN f ON o.k = f.k
+UNION ALL
+SELECT 'no_orders', c_custkey, NULL::BIGINT, NULL::BIGINT
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """)
-def q5_fullouter_coalesce(spark, sf_dir):
+def q5_order_activity(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
     open_ = (o.where(F.col("o_orderstatus") == "O")
              .groupBy(F.col("o_custkey").alias("k"))
              .agg(F.count(F.lit(1)).alias("open_orders")))
     closed = (o.where(F.col("o_orderstatus") == "F")
               .groupBy(F.col("o_custkey").alias("k"))
               .agg(F.count(F.lit(1)).alias("closed_orders")))
-    return (
+    counts = (
         open_.join(closed, open_.k == closed.k, "full_outer")
         .select(
+            F.lit("counts").alias("kind"),
             F.coalesce(open_.k, closed.k).alias("custkey"),
             F.coalesce(F.col("open_orders"), F.lit(0)).alias("open_orders"),
             F.coalesce(F.col("closed_orders"), F.lit(0)).alias("closed_orders"),
         )
     )
-
-
-# ---------------------------------------------------------------------------
-# q6 — anti-join dedup (J4; newsflow_scraper.py:281-293 "skip URLs already
-# in the table" as a left-anti join instead of a collected set).
-# ---------------------------------------------------------------------------
-
-@register("q6_antijoin", oracle="""
-SELECT c_custkey, c_name, c_acctbal
-FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-""")
-def q6_antijoin(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-            .select("c_custkey", "c_name", "c_acctbal"))
+    no_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("no_orders").alias("kind"),
+                F.col("c_custkey").alias("custkey"),
+                F.lit(None).cast("bigint").alias("open_orders"),
+                F.lit(None).cast("bigint").alias("closed_orders"))
+    )
+    return counts.unionByName(no_orders)
 
 
 # ---------------------------------------------------------------------------
@@ -375,41 +377,26 @@ def q11_rank_partition(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q12 — horizontal weighted sum with null-as-zero (A6;
-# calcompositescore.py:161-198 composite score). Per-row IEEE arithmetic,
-# identical association order in both engines.
+# q12 — horizontal weighted scores, both reference blends in one pass
+# over the fact table (A6+A7; calcompositescore.py:161-198 null-as-zero
+# weighted sum, calfundamentalscore.py:206-228 weight-renormalized mean).
+# Per-row IEEE arithmetic, identical association order in both engines;
+# nulls manufactured via NULLIF so the renormalization path is exercised.
 # ---------------------------------------------------------------------------
 
-@register("q12_weighted_sum", oracle="""
-SELECT l_orderkey, l_linenumber,
-       COALESCE(l_quantity, 0.0) * 0.2
-         + COALESCE(l_extendedprice, 0.0) * 0.5
-         + COALESCE(l_discount, 0.0) * 0.2
-         + COALESCE(l_tax, 0.0) * 0.1 AS line_score
-FROM lineitem
-""")
-def q12_weighted_sum(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    score = ops.weighted_sum({"l_quantity": 0.2, "l_extendedprice": 0.5,
-                              "l_discount": 0.2, "l_tax": 0.1})
-    return li.select("l_orderkey", "l_linenumber", score.alias("line_score"))
-
-
-# ---------------------------------------------------------------------------
-# q13 — weighted mean with weight renormalization over present metrics
-# (A7; calfundamentalscore.py:206-228). Nulls manufactured via NULLIF so
-# the renormalization path is exercised.
-# ---------------------------------------------------------------------------
-
-@register("q13_weighted_mean_renorm", oracle="""
+@register("q12_weighted_scores", oracle="""
 WITH m AS (
-  SELECT l_orderkey, l_linenumber,
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          NULLIF(l_discount, 0.0) AS m_disc,
          NULLIF(l_tax, 0.0) AS m_tax,
          NULLIF(l_quantity, 1.0) AS m_qty
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber,
+       COALESCE(l_quantity, 0.0) * 0.2
+         + COALESCE(l_extendedprice, 0.0) * 0.5
+         + COALESCE(l_discount, 0.0) * 0.2
+         + COALESCE(l_tax, 0.0) * 0.1 AS line_score,
        CASE WHEN (CASE WHEN m_disc IS NOT NULL THEN 0.5 ELSE 0.0 END
                 + CASE WHEN m_tax IS NOT NULL THEN 0.3 ELSE 0.0 END
                 + CASE WHEN m_qty IS NOT NULL THEN 0.2 ELSE 0.0 END) > 0
@@ -422,16 +409,20 @@ SELECT l_orderkey, l_linenumber,
        END AS blended
 FROM m
 """)
-def q13_weighted_mean_renorm(spark, sf_dir):
+def q12_weighted_scores(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     m = li.select(
         "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         F.nullif(F.col("l_discount"), F.lit(0.0)).alias("m_disc"),
         F.nullif(F.col("l_tax"), F.lit(0.0)).alias("m_tax"),
         F.nullif(F.col("l_quantity"), F.lit(1.0)).alias("m_qty"),
     )
+    score = ops.weighted_sum({"l_quantity": 0.2, "l_extendedprice": 0.5,
+                              "l_discount": 0.2, "l_tax": 0.1})
     blended = ops.weighted_mean_renormalized({"m_disc": 0.5, "m_tax": 0.3, "m_qty": 0.2})
-    return m.select("l_orderkey", "l_linenumber", blended.alias("blended"))
+    return m.select("l_orderkey", "l_linenumber",
+                    score.alias("line_score"), blended.alias("blended"))
 
 
 # ---------------------------------------------------------------------------
@@ -459,40 +450,27 @@ def q14_minmax_norm(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q15 — unit-string parsing (F3; sectorscore.py:64-70): strings with
-# unicode minus / '%' / thousands separators round-trip to doubles.
+# q15 — scalar cleaning functions in one projection: unit-string parsing
+# (F3; sectorscore.py:64-70 — unicode minus / '%' / thousands separators
+# round-trip to doubles) plus hash ids + truncation (F11/F12;
+# newsflow_scraper.py:296-303).
 # ---------------------------------------------------------------------------
 
-@register("q15_parse_units", oracle="""
+@register("q15_scalar_funcs", oracle="""
 SELECT doc_id,
        '−' || format('{:,}', n_chars) || '%' AS raw,
        CAST(REPLACE(REPLACE(REPLACE(REPLACE('−' || format('{:,}', n_chars) || '%',
-            '−', '-'), '%', ''), ',', ''), '+', '') AS DOUBLE) AS parsed
+            '−', '-'), '%', ''), ',', ''), '+', '') AS DOUBLE) AS parsed,
+       'tv_' || substr(md5(text), 1, 20) AS fingerprint_id,
+       substr(text, 1, 120) AS title
 FROM documents
 """)
-def q15_parse_units(spark, sf_dir):
+def q15_scalar_funcs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     raw = F.concat(F.lit("−"), F.format_number(F.col("n_chars"), 0), F.lit("%"))
     return d.select(
         "doc_id", raw.alias("raw"),
         fx.parse_unit_string(raw).alias("parsed"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q16 — hash ids + truncation (F11/F12; newsflow_scraper.py:296-303).
-# ---------------------------------------------------------------------------
-
-@register("q16_hash_id", oracle="""
-SELECT doc_id,
-       'tv_' || substr(md5(text), 1, 20) AS fingerprint_id,
-       substr(text, 1, 120) AS title
-FROM documents
-""")
-def q16_hash_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
         fx.hash_id(F.col("text")).alias("fingerprint_id"),
         fx.truncate_str(F.col("text"), 120).alias("title"),
     )

@@ -1,6 +1,6 @@
 """Corpus-preparation queries over ``documents``: deterministic splits
-and sampling (q46, q54), chunking (q47), decontamination (q48), TF-IDF
-(q49), and corpus n-gram statistics (q51).
+and sampling (q46), chunking (q47), decontamination (q48), and corpus
+term statistics — per-doc TF-IDF plus corpus n-grams (q49).
 
 Every oracle mirrors the Spark expression tree exactly: md5-60-bit
 hashing for splits/sampling, single-space-joined ``\\s+`` word shingles
@@ -33,34 +33,49 @@ _H60S = "('0x' || substr(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 15))::BIGIN
 
 
 # ---------------------------------------------------------------------------
-# q46 — deterministic train/val/test hash split (80/10/10) plus an
-# independent 10% Bernoulli hash sample flag.  Pure projections: the
-# same row gets the same split on any cluster layout, and re-running
-# over a grown corpus never reassigns old rows.
+# q46 — deterministic sampling suite in one pass: train/val/test hash
+# split (80/10/10), an independent 10% Bernoulli hash-sample flag, and
+# the per-language 20-doc uniform sample rank (hash-ranked window; NULL
+# when outside the sample).  Pure projections plus ONE shuffle on lang:
+# the same row gets the same split/sample on any cluster layout, and
+# re-running over a grown corpus never reassigns old rows.
+# (Consolidates the former q46 + q54.)
 # ---------------------------------------------------------------------------
 
-@register("q46_hash_split", oracle=f"""
+@register("q46_split_sample", oracle=f"""
 WITH h AS (
   SELECT doc_id, lang,
          {_H60S.format(salt='split', col='doc_id')} % 100 AS split_bucket,
-         {_H60S.format(salt='sample', col='doc_id')} % 1000000 AS sv
+         {_H60S.format(salt='sample', col='doc_id')} % 1000000 AS sv,
+         {_H60S.format(salt='gk', col='doc_id')} AS gv
   FROM documents
+), r AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY gv ASC, doc_id ASC)
+           AS sample_rank
+  FROM h
 )
-SELECT doc_id, lang,
+SELECT h.doc_id, h.lang,
        CASE WHEN split_bucket < 80 THEN 'train'
             WHEN split_bucket < 90 THEN 'val'
             ELSE 'test' END AS split,
        split_bucket,
-       sv < 100000 AS in_sample
-FROM h
+       sv < 100000 AS in_sample,
+       CASE WHEN r.sample_rank <= 20 THEN r.sample_rank END AS lang_sample_rank
+FROM h JOIN r USING (doc_id)
 """)
-def q46_hash_split(spark, sf_dir):
+def q46_split_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = sp.hash_split(d, "doc_id", {"train": 80, "val": 90, "test": 100})
     out = out.withColumn(
         "in_sample",
         sp.hash60(F.col("doc_id"), "sample") % F.lit(1_000_000) < F.lit(100_000))
-    return out.select("doc_id", "lang", "split", "split_bucket", "in_sample")
+    ranks = sp.sample_k_per_group(d, ["lang"], "doc_id", k=20) \
+              .select("doc_id",
+                      F.col("sample_rank").cast("bigint").alias("lang_sample_rank"))
+    return (out.join(ranks, "doc_id", "left")
+            .select("doc_id", "lang", "split", "split_bucket", "in_sample",
+                    "lang_sample_rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -117,12 +132,16 @@ def q48_decontamination(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q49 — TF-IDF top-3 characteristic terms per document (linear idf:
-# score = tf * (N/df), IEEE-exact cross-engine; log-idf variant is
-# pytest-verified in tests/test_corpus.py).
+# q49 — corpus term statistics, both granularities tagged and unioned:
+# per-document TF-IDF top-3 characteristic terms (scope='doc'; linear
+# idf: score = tf * (N/df), IEEE-exact cross-engine; log-idf variant is
+# pytest-verified in tests/test_corpus.py) and the corpus-wide top-20
+# word bigrams (scope='corpus'; explode + hash agg +
+# TakeOrderedAndProject, deterministic tie-break on the bigram).
+# (Consolidates the former q49 + q51.)
 # ---------------------------------------------------------------------------
 
-@register("q49_tfidf_top_terms", oracle="""
+@register("q49_corpus_terms", oracle=f"""
 WITH tok AS (
   SELECT doc_id,
          unnest(CASE WHEN trim(text) = '' THEN []
@@ -143,54 +162,38 @@ WITH tok AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
                                ORDER BY score DESC, term ASC) AS term_rank
   FROM scored
-)
-SELECT doc_id, term, tf, df, score, term_rank FROM ranked WHERE term_rank <= 3
-""")
-def q49_tfidf_top_terms(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    out = cp.tfidf_top_terms(d, "doc_id", "text", k=3)
-    return out.select("doc_id", "term", "tf", "df", "score",
-                      F.col("term_rank").cast("bigint").alias("term_rank"))
-
-
-# ---------------------------------------------------------------------------
-# q51 — corpus-wide top-20 word bigrams (explode + hash agg +
-# TakeOrderedAndProject; deterministic tie-break on the bigram).
-# ---------------------------------------------------------------------------
-
-@register("q51_top_ngrams", oracle=f"""
-WITH tok AS (
+), tokw AS (
   SELECT doc_id, {_TOK_W} AS w FROM documents
 ), grams AS (
-  SELECT unnest({_grams_sql(2)}) AS ngram FROM tok
+  SELECT unnest({_grams_sql(2)}) AS ngram FROM tokw
+), topg AS (
+  SELECT ngram, COUNT(*) AS cnt FROM grams
+  GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20
 )
-SELECT ngram, COUNT(*) AS cnt FROM grams
-GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20
+SELECT 'doc' AS scope, doc_id, term, tf, df, score,
+       CAST(term_rank AS BIGINT) AS rk
+FROM ranked WHERE term_rank <= 3
+UNION ALL
+SELECT 'corpus', NULL::BIGINT, ngram, cnt, NULL::BIGINT, NULL::DOUBLE,
+       NULL::BIGINT
+FROM topg
 """)
-def q51_top_ngrams(spark, sf_dir):
+def q49_corpus_terms(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return cp.top_ngrams(d, "text", n=2, k=20)
+    doc = cp.tfidf_top_terms(d, "doc_id", "text", k=3).select(
+        F.lit("doc").alias("scope"), "doc_id", "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        "score",
+        F.col("term_rank").cast("bigint").alias("rk"))
+    corpus = cp.top_ngrams(d, "text", n=2, k=20).select(
+        F.lit("corpus").alias("scope"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("ngram").alias("term"),
+        F.col("cnt").cast("bigint").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("bigint").alias("rk"))
+    return doc.unionByName(corpus)
 
 
-# ---------------------------------------------------------------------------
-# q54 — uniform deterministic 20-doc sample per language (hash-ranked
-# window; one shuffle on lang, no RNG).
-# ---------------------------------------------------------------------------
-
-@register("q54_group_sample", oracle=f"""
-WITH h AS (
-  SELECT doc_id, lang, {_H60S.format(salt='gk', col='doc_id')} AS hv
-  FROM documents
-), r AS (
-  SELECT doc_id, lang,
-         row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC)
-           AS sample_rank
-  FROM h
-)
-SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20
-""")
-def q54_group_sample(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    out = sp.sample_k_per_group(d, ["lang"], "doc_id", k=20)
-    return out.select("doc_id", "lang",
-                      F.col("sample_rank").cast("bigint").alias("sample_rank"))

@@ -25,54 +25,53 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q18 — tumbling window aggregation (Structured Streaming shape; batch
-# equivalence with DuckDB date_trunc).
+# q18 — event-time windows, both shapes tagged and unioned (Structured
+# Streaming shapes; batch equivalence): tumbling 1 h windows per
+# event_type, and sliding 1 h windows with a 15 min slide (each event
+# lands in 4 windows; the oracle replicates via an offset cross join).
+# Consolidates the former q18 + q19.
 # ---------------------------------------------------------------------------
 
-@register("q18_events_tumbling", oracle="""
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM events
-GROUP BY date_trunc('hour', ts), event_type
-""")
-def q18_events_tumbling(spark, sf_dir):
-    e = events(spark, sf_dir)
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             _dsum(F.col("value"), scale="18,2").alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type",
-                "n_events", "total_value")
-    )
-
-
-# ---------------------------------------------------------------------------
-# q19 — sliding window (1 h window, 15 min slide): each event lands in 4
-# windows; oracle replicates via an offset cross join.
-# ---------------------------------------------------------------------------
-
-@register("q19_events_sliding", oracle="""
+@register("q18_event_windows", oracle="""
 WITH base AS (
   SELECT date_trunc('minute', ts)
            - (CAST(EXTRACT(minute FROM ts) AS INT) % 15) * INTERVAL '1 minute' AS floor15,
          value
   FROM events
 )
-SELECT floor15 - k.k * INTERVAL '15 minutes' AS window_start,
+SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+UNION ALL
+SELECT 'sliding', floor15 - k.k * INTERVAL '15 minutes',
+       NULL::VARCHAR,
+       COUNT(*),
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
 FROM base CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
-GROUP BY 1
+GROUP BY 1, 2
 """)
-def q19_events_sliding(spark, sf_dir):
+def q18_event_windows(spark, sf_dir):
     e = events(spark, sf_dir)
-    return (
+    tumbling = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             _dsum(F.col("value"), scale="18,2").alias("total_value"))
+        .select(F.lit("tumbling").alias("kind"),
+                F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+    sliding = (
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"),
              _dsum(F.col("value"), scale="18,2").alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .select(F.lit("sliding").alias("kind"),
+                F.col("w.start").alias("window_start"),
+                F.lit(None).cast("string").alias("event_type"),
+                "n_events", "total_value")
     )
+    return tumbling.unionByName(sliding)
 
 
 # ---------------------------------------------------------------------------

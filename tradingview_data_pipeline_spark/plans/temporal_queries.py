@@ -157,26 +157,36 @@ def q56_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q57 — cohort retention: users grouped by first-activity week, distinct
-# active users per (cohort, week offset).  Two hash aggregates + one
-# join on user_id; week offsets are exact integer arithmetic on
-# week-truncated epochs.
+# q57 — cohort retention, pivoted wide: users grouped by first-activity
+# week, distinct active users per week offset AS COLUMNS (the retention
+# matrix analysts actually read).  Two hash aggregates + one join on
+# user_id; week offsets are exact integer arithmetic on week-truncated
+# epochs; the pivot uses a DECLARED value list (one aggregate, no
+# second values-discovery scan — the only pivot form that is sane on
+# 100 TB).  Consolidates the former q57 (long-form retention) and q58
+# (pivot operator demo); the oracle is the equivalent conditional
+# aggregation.
 # ---------------------------------------------------------------------------
 
-@register("q57_cohort_retention", oracle="""
+_WEEK_OFFSETS = [0, 1, 2, 3, 4, 5]
+
+@register("q57_cohort_retention", oracle=f"""
 WITH firsts AS (
   SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
   FROM events GROUP BY user_id
 ), act AS (
   SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
   FROM events
+), j AS (
+  SELECT f.cohort_week, a.user_id,
+         CAST(floor((epoch(a.act_week) - epoch(f.cohort_week)) / 604800.0)
+              AS BIGINT) AS week_offset
+  FROM act a JOIN firsts f USING (user_id)
 )
-SELECT f.cohort_week,
-       CAST(floor((epoch(a.act_week) - epoch(f.cohort_week)) / 604800.0)
-            AS BIGINT) AS week_offset,
-       COUNT(DISTINCT a.user_id) AS n_active
-FROM act a JOIN firsts f USING (user_id)
-GROUP BY f.cohort_week, week_offset
+SELECT cohort_week,
+       {", ".join(f"COUNT(DISTINCT user_id) FILTER (WHERE week_offset = {k}) AS w{k}"
+                  for k in _WEEK_OFFSETS)}
+FROM j GROUP BY cohort_week
 """)
 def q57_cohort_retention(spark, sf_dir):
     e = events(spark, sf_dir)
@@ -188,34 +198,11 @@ def q57_cohort_retention(spark, sf_dir):
     off = F.floor(
         (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week"))
         / F.lit(604800.0)).cast("bigint")
-    return (act.join(firsts, "user_id")
-            .groupBy("cohort_week", off.alias("week_offset"))
-            .agg(F.countDistinct("user_id").alias("n_active")))
-
-
-# ---------------------------------------------------------------------------
-# q58 — pivot: per-user event-type counts as columns (Spark pivot with a
-# declared value list — one hash aggregate, no second scan; the oracle
-# is the equivalent conditional aggregation).
-# ---------------------------------------------------------------------------
-
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-@register("q58_pivot_event_counts", oracle="""
-SELECT user_id,
-       COALESCE(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS click_cnt,
-       COALESCE(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS error_cnt,
-       COALESCE(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase_cnt,
-       COALESCE(COUNT(*) FILTER (WHERE event_type = 'signup'), 0) AS signup_cnt,
-       COALESCE(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS view_cnt
-FROM events GROUP BY user_id
-""")
-def q58_pivot_event_counts(spark, sf_dir):
-    e = events(spark, sf_dir)
-    p = (e.groupBy("user_id")
-         .pivot("event_type", _EVENT_TYPES)
-         .agg(F.count(F.lit(1))))
-    return p.select(
-        "user_id",
-        *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_cnt")
-          for t in _EVENT_TYPES])
+    long = act.join(firsts, "user_id").withColumn("week_offset", off)
+    wide = (long.groupBy("cohort_week")
+            .pivot("week_offset", _WEEK_OFFSETS)
+            .agg(F.countDistinct("user_id")))
+    return wide.select(
+        "cohort_week",
+        *[F.coalesce(F.col(str(k)), F.lit(0)).alias(f"w{k}")
+          for k in _WEEK_OFFSETS])

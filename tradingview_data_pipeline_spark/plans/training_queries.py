@@ -38,105 +38,87 @@ def _hits_sql(markers: list[str]) -> str:
 
 
 # ---------------------------------------------------------------------------
-# q23 — token statistics (token counting for a BPE-ish budget model).
+# q23 — per-document text profile: ONE map-only pass producing every
+# per-doc text-analysis feature the pipeline uses — token statistics
+# (BPE-ish budget model base), marker-argmax language ID (first-in-table
+# wins ties), length/stopword/punctuation quality blend, and the
+# min-shingle-hash fingerprint (1-function MinHash).  Consolidates the
+# former q23/q24/q25/q26; each underlying operator also has focused
+# pytest coverage in tests/test_text.py.
 # ---------------------------------------------------------------------------
 
-@register("q23_token_stats", oracle=f"""
-WITH t AS (SELECT doc_id, text, n_chars, {_TOKS} AS toks FROM documents)
-SELECT doc_id, n_chars,
-       len(toks) AS n_tokens,
-       CASE WHEN len(toks) > 0
-            THEN length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len(toks)
-            ELSE 0.0 END AS avg_token_len
-FROM t
-""")
-def q23_token_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    step = d.select(
-        "doc_id", "n_chars",
-        tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-        F.length(F.regexp_replace("text", "\\s", "")).alias("__nonspace"),
-    )
-    n = F.col("n_tokens")
-    return step.select(
-        "doc_id", "n_chars", "n_tokens",
-        F.when(n > 0, F.col("__nonspace") * 1.0 / n).otherwise(F.lit(0.0)).alias("avg_token_len"),
-    )
+_EN = ", ".join(f"'{m}'" for m in tx.LANG_MARKERS["en"])
 
 
-# ---------------------------------------------------------------------------
-# q24 — language ID (marker-token argmax; first-in-table wins ties).
-# ---------------------------------------------------------------------------
-
-def _langid_oracle() -> str:
+def _text_profile_oracle() -> str:
     hits = {lang: _hits_sql(m) for lang, m in tx.LANG_MARKERS.items()}
     cols = ", ".join(f"{h} AS h_{lang}" for lang, h in hits.items())
     names = ", ".join(f"h_{lang}" for lang in hits)
     best = f"greatest({names})"
     cases = " ".join(f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in hits)
     return f"""
-WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
-h AS (SELECT doc_id, lang, {cols} FROM t)
-SELECT doc_id, lang, h_en,
-       CASE WHEN {best} = 0 THEN 'und' {cases} END AS predicted_lang
-FROM h
-"""
-
-
-@register("q24_lang_id", oracle=_langid_oracle())
-def q24_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    out = tx.lang_id_table(d, "text", ["doc_id", "lang"])
-    return out.select("doc_id", "lang", "h_en", "predicted_lang")
-
-
-# ---------------------------------------------------------------------------
-# q25 — quality scoring (length/stopword/punctuation blend).
-# ---------------------------------------------------------------------------
-
-_EN = ", ".join(f"'{m}'" for m in tx.LANG_MARKERS["en"])
-
-@register("q25_quality_score", oracle=f"""
-WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, lang, text, n_chars, {_TOKS} AS toks, {_TOKS} AS w
+           FROM documents),
 b AS (
-  SELECT doc_id,
+  SELECT doc_id, lang, n_chars,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len(toks)
+              ELSE 0.0 END AS avg_token_len,
+         {cols},
          100.0 - least(abs(CAST(length(text) AS DOUBLE) - 300.0) / 300.0 * 100.0, 100.0) AS len_score,
          (CASE WHEN len(toks) > 0
                THEN CAST(len(list_filter(toks, t -> t IN ({_EN}))) AS DOUBLE) / len(toks)
                ELSE 0.0 END) * 100.0 AS sw,
          (CASE WHEN length(text) > 0
                THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
-               ELSE 0.0 END) * 100.0 AS pr
+               ELSE 0.0 END) * 100.0 AS pr,
+         list_min(list_transform({_SHINGLES}, s -> {_H60.format(expr='s')})) AS fingerprint
   FROM t
 )
-SELECT doc_id,
-       len_score * 0.5 + least(sw, 50.0) * 0.8 + least(pr, 20.0) * 0.5 AS quality
+SELECT doc_id, lang, n_chars, n_tokens, avg_token_len, h_en,
+       CASE WHEN {best} = 0 THEN 'und' {cases} END AS predicted_lang,
+       len_score * 0.5 + least(sw, 50.0) * 0.8 + least(pr, 20.0) * 0.5 AS quality,
+       fingerprint
 FROM b
-""")
-def q25_quality_score(spark, sf_dir):
+"""
+
+
+@register("q23_text_profile", oracle=_text_profile_oracle())
+def q23_text_profile(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+    toks = tx.tokens(F.col("text"))
+    step = d.select(
+        "doc_id", "lang", "n_chars", "text",
+        toks.alias("__toks"),
+        F.length(F.regexp_replace("text", "\\s", "")).alias("__nonspace"),
+    )
+    step = step.select(
+        "doc_id", "lang", "n_chars", "text", "__toks", "__nonspace",
+        *[tx.marker_hits(F.col("__toks"), m).cast("bigint").alias(f"h_{lang}")
+          for lang, m in tx.LANG_MARKERS.items()],
+    )
+    hits = {lang: F.col(f"h_{lang}") for lang in tx.LANG_MARKERS}
+    n = F.size("__toks").cast("bigint")
+    return step.select(
+        "doc_id", "lang", "n_chars",
+        n.alias("n_tokens"),
+        F.when(n > 0, F.col("__nonspace") * 1.0 / n)
+         .otherwise(F.lit(0.0)).alias("avg_token_len"),
+        "h_en",
+        tx.lang_id_from_hits(hits).alias("predicted_lang"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
 
 
 # ---------------------------------------------------------------------------
-# q26 — document fingerprint (min shingle hash; 1-function MinHash).
-# ---------------------------------------------------------------------------
-
-@register("q26_doc_fingerprint", oracle=f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t)
-SELECT doc_id,
-       list_min(list_transform(sh, s -> {_H60.format(expr='s')})) AS fingerprint
-FROM s
-""")
-def q26_doc_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fingerprint"))
-
-
-# ---------------------------------------------------------------------------
-# q27 — MinHash signatures, k=8, over distinct shingles (exploded rows so
-# the value-hash covers every signature component).
+# MinHash-signature CTE (k=8, affine permutations over distinct 60-bit
+# shingle hashes) — shared by every LSH oracle below.  The signature
+# operator itself (dd.minhash_signatures_long) is exercised inside q28's
+# banding path and pinned component-by-component in tests/test_dedup.py;
+# its former standalone query (q27) was folded into q28 to keep the
+# registry inside the driver's 50-query correctness window.
 # ---------------------------------------------------------------------------
 
 _P = 1073741789  # keep in sync with operators.dedup.MINHASH_P
@@ -152,14 +134,6 @@ mh AS (
   FROM shd, range(8) AS r(j)
   GROUP BY doc_id, j
 )"""
-
-@register("q27_minhash_signatures", oracle=f"""
-WITH {_MH_CTE}
-SELECT doc_id, j, minhash FROM mh
-""")
-def q27_minhash_signatures(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return dd.minhash_signatures_long(d, "doc_id", "text", k=8)
 
 
 # ---------------------------------------------------------------------------
@@ -257,16 +231,36 @@ scored AS (
          / (sqrt({_NSQ.format(a="qv")}) * sqrt({_NSQ.format(a="cv")})) AS cos
   FROM c CROSS JOIN q
   WHERE neighbor_id != query_id
+),
+top AS (
+  SELECT query_id, neighbor_id, cos, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 5
 )
-SELECT query_id, neighbor_id, cos, rk FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, neighbor_id ASC) AS rk
-  FROM scored
-) WHERE rk <= 5
+SELECT query_id, neighbor_id, 'fold' AS method, cos, rk FROM top
+UNION ALL
+SELECT query_id, neighbor_id, 'blas' AS method, NULL::DOUBLE AS cos, rk FROM top
 """)
 def q30_cosine_topk(spark, sf_dir):
+    """Both physical strategies for the same logical top-k, tagged and
+    unioned so the driver gate asserts fold ≡ BLAS ≡ SQL in one row set.
+    The fold path carries exact cosines (left-to-right IEEE fold); the
+    BLAS path is rank-only because numpy matmul reassociates the sum —
+    cos can differ in the last ulp while the RANKING is identical."""
     e = _t(spark, sf_dir, "embeddings")
-    return sim.brute_force_topk(e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=5)
+    q = e.where(F.col("vec_id") < 5)
+    fold = sim.brute_force_topk(e, q, "vec_id", "embedding", k=5)
+    blas = sim.brute_force_topk_blas(e, q, "vec_id", "embedding", k=5)
+    return (
+        fold.select("query_id", "neighbor_id",
+                    F.lit("fold").alias("method"), "cos", "rk")
+        .unionByName(
+            blas.select("query_id", "neighbor_id",
+                        F.lit("blas").alias("method"),
+                        F.lit(None).cast("double").alias("cos"), "rk"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -356,38 +350,6 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 def q42_dedup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dd.dedup_clusters(d, "doc_id", "text", jaccard_threshold=0.5)
-
-
-# ---------------------------------------------------------------------------
-# q43 — BLAS ANN path: same top-k contract as q30 but scored by numpy
-# matmul per Arrow batch (mapInPandas) with batch-local top-k pruning —
-# the >=10^5-vector scale path. Output is ids + ranks only: matmul
-# reassociates the dot-product sum, so cos can differ from the fold in
-# the last ulp while the RANKING is identical; integer output keeps the
-# cross-engine hash exact.
-# ---------------------------------------------------------------------------
-
-@register("q43_ann_blas", oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-scored AS (
-  SELECT query_id, neighbor_id,
-         {_DOT.format(a="qv", b="cv")}
-         / (sqrt({_NSQ.format(a="qv")}) * sqrt({_NSQ.format(a="cv")})) AS cos
-  FROM c CROSS JOIN q
-  WHERE neighbor_id != query_id
-)
-SELECT query_id, neighbor_id, rk FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, neighbor_id ASC) AS rk
-  FROM scored
-) WHERE rk <= 5
-""")
-def q43_ann_blas(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    out = sim.brute_force_topk_blas(e, e.where(F.col("vec_id") < 5),
-                                    "vec_id", "embedding", k=5)
-    return out.select("query_id", "neighbor_id", "rk")
 
 
 # ---------------------------------------------------------------------------

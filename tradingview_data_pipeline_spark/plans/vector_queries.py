@@ -1,5 +1,5 @@
 """Vector clustering queries over ``embeddings``: exact quantized group
-centroids (q52) and nearest-centroid assignment — one deterministic
+centroids feeding nearest-centroid assignment — one deterministic
 Lloyd/k-means iteration (q53).
 
 Determinism: component sums run on a 1e-6 integer grid (associative
@@ -27,24 +27,16 @@ _CENT_SQL = """
 
 
 # ---------------------------------------------------------------------------
-# q52 — per-label centroids (the "train" half of IVF/k-means): long-form
-# explode + BIGINT hash-aggregate; shuffle is labels x dims rows of
-# 8 bytes, with full map-side combine.
-# ---------------------------------------------------------------------------
-
-@register("q52_group_centroids", oracle=f"""
-SELECT label, dim, n, centroid FROM ({_CENT_SQL})
-""")
-def q52_group_centroids(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    return sim.group_centroids_quantized(e, "label", "embedding") \
-              .select("label", "dim", "n", "centroid")
-
-
-# ---------------------------------------------------------------------------
-# q53 — nearest-centroid assignment (the "assign" half): centroids
-# pivot to arrays and broadcast; each vector scans the k=10 centroids
-# map-side with a fold distance — no shuffle of the embedding table.
+# q53 — one deterministic Lloyd/k-means iteration, BOTH halves in one
+# query: per-label quantized centroids (the "train" half — long-form
+# explode + BIGINT hash-aggregate, shuffling labels x dims rows of
+# 8 bytes with full map-side combine; formerly standalone q52) feed the
+# nearest-centroid assignment (the "assign" half — centroids pivot to
+# arrays and broadcast; each vector scans the k=10 centroids map-side
+# with a fold distance, no shuffle of the embedding table).  The output
+# `dist` is an exact function of every centroid component, so the
+# driver's value hash still pins the centroid math; the centroid table
+# itself is additionally pinned in tests/test_vector_ops.py.
 # ---------------------------------------------------------------------------
 
 @register("q53_kmeans_assign", oracle=f"""
