@@ -271,6 +271,10 @@ def attach_peer_percentile_exact(
     lookup = hist.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
         F.col("__gv"), pct.alias(out_col))
+    if mode == "small":
+        # the histogram is probe-bounded here, so ship it to the fact side
+        # instead of shuffling the fact into a sort-merge join
+        lookup = F.broadcast(lookup)
     cond = [df[k].eqNullSafe(lookup[f"__k_{k}"]) for k in keys]
     cond.append(df[value_col] == lookup["__gv"])
     joined = df.join(lookup, on=_and_all(cond), how="left")

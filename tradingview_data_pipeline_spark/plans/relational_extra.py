@@ -316,8 +316,22 @@ def q38_fundamental_shape(spark, sf_dir):
     # task at scale. Keyed levels keep business-key windows.
     base = p.select("p_partkey", "p_brand", "p_type",
                     vq.alias("__vq"), vv.alias("__vv"), (-vv_m).alias("__negv"))
-    base = attach_peer_percentile_exact(base, "__vq", "__q_all", round_digits=2)
-    base = attach_peer_percentile_exact(base, "__negv", "__v_all", round_digits=2)
+    # one shallow LIMIT-probe on the scan decides the mode up front (auto
+    # mode would re-probe through join lineage), and BOTH metrics go
+    # through ONE melted attach call (keys=['__m']) — one histogram scan
+    # and one join-back instead of two of each
+    mode = "small" if base.limit(2_000_001).count() <= 2_000_000 else "set"
+    long = base.select(
+        "p_partkey",
+        F.expr("stack(2, 'q', __vq, 'v', __negv) AS (__m, __sv)"))
+    long = attach_peer_percentile_exact(long, "__sv", "__pct_all",
+                                        group_keys=["__m"],
+                                        round_digits=2, mode=mode)
+    alls = (long.groupBy("p_partkey").pivot("__m", ["q", "v"])
+            .agg(F.first("__pct_all"))
+            .select("p_partkey", F.col("q").alias("__q_all"),
+                    F.col("v").alias("__v_all")))
+    base = base.join(alls, "p_partkey", "left")
 
     w2g = Window.partitionBy("p_brand", "p_type")
     w1g = Window.partitionBy("p_brand")
