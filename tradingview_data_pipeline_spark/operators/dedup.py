@@ -330,15 +330,21 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 10,
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
                    *, k: int = 8, bands: int = 4,
-                   jaccard_threshold: float = 0.5) -> DataFrame:
+                   jaccard_threshold: float = 0.5,
+                   scored_pairs: DataFrame | None = None) -> DataFrame:
     """Full near-dup clustering: LSH candidates -> Jaccard verify ->
     connected components -> (id, cluster_id, is_keeper). Isolated docs
-    form singleton clusters."""
-    shingles = shingle_rows(df, id_col, text_col)
-    pairs = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands,
-                                shingles=shingles)
-    verified = jaccard_verify(pairs, shingles, id_col,
-                              threshold=jaccard_threshold) \
+    form singleton clusters.
+
+    Pass ``scored_pairs`` (an UNthresholded ``jaccard_verify`` result,
+    ideally cached) to reuse the shingle/LSH work across operators —
+    the threshold is applied here as a plain filter either way."""
+    if scored_pairs is None:
+        shingles = shingle_rows(df, id_col, text_col)
+        pairs = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands,
+                                    shingles=shingles)
+        scored_pairs = jaccard_verify(pairs, shingles, id_col)
+    verified = scored_pairs.where(F.col("jaccard") >= jaccard_threshold) \
         .select("doc_a", "doc_b")
     comp = connected_components(verified)
     out = (df.select(F.col(id_col).alias("doc_id"))
