@@ -158,3 +158,36 @@ def test_dedup_clusters_end_to_end(spark):
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
     assert out[1]["is_keeper"] and not out[2]["is_keeper"]
     assert out[4]["cluster_id"] == 4 and out[4]["is_keeper"]   # singleton
+
+
+def test_connected_components_distributed_path_graph_converges(spark):
+    # 50-node path graph (diameter 49) forced onto the distributed code
+    # path: plain one-hop label propagation would need 49 rounds; pointer
+    # jumping must converge within max_iter=10 (reach ~2(d+1) per round).
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "doc_a long, doc_b long")
+    comp = {r["doc_id"]: r["cluster_id"] for r in
+            dd.connected_components(pairs, max_iter=10,
+                                    driver_threshold=0).collect()}
+    assert comp == {i: 0 for i in range(50)}
+
+
+def test_connected_components_raises_at_iteration_cap(spark):
+    import pytest
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iter=1, driver_threshold=0)
+
+
+def test_connected_components_distributed_matches_driver_path(spark):
+    # same clustering from the union-find (driver) and fixpoint
+    # (distributed) paths on an irregular multi-component graph
+    edges = [(1, 2), (2, 3), (3, 9), (5, 6), (10, 11), (11, 12), (12, 10),
+             (20, 25), (25, 21), (21, 29), (29, 28)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    drv = {r["doc_id"]: r["cluster_id"] for r in
+           dd.connected_components(pairs).collect()}
+    dist = {r["doc_id"]: r["cluster_id"] for r in
+            dd.connected_components(pairs, driver_threshold=0).collect()}
+    assert drv == dist

@@ -251,16 +251,21 @@ def hamming_distance(a: Column, b: Column) -> Column:
 
 # ---------------------------------------------------------------------------
 # Connected components over near-duplicate pairs -> dedup clusters.
-# Iterative label propagation (small-star style): each node's label
-# converges to the minimum id reachable through the pair graph, giving
-# one deterministic keeper per cluster. Iterative joins with
-# localCheckpoint every round to truncate the growing lineage — the
-# standard Spark pattern for fixpoint algorithms (non-SQL-expressible;
-# declared with a rows-only correctness check).
+# Iterative label propagation with POINTER JUMPING: each round a node
+# (1) adopts the min label among itself and its neighbors (one hop),
+# then (2) jumps to its label's label (path halving, L(x) <- L(L(x))).
+# Labels are monotone non-increasing and every label is itself a node
+# id, so the jump join always resolves; the reachable-min distance
+# covered per round is ~2(d+1), giving O(log diameter) rounds — plain
+# one-hop propagation (the round-2 implementation) needed O(diameter)
+# and silently returned wrong clusters past the iteration cap.
+# localCheckpoint every round truncates the growing lineage — the
+# standard Spark pattern for fixpoint algorithms (non-SQL-expressible
+# in the general case; q42's oracle uses a recursive CTE).
 #
-# Scale: each iteration is one shuffle on node id; rounds needed =
-# O(log(diameter)) with the bidirectional edge closure below. Dedup
-# clusters are tiny (near-dup groups), so 5-10 rounds is ample.
+# Scale: each iteration is two shuffles on node id over the (tiny,
+# LSH-funneled) pair graph. Hitting the cap with changes pending now
+# RAISES instead of returning a wrong answer.
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, *, max_iter: int = 10,
@@ -273,8 +278,10 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 10,
     (the LSH+Jaccard funnel has already reduced them), so below
     ``driver_threshold`` pairs a driver-side union-find (one collect of
     16-byte rows, O(n α)) beats 3-10 distributed fixpoint rounds of pure
-    scheduling overhead. Above it, iterative label-propagation joins with
-    lineage truncation — each round one shuffle on node id.
+    scheduling overhead. Above it, iterative label-propagation +
+    pointer-jumping joins with lineage truncation (O(log diameter)
+    rounds); raises RuntimeError if ``max_iter`` rounds leave labels
+    still moving rather than returning a wrong clustering.
     """
     # one action decides the path AND fetches the rows for the small case
     rows = pairs.select("doc_a", "doc_b").limit(driver_threshold + 1).collect()
@@ -307,8 +314,9 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 10,
               .union(edges.selectExpr("dst AS doc_id"))
               .distinct()
               .withColumn("cluster_id", F.col("doc_id")))
+    changed = 1
     for _ in range(max_iter):
-        # each node adopts the min label among itself and its neighbors
+        # (1) each node adopts the min label among itself and its neighbors
         neighbor_min = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
             .groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
@@ -319,12 +327,27 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 10,
                     F.least(F.col("cluster_id"),
                             F.coalesce(F.col("nbr_min"), F.col("cluster_id")))
                     .alias("cluster_id")))
+        # (2) pointer jump: L(x) <- L(L(x)).  Every label is a node id
+        # (min over node ids), so the self-join resolves; labels only
+        # decrease, so L(L(x)) <= L(x) and the fixpoint is unchanged —
+        # the jump just halves the remaining path each round.
+        jump = updated.select(F.col("doc_id").alias("cluster_id"),
+                              F.col("cluster_id").alias("__jump2"))
+        updated = (
+            updated.join(jump, "cluster_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("__jump2"), F.col("cluster_id"))
+                    .alias("cluster_id")))
         updated = updated.localCheckpoint(eager=True)
         changed = (updated.alias("u").join(labels.alias("l"), "doc_id")
                    .where(F.col("u.cluster_id") != F.col("l.cluster_id")).count())
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still moving) — raise max_iter")
     return labels
 
 
