@@ -93,9 +93,40 @@ class ParquetTable:
         return self._read_raw().drop(_BUCKET_COL) if self.buckets else \
             self.spark.read.schema(self.schema).parquet(self.path)
 
+    def _repair_buckets(self) -> None:
+        """Crash recovery for the bucket swap (``_rewrite_touched_buckets``
+        renames ``__bucket=B`` -> ``__bucket=B__old_x`` then the new dir
+        into place, then removes the old copy).  A crash in that window
+        leaves one of two states, both repaired here before any read:
+
+        - old dir present, live dir MISSING (crashed between the two
+          renames): restore the old dir — the bucket reverts to its
+          pre-merge content and re-running the maintenance op converges
+          (MERGE is idempotent).
+        - old dir AND live dir present (crashed before cleanup): drop the
+          old copy — the new bucket is already live; the stray
+          ``__bucket=B__old_x`` name would otherwise poison partition
+          discovery.
+
+        Buckets the interrupted op never reached keep their old content —
+        reads stay consistent (every key exactly once), merely mixed-
+        version until the op is re-run."""
+        if not os.path.isdir(self.path):
+            return
+        for name in os.listdir(self.path):
+            if not name.startswith(f"{_BUCKET_COL}=") or "__old_" not in name:
+                continue
+            live = os.path.join(self.path, name.split("__old_")[0])
+            old = os.path.join(self.path, name)
+            if os.path.isdir(live):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, live)
+
     def _read_raw(self) -> DataFrame:
         """Bucketed read keeping the ``__bucket`` directory column (the
         partition-pruning handle)."""
+        self._repair_buckets()
         try:
             df = self.spark.read.parquet(self.path)
         except Exception:                      # empty dir (just _SUCCESS)
