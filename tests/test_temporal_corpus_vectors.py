@@ -239,6 +239,8 @@ def test_one_lloyd_iteration_reduces_inertia(spark, tmp_path):
 
 
 def test_sessionize_gap_semantics(spark):
+    # inclusive convention (= Structured Streaming session_window): an
+    # event at exactly prev + gap CONTINUES the session
     base = dt.datetime(2024, 1, 1, 10, 0, 0)
     rows = [
         (1, 1, base),                                   # session 1
@@ -252,3 +254,33 @@ def test_sessionize_gap_semantics(spark):
            for r in sessionize(df, "user_id", "ts", gap="30 minutes",
                                tiebreak="event_id").collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_matches_session_window_on_gap_edges(spark):
+    # batch sessionize ≡ F.session_window on a fixture dense in exact
+    # boundary cases: gaps of 29:59, exactly 30:00, 30:01, plus chained
+    # boundary events and a single-event user
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    deltas = {
+        1: [0, 29 * 60 + 59, 2 * 30 * 60, 3 * 30 * 60 + 1],   # mix
+        2: [0, 30 * 60, 2 * 30 * 60, 3 * 30 * 60],            # chained edges
+        3: [0],                                               # singleton
+        4: [0, 1799, 3598, 3598 + 1800],                      # sub-gap chain then edge
+    }
+    rows = [(u, base + dt.timedelta(seconds=s))
+            for u, ss in deltas.items() for s in ss]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    from tradingview_data_pipeline_spark.operators.asof import sessionize
+    batch = (df.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                        "user_id")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select("user_id", F.col("w.start").alias("session_start"), "n"))
+    ours = (sessionize(df, "user_id", "ts", gap="30 minutes")
+            .groupBy("user_id", "session_seq")
+            .agg(F.min("ts").alias("session_start"),
+                 F.count(F.lit(1)).alias("n"))
+            .drop("session_seq"))
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, ours.select("user_id", "session_start", "n").collect()))
+    assert a == b

@@ -137,9 +137,18 @@ def sessionize(
 ) -> DataFrame:
     """Gap-based sessionization: assign a per-key ``session_seq``
     (1-based) that increments whenever the gap since the previous event
-    exceeds ``gap`` — the batch form of a session window, as a lag +
-    running-sum over one key-partitioned window (single shuffle on the
-    key; both window functions share the same sort).
+    strictly exceeds ``gap`` — the batch form of a session window, as a
+    lag + running-sum over one key-partitioned window (single shuffle on
+    the key; both window functions share the same sort).
+
+    Boundary convention: an event at exactly ``prev + gap`` CONTINUES the
+    session.  This matches Structured Streaming's ``F.session_window``,
+    which merges a new event into the current session when its time is
+    within [session_start, last_event + gap] INCLUSIVE (verified
+    empirically — chained events exactly gap apart collapse into one
+    session window).  Equivalence on exact-boundary fixtures is pinned by
+    tests/test_temporal_corpus_vectors.py::
+    test_sessionize_matches_session_window_on_gap_edges.
 
     ``tiebreak`` orders simultaneous events deterministically.
     """
