@@ -1,0 +1,66 @@
+"""Unit tests for operators/timeseries.py: rolling indicator edges
+(series head, exact SMA arithmetic) and pairwise Pearson (hand-checked
+value, zero-variance and short-series guards)."""
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.operators import timeseries as tso
+
+
+def _series(spark, vals, key=1):
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, key, base + dt.timedelta(minutes=i), float(v))
+            for i, v in enumerate(vals)]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+
+
+def test_rolling_features_values_and_head_nulls(spark):
+    df = _series(spark, [1.0, 2.0, 3.0, 4.0, 10.0, 0.0])
+    out = {r["event_id"]: r for r in
+           tso.rolling_features(df, "user_id", "ts", "value",
+                                window_rows=3, momentum_lag=2,
+                                tiebreak="event_id").collect()}
+    assert out[0]["sma3"] == 1.0 and out[0]["momentum2"] is None
+    assert out[1]["sma3"] == 1.5 and out[1]["momentum2"] is None
+    assert out[2]["sma3"] == 2.0 and out[2]["momentum2"] == 2.0
+    assert out[4]["sma3"] == (3.0 + 4.0 + 10.0) / 3
+    assert out[4]["min3"] == 3.0 and out[4]["max3"] == 10.0
+    assert out[4]["range3"] == 7.0
+    assert out[5]["momentum2"] == -4.0
+
+
+def test_rolling_features_partitions_do_not_leak(spark):
+    a = _series(spark, [100.0, 100.0], key=1)
+    b = _series(spark, [1.0, 1.0], key=2)
+    out = tso.rolling_features(a.unionByName(b), "user_id", "ts", "value",
+                               window_rows=5, momentum_lag=1,
+                               tiebreak="event_id")
+    got = {(r["user_id"], r["event_id"]): r["sma5"] for r in out.collect()}
+    assert got[(2, 0)] == 1.0 and got[(1, 0)] == 100.0
+
+
+def test_pairwise_pearson_exact_and_guards(spark):
+    # x perfectly correlates with 2x, anti-correlates with -x + 10,
+    # zero-variance column -> NULL
+    rows = [(1, 2, 9, 5), (2, 4, 8, 5), (3, 6, 7, 5), (4, 8, 6, 5)]
+    df = spark.createDataFrame(rows, "x long, y long, z long, c long")
+    out = {(r["series_a"], r["series_b"]): r["corr"]
+           for r in tso.pairwise_pearson_counts(df, ["x", "y", "z", "c"]).collect()}
+    assert math.isclose(out[("x", "y")], 1.0)
+    assert math.isclose(out[("x", "z")], -1.0)
+    assert out[("x", "c")] is None          # zero variance
+    assert out[("y", "c")] is None
+
+    # hand-computed non-degenerate value: x=[1,2,3,4], w=[1,3,2,4]
+    df2 = spark.createDataFrame([(1, 1), (2, 3), (3, 2), (4, 4)], "x long, w long")
+    got = tso.pairwise_pearson_counts(df2, ["x", "w"]).collect()[0]["corr"]
+    assert math.isclose(got, 0.8)
+
+    # min_periods guard
+    df3 = spark.createDataFrame([(1, 2)], "x long, w long")
+    got3 = tso.pairwise_pearson_counts(df3, ["x", "w"]).collect()[0]
+    assert got3["corr"] is None and got3["n_periods"] == 1

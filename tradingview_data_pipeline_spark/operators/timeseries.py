@@ -1,0 +1,114 @@
+"""Time-series feature operators: rolling indicators and exact pairwise
+correlation.
+
+The reference's scoring jobs consume precomputed technical indicators
+(moving averages, MACD inputs — calcompositescore.py reads ``sma20``/
+``ema``-family columns; functions/cleaning.py implements the MACD
+histogram arithmetic).  These operators produce that indicator family
+*inside* the engine, as window functions over the fact stream — one
+shuffle on the series key, every frame variant sharing the same sort.
+
+Cross-engine determinism (the repo-wide policy, plans/analytics.py):
+- rolling means go through DECIMAL window sums (order-independent) and
+  divide by exact integer counts;
+- rolling min/max/lag are exact;
+- Pearson correlation is computed from INTEGER count sums only
+  (n·Σxy − Σx·Σy over √(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²)): every sum is
+  a BIGINT, the int→double casts are exact below 2^53, and the final
+  divide/multiply/sqrt are IEEE correctly-rounded — bit-identical in
+  Spark and DuckDB with the same association order.
+
+Scale: ``rolling_features`` is one shuffle + one sort per key;
+``pairwise_pearson_counts`` reduces the fact table to one row of sums
+(map-side combine) and emits |pairs| rows — no per-pair passes.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_features(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    *,
+    window_rows: int = 5,
+    momentum_lag: int = 3,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Append rolling indicator columns over the trailing ``window_rows``
+    events per ``key`` (ordered by ``time_col``, then ``tiebreak``):
+
+    - ``sma{N}``      — simple moving average (DECIMAL sum / exact count)
+    - ``min{N}`` / ``max{N}`` — rolling extrema
+    - ``range{N}``    — max − min (per-row IEEE subtraction, exact)
+    - ``momentum{L}`` — value − value L rows earlier (NULL at series head)
+
+    All frames share one (key, time, tiebreak) sort — a single shuffle
+    and a single sort regardless of how many indicators are emitted.
+    """
+    order = [F.col(time_col).asc()] + \
+        ([F.col(tiebreak).asc()] if tiebreak else [])
+    wbase = Window.partitionBy(key).orderBy(*order)
+    w = wbase.rowsBetween(-(window_rows - 1), Window.currentRow)
+    v = F.col(value_col)
+    sma = F.sum(v.cast("decimal(18,2)")).over(w).cast("double") \
+        / F.count(v).over(w)
+    mn, mx = F.min(v).over(w), F.max(v).over(w)
+    return df.select(
+        "*",
+        sma.alias(f"sma{window_rows}"),
+        mn.alias(f"min{window_rows}"),
+        mx.alias(f"max{window_rows}"),
+        (mx - mn).alias(f"range{window_rows}"),
+        (v - F.lag(v, momentum_lag).over(wbase)).alias(f"momentum{momentum_lag}"),
+    )
+
+
+def pairwise_pearson_counts(
+    counts: DataFrame,
+    series_cols: list[str],
+    *,
+    min_periods: int = 2,
+) -> DataFrame:
+    """Pearson correlation for every unordered pair of integer-valued
+    ``series_cols`` in a wide frame (one row per period), computed from
+    a SINGLE aggregate pass of integer sums.
+
+    Returns (series_a, series_b, n_periods, corr); ``corr`` is NULL when
+    either series has zero variance or fewer than ``min_periods`` rows.
+    Exact for |sums| < 2^53 (int→double casts lossless; the closing
+    divide / multiply / sqrt are IEEE correctly-rounded).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in series_cols:
+        cc = F.col(c).cast("bigint")
+        aggs.append(F.sum(cc).alias(f"__s_{c}"))
+        aggs.append(F.sum(cc * cc).alias(f"__ss_{c}"))
+    for a, b in combinations(series_cols, 2):
+        aggs.append(F.sum(F.col(a).cast("bigint") * F.col(b).cast("bigint"))
+                    .alias(f"__p_{a}_{b}"))
+    row = counts.agg(*aggs)
+
+    n = F.col("__n")
+    structs = []
+    for a, b in combinations(series_cols, 2):
+        sa, sb = F.col(f"__s_{a}"), F.col(f"__s_{b}")
+        ssa, ssb = F.col(f"__ss_{a}"), F.col(f"__ss_{b}")
+        p = F.col(f"__p_{a}_{b}")
+        num = (n * p - sa * sb).cast("double")
+        dena = (n * ssa - sa * sa).cast("double")
+        denb = (n * ssb - sb * sb).cast("double")
+        corr = F.when((n >= min_periods) & (dena > 0) & (denb > 0),
+                      num / (F.sqrt(dena) * F.sqrt(denb))) \
+                .otherwise(F.lit(None).cast("double"))
+        structs.append(F.struct(
+            F.lit(a).alias("series_a"), F.lit(b).alias("series_b"),
+            n.cast("bigint").alias("n_periods"), corr.alias("corr")))
+    return (row.select(F.explode(F.array(*structs)).alias("__r"))
+            .select("__r.*"))
