@@ -64,3 +64,34 @@ def test_pairwise_pearson_exact_and_guards(spark):
     df3 = spark.createDataFrame([(1, 2)], "x long, w long")
     got3 = tso.pairwise_pearson_counts(df3, ["x", "w"]).collect()[0]
     assert got3["corr"] is None and got3["n_periods"] == 1
+
+
+def test_ema_macd_matches_reference_recurrence(spark):
+    # hand-rolled recurrence oracle (adjust=False): s1=x1,
+    # st = a*xt + (1-a)*st-1
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 13.0]
+    df = _series(spark, vals)
+    out = {r["event_id"]: r for r in
+           tso.ema_macd(df, "user_id", "ts", "value",
+                        fast=3, slow=5, signal=2,
+                        tiebreak="event_id").collect()}
+    af, as_, ag = 2.0 / 4.0, 2.0 / 6.0, 2.0 / 3.0
+    ef = es = sig = None
+    for i, x in enumerate(vals):
+        ef = x if i == 0 else af * x + (1.0 - af) * ef
+        es = x if i == 0 else as_ * x + (1.0 - as_) * es
+        macd = ef - es
+        sig = macd if i == 0 else ag * macd + (1.0 - ag) * sig
+        r = out[i]
+        assert r["ema_fast"] == ef and r["ema_slow"] == es
+        assert r["macd"] == macd and r["macd_signal"] == sig
+        assert r["macd_hist"] == macd - sig
+
+
+def test_ema_macd_groups_isolated(spark):
+    a = _series(spark, [5.0, 7.0], key=1)
+    b = _series(spark, [100.0], key=2)
+    out = {(r["user_id"], r["event_id"]): r["ema_fast"]
+           for r in tso.ema_macd(a.unionByName(b), "user_id", "ts",
+                                 "value", tiebreak="event_id").collect()}
+    assert out[(2, 0)] == 100.0 and out[(1, 0)] == 5.0

@@ -240,3 +240,55 @@ def assign_nearest_centroid(df: DataFrame, id_col: str, vec_col: str,
         .where(F.col("__rk") == 1)
         .select(id_col, F.col("c_label").alias("assigned"), "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantized similarity — the memory/bandwidth scale path: symmetric
+# per-vector quantization q_i = floor(x_i * 127 / max|x|) shrinks the
+# corpus 4x (float32 -> int8) and turns the per-pair score into an
+# INTEGER dot product. Exact cross-engine by construction: the quantize
+# expression is float->double cast (lossless) + one IEEE multiply + one
+# IEEE divide + floor (all correctly rounded, identical in Spark and
+# DuckDB), and the scoring is pure BIGINT arithmetic — no float folds to
+# reassociate, so rankings (and the scores themselves) hash-match the
+# oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def quantize_int8(v: Column) -> Column:
+    """array<float> -> array<bigint> in [-127, 127]; zero vectors -> all
+    zeros."""
+    s = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    return F.transform(
+        v, lambda x: F.when(s > 0.0,
+                            F.floor(x.cast("double") * 127.0 / s))
+                      .otherwise(F.lit(0)).cast("bigint"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def quantized_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                   vec_col: str, k: int = 5) -> DataFrame:
+    """Top-k neighbors per query by int8-quantized dot product (self
+    excluded, ties by neighbor id). Same broadcast shape as
+    ``brute_force_topk``; at 100 TB the quantized corpus column is what
+    gets scanned — 1/4 the bytes, integer SIMD-friendly scoring."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       quantize_int8(F.col(vec_col)).alias("qq"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      quantize_int8(F.col(vec_col)).alias("cq"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qdot", int_dot(F.col("qq"), F.col("cq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(),
+                                               F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rk")
+    )

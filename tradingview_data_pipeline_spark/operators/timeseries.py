@@ -112,3 +112,63 @@ def pairwise_pearson_counts(
             n.cast("bigint").alias("n_periods"), corr.alias("corr")))
     return (row.select(F.explode(F.array(*structs)).alias("__r"))
             .select("__r.*"))
+
+
+EMA_COLS = ["ema_fast", "ema_slow", "macd", "macd_signal", "macd_hist"]
+
+
+def ema_macd(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    *,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """EMA(fast)/EMA(slow)/MACD/signal/histogram per ``key`` series —
+    the reference's indicator family (functions/cleaning.py implements
+    the F7 histogram arithmetic; the scoring jobs consume these as
+    input columns).
+
+    The EMA recurrence s_t = α·x_t + (1−α)·s_{t−1} (α = 2/(span+1),
+    s_1 = x_1 — pandas ``adjust=False`` convention) is sequential, so it
+    runs as ONE ``applyInPandas`` per key group (Arrow batches; a single
+    shuffle on the key, state bounded per group — the standard Spark
+    escape hatch for order-dependent recurrences).  Every step is two
+    IEEE multiplies + one add in a fixed association order, so the
+    result is bit-identical to any engine computing the same recurrence
+    — including a DuckDB RECURSIVE CTE (oracle q63).
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType()) for c in EMA_COLS])
+
+    a_f, a_s, a_g = 2.0 / (fast + 1.0), 2.0 / (slow + 1.0), 2.0 / (signal + 1.0)
+    sort_cols = [time_col] + ([tiebreak] if tiebreak else [])
+
+    def compute(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].astype("float64").to_numpy()
+        n = len(x)
+        ef = [0.0] * n
+        es = [0.0] * n
+        macd = [0.0] * n
+        sig = [0.0] * n
+        for i in range(n):
+            ef[i] = x[i] if i == 0 else a_f * x[i] + (1.0 - a_f) * ef[i - 1]
+            es[i] = x[i] if i == 0 else a_s * x[i] + (1.0 - a_s) * es[i - 1]
+            macd[i] = ef[i] - es[i]
+            sig[i] = macd[i] if i == 0 else a_g * macd[i] + (1.0 - a_g) * sig[i - 1]
+        pdf["ema_fast"] = ef
+        pdf["ema_slow"] = es
+        pdf["macd"] = macd
+        pdf["macd_signal"] = sig
+        pdf["macd_hist"] = [m - s for m, s in zip(macd, sig)]
+        return pdf
+
+    return df.groupBy(key).applyInPandas(compute, out_schema)

@@ -1,12 +1,14 @@
 """Time-series queries over ``events``: rolling technical indicators
-(q60) and exact pairwise activity correlation (q61).
+(q60), exact pairwise activity correlation (q61), and the EMA/MACD
+family as a recurrence with a recursive-CTE oracle (q63).
 
 Reference counterpart: the scoring jobs consume a moving-average /
-momentum indicator family as input columns (calcompositescore.py's
-``sma20``/``ema``-era technicals; functions/cleaning.py's MACD
-histogram) — q60 produces that family inside the engine.  q61 is the
-cross-sectional analysis layer on top (which activity streams move
-together), kept integer-exact so it oracle-checks bit-for-bit.
+momentum / MACD indicator family as input columns
+(calcompositescore.py's ``sma20``/``ema``-era technicals;
+functions/cleaning.py's MACD histogram) — q60/q63 produce that family
+inside the engine.  q61 is the cross-sectional analysis layer on top
+(which activity streams move together), kept integer-exact so it
+oracle-checks bit-for-bit.
 """
 
 from __future__ import annotations
@@ -91,3 +93,48 @@ def q61_event_correlation(spark, sf_dir):
     hourly = hourly.select(
         "h", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _ETYPES])
     return tso.pairwise_pearson_counts(hourly, _ETYPES)
+
+
+# ---------------------------------------------------------------------------
+# q63 — EMA(12)/EMA(26)/MACD/signal(9)/histogram per user stream.  The
+# Spark side is the applyInPandas recurrence (operators/timeseries.
+# ema_macd — the escape hatch for order-dependent state); the oracle
+# expresses the SAME recurrence as a DuckDB RECURSIVE CTE stepping
+# row_number-ordered events.  Both sides evaluate α·x + (1−α)·s with
+# identical literals and association order, so every intermediate double
+# is bit-identical and the value hash matches exactly — a rare case of a
+# sequential recurrence with a full SQL oracle (not rows-only).
+# Recursion depth = max events per key (≤ 86 at the gate's sf0.01).
+# ---------------------------------------------------------------------------
+
+_AF, _AS_, _AG = "(2.0/13.0)", "(2.0/27.0)", "(2.0/10.0)"
+_NEW_EF = f"{_AF} * b.value + (1.0 - {_AF}) * r.ema_fast"
+_NEW_ES = f"{_AS_} * b.value + (1.0 - {_AS_}) * r.ema_slow"
+_NEW_MACD = f"({_NEW_EF}) - ({_NEW_ES})"
+
+@register("q63_ema_macd", oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, event_id, ts, value, rn,
+         value AS ema_fast, value AS ema_slow,
+         CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS macd_signal
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.ts, b.value, b.rn,
+         {_NEW_EF},
+         {_NEW_ES},
+         {_NEW_MACD},
+         {_AG} * ({_NEW_MACD}) + (1.0 - {_AG}) * r.macd_signal
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, ts, value, ema_fast, ema_slow, macd, macd_signal,
+       macd - macd_signal AS macd_hist
+FROM rec
+""")
+def q63_ema_macd(spark, sf_dir):
+    e = events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    return tso.ema_macd(e, "user_id", "ts", "value",
+                        fast=12, slow=26, signal=9, tiebreak="event_id")

@@ -68,3 +68,45 @@ def q53_kmeans_assign(spark, sf_dir):
     return out.join(
         e.select("vec_id", "label"), "vec_id"
     ).select("vec_id", "label", "assigned", "dist")
+
+
+# ---------------------------------------------------------------------------
+# q62 — int8-quantized ANN: symmetric per-vector quantization
+# (floor(x*127/max|x|), IEEE-exact) then INTEGER dot-product top-k.
+# The memory/bandwidth scale path: the quantized corpus is 1/4 the
+# bytes and the per-pair score is pure BIGINT arithmetic — both the
+# ranking AND the scores hash-match the oracle exactly (no float fold
+# to reassociate).
+# ---------------------------------------------------------------------------
+
+_QZ_SQL = """
+sv AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+       FROM embeddings),
+qz AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CASE WHEN mx > 0.0
+                          THEN CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END) AS qv
+       FROM sv)
+"""
+
+@register("q62_quantized_ann", oracle=f"""
+WITH {_QZ_SQL},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2]),
+                     (x, y) -> x + y) AS qdot
+  FROM qz c CROSS JOIN (SELECT * FROM qz WHERE vec_id < 5) q
+  WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, qdot, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdot DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+""")
+def q62_quantized_ann(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.quantized_topk(e, e.where(F.col("vec_id") < 5),
+                              "vec_id", "embedding", k=5)
