@@ -134,14 +134,19 @@ def ema_macd(
     input columns).
 
     The EMA recurrence s_t = α·x_t + (1−α)·s_{t−1} (α = 2/(span+1),
-    s_1 = x_1 — pandas ``adjust=False`` convention) is sequential, so it
-    runs as ONE ``applyInPandas`` per key group (Arrow batches; a single
-    shuffle on the key, state bounded per group — the standard Spark
-    escape hatch for order-dependent recurrences).  Every step is two
-    IEEE multiplies + one add in a fixed association order, so the
+    s_1 = x_1 — pandas ``adjust=False`` convention) is sequential per
+    key, so it runs in Python — but NOT via ``applyInPandas`` (one
+    Arrow round-trip per group: ~4× slower at 1,500 keys).  Instead:
+    hash-repartition on the key, sort within partitions, and
+    ``mapInPandas`` — each Arrow batch carries MANY whole groups, with
+    a carry buffer for the one group that may straddle consecutive
+    batches of the same partition.  One shuffle + one sort total; a
+    few dozen Python round-trips instead of one per key.  Every step is
+    two IEEE multiplies + one add in a fixed association order, so the
     result is bit-identical to any engine computing the same recurrence
     — including a DuckDB RECURSIVE CTE (oracle q63).
     """
+    import pandas as pd
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -151,8 +156,7 @@ def ema_macd(
     a_f, a_s, a_g = 2.0 / (fast + 1.0), 2.0 / (slow + 1.0), 2.0 / (signal + 1.0)
     sort_cols = [time_col] + ([tiebreak] if tiebreak else [])
 
-    def compute(pdf):
-        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    def _fold(pdf):
         x = pdf[value_col].astype("float64").to_numpy()
         n = len(x)
         ef = [0.0] * n
@@ -164,6 +168,7 @@ def ema_macd(
             es[i] = x[i] if i == 0 else a_s * x[i] + (1.0 - a_s) * es[i - 1]
             macd[i] = ef[i] - es[i]
             sig[i] = macd[i] if i == 0 else a_g * macd[i] + (1.0 - a_g) * sig[i - 1]
+        pdf = pdf.copy()
         pdf["ema_fast"] = ef
         pdf["ema_slow"] = es
         pdf["macd"] = macd
@@ -171,4 +176,23 @@ def ema_macd(
         pdf["macd_hist"] = [m - s for m, s in zip(macd, sig)]
         return pdf
 
-    return df.groupBy(key).applyInPandas(compute, out_schema)
+    def compute(batches):
+        carry = None                      # trailing (possibly partial) group
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last_key = pdf[key].iloc[-1]
+            tail = pdf[key] == last_key
+            carry = pdf[tail.to_numpy()]
+            head = pdf[~tail.to_numpy()]
+            if len(head):
+                yield pd.concat([_fold(g) for _, g in head.groupby(key, sort=False)],
+                                ignore_index=True)
+        if carry is not None and len(carry):
+            yield _fold(carry)
+
+    parts = df.repartition(key).sortWithinPartitions(key, *sort_cols)
+    return parts.mapInPandas(compute, out_schema)

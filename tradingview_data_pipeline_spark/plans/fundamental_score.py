@@ -134,10 +134,15 @@ def fundamental_scores(df: DataFrame) -> DataFrame:
 
         # "all"-level percentile per metric: a (metric)-partitioned window
         # holds the FULL table in one task per metric at scale, so it comes
-        # from the set-based exact-percentile operator instead.
+        # from the set-based exact-percentile operator instead. The mode
+        # gate probes the SHALLOW input frame (auto mode would re-probe
+        # through the melted window lineage — an expensive extra job).
+        cap = 2_000_000 // max(len(metrics), 1)
+        mode = "small" if df.limit(cap + 1).count() <= cap else "set"
         long = attach_peer_percentile_exact(long, "sv", "__pct_all",
                                             group_keys=["metric"],
-                                            min_peers=2, round_digits=2)
+                                            min_peers=2, round_digits=2,
+                                            mode=mode)
         chosen = F.when(F.col("peer_level") == "industry", pct_at(["industry"])) \
                   .when(F.col("peer_level") == "sector", pct_at(["sector"])) \
                   .otherwise(F.col("__pct_all"))
