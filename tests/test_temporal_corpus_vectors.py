@@ -284,3 +284,42 @@ def test_sessionize_matches_session_window_on_gap_edges(spark):
     a = sorted(map(tuple, batch.collect()))
     b = sorted(map(tuple, ours.select("user_id", "session_start", "n").collect()))
     assert a == b
+
+
+def test_weighted_sample_k_deterministic_and_biased(spark):
+    rows = [(i, 100.0 if i == 0 else 1.0, "g") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, wt double, g string")
+
+    a = {r["doc_id"] for r in
+         sp.weighted_sample_k(df, "doc_id", "wt", 10).collect()}
+    b = {r["doc_id"] for r in
+         sp.weighted_sample_k(df, "doc_id", "wt", 10).collect()}
+    assert a == b and len(a) == 10          # deterministic, exactly k
+
+    # weight bias: the 100x-weight row appears in (nearly) every draw
+    # across independent salts; any fixed light row in few
+    heavy = light = 0
+    for s in range(25):
+        got = {r["doc_id"] for r in
+               sp.weighted_sample_k(df, "doc_id", "wt", 10,
+                                    salt=f"s{s}").collect()}
+        heavy += 0 in got
+        light += 1 in got
+    assert heavy >= 23 and light <= 15
+
+    # grouped form: exact k per group, deterministic
+    rows2 = [(i, 1.0 + (i % 3), f"g{i % 4}") for i in range(80)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, wt double, g string")
+    out = sp.weighted_sample_k(df2, "doc_id", "wt", 5, group_cols=["g"])
+    cnt = {r["g"]: 0 for r in out.collect()}
+    for r in out.collect():
+        cnt[r["g"]] += 1
+    assert all(v == 5 for v in cnt.values()) and len(cnt) == 4
+
+    # zero/negative/null weights excluded
+    df3 = spark.createDataFrame(
+        [(1, 0.0, "g"), (2, -1.0, "g"), (3, None, "g"), (4, 2.0, "g")],
+        "doc_id long, wt double, g string")
+    got3 = [r["doc_id"] for r in
+            sp.weighted_sample_k(df3, "doc_id", "wt", 10).collect()]
+    assert got3 == [4]

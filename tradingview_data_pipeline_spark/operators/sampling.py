@@ -80,3 +80,40 @@ def sample_k_per_group(
         hash60(F.col(id_col), salt).asc(), F.col(id_col).asc())
     return (df.withColumn("sample_rank", F.row_number().over(w))
               .where(F.col("sample_rank") <= k))
+
+
+def weighted_sample_k(
+    df: DataFrame, id_col: str, weight_col: str, k: int,
+    *, group_cols: list[str] | None = None, salt: str = "wk"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws a hash-derived uniform u in (0, 1) and
+    keeps the top-``k`` rows by key u^(1/w) — equivalently, the SMALLEST
+    ``-ln(u)/w`` (numerically stabler; identical ordering).  P(row in
+    sample) is proportional-ish to its weight, the same row always gets
+    the same draw (re-runs and cluster layouts agree), and no RNG state
+    ships with the job — the weighted sibling of ``sample_k_per_group``.
+
+    Rows with NULL, zero, or negative weight are excluded.  One shuffle
+    on the group key (or a TakeOrdered when ungrouped).  pytest-verified
+    (tests/test_temporal_corpus_vectors.py) rather than oracle-checked:
+    ln/pow are not correctly-rounded, so the tie-free ORDERING is stable
+    within one engine but the raw keys are not bit-reproducible across
+    engines — the repo-wide criterion for oracle vs pytest verification.
+    """
+    u = (hash60(F.col(id_col), salt) + F.lit(1.0)) / F.lit(2.0 ** 60 + 2.0)
+    w = F.col(weight_col).cast("double")
+    skey = -F.log(u) / w
+    keyed = df.where(w.isNotNull() & (w > 0)).withColumn("__sk", skey)
+    if group_cols:
+        win = Window.partitionBy(*group_cols).orderBy(
+            F.col("__sk").asc(), F.col(id_col).asc())
+        out = (keyed.withColumn("sample_rank", F.row_number().over(win))
+               .where(F.col("sample_rank") <= k))
+    else:
+        out = (keyed.orderBy(F.col("__sk").asc(), F.col(id_col).asc())
+               .limit(k).withColumn("sample_rank",
+                                    F.row_number().over(
+                                        Window.orderBy(F.col("__sk").asc(),
+                                                       F.col(id_col).asc()))))
+    return out.drop("__sk")
