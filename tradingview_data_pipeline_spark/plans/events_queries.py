@@ -93,8 +93,8 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sessions AS (
-  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS sid
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM flagged
 )
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
