@@ -194,8 +194,15 @@ def _scored_pairs(spark, sf_dir):
     shingles = dd.shingle_rows(d, "doc_id", "text").cache()
     pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", k=8, bands=4,
                                    shingles=shingles)
-    scored = dd.jaccard_verify(pairs, shingles, "doc_id").cache()
-    scored.count()          # materialize while the shingle cache is alive
+    # localCheckpoint (NOT cache): it truncates the lineage, so freeing
+    # the shingle cache afterwards cannot cascade-invalidate it — a
+    # plain .cache() here is silently dropped by Spark's CacheManager
+    # the moment the upstream shingles frame is unpersisted, and every
+    # downstream query would rebuild the full LSH pipeline per
+    # reference (q59's triangle join references it 5x: 327-exchange
+    # plan vs 11 with the checkpoint).
+    scored = dd.jaccard_verify(pairs, shingles, "doc_id") \
+        .localCheckpoint(eager=True)
     shingles.unpersist()
     _DEDUP_CACHE[key] = (spark, scored)
     return scored
