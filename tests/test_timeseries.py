@@ -95,3 +95,31 @@ def test_ema_macd_groups_isolated(spark):
            for r in tso.ema_macd(a.unionByName(b), "user_id", "ts",
                                  "value", tiebreak="event_id").collect()}
     assert out[(2, 0)] == 100.0 and out[(1, 0)] == 5.0
+
+
+def test_ema_macd_group_carry_across_arrow_batches(spark):
+    # force tiny Arrow batches so one group straddles several mapInPandas
+    # batches — exercises the carry buffer, not just the flush path
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        vals1 = [float(10 + (i * 7) % 11) for i in range(20)]
+        vals2 = [float(5 + (i * 3) % 7) for i in range(8)]
+        df = _series(spark, vals1, key=1).unionByName(_series(spark, vals2, key=2))
+        got = {(r["user_id"], r["event_id"]): r for r in
+               tso.ema_macd(df, "user_id", "ts", "value",
+                            fast=3, slow=5, signal=2,
+                            tiebreak="event_id").collect()}
+        assert len(got) == 28
+        for key_id, vals in ((1, vals1), (2, vals2)):
+            af, as_, ag = 2.0 / 4.0, 2.0 / 6.0, 2.0 / 3.0
+            ef = es = sig = None
+            for i, x in enumerate(vals):
+                ef = x if i == 0 else af * x + (1.0 - af) * ef
+                es = x if i == 0 else as_ * x + (1.0 - as_) * es
+                macd = ef - es
+                sig = macd if i == 0 else ag * macd + (1.0 - ag) * sig
+                r = got[(key_id, i)]
+                assert r["ema_fast"] == ef and r["macd_signal"] == sig
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -101,13 +101,20 @@ def composite_scores(df: DataFrame, *, bucket_mode: str = "parity") -> DataFrame
     in_scope = (F.col("market_cap_category").isNotNull()
                 & F.col("sector").isNotNull() & F.col("industry").isNotNull())
 
+    # ONE select for every normalized column: window functions sharing a
+    # spec merge into a single Window operator only when they sit in the
+    # same projection — per-metric withColumn chaining left 49 Window
+    # operators (and as many local sorts) in the physical plan; this
+    # form plans 2 (one per granularity, count included).
+    zcols = []
     for m in NORMALIZED_METRICS:
         v = F.col(m).cast("double")
         z_ind = group_zscore(v, w_ind, min_group=3, level_weight=LEVEL_WEIGHTS["industry"])
         z_sec = group_zscore(v, w_sec, min_group=3, level_weight=LEVEL_WEIGHTS["sector"])
         z = F.when(~in_scope, F.lit(0.0)) \
              .when(n_ind >= 2, z_ind).otherwise(z_sec)   # W6 gate (:292-299)
-        df = df.withColumn(f"{m}_normalized", z)
+        zcols.append(z.alias(f"{m}_normalized"))
+    df = df.select("*", *zcols)
 
     weighted = None
     for m, w in COMPOSITE_WEIGHTS.items():
