@@ -22,6 +22,12 @@ _LOCAL_DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # zstd over default snappy: ~30-40% smaller parquet at comparable
+    # speed — at the 100 TB design point scan bytes are the dominant
+    # cost, and every maintained table (MERGE/rollup/SCD2/export) is
+    # written through this session. Runtime bloom-filter join pruning
+    # is already on by default in Spark 4.
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
