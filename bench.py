@@ -118,6 +118,13 @@ def main():
     # warm-up: JVM/JIT + parquet footer caches, not counted
     analytics.QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # fixed-work calibration job: lets readers normalize per-round numbers
+    # for machine drift (observed up to ~18% between rounds on identical
+    # plans). Pure JVM aggregate over a deterministic range — no IO.
+    t0 = time.perf_counter()
+    spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
+    calibration = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name, fn in analytics.QUERIES.items():
         t0 = time.perf_counter()
@@ -133,6 +140,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": calibration,
     }))
     spark.stop()
 
