@@ -191,3 +191,28 @@ def test_connected_components_distributed_matches_driver_path(spark):
     dist = {r["doc_id"]: r["cluster_id"] for r in
             dd.connected_components(pairs, driver_threshold=0).collect()}
     assert drv == dist
+
+
+def test_quantize_int8_bounds_zero_vectors_and_ranking(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]),
+         (3, [100.0, 50.0, -100.0])],
+        "vec_id long, embedding array<float>")
+    q = df.select("vec_id", sim.quantize_int8(F.col("embedding")).alias("q"))
+    got = {r["vec_id"]: r["q"] for r in q.collect()}
+    # per-vector max|x| maps to ±127; everything within [-127, 127]
+    assert got[1] == [63, -127, 31]          # floor(x*127/2)
+    assert got[2] == [0, 0, 0]               # zero vector -> zeros
+    assert got[3][0] == 127 and got[3][2] == -127
+    assert all(-127 <= v <= 127 for vs in got.values() for v in vs)
+
+    # quantized top-1 agrees with exact cosine top-1 on well-separated
+    # directions (quantization preserves coarse geometry)
+    base = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.9, 0.1])],
+        "vec_id long, embedding array<float>")
+    queries = base.where(F.col("vec_id") == 10)
+    qq = sim.quantized_topk(base, queries, "vec_id", "embedding", k=1)
+    ex = sim.brute_force_topk(base, queries, "vec_id", "embedding", k=1)
+    assert qq.collect()[0]["neighbor_id"] == ex.collect()[0]["neighbor_id"] == 12
