@@ -125,13 +125,24 @@ def main():
     spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
     calibration = round(time.perf_counter() - t0, 3)
 
+    # Per-query isolation: one broken query must never zero the whole
+    # artifact (round-4 lesson — a single analysis error erased 39 healthy
+    # timings). Failures are recorded under "errors" and excluded from the
+    # total; the final JSON line always prints.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in analytics.QUERIES.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — harness must survive anything
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    _bench_pipelines(spark, timings)
+    try:
+        _bench_pipelines(spark, timings)
+    except Exception as exc:  # noqa: BLE001
+        errors["pipelines"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -141,6 +152,7 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
+        **({"errors": errors} if errors else {}),
     }))
     spark.stop()
 

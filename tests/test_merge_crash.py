@@ -1,12 +1,14 @@
 """Crash-consistency of the bucket-pruned MERGE swap (merge.py
-`_rewrite_touched_buckets` + `_repair_buckets`).
+`_rewrite_touched_buckets` + `repair`).
 
 The bucketed parquet layout trades Delta/Iceberg transactionality for
 per-bucket directory renames; these tests pin the documented recovery
 contract: after a crash at ANY point of the swap loop, the table still
 reads with every key exactly once (possibly mixed pre/post-merge
-versions across buckets), and re-running the interrupted op converges
-to the same state as an uninterrupted run.
+versions across buckets), READS NEVER MUTATE THE DIRECTORY (repair is
+a write-path op — a repairing reader could abort a healthy concurrent
+swap), and re-running the interrupted op (or calling `repair()`)
+converges to the same state as an uninterrupted run.
 """
 
 from __future__ import annotations
@@ -68,13 +70,15 @@ def test_crash_between_renames_restores_bucket(spark, tmp_path, monkeypatch):
         t.merge_upsert(src)
     monkeypatch.undo()
 
-    # repair-on-read restores the moved-away bucket: full pre-merge state
+    # the read resolves the orphaned __old_ dir (live dir missing) to the
+    # bucket's pre-merge rows: full pre-merge state, every key once
     assert _rows(t.read()) == before
-    # no stray __old_ partition dirs survive the repair
-    assert not any("__old_" in n for n in os.listdir(t.path))
+    # ...and the read did NOT mutate the directory — the stray dir stays
+    assert any("__old_" in n for n in os.listdir(t.path))
 
-    t.merge_upsert(src)                       # re-run converges
+    t.merge_upsert(src)                       # re-run repairs + converges
     assert _rows(t.read()) == expected
+    assert not any("__old_" in n for n in os.listdir(t.path))
 
 
 def test_crash_mid_loop_leaves_mixed_but_complete_table(spark, tmp_path,
@@ -109,6 +113,12 @@ def test_leftover_old_dir_is_dropped(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     assert any("__old_" in n for n in os.listdir(t.path))  # crash artifact
 
-    # repair drops the stale copies; reads see exactly the merged state
+    # the live dir wins: reads see exactly the merged state (no double
+    # count from the stale copy) and leave the directory untouched
     assert _rows(t.read()) == expected
+    assert any("__old_" in n for n in os.listdir(t.path))
+
+    # explicit repair drops the superseded copies
+    t.repair()
     assert not any("__old_" in n for n in os.listdir(t.path))
+    assert _rows(t.read()) == expected

@@ -48,6 +48,38 @@ def test_streaming_ema_equals_batch_across_microbatches(spark, tmp_path):
             assert g[c] == e[c], (k, c)
 
 
+def test_streaming_ema_equal_ts_across_batch_boundary(spark, tmp_path):
+    # a DISTINCT event with the same timestamp as the last processed one,
+    # arriving in the next micro-batch, must be processed (high-water mark
+    # is the (ts, event_id) tuple, not ts alone) — matching the batch
+    # operator's (ts, event_id) tiebreak order
+    t0 = dt.datetime(2026, 8, 13, 12, 0, 0)
+    tE = t0 + dt.timedelta(minutes=5)
+    src = tmp_path / "ev"
+    src.mkdir()
+    _batch([(1, 0, t0, 10.0), (1, 1, tE, 20.0)], spark, str(src / "b1"))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src) + "/*")
+    captured = []
+    _run(streaming_ema_macd(stream, fast=3, slow=5, signal=2), tmp_path, captured)
+
+    # same ts as event 1, higher event_id, next batch -> must NOT be
+    # dropped; a re-delivered duplicate (same ts AND same-or-lower id) must
+    _batch([(1, 2, tE, 30.0), (1, 1, tE, 20.0)], spark, str(src / "b2"))
+    _run(streaming_ema_macd(stream, fast=3, slow=5, signal=2), tmp_path, captured)
+    ids = sorted(r["event_id"] for r in captured)
+    assert ids == [0, 1, 2]
+
+    rows = [(1, 0, t0, 10.0), (1, 1, tE, 20.0), (1, 2, tE, 30.0)]
+    expected = {r["event_id"]: r for r in
+                ema_macd(spark.createDataFrame(rows, SCHEMA), "user_id", "ts",
+                         "value", fast=3, slow=5, signal=2,
+                         tiebreak="event_id").collect()}
+    for r in captured:
+        for c in ("ema_fast", "ema_slow", "macd", "macd_signal", "macd_hist"):
+            assert r[c] == expected[r["event_id"]][c], (r["event_id"], c)
+
+
 def test_streaming_ema_drops_late_events(spark, tmp_path):
     t0 = dt.datetime(2026, 8, 13, 12, 0, 0)
     src = tmp_path / "ev"

@@ -207,6 +207,19 @@ def test_quantize_int8_bounds_zero_vectors_and_ranking(spark):
     assert got[3][0] == 127 and got[3][2] == -127
     assert all(-127 <= v <= 127 for vs in got.values() for v in vs)
 
+    # double-rounding edge: with DOUBLE inputs, x*127 is inexact (53-bit
+    # mantissa * 7 bits overflows), so x = -max|x| can evaluate to just
+    # below -127 and floor to -128 — the clamp must hold the documented
+    # lower bound. (float32 inputs can't trigger this: 24-bit mantissa
+    # * 127 is exact in double.) mx found by search: floor(-mx*127/mx)
+    # == -128 for this value without the clamp.
+    mx = 1.771150605405849
+    dd_df = spark.createDataFrame([(9, [-mx, mx / 2.0])],
+                                  "vec_id long, embedding array<double>")
+    dq = dd_df.select(sim.quantize_int8(F.col("embedding")).alias("q")) \
+        .collect()[0]["q"]
+    assert dq[0] == -127
+
     # quantized top-1 agrees with exact cosine top-1 on well-separated
     # directions (quantization preserves coarse geometry)
     base = spark.createDataFrame(

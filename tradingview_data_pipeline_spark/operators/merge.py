@@ -93,24 +93,33 @@ class ParquetTable:
         return self._read_raw().drop(_BUCKET_COL) if self.buckets else \
             self.spark.read.schema(self.schema).parquet(self.path)
 
-    def _repair_buckets(self) -> None:
+    def repair(self) -> None:
         """Crash recovery for the bucket swap (``_rewrite_touched_buckets``
         renames ``__bucket=B`` -> ``__bucket=B__old_x`` then the new dir
         into place, then removes the old copy).  A crash in that window
-        leaves one of two states, both repaired here before any read:
+        leaves one of two states, both repaired here:
 
         - old dir present, live dir MISSING (crashed between the two
           renames): restore the old dir — the bucket reverts to its
           pre-merge content and re-running the maintenance op converges
           (MERGE is idempotent).
         - old dir AND live dir present (crashed before cleanup): drop the
-          old copy — the new bucket is already live; the stray
-          ``__bucket=B__old_x`` name would otherwise poison partition
-          discovery.
+          old copy — the new bucket is already live.
+
+        This is a WRITE-path op: it runs at the start of every bucketed
+        maintenance op (single-writer context) and may be invoked
+        explicitly, but never from ``read()`` — a reader that observed a
+        healthy in-flight swap mid-window would otherwise "restore" the
+        old dir and abort the writer's rename.  Until the next
+        maintenance op runs, a post-crash ``read()`` still returns every
+        key exactly once: the stray ``__bucket=B__old_x`` dir surfaces
+        through partition discovery (its unparseable partition value
+        try_casts to a NULL ``__bucket``), carrying the bucket's
+        pre-merge rows.
 
         Buckets the interrupted op never reached keep their old content —
-        reads stay consistent (every key exactly once), merely mixed-
-        version until the op is re-run."""
+        reads stay consistent, merely mixed-version until the op is
+        re-run."""
         if not os.path.isdir(self.path):
             return
         for name in os.listdir(self.path):
@@ -125,15 +134,42 @@ class ParquetTable:
 
     def _read_raw(self) -> DataFrame:
         """Bucketed read keeping the ``__bucket`` directory column (the
-        partition-pruning handle)."""
-        self._repair_buckets()
-        try:
-            df = self.spark.read.parquet(self.path)
-        except Exception:                      # empty dir (just _SUCCESS)
+        partition-pruning handle). Read-only — crash repair happens on
+        the write path (see ``repair``); crash leftovers are RESOLVED here
+        without touching disk: a live ``__bucket=B`` dir always wins, and
+        a stray ``__bucket=B__old_x`` dir is read only when its live dir
+        is missing (it then carries the bucket's pre-merge rows), so every
+        key reads exactly once in every crash state."""
+        names = os.listdir(self.path) if os.path.isdir(self.path) else []
+        stray = [n for n in names
+                 if n.startswith(f"{_BUCKET_COL}=") and "__old_" in n]
+        if not stray:
+            try:
+                df = self.spark.read.parquet(self.path)
+            except Exception:                  # empty dir (just _SUCCESS)
+                return self.spark.createDataFrame([], self._bucketed_schema())
+            if _BUCKET_COL not in df.columns:  # legacy unbucketed layout
+                df = df.withColumn(_BUCKET_COL, self._bucket_expr())
+            return align_to_schema(df, self._bucketed_schema())
+        live = [n for n in names
+                if n.startswith(f"{_BUCKET_COL}=") and "__old_" not in n]
+        parts = []
+        if live:
+            parts.append(self.spark.read.option("basePath", self.path)
+                         .parquet(*[os.path.join(self.path, n) for n in live]))
+        live_set = set(live)
+        for n in stray:
+            if n.split("__old_")[0] in live_set:
+                continue                       # superseded — new dir is live
+            parts.append(self.spark.read
+                         .parquet(os.path.join(self.path, n))
+                         .withColumn(_BUCKET_COL, self._bucket_expr()))
+        if not parts:
             return self.spark.createDataFrame([], self._bucketed_schema())
-        if _BUCKET_COL not in df.columns:      # legacy unbucketed layout
-            df = df.withColumn(_BUCKET_COL, self._bucket_expr())
-        return align_to_schema(df, self._bucketed_schema())
+        out = align_to_schema(parts[0], self._bucketed_schema())
+        for p in parts[1:]:
+            out = out.unionByName(align_to_schema(p, self._bucketed_schema()))
+        return out
 
     def _bucketed_schema(self) -> T.StructType:
         return T.StructType(list(self.schema.fields)
@@ -164,6 +200,10 @@ class ParquetTable:
         touches, apply ``combine(tgt_slice, src)``, atomically swap only
         those bucket directories. Untouched buckets are never read or
         rewritten."""
+        # Repair before reading the touched slice: a stray __old_ dir's
+        # rows carry a NULL __bucket and would dodge the isin() pruning
+        # filter below — repairing first restores them to their bucket.
+        self.repair()
         src = src.withColumn(_BUCKET_COL, self._bucket_expr())
         touched = sorted(r[0] for r in
                          src.select(_BUCKET_COL).distinct().collect())

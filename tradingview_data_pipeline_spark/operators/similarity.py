@@ -256,11 +256,14 @@ def assign_nearest_centroid(df: DataFrame, id_col: str, vec_col: str,
 
 def quantize_int8(v: Column) -> Column:
     """array<float> -> array<bigint> in [-127, 127]; zero vectors -> all
-    zeros."""
+    zeros. The x == -max element computes x*127/max = -127 exactly only
+    when the divide is exact; double rounding can land just below and
+    floor to -128, so the clamp enforces the documented lower bound."""
     s = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     return F.transform(
         v, lambda x: F.when(s > 0.0,
-                            F.floor(x.cast("double") * 127.0 / s))
+                            F.greatest(F.lit(-127).cast("bigint"),
+                                       F.floor(x.cast("double") * 127.0 / s)))
                       .otherwise(F.lit(0)).cast("bigint"))
 
 

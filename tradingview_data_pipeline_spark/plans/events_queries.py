@@ -2,10 +2,16 @@
 the streaming-shaped semantics; same DataFrame code works under
 Structured Streaming with a watermark, see ``streaming/``).
 
-The events parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-rejects; we read nanos as long (legacy conf, set at runtime) and truncate
-to microseconds — exactly what DuckDB's reader does natively, so both
-engines see identical µs timestamps.
+The events parquet has carried ``ts`` as either TIMESTAMP(NANOS) (which
+Spark's reader only accepts as long, via the legacy conf) or plain
+``timestamp[us]`` (loaded as TIMESTAMP_NTZ). ``events()`` adapts to
+whichever physical type the file declares: the conf is set *before* the
+read (it is only consulted for nanos columns and is a no-op otherwise),
+then we branch on the loaded dtype — a BIGINT ``ts`` is nanos and gets
+truncated to microseconds (what DuckDB's reader does natively), a real
+timestamp passes through untouched. TIMESTAMP_NTZ is kept as-is: it
+matches DuckDB's tz-naive TIMESTAMP, so both engines see identical µs
+timestamps either way.
 """
 
 from __future__ import annotations
@@ -19,9 +25,13 @@ from tradingview_data_pipeline_spark.plans.analytics import register, _dsum
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Must be set before the read: only consulted when the parquet column
+    # is physically TIMESTAMP(NANOS); harmless for µs files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(df.dtypes).get("ts") == "bigint":  # nanos-as-long → truncate to µs
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -319,8 +319,11 @@ def q38_fundamental_shape(spark, sf_dir):
     # one shallow LIMIT-probe on the scan decides the mode up front (auto
     # mode would re-probe through join lineage), and BOTH metrics go
     # through ONE melted attach call (keys=['__m']) — one histogram scan
-    # and one join-back instead of two of each
-    mode = "small" if base.limit(2_000_001).count() <= 2_000_000 else "set"
+    # and one join-back instead of two of each. The cap is divided by the
+    # melt factor: stack(2, ...) doubles the frame, and it's the MELTED
+    # frame that "small" mode broadcasts.
+    _cap = 2_000_000 // 2
+    mode = "small" if base.limit(_cap + 1).count() <= _cap else "set"
     long = base.select(
         "p_partkey",
         F.expr("stack(2, 'q', __vq, 'v', __negv) AS (__m, __sv)"))

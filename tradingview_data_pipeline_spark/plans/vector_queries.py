@@ -86,7 +86,7 @@ sv AS (SELECT vec_id, embedding,
 qz AS (SELECT vec_id,
               list_transform(embedding,
                 x -> CASE WHEN mx > 0.0
-                          THEN CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)
+                          THEN CAST(greatest(-127, floor(CAST(x AS DOUBLE) * 127.0 / mx)) AS BIGINT)
                           ELSE CAST(0 AS BIGINT) END) AS qv
        FROM sv)
 """

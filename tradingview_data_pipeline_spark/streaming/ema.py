@@ -4,11 +4,14 @@ state (ema_fast, ema_slow, macd_signal, last event time) per key across
 micro-batches.
 
 Semantics contract: the EMA recurrence is order-dependent, so the
-operator processes each micro-batch's rows in (ts, tiebreak) order and
-DROPS rows at-or-before the last processed event time (a late event
-cannot be retro-folded into an already-emitted EMA without retracting
-downstream results — the documented trade; size the watermark so the
-source delivers per-key-ordered data within it).  With in-order
+operator processes each micro-batch's rows in (ts, event_id) order and
+DROPS rows at-or-before the last processed (ts, event_id) high-water
+mark (a late event cannot be retro-folded into an already-emitted EMA
+without retracting downstream results — the documented trade; size the
+watermark so the source delivers per-key-ordered data within it). The
+mark is the full tiebreak tuple, not just ts: a distinct equal-timestamp
+event that straddles a micro-batch boundary is still processed, exactly
+as the batch operator's (ts, event_id) ordering would.  With in-order
 delivery, emitted values are IDENTICAL to the batch operator on the
 same prefix — pinned by tests/test_streaming_ema.py.
 
@@ -44,6 +47,7 @@ EMA_STATE_SCHEMA = T.StructType([
     T.StructField("ema_slow", T.DoubleType()),
     T.StructField("macd_signal", T.DoubleType()),
     T.StructField("last_us", T.LongType()),
+    T.StructField("last_eid", T.LongType()),
 ])
 
 IDLE_EVICT_MS_DEFAULT = 60 * 60 * 1000    # 1 hour past watermark
@@ -57,14 +61,17 @@ def _make_update_fn(fast: int, slow: int, signal: int, idle_evict_ms: int):
         if state.hasTimedOut:
             state.remove()
             return
-        ef, es, sig, last_us = state.get if state.exists \
-            else (None, None, None, -1)
+        ef, es, sig, last_us, last_eid = state.get if state.exists \
+            else (None, None, None, -1, -1)
         out_frames = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["ts", "event_id"],
                                   kind="mergesort").reset_index(drop=True)
             ts_us = (pdf["ts"].astype("int64") // 1000)
-            keep = ts_us > last_us                    # drop late/duplicate
+            # drop at-or-before the (ts, event_id) high-water mark —
+            # equal-ts events with a NEW event_id are still in-order
+            keep = (ts_us > last_us) | (
+                (ts_us == last_us) & (pdf["event_id"] > last_eid))
             pdf, ts_us = pdf[keep.to_numpy()], ts_us[keep.to_numpy()]
             if not len(pdf):
                 continue
@@ -81,6 +88,7 @@ def _make_update_fn(fast: int, slow: int, signal: int, idle_evict_ms: int):
                 col_ef[i], col_es[i], col_m[i], col_sig[i] = ef, es, m, sig
             last_us = int(ts_us.iloc[-1]) if hasattr(ts_us, "iloc") \
                 else int(ts_us[-1])
+            last_eid = int(pdf["event_id"].iloc[-1])
             out_frames.append(pd.DataFrame({
                 "key": key[0],
                 "event_id": pdf["event_id"].to_numpy(),
@@ -93,7 +101,8 @@ def _make_update_fn(fast: int, slow: int, signal: int, idle_evict_ms: int):
                 "macd_hist": [m - s for m, s in zip(col_m, col_sig)],
             }))
         if last_us >= 0 and ef is not None:
-            state.update((float(ef), float(es), float(sig), int(last_us)))
+            state.update((float(ef), float(es), float(sig), int(last_us),
+                          int(last_eid)))
             state.setTimeoutTimestamp(last_us // 1000 + idle_evict_ms)
         for f in out_frames:
             yield f
