@@ -137,6 +137,28 @@ def test_embedding_near_dups_threshold(spark):
     assert pairs == {(1, 2)}
 
 
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    # a boilerplate family whose identical signatures land 12 docs in the
+    # same bucket of every band: over the cap, the whole family is skipped
+    # (the quadratic path never opens); a small bucket still pairs
+    boiler = ("subscribe to our newsletter for updates and follow us on "
+              "social media channels")
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [(i, boiler) for i in range(1, 13)] + [(101, base), (102, base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              dd.lsh_candidate_pairs(df, "doc_id", "text",
+                                     max_bucket=10).collect()}
+    assert capped == {(101, 102)}
+
+    family = {(a, b) for a in range(1, 13) for b in range(a + 1, 13)}
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in
+                dd.lsh_candidate_pairs(df, "doc_id", "text",
+                                       max_bucket=None).collect()}
+    assert uncapped == family | {(101, 102)}     # 66 quadratic pairs back
+
+
 def test_connected_components_chains_and_keeper(spark):
     # components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; isolated via
     # dedup_clusters only

@@ -116,14 +116,35 @@ def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*hashes)
 
 
+LSH_MAX_BUCKET_DEFAULT = 1000
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         *, k: int = 8, bands: int = 4,
-                        shingles: DataFrame | None = None) -> DataFrame:
+                        shingles: DataFrame | None = None,
+                        max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT
+                        ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band bucket.
 
     Plan shape: map-only signature -> explode bands (×bands rows) ->
     self-join on (band, bh). The join key is a 16-byte hash; AQE handles
     bucket skew. No payload moves.
+
+    ``max_bucket`` guards the self-join's quadratic failure mode: a
+    degenerate bucket (empty docs, boilerplate, any content family whose
+    signature collides en masse) of population c emits c·(c−1)/2 pairs —
+    one 10M-doc bucket at corpus scale is 5·10¹³ rows from a single join
+    key, which no skew handling survives. Buckets with population >
+    ``max_bucket`` are dropped ENTIRELY before the join (their members
+    can still pair through their other bands): members of a bucket that
+    large are either exact-duplicate-shaped (catch with exact dedup
+    first — its groupBy aggregates rather than joins, so it has no
+    quadratic path) or not meaningfully similar (band collision without
+    high Jaccard). The cap bounds per-bucket join output at
+    ~``max_bucket``²/2 and is mirrored in the DuckDB oracles (q28/q42/
+    q59) so capped semantics stay engine-verified. ``None`` disables.
+    Cost: one map-side-combined count over the (id, band, bh) frame and
+    a broadcast anti-join against the (tiny) over-cap bucket list.
     """
     rows_per_band = k // bands
     g = _minhash_agg(df, id_col, text_col, k, shingles=shingles)
@@ -135,6 +156,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     banded = g.select(
         F.col(id_col),
         F.expr(f"stack({bands}, {', '.join(entries)}) AS (band, bh)"))
+    if max_bucket is not None:
+        over = (banded.groupBy("band", "bh")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > max_bucket)
+                .select("band", "bh"))
+        banded = banded.join(F.broadcast(over), ["band", "bh"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -354,7 +381,9 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 10,
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
                    *, k: int = 8, bands: int = 4,
                    jaccard_threshold: float = 0.5,
-                   scored_pairs: DataFrame | None = None) -> DataFrame:
+                   scored_pairs: DataFrame | None = None,
+                   max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT
+                   ) -> DataFrame:
     """Full near-dup clustering: LSH candidates -> Jaccard verify ->
     connected components -> (id, cluster_id, is_keeper). Isolated docs
     form singleton clusters.
@@ -365,7 +394,7 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
     if scored_pairs is None:
         shingles = shingle_rows(df, id_col, text_col)
         pairs = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands,
-                                    shingles=shingles)
+                                    shingles=shingles, max_bucket=max_bucket)
         scored_pairs = jaccard_verify(pairs, shingles, id_col)
     verified = scored_pairs.where(F.col("jaccard") >= jaccard_threshold) \
         .select("doc_a", "doc_b")

@@ -142,10 +142,16 @@ mh AS (
 # ---------------------------------------------------------------------------
 
 _PAIRS_CTE = f"""{_MH_CTE},
-bands AS (
+bands_all AS (
   SELECT doc_id, CAST(j // 2 AS INT) AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY j)) AS bh
   FROM mh GROUP BY doc_id, j // 2
+),
+bands AS (
+  -- mirrors lsh_candidate_pairs(max_bucket=1000): degenerate buckets are
+  -- dropped entirely before the pair join on both engines
+  SELECT doc_id, band, bh FROM bands_all
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {dd.LSH_MAX_BUCKET_DEFAULT}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
