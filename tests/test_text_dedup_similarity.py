@@ -89,6 +89,39 @@ def test_simhash_forms_agree_and_hamming(spark):
     assert d12 < d13                         # similar docs closer in Hamming space
 
 
+def test_simhash_banded_retrieval_pigeonhole_and_filter(spark):
+    # synthetic signatures injected via sigs= to pin the banding math
+    # (60 bits, 4 bands of 15): distance <= 3 always shares a band and is
+    # found; a 4-bit flip confined to ONE band still band-collides on the
+    # other three but must be removed by the exact hamming filter
+    sigs = spark.createDataFrame(
+        [(1, 0), (2, 7), (3, 1 + 2**20 + 2**40), (4, 15)],
+        "doc_id long, simhash long")
+    dummy = sigs.select("doc_id").withColumn("text", F.lit("x"))
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+           dd.simhash_candidate_pairs(dummy, "doc_id", "text",
+                                      sigs=sigs).collect()}
+    # (1,2): bits 0-2, band 0 only -> h3; (1,3): one bit in each of bands
+    # 0/1/2, band 3 shared -> h3; (2,4): bit 3 only -> h1; (1,4): bits
+    # 0-3 in band 0 -> band-found but h4 filtered; (2,3)/(3,4): h4/h5
+    assert got == {(1, 2): 3, (1, 3): 3, (2, 4): 1}
+
+
+def test_simhash_candidate_pairs_text_and_bucket_cap(spark):
+    boiler = "identical boilerplate text repeated across many documents here"
+    rows = [(i, boiler) for i in range(1, 21)] + \
+        [(101, "rare unique sentence about columnar engines"),
+         (102, "rare unique sentence about columnar engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+           dd.simhash_candidate_pairs(df, "doc_id", "text",
+                                      max_bucket=10).collect()}
+    assert got == {(101, 102): 0}   # 20-doc degenerate family capped away
+    uncapped = dd.simhash_candidate_pairs(df, "doc_id", "text",
+                                          max_bucket=None)
+    assert uncapped.where("doc_a < 21 AND doc_b < 21").count() == 190
+
+
 def test_cosine_topk_matches_numpy(spark):
     import numpy as np
     rng = np.random.default_rng(5)

@@ -222,23 +222,31 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame, id_col: str,
 #   evals per row — no shuffle, composable, slower locally.
 # - ``simhash_table`` (df-level): explode distinct tokens -> one md5 per
 #   token -> b conditional sums in one codegen'd aggregate. ~4× faster;
-#   costs a (doc_id, 12-byte) shuffle. Preferred when simhash is the
-#   terminal op; bit j of the signature = bit (bits-1-j) of the md5's
-#   leading 16-bit word in both forms.
+#   costs a (doc_id, 16-byte) shuffle. Preferred when simhash is the
+#   terminal op.
+#
+# Bit mapping (identical in both forms, any bits <= 60): bit j of the
+# signature = bit (3 - j%4) of hex nibble j//4 of the md5 — i.e. bit
+# (59-j) of the md5's leading 60-bit word. 60 is the ceiling because the
+# signature must stay a positive BIGINT on both engines (2^59 is the
+# largest term) and 15 hex chars parse losslessly everywhere.
 # ---------------------------------------------------------------------------
+
+SIMHASH_MAX_BITS = 60
+
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str,
                   bits: int = 16, out_col: str = "simhash") -> DataFrame:
-    assert bits <= 16
+    assert bits <= SIMHASH_MAX_BITS
     toks = F.array_distinct(tokens(F.col(text_col)))
     ex = (df.select(F.col(id_col), F.explode(toks).alias("__t"))
           .select(id_col,
-                  F.conv(F.substring(F.md5("__t"), 1, 4), 16, 10)
-                  .cast("int").alias("__h16")))
+                  F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10)
+                  .cast("bigint").alias("__h60")))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for j in range(bits):
-        shift = 15 - j
-        aggs.append(F.sum(F.shiftright(F.col("__h16"), shift)
+        shift = 59 - j
+        aggs.append(F.sum(F.shiftright(F.col("__h60"), shift)
                           .bitwiseAND(F.lit(1))).alias(f"__b{j}"))
     g = ex.groupBy(id_col).agg(*aggs)
     sig = None
@@ -252,6 +260,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash(col: Column, bits: int = 16) -> Column:
+    assert bits <= SIMHASH_MAX_BITS
     toks = F.array_distinct(tokens(col))
     n = F.size(toks)
 
@@ -274,6 +283,63 @@ def simhash(col: Column, bits: int = 16) -> Column:
 
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            *, bits: int = 60, bands: int = 4,
+                            max_hamming: int = 3,
+                            max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                            sigs: DataFrame | None = None) -> DataFrame:
+    """Banded SimHash retrieval: distinct (doc_a < doc_b, hamming) pairs
+    with signature Hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding replaces the all-pairs O(n²) Hamming scan: the
+    ``bits``-bit signature splits into ``bands`` contiguous chunks, and
+    two signatures within distance d <= bands-1 MUST agree on at least
+    one whole chunk — so an equi-join on (band, chunk) finds every such
+    pair (recall exactly 1.0 when ``max_hamming <= bands - 1``; keep
+    that inequality or accept probabilistic recall). The exact
+    ``bit_count(xor)`` filter then removes band collisions beyond the
+    radius. Default 60-bit/4-band: 2^15 buckets per band, so a uniform
+    corpus spreads ~n/32768 docs per bucket and the join stays linear;
+    degenerate buckets (identical boilerplate) are dropped by the same
+    ``max_bucket`` guard as ``lsh_candidate_pairs`` — catch those with
+    exact dedup, which has no quadratic path.
+
+    Pass ``sigs`` (a ``simhash_table`` result) to reuse signatures
+    computed for another consumer. NULL-signature docs (no tokens) never
+    pair. Join payload is 20 bytes/row (id, 60-bit sig, band, chunk).
+    """
+    assert bits % bands == 0, "bands must evenly split the signature"
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    if sigs is None:
+        sigs = simhash_table(df, id_col, text_col, bits=bits)
+    sigs = sigs.where(F.col("simhash").isNotNull())
+    entries = ", ".join(
+        f"CAST({b} AS INT), shiftright(simhash, {b * chunk_bits}) & {mask}"
+        for b in range(bands))
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.expr(f"stack({bands}, {entries}) AS (band, chunk)"))
+    if max_bucket is not None:
+        over = (banded.groupBy("band", "chunk")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > max_bucket)
+                .select("band", "chunk"))
+        banded = banded.join(F.broadcast(over), ["band", "chunk"], "left_anti")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .where(ham <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                ham.alias("hamming"))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

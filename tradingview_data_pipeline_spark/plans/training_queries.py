@@ -224,31 +224,71 @@ def q28_lsh_near_dup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q29 — SimHash signatures (16-bit, distinct-token majority vote).
+# q29 — SimHash signatures (60-bit, distinct-token majority vote) +
+# banded near-dup retrieval: per doc, the signature and the count of
+# other docs within Hamming distance 3 (pigeonhole-banded equi-join, so
+# the oracle's pair CTE is the recall-1.0 retrieval, not an O(n²) scan).
 # ---------------------------------------------------------------------------
 
-def _simhash_oracle(bits: int = 16) -> str:
-    terms = []
-    for j in range(bits):
-        hex_pos = j // 4 + 1
-        shift = 3 - j % 4
-        bitexpr = (f"((('0x' || substr(md5(t), {hex_pos}, 1))::INT >> {shift}) & 1) = 1")
-        terms.append(
-            f"CASE WHEN 2 * len(list_filter(toks, t -> {bitexpr})) >= len(toks) "
-            f"THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-    total = " + ".join(terms)
+def _simhash_oracle(bits: int = 60, bands: int = 4,
+                    max_hamming: int = 3) -> str:
+    # signature via explode-tokens + conditional bit sums — the same
+    # aggregate shape as dd.simhash_table (bit j = bit 59-j of the md5's
+    # leading 60-bit word)
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    sums = ", ".join(
+        f"SUM((h >> {59 - j}) & 1) AS b{j}" for j in range(bits))
+    sig = " + ".join(
+        f"CASE WHEN 2 * b{j} >= n THEN CAST({2**j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END" for j in range(bits))
+    bandvals = ", ".join(f"({b})" for b in range(bands))
     return f"""
-WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
-SELECT doc_id,
-       CASE WHEN len(toks) > 0 THEN {total} ELSE NULL END AS simhash
-FROM t
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+ex AS (SELECT doc_id, ('0x' || substr(md5(u.t), 1, 15))::BIGINT AS h
+       FROM t, unnest(toks) AS u(t)),
+g AS (SELECT doc_id, COUNT(*) AS n, {sums} FROM ex GROUP BY doc_id),
+sh AS (SELECT t.doc_id, ({sig}) AS simhash
+       FROM t JOIN g USING (doc_id)),
+allsh AS (SELECT t.doc_id, sh.simhash FROM t LEFT JOIN sh USING (doc_id)),
+b AS (SELECT doc_id, simhash, v.band,
+             (simhash >> (v.band * {chunk})) & {mask} AS chunk
+      FROM allsh, (VALUES {bandvals}) v(band)
+      WHERE simhash IS NOT NULL),
+bc AS (SELECT * FROM b
+       QUALIFY COUNT(*) OVER (PARTITION BY band, chunk) <= {dd.LSH_MAX_BUCKET_DEFAULT}),
+prs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM bc a JOIN bc b2
+          ON a.band = b2.band AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.simhash, b2.simhash)) <= {max_hamming}),
+deg AS (SELECT doc_id, COUNT(*) AS near_dups FROM
+          (SELECT doc_a AS doc_id FROM prs
+           UNION ALL SELECT doc_b AS doc_id FROM prs)
+        GROUP BY doc_id)
+SELECT a.doc_id, a.simhash,
+       CAST(COALESCE(deg.near_dups, 0) AS BIGINT) AS near_dups
+FROM allsh a LEFT JOIN deg USING (doc_id)
 """
 
 
 @register("q29_simhash", oracle=_simhash_oracle())
 def q29_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dd.simhash_table(d, "doc_id", "text", bits=16)
+    # the sig aggregate feeds the banded self-join twice AND the final
+    # degree join; the three subtrees do NOT get exchange-reused (the
+    # aggregate runs 3x in the plain plan), so materialize the tiny
+    # (id, 8-byte sig) frame once — measured 4.8s -> 3.3s at sf0.1
+    sigs = dd.simhash_table(d, "doc_id", "text", bits=60) \
+        .localCheckpoint(eager=True)
+    pairs = dd.simhash_candidate_pairs(d, "doc_id", "text", bits=60,
+                                       bands=4, max_hamming=3, sigs=sigs)
+    deg = (pairs.selectExpr("doc_a AS doc_id")
+           .unionAll(pairs.selectExpr("doc_b AS doc_id"))
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("near_dups")))
+    return (sigs.join(deg, "doc_id", "left")
+            .select("doc_id", "simhash",
+                    F.coalesce(F.col("near_dups"),
+                               F.lit(0).cast("bigint")).alias("near_dups")))
 
 
 # ---------------------------------------------------------------------------
