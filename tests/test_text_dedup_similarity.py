@@ -170,6 +170,21 @@ def test_embedding_near_dups_threshold(spark):
     assert pairs == {(1, 2)}
 
 
+def test_embedding_near_dups_bucket_cap(spark):
+    # a 12-member degenerate cluster is skipped wholesale under the cap
+    # (its c^2/2 dot products never run); the small bucket still pairs
+    rows = [(i, [1.0, 0.0], 0) for i in range(1, 13)] + \
+        [(101, [0.0, 1.0], 7), (102, [0.0, 1.0], 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    capped = {(r["id_a"], r["id_b"]) for r in
+              sim.embedding_near_dups(df, "vec_id", "embedding", "label",
+                                      threshold=0.99, max_bucket=10).collect()}
+    assert capped == {(101, 102)}
+    uncapped = sim.embedding_near_dups(df, "vec_id", "embedding", "label",
+                                       threshold=0.99, max_bucket=None)
+    assert uncapped.where("bk = 0").count() == 66
+
+
 def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
     # a boilerplate family whose identical signatures land 12 docs in the
     # same bucket of every band: over the cap, the whole family is skipped

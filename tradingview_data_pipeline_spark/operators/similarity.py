@@ -157,15 +157,29 @@ def bucketed_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 
 def embedding_near_dups(corpus: DataFrame, id_col: str, vec_col: str,
-                        bucket_col: str, *, threshold: float = 0.95) -> DataFrame:
+                        bucket_col: str, *, threshold: float = 0.95,
+                        max_bucket: int | None = 10_000) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, bucketed to avoid the
-    full O(n²): only pairs within the same bucket are compared."""
+    full O(n²): only pairs within the same bucket are compared.
+
+    ``max_bucket`` is the same degenerate-bucket guard as the LSH path
+    (``dedup.lsh_candidate_pairs``): intra-bucket comparison is c²/2
+    dot products, so one mega-cluster (zero vectors, boilerplate
+    embeddings) turns the plan quadratic at a single join key. Buckets
+    over the cap are dropped entirely before the join — re-cluster with
+    a finer quantizer (more centroids) rather than raising the cap.
+    Mirrored in q32's DuckDB oracle; ``None`` disables."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                       F.col(bucket_col).alias("bk"),
                       F.sqrt(l2_norm_sq(F.col(vec_col))).alias("na"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                       F.col(bucket_col).alias("bk"),
                       F.sqrt(l2_norm_sq(F.col(vec_col))).alias("nb"))
+    if max_bucket is not None:
+        over = (a.groupBy("bk").agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > max_bucket).select("bk"))
+        a = a.join(F.broadcast(over), "bk", "left_anti")
+        b = b.join(F.broadcast(over), "bk", "left_anti")
     return (
         a.join(b, "bk")
         .where(F.col("id_a") < F.col("id_b"))

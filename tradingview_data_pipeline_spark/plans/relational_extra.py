@@ -31,11 +31,17 @@ _NSQ = ("list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUB
         "(x, y) -> x + y)")
 
 @register("q32_embedding_near_dup", oracle=f"""
+WITH eb AS (
+  -- mirrors embedding_near_dups(max_bucket=10000): degenerate buckets
+  -- are dropped entirely before the intra-bucket pair join
+  SELECT * FROM embeddings
+  QUALIFY COUNT(*) OVER (PARTITION BY label) <= 10000
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS bk,
        {_DOT.format(a="a.embedding", b="b.embedding")}
        / (sqrt({_NSQ.format(a="a.embedding")}) * sqrt({_NSQ.format(a="b.embedding")})) AS cos
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM eb a
+JOIN eb b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_DOT.format(a="a.embedding", b="b.embedding")}
       / (sqrt({_NSQ.format(a="a.embedding")}) * sqrt({_NSQ.format(a="b.embedding")})) >= 0.4
 """)
