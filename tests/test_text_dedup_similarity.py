@@ -107,6 +107,47 @@ def test_simhash_banded_retrieval_pigeonhole_and_filter(spark):
     assert got == {(1, 2): 3, (1, 3): 3, (2, 4): 1}
 
 
+def test_simhash_banded_retrieval_recall_property(spark):
+    # recall guarantee on random signatures: 40 random 60-bit sigs, each
+    # with a twin at hamming distance 1..3 (<= bands-1) — EVERY twin pair
+    # must be retrieved, regardless of which bits flipped
+    import random
+    rng = random.Random(7)
+    rows = []
+    expected = set()
+    for i in range(40):
+        base = rng.getrandbits(60)
+        d = rng.randint(1, 3)
+        twin = base
+        for bit in rng.sample(range(60), d):
+            twin ^= 1 << bit
+        a, b = 2 * i, 2 * i + 1
+        rows += [(a, base), (b, twin)]
+        expected.add((a, b, d))
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    dummy = sigs.select("doc_id").withColumn("text", F.lit("x"))
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+           dd.simhash_candidate_pairs(dummy, "doc_id", "text",
+                                      sigs=sigs).collect()}
+    assert expected <= got          # perfect recall within the radius
+    for _, _, h in got:
+        assert h <= 3               # filter precision
+
+
+def test_simhash_forms_agree_at_60_bits(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon"),
+         (3, "unrelated totally different words entirely"), (4, "")],
+        "doc_id long, text string")
+    col_form = {r["doc_id"]: r["s"] for r in
+                df.select("doc_id", dd.simhash(F.col("text"), 60).alias("s")).collect()}
+    tab_form = {r["doc_id"]: r["simhash"] for r in
+                dd.simhash_table(df, "doc_id", "text", 60).collect()}
+    assert col_form == tab_form
+    assert col_form[4] is None
+    assert all(v is None or 0 <= v < 2**60 for v in col_form.values())
+
+
 def test_simhash_candidate_pairs_text_and_bucket_cap(spark):
     boiler = "identical boilerplate text repeated across many documents here"
     rows = [(i, boiler) for i in range(1, 21)] + \
