@@ -39,6 +39,51 @@ def test_tumbling_window_stream_matches_batch(spark, tmp_path):
     assert len(got) == 4                # 2 hours x 2 event types
 
 
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Gap-based session windows (q20-shape) under Structured Streaming:
+    sessions that span micro-batch boundaries must merge exactly as the
+    batch plan merges them."""
+    base = dt.datetime(2026, 8, 13, 9, 0, 0)
+    rows = []
+    for u in range(5):
+        t = base + dt.timedelta(minutes=u)
+        for i in range(30):
+            # bursts with 3-min steps inside, >10-min silences between
+            t += dt.timedelta(minutes=3 if i % 6 else 25)
+            rows.append((u * 100 + i, u, t, 1.0 * i))
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+    src = tmp_path / "sw_src"
+    # two files -> two micro-batches with availableNow + maxFilesPerTrigger
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows[half:], schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+
+    def agg(df):
+        return (df.withWatermark("ts", "1 hour") if df.isStreaming else df) \
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id") \
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("total"))
+
+    expected = {(r["w"]["start"], r["w"]["end"], r["user_id"]): (r["n"], r["total"])
+                for r in agg(batch_df).collect()}
+    assert len(expected) > 5            # fixture yields multiple sessions
+
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    q = (agg(stream)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("sess_agg")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["w"]["start"], r["w"]["end"], r["user_id"]): (r["n"], r["total"])
+           for r in spark.sql("select * from sess_agg").collect()}
+    assert got == expected
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream join (streaming/joins.py) produces the
     same view->click pairs as the identical batch join."""
