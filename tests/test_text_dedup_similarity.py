@@ -201,6 +201,28 @@ def test_blas_topk_matches_fold_topk(spark):
         assert g[key][1] == pytest.approx(b[key][1], abs=1e-9)
 
 
+def test_ivf_topk_multiprobe_recovers_boundary_neighbor(spark):
+    # centroids pinned by symmetric members: bucket 0 -> (1,0), bucket 1
+    # -> (0,1). The query (0.8, 0.75) assigns to bucket 0, but its #2
+    # neighbor by cosine lives in bucket 1 — own-cell search (nprobe=1)
+    # replaces it with a worse in-cell vector; nprobe=2 recovers it.
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.4], 0), (2, [1.0, -0.4], 0),
+         (3, [0.4, 1.0], 1), (4, [-0.4, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int")
+    q = spark.createDataFrame([(100, [0.8, 0.75])],
+                              "vec_id long, embedding array<float>")
+    cent = sim.group_centroids_quantized(corpus, "label", "embedding")
+
+    def neighbors(nprobe):
+        out = sim.ivf_topk(corpus, q, "vec_id", "embedding", "label",
+                           cent, nprobe=nprobe, k=2)
+        return [r["neighbor_id"] for r in out.orderBy("rk").collect()]
+
+    assert neighbors(1) == [1, 2]      # trapped in the assigned cell
+    assert neighbors(2) == [1, 3]      # boundary neighbor recovered
+
+
 def test_embedding_near_dups_threshold(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0], 0), (2, [1.0, 0.01], 0), (3, [0.0, 1.0], 0),

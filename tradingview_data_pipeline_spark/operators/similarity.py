@@ -156,6 +156,59 @@ def bucketed_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, bucket_col: str, centroids_long: DataFrame,
+             *, nprobe: int = 2, k: int = 3) -> DataFrame:
+    """Multi-probe IVF ANN: per query, rank the centroid table by
+    squared-L2 (same exact fold as ``assign_nearest_centroid``), keep
+    the ``nprobe`` nearest buckets as probes, and search ONLY those
+    inverted lists via an equi-join on bucket id.
+
+    ``nprobe=1`` degenerates to searching the assigned cluster;
+    ``nprobe>1`` recovers neighbors that fall just across a Voronoi
+    boundary — the classic IVF recall lever — at probe-proportional
+    cost. Plan shape at scale: centroids broadcast to the (small) query
+    set for probe ranking, then the (query, probe-bucket) frame —
+    carrying each query vector once per probe — broadcasts to the
+    corpus side, so the corpus is never shuffled and only probed
+    buckets are scored. Ties break (dist, c_label) for probes and
+    (cos desc, neighbor_id) for results, so output is deterministic
+    cross-engine.
+    """
+    carr = _centroid_arrays(centroids_long, bucket_col)
+    q0 = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"),
+                        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("qn"))
+    sq = F.zip_with(F.col("qv"), F.col("cvec"),
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c))
+    pw = Window.partitionBy("query_id").orderBy(F.col("__cd").asc(),
+                                                F.col("c_label").asc())
+    probes = (
+        q0.crossJoin(F.broadcast(carr))
+        .withColumn("__cd", F.aggregate(sq, F.lit(0.0), lambda a, v: a + v))
+        .withColumn("__pr", F.row_number().over(pw))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("c_label").alias("bk"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      F.col(bucket_col).alias("bk"),
+                      F.sqrt(l2_norm_sq(F.col(vec_col))).alias("cn"))
+    scored = (
+        c.join(F.broadcast(probes), "bk")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "bk", "neighbor_id", "cos", "rk")
+    )
+
+
 def embedding_near_dups(corpus: DataFrame, id_col: str, vec_col: str,
                         bucket_col: str, *, threshold: float = 0.95,
                         max_bucket: int | None = 10_000) -> DataFrame:
@@ -221,6 +274,16 @@ def group_centroids_quantized(df: DataFrame, group_col: str,
     )
 
 
+def _centroid_arrays(centroids_long: DataFrame, group_col: str) -> DataFrame:
+    """(group, dim, centroid) long form -> (c_label, cvec array) wide."""
+    return (
+        centroids_long
+        .groupBy(F.col(group_col).alias("c_label"))
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("a"))
+        .select("c_label", F.expr("transform(a, x -> x.centroid)").alias("cvec"))
+    )
+
+
 def assign_nearest_centroid(df: DataFrame, id_col: str, vec_col: str,
                             centroids_long: DataFrame,
                             group_col: str) -> DataFrame:
@@ -233,12 +296,7 @@ def assign_nearest_centroid(df: DataFrame, id_col: str, vec_col: str,
     distance is a left-to-right fold (bit-identical to DuckDB
     ``list_reduce``); ties break on the smaller centroid id.
     """
-    carr = (
-        centroids_long
-        .groupBy(F.col(group_col).alias("c_label"))
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("a"))
-        .select("c_label", F.expr("transform(a, x -> x.centroid)").alias("cvec"))
-    )
+    carr = _centroid_arrays(centroids_long, group_col)
     sq = F.zip_with(
         F.col(vec_col), F.col("cvec"),
         lambda x, c: (x.cast("double") - c) * (x.cast("double") - c))

@@ -343,20 +343,49 @@ def q30_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q31 — bucketed (IVF-style) approximate top-k: search restricted to the
-# query's cluster (label column as coarse quantizer cell).
+# q31 — multi-probe IVF approximate top-k: quantized-exact per-label
+# centroids rank the coarse cells per query, the nprobe=2 nearest cells
+# are searched via equi-join (the IVF recall lever over the former
+# own-cell-only search). Centroid CTE mirrors vector_queries._CENT_SQL;
+# the probe-distance fold is the q53 pattern (list_reduce ≡ F.aggregate
+# with exact-neutral 0.0 init).
 # ---------------------------------------------------------------------------
 
 @register("q31_ann_bucketed", oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS bk
-           FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS bk FROM embeddings),
+WITH cent AS (
+  SELECT label, i - 1 AS dim,
+         CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+              AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+  GROUP BY label, i - 1
+),
+cvecs AS (SELECT label AS c_label, list(centroid ORDER BY dim) AS cvec
+          FROM cent GROUP BY label),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 5),
+pd AS (
+  SELECT query_id, qv, c_label,
+         list_reduce(
+           list_transform(range(len(qv)),
+             i -> (CAST(qv[i+1] AS DOUBLE) - cvec[i+1])
+                * (CAST(qv[i+1] AS DOUBLE) - cvec[i+1])),
+           (a, b) -> a + b) AS cd
+  FROM q CROSS JOIN cvecs
+),
+probes AS (
+  SELECT query_id, qv, c_label AS bk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cd ASC, c_label ASC) AS pr
+    FROM pd) WHERE pr <= 2
+),
 scored AS (
-  SELECT query_id, c.bk, neighbor_id,
-         {_DOT.format(a="qv", b="cv")}
-         / (sqrt({_NSQ.format(a="qv")}) * sqrt({_NSQ.format(a="cv")})) AS cos
-  FROM c JOIN q USING (bk)
-  WHERE neighbor_id != query_id
+  SELECT p.query_id, c.label AS bk, c.vec_id AS neighbor_id,
+         {_DOT.format(a="p.qv", b="c.embedding")}
+         / (sqrt({_NSQ.format(a="p.qv")})
+            * sqrt({_NSQ.format(a="c.embedding")})) AS cos
+  FROM embeddings c JOIN probes p ON c.label = p.bk
+  WHERE c.vec_id != p.query_id
 )
 SELECT query_id, bk, neighbor_id, cos, rk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -366,8 +395,9 @@ SELECT query_id, bk, neighbor_id, cos, rk FROM (
 """)
 def q31_ann_bucketed(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return sim.bucketed_topk(e, e.where(F.col("vec_id") < 5), "vec_id", "embedding",
-                             "label", k=3)
+    cent = sim.group_centroids_quantized(e, "label", "embedding")
+    return sim.ivf_topk(e, e.where(F.col("vec_id") < 5), "vec_id",
+                        "embedding", "label", cent, nprobe=2, k=3)
 
 
 # ---------------------------------------------------------------------------
