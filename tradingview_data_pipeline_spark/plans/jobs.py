@@ -111,29 +111,50 @@ def main(argv: list[str] | None = None) -> None:
 
     from tradingview_data_pipeline_spark.session import get_spark
 
+    from tradingview_data_pipeline_spark.notify import notify, timed_job
+
     ap = argparse.ArgumentParser(prog="tradingview-data-pipeline-spark jobs")
     ap.add_argument("job", choices=["technical", "fundamental", "composite",
                                     "fundamental-score", "all"])
     ap.add_argument("--downloads-dir", default="./downloads")
     ap.add_argument("--warehouse", default="./warehouse")
+    ap.add_argument("--webhook-url", default=None,
+                    help="job status webhook (falls back to "
+                         "$PIPELINE_WEBHOOK_URL; unset = print only)")
     args = ap.parse_args(argv)
 
     spark = get_spark("jobs")
     tables = warehouse_tables(spark, args.warehouse)
+
+    def reported(name, body):
+        # per-job ✅/❌ report, the reference's run_*.sh wrapper behavior:
+        # a failing job still notifies (❌ + error), then propagates
+        try:
+            with timed_job(name) as t:
+                body(t)
+        finally:
+            notify(t.report, args.webhook_url)
+
     if args.job in ("technical", "all"):
-        n = run_technical_upload(spark, args.downloads_dir, tables)
-        print(f"technical upload: stock_data now {n} rows")
+        reported("Technical Pipeline", lambda t: t.metrics.update(
+            stock_data_rows=run_technical_upload(
+                spark, args.downloads_dir, tables)))
     if args.job in ("fundamental", "all"):
-        n = run_fundamental_upload(spark, args.downloads_dir, tables)
-        print(f"fundamental upload: stock_data now {n} rows")
+        reported("Fundamental Pipeline", lambda t: t.metrics.update(
+            stock_data_rows=run_fundamental_upload(
+                spark, args.downloads_dir, tables)))
     if args.job in ("composite", "all"):
-        top = run_composite_job(spark, tables)
-        print("composite top-10:")
-        for r in top.collect():
-            print("  ", r["symbol"], r["composite_score"])
+        def composite_body(t):
+            rows = run_composite_job(spark, tables).collect()
+            t.metrics["top"] = ", ".join(
+                f"{r['symbol']}={r['composite_score']}" for r in rows[:3])
+            print("composite top-10:")
+            for r in rows:
+                print("  ", r["symbol"], r["composite_score"])
+        reported("Composite Score", composite_body)
     if args.job in ("fundamental-score", "all"):
-        run_fundamental_job(spark, tables)
-        print("fundamental scores merged into stock_rankings")
+        reported("Fundamental Score",
+                 lambda t: run_fundamental_job(spark, tables))
     spark.stop()
 
 
