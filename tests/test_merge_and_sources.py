@@ -63,19 +63,20 @@ def test_update_where_merge(spark, tmp_path):
 
 
 def _bucket_file_state(path):
-    """{bucket_dir: {file: (size, sha)}} for every bucket subdir."""
+    """{bucket_id: {file: (size, sha)}} for every manifest-live bucket."""
     import hashlib
+    import json
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        mapping = json.load(fh)["buckets"]
     state = {}
-    for d in sorted(os.listdir(path)):
-        if not d.startswith("__bucket="):
-            continue
+    for b, d in sorted(mapping.items()):
         files = {}
         for f in sorted(os.listdir(os.path.join(path, d))):
             fp = os.path.join(path, d, f)
             with open(fp, "rb") as fh:
                 files[f] = (os.path.getsize(fp),
                             hashlib.sha256(fh.read()).hexdigest())
-        state[d] = files
+        state[b] = files
     return state
 
 

@@ -1,18 +1,25 @@
-"""Crash-consistency of the bucket-pruned MERGE swap (merge.py
-`_rewrite_touched_buckets` + `repair`).
+"""Crash-consistency of the manifest-committed bucket MERGE (merge.py
+`_rewrite_touched_buckets` + `_commit_manifest` + `repair`).
 
-The bucketed parquet layout trades Delta/Iceberg transactionality for
-per-bucket directory renames; these tests pin the documented recovery
-contract: after a crash at ANY point of the swap loop, the table still
-reads with every key exactly once (possibly mixed pre/post-merge
-versions across buckets), READS NEVER MUTATE THE DIRECTORY (repair is
-a write-path op — a repairing reader could abort a healthy concurrent
-swap), and re-running the interrupted op (or calling `repair()`)
-converges to the same state as an uninterrupted run.
+The bucketed layout is a set of immutable bucket directories plus one
+`_manifest.json`; the ONLY visibility point of a maintenance op is the
+atomic `os.replace` of that manifest. These tests pin the contract:
+
+- a crash at ANY point BEFORE the commit leaves reads on the exact
+  pre-merge snapshot (never mixed, never missing a bucket);
+- a crash AFTER the commit (before garbage collection) leaves reads on
+  the exact post-merge snapshot; stale dirs are invisible orphans;
+- reads NEVER mutate the directory (no repair-on-read);
+- re-running the interrupted op (or `repair()`) converges to the same
+  state as an uninterrupted run and clears the orphans;
+- pre-manifest (hive-layout) tables, including their historical
+  rename-pair crash states, migrate in place on the first maintenance
+  op.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -30,6 +37,10 @@ def _rows(df):
     return {r["symbol"]: r["v"] for r in df.collect()}
 
 
+def _listing(path):
+    return sorted(os.listdir(path))
+
+
 def _make(spark, tmp_path, n=40):
     t = ParquetTable(spark, str(tmp_path / "tbl"), SCHEMA, "symbol", buckets=4)
     base = spark.createDataFrame(
@@ -45,80 +56,116 @@ def _make(spark, tmp_path, n=40):
 
 
 def _crash_at_bucket_rename(monkeypatch, k: int):
-    """Raise instead of performing the k-th rename that touches a
-    __bucket= path (the swap loop's renames), pass everything else."""
+    """Raise instead of performing the k-th rename of a merged bucket dir
+    out of the tmp write (the publish loop's moves), pass everything
+    else."""
     real = os.rename
     calls = {"n": 0}
 
     def crashing(src, dst):
-        if "__bucket=" in str(src) or "__bucket=" in str(dst):
+        if "__bucket=" in str(src):
             calls["n"] += 1
             if calls["n"] == k:
-                raise OSError("simulated crash in bucket swap")
+                raise OSError("simulated crash in bucket publish")
         return real(src, dst)
 
     monkeypatch.setattr(os, "rename", crashing)
 
 
-def test_crash_between_renames_restores_bucket(spark, tmp_path, monkeypatch):
-    # crash on rename #2: bucket 1's live dir was moved to __old_ but the
-    # new dir never landed — the worst window (bucket missing on disk)
+@pytest.mark.parametrize("k", [1, 3])
+def test_crash_before_commit_reads_exact_old_snapshot(spark, tmp_path,
+                                                      monkeypatch, k):
+    # crash on the k-th bucket move: some new dirs landed, but the
+    # manifest was never replaced — readers stay on the FULL pre-merge
+    # snapshot (strictly stronger than the old mixed-version guarantee)
     t, src, expected = _make(spark, tmp_path)
     before = _rows(t.read())
-    _crash_at_bucket_rename(monkeypatch, 2)
+    manifest_before = json.load(open(os.path.join(t.path, "_manifest.json")))
+    _crash_at_bucket_rename(monkeypatch, k)
     with pytest.raises(OSError, match="simulated crash"):
         t.merge_upsert(src)
     monkeypatch.undo()
 
-    # the read resolves the orphaned __old_ dir (live dir missing) to the
-    # bucket's pre-merge rows: full pre-merge state, every key once
-    assert _rows(t.read()) == before
-    # ...and the read did NOT mutate the directory — the stray dir stays
-    assert any("__old_" in n for n in os.listdir(t.path))
+    assert json.load(open(os.path.join(t.path, "_manifest.json"))) \
+        == manifest_before                      # commit never happened
+    assert _rows(t.read()) == before            # exact old snapshot
+    listing_after_crash = _listing(t.path)
+    _rows(t.read())
+    assert _listing(t.path) == listing_after_crash   # reads never mutate
 
-    t.merge_upsert(src)                       # re-run repairs + converges
+    t.merge_upsert(src)                         # re-run converges + GCs
     assert _rows(t.read()) == expected
-    assert not any("__old_" in n for n in os.listdir(t.path))
+    live = set(json.load(open(os.path.join(t.path, "_manifest.json")))
+               ["buckets"].values())
+    orphans = [n for n in _listing(t.path)
+               if os.path.isdir(os.path.join(t.path, n)) and n not in live]
+    assert orphans == []
 
 
-def test_crash_mid_loop_leaves_mixed_but_complete_table(spark, tmp_path,
-                                                        monkeypatch):
-    # crash on rename #3: bucket 1 fully swapped (new), bucket 2 untouched
-    # (raise replaces its dst->old move) — a mixed-version table
-    t, src, expected = _make(spark, tmp_path)
-    before = _rows(t.read())
-    _crash_at_bucket_rename(monkeypatch, 3)
-    with pytest.raises(OSError, match="simulated crash"):
-        t.merge_upsert(src)
-    monkeypatch.undo()
-
-    got = _rows(t.read())
-    # every pre-existing key still present exactly once; each value is
-    # either its pre-merge or post-merge version, never lost
-    for k, v in got.items():
-        assert v == before.get(k, expected[k]) or v == expected[k]
-    assert set(before) <= set(got)
-
-    t.merge_upsert(src)
-    assert _rows(t.read()) == expected
-
-
-def test_leftover_old_dir_is_dropped(spark, tmp_path, monkeypatch):
-    # crash after the new dir is live but before the old copy is removed:
-    # simulate by making rmtree a no-op during the merge
+def test_crash_after_commit_reads_exact_new_snapshot(spark, tmp_path,
+                                                     monkeypatch):
+    # crash between the manifest commit and GC: simulate by making rmtree
+    # a no-op during the merge — stale dirs remain but are unreferenced
     import shutil as _shutil
     t, src, expected = _make(spark, tmp_path)
     monkeypatch.setattr(_shutil, "rmtree", lambda *a, **kw: None)
     t.merge_upsert(src)
     monkeypatch.undo()
-    assert any("__old_" in n for n in os.listdir(t.path))  # crash artifact
 
-    # the live dir wins: reads see exactly the merged state (no double
-    # count from the stale copy) and leave the directory untouched
+    m = json.load(open(os.path.join(t.path, "_manifest.json")))
+    live = set(m["buckets"].values())
+    orphans = [n for n in _listing(t.path)
+               if os.path.isdir(os.path.join(t.path, n)) and n not in live]
+    assert orphans                               # crash artifacts present
+    assert _rows(t.read()) == expected           # but invisible to reads
+
+    listing = _listing(t.path)
+    _rows(t.read())
+    assert _listing(t.path) == listing           # reads never mutate
+
+    t.repair()                                   # explicit GC
+    assert all(not os.path.isdir(os.path.join(t.path, n))
+               or n in live for n in _listing(t.path))
     assert _rows(t.read()) == expected
-    assert any("__old_" in n for n in os.listdir(t.path))
 
-    # explicit repair drops the superseded copies
-    t.repair()
+
+def test_interrupted_ops_accumulate_then_converge(spark, tmp_path,
+                                                  monkeypatch):
+    # two successive crashes at different points, then a clean run: the
+    # table converges to the uninterrupted result and every orphan from
+    # both failed attempts is collected
+    t, src, expected = _make(spark, tmp_path)
+    for k in (2, 1):
+        _crash_at_bucket_rename(monkeypatch, k)
+        with pytest.raises(OSError, match="simulated crash"):
+            t.merge_upsert(src)
+        monkeypatch.undo()
+    t.merge_upsert(src)
+    assert _rows(t.read()) == expected
+    live = set(json.load(open(os.path.join(t.path, "_manifest.json")))
+               ["buckets"].values())
+    orphans = [n for n in _listing(t.path)
+               if os.path.isdir(os.path.join(t.path, n)) and n not in live]
+    assert orphans == []
+
+
+def test_legacy_hive_layout_migrates_in_place(spark, tmp_path):
+    # a pre-manifest table (hive dirs, no _manifest.json, plus a stray
+    # __old_ crash artifact of the old rename-pair swap) reads via the
+    # legacy fallback and migrates on the first maintenance op
+    t, src, expected = _make(spark, tmp_path)
+    before = _rows(t.read())
+    manifest = os.path.join(t.path, "_manifest.json")
+    os.remove(manifest)
+    # fabricate an old-scheme crash artifact: superseded old copy
+    bucket_dirs = [n for n in os.listdir(t.path) if n.startswith("__bucket=")]
+    stray = os.path.join(t.path, bucket_dirs[0] + "__old_deadbeef")
+    os.makedirs(stray)
+
+    assert _rows(t.read()) == before             # legacy fallback read
+    assert not os.path.exists(manifest)          # ...which never migrates
+
+    t.merge_upsert(src)                          # first op migrates
+    assert os.path.exists(manifest)
+    assert _rows(t.read()) == expected
     assert not any("__old_" in n for n in os.listdir(t.path))
-    assert _rows(t.read()) == expected

@@ -14,32 +14,51 @@ are set-based:
 - ``overwrite``     = truncate-and-load (K3).
 - ``append_dedup``  = insert only keys not already present (K5/J4).
 
-Scale design — bucket-pruned maintenance: with ``buckets=N`` the table
-is laid out as ``path/__bucket=B/`` subdirs, B = pmod(hash(key), N)
-(Spark's deterministic murmur3). Every maintenance op then
+Scale design — bucket-pruned maintenance with MANIFEST COMMITS: with
+``buckets=N`` the table is a set of immutable bucket directories plus
+one ``_manifest.json`` mapping bucket id -> live directory name
+(B = pmod(hash(key), N), Spark's deterministic murmur3) — the same
+commit-log idea Delta/Iceberg implement, reduced to one atomic file
+replace. Every maintenance op
 
   1. computes the source's touched buckets (<= N distinct values —
      a bounded collect),
-  2. reads ONLY those buckets of the target (partition pruning on the
-     ``__bucket`` directory column),
-  3. merges and rewrites ONLY those bucket directories (atomic per-bucket
-     rename). Untouched buckets' files are never opened or rewritten.
+  2. reads ONLY the touched buckets' directories (file pruning by
+     manifest lookup — untouched buckets' files are never opened),
+  3. writes each merged bucket to a NEW directory, then commits the
+     updated mapping via ``os.replace`` of the manifest — the single
+     atomic visibility point — and only then deletes replaced dirs.
 
-A daily upsert touching K symbols therefore costs O(K/N * table), not
-O(table) — the poor-man's file pruning that Delta/Iceberg would provide
-transactionally (there the same call sites become ``MERGE INTO`` with
-file skipping + deletion vectors). Unbucketed mode (``buckets=None``)
-keeps the simple whole-directory atomic swap; the cross-bucket rename
-window in bucketed mode is the documented parquet-fallback tradeoff.
+Readers resolve the manifest once at plan time, so every read is a
+consistent SNAPSHOT: a crash at any point of a maintenance op leaves
+either the old manifest (new dirs are invisible orphans, GC'd by the
+next op) or the new one (stale dirs are orphans likewise) — never a
+mixed-version or half-visible table. Single-writer is assumed (as in
+the reference's cron serialization); the one residual race is a reader
+that resolved the OLD manifest and is still scanning while the writer
+GCs those directories post-commit — Delta/Iceberg solve that with
+retention windows on the log, which is the remaining reason to swap
+this class for a real table format when the package is available (the
+call sites are MERGE-shaped either way).
 
-At 100 TB: size N so a bucket ~ a few GB (e.g. N=8192 for symbol keys);
-the merge join shuffles only the touched slice, and both sides hash on
-the same key so AQE plans a co-located join.
+A daily upsert touching K symbols costs O(K/N * table), not O(table).
+At 100 TB: size N so a bucket ~ a few GB (e.g. N=8192 for symbol
+keys); the merge join shuffles only the touched slice, and both sides
+hash on the same key so AQE plans a co-located join. The manifest
+itself stays O(N) bytes — list-free planning, no directory walks on
+the read path.
+
+Pre-manifest tables (hive-style ``path/__bucket=B/`` layout, including
+its historical crash states) are migrated in place by the first
+maintenance op; manifest-less reads fall back to the legacy resolution
+(read-only).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import shutil
 import uuid
 
@@ -48,6 +67,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BUCKET_COL = "__bucket"
+_MANIFEST = "_manifest.json"
+_NEWDIR_RE = re.compile(r"^b\d+-[0-9a-f]{8}$")   # manifest-era bucket dirs
 
 
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -83,45 +104,87 @@ class ParquetTable:
         if not os.path.isdir(self.path):
             return False
         names = os.listdir(self.path)
-        return ("_SUCCESS" in names
+        return (_MANIFEST in names
+                or "_SUCCESS" in names
                 or any(n.endswith(".parquet") for n in names)
                 or any(n.startswith(f"{_BUCKET_COL}=") for n in names))
 
     def read(self) -> DataFrame:
+        """Snapshot read: resolves the manifest once at plan time, so the
+        frame sees exactly one committed version regardless of concurrent
+        maintenance. Read-only — crash housekeeping lives on the write
+        path (``repair``)."""
         if not self.exists():
             return self.spark.createDataFrame([], self.schema)
-        return self._read_raw().drop(_BUCKET_COL) if self.buckets else \
-            self.spark.read.schema(self.schema).parquet(self.path)
+        if not self.buckets:
+            return self.spark.read.schema(self.schema).parquet(self.path)
+        m = self._load_manifest()
+        if m is None:                          # pre-manifest legacy layout
+            return self._read_raw().drop(_BUCKET_COL)
+        dirs = [os.path.join(self.path, d) for d in m["buckets"].values()]
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*dirs)
+
+    # -- manifest (the commit log, one atomic file) --------------------------
+
+    def _manifest_file(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _load_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_file()) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+
+    def _commit_manifest(self, buckets: dict[str, str], version: int) -> dict:
+        """THE atomic visibility point: fsync a temp manifest, then
+        ``os.replace`` it over the live one. Every directory change
+        before this call is invisible to readers; everything after it
+        (deleting replaced dirs) is garbage collection."""
+        m = {"format": 2, "version": version, "buckets": buckets}
+        tmp = os.path.join(self.path, f"_manifest_tmp_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._manifest_file())
+        return m
 
     def repair(self) -> None:
-        """Crash recovery for the bucket swap (``_rewrite_touched_buckets``
-        renames ``__bucket=B`` -> ``__bucket=B__old_x`` then the new dir
-        into place, then removes the old copy).  A crash in that window
-        leaves one of two states, both repaired here:
+        """Write-path housekeeping, run at the start of every bucketed
+        maintenance op (single-writer context) and callable explicitly:
 
-        - old dir present, live dir MISSING (crashed between the two
-          renames): restore the old dir — the bucket reverts to its
-          pre-merge content and re-running the maintenance op converges
-          (MERGE is idempotent).
-        - old dir AND live dir present (crashed before cleanup): drop the
-          old copy — the new bucket is already live.
+        - no manifest yet: migrate a legacy hive layout in place —
+          resolve its historical crash states (``__old_`` strays), then
+          commit a version-1 manifest referencing the existing dirs;
+        - with a manifest: delete orphan bucket directories nothing
+          references (the leftovers of a maintenance op that crashed
+          before or after its commit — invisible to readers either way).
 
-        This is a WRITE-path op: it runs at the start of every bucketed
-        maintenance op (single-writer context) and may be invoked
-        explicitly, but never from ``read()`` — a reader that observed a
-        healthy in-flight swap mid-window would otherwise "restore" the
-        old dir and abort the writer's rename.  Until the next
-        maintenance op runs, a post-crash ``read()`` still returns every
-        key exactly once: the stray ``__bucket=B__old_x`` dir surfaces
-        through partition discovery (its unparseable partition value
-        try_casts to a NULL ``__bucket``), carrying the bucket's
-        pre-merge rows.
-
-        Buckets the interrupted op never reached keep their old content —
-        reads stay consistent, merely mixed-version until the op is
-        re-run."""
+        Never called from ``read()``: reads are snapshot-consistent by
+        manifest resolution alone and must not mutate the directory."""
         if not os.path.isdir(self.path):
             return
+        m = self._load_manifest()
+        if m is None:
+            self._repair_legacy()
+            mapping = {n.split("=", 1)[1]: n for n in os.listdir(self.path)
+                       if n.startswith(f"{_BUCKET_COL}=")}
+            m = self._commit_manifest(mapping, 1)
+        live = set(m["buckets"].values())
+        for n in os.listdir(self.path):
+            full = os.path.join(self.path, n)
+            if n in live or not os.path.isdir(full):
+                continue
+            if n.startswith(f"{_BUCKET_COL}=") or _NEWDIR_RE.match(n):
+                shutil.rmtree(full, ignore_errors=True)
+
+    def _repair_legacy(self) -> None:
+        """Resolve pre-manifest crash states (the old rename-pair swap
+        left ``__bucket=B__old_x`` strays): restore a moved-away bucket
+        whose live dir is missing, drop a superseded old copy."""
         for name in os.listdir(self.path):
             if not name.startswith(f"{_BUCKET_COL}=") or "__old_" not in name:
                 continue
@@ -133,13 +196,12 @@ class ParquetTable:
                 os.rename(old, live)
 
     def _read_raw(self) -> DataFrame:
-        """Bucketed read keeping the ``__bucket`` directory column (the
-        partition-pruning handle). Read-only — crash repair happens on
-        the write path (see ``repair``); crash leftovers are RESOLVED here
-        without touching disk: a live ``__bucket=B`` dir always wins, and
-        a stray ``__bucket=B__old_x`` dir is read only when its live dir
-        is missing (it then carries the bucket's pre-merge rows), so every
-        key reads exactly once in every crash state."""
+        """LEGACY (pre-manifest) bucketed read, keeping the ``__bucket``
+        directory column. Read-only; old-layout crash leftovers are
+        RESOLVED without touching disk: a live ``__bucket=B`` dir always
+        wins, and a stray ``__bucket=B__old_x`` dir is read only when its
+        live dir is missing (it then carries the bucket's pre-merge
+        rows), so every key reads exactly once in every crash state."""
         names = os.listdir(self.path) if os.path.isdir(self.path) else []
         stray = [n for n in names
                  if n.startswith(f"{_BUCKET_COL}=") and "__old_" in n]
@@ -194,43 +256,67 @@ class ParquetTable:
         os.rename(tmp, self.path)
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
+        if self.buckets:
+            # seed the manifest from the fresh hive layout; a crash before
+            # this point leaves a manifest-less dir that reads via the
+            # legacy fallback and migrates on the next maintenance op
+            mapping = {n.split("=", 1)[1]: n for n in os.listdir(self.path)
+                       if n.startswith(f"{_BUCKET_COL}=")}
+            self._commit_manifest(mapping, 1)
+
+    def _read_slice(self, mapping: dict[str, str],
+                    bucket_ids: list[int]) -> DataFrame:
+        """Read only the named buckets' directories — file pruning by
+        manifest lookup, no directory listing or partition discovery."""
+        dirs = [os.path.join(self.path, mapping[str(b)])
+                for b in bucket_ids if str(b) in mapping]
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*dirs)
 
     def _rewrite_touched_buckets(self, src: DataFrame, combine) -> None:
         """Bucket-pruned maintenance: read only the buckets the source
-        touches, apply ``combine(tgt_slice, src)``, atomically swap only
-        those bucket directories. Untouched buckets are never read or
-        rewritten."""
-        # Repair before reading the touched slice: a stray __old_ dir's
-        # rows carry a NULL __bucket and would dodge the isin() pruning
-        # filter below — repairing first restores them to their bucket.
-        self.repair()
+        touches, apply ``combine(tgt_slice, src)``, write each merged
+        bucket to a NEW directory, then publish every change at once by
+        committing the updated manifest. Untouched buckets are never
+        read or rewritten; replaced directories are deleted only AFTER
+        the commit (a crash anywhere leaves orphans, never a torn
+        table)."""
+        self.repair()        # migrate legacy layout / GC prior-crash orphans
+        m = self._load_manifest()
+        mapping, version = dict(m["buckets"]), int(m["version"])
         src = src.withColumn(_BUCKET_COL, self._bucket_expr())
         touched = sorted(r[0] for r in
                          src.select(_BUCKET_COL).distinct().collect())
         if not touched:
             return
-        tgt = (self._read_raw()
-               .where(F.col(_BUCKET_COL).isin([int(b) for b in touched]))
-               .drop(_BUCKET_COL))
+        tgt = self._read_slice(mapping, [int(b) for b in touched])
         merged = combine(tgt, src.drop(_BUCKET_COL))
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         align_to_schema(merged, self.schema) \
             .withColumn(_BUCKET_COL, self._bucket_expr()) \
             .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(tmp)
+        stale: list[str] = []
         try:
             for b in touched:
                 new_dir = os.path.join(tmp, f"{_BUCKET_COL}={b}")
-                dst_dir = os.path.join(self.path, f"{_BUCKET_COL}={b}")
-                if not os.path.isdir(new_dir):
-                    continue                   # nothing landed in this bucket
-                old = f"{dst_dir}__old_{uuid.uuid4().hex[:8]}"
-                if os.path.isdir(dst_dir):
-                    os.rename(dst_dir, old)
-                os.rename(new_dir, dst_dir)
-                if os.path.isdir(old):
-                    shutil.rmtree(old, ignore_errors=True)
+                key = str(b)
+                if os.path.isdir(new_dir):
+                    name = f"b{b}-{uuid.uuid4().hex[:8]}"
+                    os.rename(new_dir, os.path.join(self.path, name))
+                    if key in mapping:
+                        stale.append(mapping[key])
+                    mapping[key] = name
+                elif key in mapping:
+                    # combine produced no rows for this bucket: it is now
+                    # empty — unmap it (keeping the old dir would resurrect
+                    # rows the merged frame deleted)
+                    stale.append(mapping.pop(key))
+            self._commit_manifest(mapping, version + 1)   # atomic publish
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+        for d in stale:      # post-commit GC; a crash here leaves orphans
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     def overwrite(self, df: DataFrame) -> None:
         """K3 truncate-and-load."""
