@@ -149,6 +149,57 @@ def test_interrupted_ops_accumulate_then_converge(spark, tmp_path,
     assert orphans == []
 
 
+def test_stale_commit_version_is_rejected(spark, tmp_path):
+    # committing against a version that is no longer current must raise
+    # (optimistic concurrency), not silently clobber the newer commit
+    t, src, _ = _make(spark, tmp_path)            # seeds version 1
+    t.merge_upsert(src)                           # -> version 2
+    m = json.load(open(os.path.join(t.path, "_manifest.json")))
+    assert m["version"] == 2
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t._commit_manifest(m["buckets"], 2)       # planned against v1
+    assert json.load(open(os.path.join(t.path, "_manifest.json"))) == m
+
+
+def test_interleaved_writer_detected_not_clobbered(spark, tmp_path):
+    # writer B commits (to a DIFFERENT bucket) while writer A is between
+    # planning and commit: A must fail its commit loudly — losing B's
+    # update silently is the one unacceptable outcome — and the table
+    # stays exactly at B's committed state
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "tbl"), SCHEMA, "symbol",
+                     buckets=64)
+    t.overwrite(spark.createDataFrame(
+        [(f"S{i:03d}", float(i)) for i in range(40)], SCHEMA))
+    # pick two keys that hash to different buckets (deterministic probe)
+    cands = [f"K{i}" for i in range(20)]
+    bks = {r["k"]: r["b"] for r in spark.createDataFrame(
+        [(k,) for k in cands], "k string").select(
+        "k", F.pmod(F.hash("k"), F.lit(64)).alias("b")).collect()}
+    k_a = cands[0]
+    k_b = next(k for k in cands if bks[k] != bks[k_a])
+
+    t2 = ParquetTable(spark, t.path, SCHEMA, "symbol", buckets=64)
+    src_a = spark.createDataFrame([(k_a, 1.0)], SCHEMA)
+    src_b = spark.createDataFrame([(k_b, 2.0)], SCHEMA)
+
+    def sneaky_combine(tgt, s):
+        t2.merge_upsert(src_b)                    # B lands mid-flight
+        return tgt.unionByName(s)
+
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t.merge_with(src_a, sneaky_combine)
+    got = _rows(t.read())
+    assert got[k_b] == 2.0                        # B's commit survives
+    assert k_a not in got                         # A's never published
+    t.repair()                                    # A's orphan dirs collected
+    live = set(json.load(open(os.path.join(t.path, "_manifest.json")))
+               ["buckets"].values())
+    assert all(n in live for n in _listing(t.path)
+               if os.path.isdir(os.path.join(t.path, n)))
+
+
 def test_legacy_hive_layout_migrates_in_place(spark, tmp_path):
     # a pre-manifest table (hive dirs, no _manifest.json, plus a stray
     # __old_ crash artifact of the old rename-pair swap) reads via the

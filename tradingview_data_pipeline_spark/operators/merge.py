@@ -142,7 +142,20 @@ class ParquetTable:
         """THE atomic visibility point: fsync a temp manifest, then
         ``os.replace`` it over the live one. Every directory change
         before this call is invisible to readers; everything after it
-        (deleting replaced dirs) is garbage collection."""
+        (deleting replaced dirs) is garbage collection.
+
+        Optimistic concurrency check (Delta's commit protocol in
+        miniature): the on-disk version must still be the one this op
+        planned against (``version - 1``); another writer's interleaved
+        commit raises instead of silently losing its update. Version 1
+        commits (seed/migration) assert no manifest exists yet."""
+        cur = self._load_manifest()
+        cur_version = 0 if cur is None else int(cur["version"])
+        if cur_version != version - 1:
+            raise RuntimeError(
+                f"concurrent commit detected on {self.path}: planned "
+                f"against version {version - 1}, found {cur_version} — "
+                f"re-run the maintenance op (MERGE is idempotent)")
         m = {"format": 2, "version": version, "buckets": buckets}
         tmp = os.path.join(self.path, f"_manifest_tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
