@@ -81,3 +81,43 @@ def test_full_dag(spark, tmp_path):
 def test_missing_download_is_noop(spark, tmp_path):
     tables = jobs.warehouse_tables(spark, str(tmp_path / "wh2"))
     assert jobs.run_technical_upload(spark, str(tmp_path / "empty"), tables) == 0
+
+
+def test_cli_reports_job_status_to_webhook(spark, tmp_path, monkeypatch):
+    """CLI e2e: `jobs technical --webhook-url ...` runs the pipeline and
+    delivers the ✅ report (reference run_technical.sh wrapper parity)."""
+    import http.server
+    import json
+    import threading
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            received.append(json.loads(self.rfile.read(n)))
+            self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        downloads = tmp_path / "dl"
+        downloads.mkdir()
+        _write_csv(downloads / "Technicals_1.csv", schemas.TECHNICAL_HEADER_MAP)
+        # the CLI owns a session in production; under the shared test
+        # fixture its stop() must not tear the fixture down
+        monkeypatch.setattr(type(spark), "stop", lambda self: None)
+        jobs.main(["technical", "--downloads-dir", str(downloads),
+                   "--warehouse", str(tmp_path / "wh"),
+                   "--webhook-url",
+                   f"http://127.0.0.1:{srv.server_port}/hook"])
+    finally:
+        srv.shutdown()
+    assert len(received) == 1
+    msg = received[0]["content"]
+    assert "✅ **Technical Pipeline Success**" in msg
+    assert "stock_data_rows: 30" in msg
