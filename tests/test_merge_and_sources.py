@@ -120,6 +120,23 @@ def test_bucketed_ops_match_unbucketed_semantics(spark, tmp_path):
         "A": (11.0, 5.0), "B": (21.0, 6.0), "C": (30.0, None), "D": (2.0, 2.0)}
 
 
+def test_read_key_scans_single_bucket(spark, tmp_path):
+    path = str(tmp_path / "pk")
+    t = ParquetTable(spark, path, SCHEMA, key="symbol", buckets=8)
+    t.overwrite(spark.createDataFrame(
+        [(f"SYM{i}", float(i), float(i) / 2) for i in range(40)], SCHEMA))
+    df = t.read_key("SYM7")
+    assert [(r["symbol"], r["price"]) for r in df.collect()] == [("SYM7", 7.0)]
+    # the plan reads exactly one bucket directory, not the table
+    dirs = {os.path.dirname(f.replace("file:", "")) for f in df.inputFiles()}
+    assert len(dirs) == 1
+    assert t.read_key("ABSENT").count() == 0
+    # unbucketed fallback
+    tu = ParquetTable(spark, str(tmp_path / "pku"), SCHEMA, key="symbol")
+    tu.overwrite(spark.createDataFrame([("A", 1.0, 2.0)], SCHEMA))
+    assert tu.read_key("A").count() == 1
+
+
 def test_bucketed_insert_creates_new_bucket_dir(spark, tmp_path):
     path = str(tmp_path / "nb")
     t = ParquetTable(spark, path, SCHEMA, key="symbol", buckets=64)

@@ -126,6 +126,23 @@ class ParquetTable:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*dirs)
 
+    def read_key(self, value) -> DataFrame:
+        """Point lookup: rows whose key equals ``value``, scanning ONLY
+        that key's bucket directory (same murmur3 bucket expr evaluated
+        on the literal, then a manifest lookup) — O(bucket) instead of
+        O(table) for key-equality reads. Falls back to a filtered full
+        read for unbucketed or pre-manifest tables."""
+        key_type = self.schema[self.key].dataType
+        pred = F.col(self.key) == F.lit(value).cast(key_type)
+        m = self._load_manifest() if self.buckets else None
+        if m is None:
+            return self.read().where(pred)
+        b = self.spark.range(1).select(
+            F.pmod(F.hash(F.lit(value).cast(key_type)),
+                   F.lit(self.buckets)).cast("int").alias("b")
+        ).collect()[0]["b"]
+        return self._read_slice(m["buckets"], [b]).where(pred)
+
     # -- manifest (the commit log, one atomic file) --------------------------
 
     def _manifest_file(self) -> str:
