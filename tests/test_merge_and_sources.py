@@ -120,6 +120,38 @@ def test_bucketed_ops_match_unbucketed_semantics(spark, tmp_path):
         "A": (11.0, 5.0), "B": (21.0, 6.0), "C": (30.0, None), "D": (2.0, 2.0)}
 
 
+def test_random_op_sequence_bucketed_matches_unbucketed(spark, tmp_path):
+    """Property: any sequence of maintenance ops leaves the manifest-
+    committed bucketed table equal to the unbucketed reference (which is
+    a plain whole-directory swap) — the layout must never leak into
+    semantics."""
+    import random
+    rng = random.Random(42)
+    tb = ParquetTable(spark, str(tmp_path / "rb"), SCHEMA, "symbol", buckets=4)
+    tu = ParquetTable(spark, str(tmp_path / "ru"), SCHEMA, "symbol")
+
+    def frame(n_lo, n_hi, val):
+        ks = rng.sample(range(30), rng.randint(n_lo, n_hi))
+        return spark.createDataFrame(
+            [(f"K{k:02d}", val + k, val / 2 + k) for k in ks], SCHEMA)
+
+    for step in range(10):
+        op = rng.choice(["upsert", "append", "update", "overwrite"])
+        df = frame(1, 6, float(step * 100))
+        for t in (tb, tu):
+            if op == "upsert":
+                t.merge_upsert(df)
+            elif op == "append":
+                t.append_dedup(df)
+            elif op == "update":
+                t.update_where(df)
+            else:
+                t.overwrite(df)
+        got_b = {r["symbol"]: (r["price"], r["pe"]) for r in tb.read().collect()}
+        got_u = {r["symbol"]: (r["price"], r["pe"]) for r in tu.read().collect()}
+        assert got_b == got_u, f"diverged after step {step} ({op})"
+
+
 def test_read_key_scans_single_bucket(spark, tmp_path):
     path = str(tmp_path / "pk")
     t = ParquetTable(spark, path, SCHEMA, key="symbol", buckets=8)
