@@ -89,6 +89,41 @@ def test_simhash_forms_agree_and_hamming(spark):
     assert d12 < d13                         # similar docs closer in Hamming space
 
 
+def test_incremental_neardup_index(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    other = "completely different content about spark window aggregation internals"
+    path = str(tmp_path / "ix")
+    idx = dd.IncrementalNearDupIndex(spark, path, buckets=4)
+
+    p1 = {(r["doc_a"], r["doc_b"]) for r in idx.add_and_find(
+        spark.createDataFrame([(1, base), (2, other)],
+                              "doc_id long, text string")).collect()}
+    assert p1 == set()                        # unrelated docs: no pairs
+
+    # batch 2: exact copies of both -> cross pairs against the INDEX,
+    # and the old×old pair (1,2) must never be (re)reported
+    p2 = {(r["doc_a"], r["doc_b"]) for r in idx.add_and_find(
+        spark.createDataFrame([(3, base), (4, other)],
+                              "doc_id long, text string")).collect()}
+    assert {(1, 3), (2, 4)} <= p2
+    assert (1, 2) not in p2
+
+    # persistence: a fresh handle on the same path knows docs 1-4;
+    # incremental cost excludes the (1,3) pair already reported
+    idx2 = dd.IncrementalNearDupIndex(spark, path, buckets=4)
+    p3 = {(r["doc_a"], r["doc_b"]) for r in idx2.add_and_find(
+        spark.createDataFrame([(5, base)],
+                              "doc_id long, text string")).collect()}
+    assert {(1, 5), (3, 5)} <= p3
+    assert (1, 3) not in p3 and (2, 4) not in p3
+
+    # re-adding a doc refreshes its signature instead of duplicating it
+    assert idx2.table.read().count() == 5
+    idx2.add_and_find(spark.createDataFrame(
+        [(5, other)], "doc_id long, text string"))
+    assert idx2.table.read().count() == 5
+
+
 def test_simhash_banded_retrieval_pigeonhole_and_filter(spark):
     # synthetic signatures injected via sigs= to pin the banding math
     # (60 bits, 4 bands of 15): distance <= 3 always shares a band and is

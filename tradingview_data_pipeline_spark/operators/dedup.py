@@ -119,6 +119,21 @@ def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
 LSH_MAX_BUCKET_DEFAULT = 1000
 
 
+def _banded_signatures(g: DataFrame, id_col: str, k: int,
+                       bands: int) -> DataFrame:
+    """(id, m0..m{k-1}) -> (id, band, bh): md5 of the ':'-joined band
+    slice, one output row per band."""
+    rows_per_band = k // bands
+    entries = []
+    for b in range(bands):
+        cols = ", ".join(f"CAST(m{b * rows_per_band + i} AS STRING)"
+                         for i in range(rows_per_band))
+        entries.append(f"CAST({b} AS INT), md5(concat_ws(':', {cols}))")
+    return g.select(
+        F.col(id_col),
+        F.expr(f"stack({bands}, {', '.join(entries)}) AS (band, bh)"))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         *, k: int = 8, bands: int = 4,
                         shingles: DataFrame | None = None,
@@ -146,16 +161,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     Cost: one map-side-combined count over the (id, band, bh) frame and
     a broadcast anti-join against the (tiny) over-cap bucket list.
     """
-    rows_per_band = k // bands
     g = _minhash_agg(df, id_col, text_col, k, shingles=shingles)
-    entries = []
-    for b in range(bands):
-        cols = ", ".join(f"CAST(m{b * rows_per_band + i} AS STRING)"
-                         for i in range(rows_per_band))
-        entries.append(f"CAST({b} AS INT), md5(concat_ws(':', {cols}))")
-    banded = g.select(
-        F.col(id_col),
-        F.expr(f"stack({bands}, {', '.join(entries)}) AS (band, bh)"))
+    banded = _banded_signatures(g, id_col, k, bands)
     if max_bucket is not None:
         over = (banded.groupBy("band", "bh")
                 .agg(F.count(F.lit(1)).alias("__n"))
@@ -442,6 +449,83 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 10,
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still moving) — raise max_iter")
     return labels
+
+
+class IncrementalNearDupIndex:
+    """Near-dup candidate detection for an APPEND-ONLY corpus without
+    recomputing old pairs: MinHash signatures persist in a keyed
+    ``ParquetTable`` (manifest-committed), and each new batch
+
+      1. computes its signatures once (k BIGINT minhashes — tens of
+         bytes per doc regardless of document size),
+      2. band-joins new∪stored banded hashes, keeping only pairs with a
+         NEW member (old×old pairs were reported when those docs
+         arrived — the flag join prunes them, so incremental cost is
+         O(batch × collision rate), never O(corpus²)),
+      3. upserts the new signatures (idempotent: re-adding a doc
+         refreshes its signature).
+
+    The index deliberately stores no payloads; exact Jaccard
+    verification of the returned candidates needs the texts and stays
+    with the caller (``jaccard_verify``). The same ``max_bucket`` guard
+    caps degenerate buckets across the combined old+new frame. At
+    corpus scale, bucket the signature table (``buckets=N``) so the
+    upsert rewrites only touched buckets.
+
+    Reference parity: the reference re-scans its whole news table to
+    skip already-seen URLs per run (newsflow_scraper.py:243-293); this
+    is the near-dup generalization with O(new) incremental work.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, *, k: int = 8,
+                 bands: int = 4,
+                 max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                 buckets: int | None = None):
+        from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+        assert k % bands == 0
+        self.k, self.bands, self.max_bucket = k, bands, max_bucket
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType())]
+            + [T.StructField(f"m{j}", T.LongType()) for j in range(k)])
+        self.table = ParquetTable(spark, path, schema, "doc_id",
+                                  buckets=buckets)
+
+    def add_and_find(self, df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+        """Register a batch; return DISTINCT candidate pairs
+        (doc_a < doc_b) where at least one side is from this batch."""
+        new_sigs = _minhash_agg(
+            df.select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(text_col)),
+            "doc_id", text_col, self.k)
+        stored = self.table.read()
+        new_ids = new_sigs.select("doc_id")
+        combined = (
+            _banded_signatures(stored.join(new_ids, "doc_id", "left_anti"),
+                               "doc_id", self.k, self.bands)
+            .withColumn("is_new", F.lit(False))
+            .unionByName(
+                _banded_signatures(new_sigs, "doc_id", self.k, self.bands)
+                .withColumn("is_new", F.lit(True))))
+        if self.max_bucket is not None:
+            over = (combined.groupBy("band", "bh")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .where(F.col("__n") > self.max_bucket)
+                    .select("band", "bh"))
+            combined = combined.join(F.broadcast(over), ["band", "bh"],
+                                     "left_anti")
+        a, b = combined.alias("a"), combined.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("a.is_new") | F.col("b.is_new")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+        pairs = pairs.localCheckpoint(eager=True)   # pin before the upsert
+        self.table.merge_upsert(new_sigs)
+        return pairs
 
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
