@@ -9,7 +9,7 @@ from tradingview_data_pipeline_spark.operators.merge import ParquetTable
 from tradingview_data_pipeline_spark.schemas import NEWS_SCHEMA
 from tradingview_data_pipeline_spark.streaming.file_ingest import stream_csv_to_table
 from tradingview_data_pipeline_spark.streaming.news_dedup import (
-    normalize_news, stream_news_to_table,
+    normalize_news, stream_neardup_candidates, stream_news_to_table,
 )
 
 SCHEMA = T.StructType([
@@ -93,3 +93,48 @@ def test_stream_news_dedup(spark, tmp_path):
     q.awaitTermination(120)
     urls = sorted(r["article_url"] for r in table.read().collect())
     assert len(urls) == 3 and urls[0].endswith("/news/a")
+
+
+def test_stream_neardup_candidates_across_batches(spark, tmp_path):
+    """Streaming near-dup: candidate pairs span micro-batch boundaries
+    via the persisted signature index, nothing is re-reported, and the
+    pairs table accumulates with key-dedup."""
+    from tradingview_data_pipeline_spark.operators.dedup import (
+        IncrementalNearDupIndex,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "and runs far away today")
+    other = ("completely different content about spark window "
+             "aggregation internals")
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    schema = "doc_id long, text string"
+    pairs_schema = T.StructType([
+        T.StructField("doc_a", T.LongType()),
+        T.StructField("doc_b", T.LongType()),
+        T.StructField("pair_key", T.StringType()),
+    ])
+    idx = IncrementalNearDupIndex(spark, str(tmp_path / "sig_ix"), buckets=4)
+    pairs_table = ParquetTable(spark, str(tmp_path / "pairs"), pairs_schema,
+                               key="pair_key")
+
+    spark.createDataFrame([(1, base), (2, other)], schema) \
+        .coalesce(1).write.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema).parquet(str(src_dir) + "/*")
+    q = stream_neardup_candidates(stream, idx, pairs_table,
+                                  str(tmp_path / "ckpt_nd"))
+    q.awaitTermination(120)
+    assert pairs_table.read().count() == 0        # unrelated docs
+
+    # second trigger: exact copies pair against FIRST-batch docs through
+    # the index — cross-micro-batch detection with no stream-side state
+    spark.createDataFrame([(3, base), (4, other)], schema) \
+        .coalesce(1).write.parquet(str(src_dir / "b2"))
+    q = stream_neardup_candidates(stream, idx, pairs_table,
+                                  str(tmp_path / "ckpt_nd"))
+    q.awaitTermination(120)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs_table.read().collect()}
+    assert {(1, 3), (2, 4)} <= got
+    assert (1, 2) not in got

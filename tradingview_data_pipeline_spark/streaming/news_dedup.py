@@ -72,3 +72,35 @@ def stream_news_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_neardup_candidates(
+    doc_stream: DataFrame,
+    index,                                  # dedup.IncrementalNearDupIndex
+    pairs_table: ParquetTable,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Streaming near-duplicate detection: each micro-batch registers its
+    documents with the incremental MinHash index and appends the NEW
+    candidate pairs (new-member-only — nothing is re-reported) to a
+    keyed pairs table. Work per trigger is O(batch × collision rate):
+    the signature table carries the whole corpus history, the stream
+    never re-reads it. Restart-safe end-to-end: the checkpoint replays
+    an unacknowledged batch, ``add_and_find`` re-upserts the same
+    signatures (idempotent MERGE), and the pairs sink dedups on the
+    pair key."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = index.add_and_find(batch_df, id_col, text_col)
+        pairs_table.append_dedup(
+            pairs.withColumn("pair_key",
+                             F.concat_ws(":", "doc_a", "doc_b")))
+
+    writer = doc_stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
