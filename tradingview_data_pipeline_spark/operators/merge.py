@@ -195,7 +195,7 @@ class ParquetTable:
 
         Never called from ``read()``: reads are snapshot-consistent by
         manifest resolution alone and must not mutate the directory."""
-        if not os.path.isdir(self.path):
+        if not self.buckets or not os.path.isdir(self.path):
             return
         m = self._load_manifest()
         if m is None:
@@ -206,9 +206,12 @@ class ParquetTable:
         live = set(m["buckets"].values())
         for n in os.listdir(self.path):
             full = os.path.join(self.path, n)
-            if n in live or not os.path.isdir(full):
+            if n in live:
                 continue
-            if n.startswith(f"{_BUCKET_COL}=") or _NEWDIR_RE.match(n):
+            if n.startswith("_manifest_tmp_") and os.path.isfile(full):
+                os.remove(full)                # crashed pre-replace commit
+            elif os.path.isdir(full) and (
+                    n.startswith(f"{_BUCKET_COL}=") or _NEWDIR_RE.match(n)):
                 shutil.rmtree(full, ignore_errors=True)
 
     def _repair_legacy(self) -> None:
