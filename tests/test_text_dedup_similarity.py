@@ -124,6 +124,34 @@ def test_incremental_neardup_index(spark, tmp_path):
     assert idx2.table.read().count() == 5
 
 
+def test_incremental_simhash_index(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    other = "completely different content about spark window aggregation internals"
+    path = str(tmp_path / "shx")
+    idx = dd.IncrementalSimHashIndex(spark, path, buckets=4)
+
+    p1 = {(r["doc_a"], r["doc_b"]) for r in idx.add_and_find(
+        spark.createDataFrame([(1, base), (2, other)],
+                              "doc_id long, text string")).collect()}
+    assert p1 == set()
+
+    # exact copies arrive later: hamming-0 pairs against the INDEX;
+    # the old x old pair is never re-reported
+    p2 = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in idx.add_and_find(
+        spark.createDataFrame([(3, base), (4, other)],
+                              "doc_id long, text string")).collect()}
+    assert p2.get((1, 3)) == 0 and p2.get((2, 4)) == 0
+    assert (1, 2) not in p2
+
+    # persistence across handles; previously-reported pairs excluded
+    idx2 = dd.IncrementalSimHashIndex(spark, path, buckets=4)
+    p3 = {(r["doc_a"], r["doc_b"]) for r in idx2.add_and_find(
+        spark.createDataFrame([(5, base)],
+                              "doc_id long, text string")).collect()}
+    assert {(1, 5), (3, 5)} <= p3 and (1, 3) not in p3
+    assert idx2.table.read().count() == 5
+
+
 def test_simhash_banded_retrieval_pigeonhole_and_filter(spark):
     # synthetic signatures injected via sigs= to pin the banding math
     # (60 bits, 4 bands of 15): distance <= 3 always shares a band and is

@@ -528,6 +528,77 @@ class IncrementalNearDupIndex:
         return pairs
 
 
+class IncrementalSimHashIndex:
+    """Hamming-radius retrieval for an append-only corpus: 60-bit SimHash
+    signatures persist in a keyed ``ParquetTable``; each batch band-joins
+    its chunked signature against new∪stored (new-member-only, like
+    ``IncrementalNearDupIndex``) and returns exact
+    (doc_a, doc_b, hamming <= max_hamming) pairs. Same pigeonhole recall
+    guarantee as ``simhash_candidate_pairs`` (exact within the radius
+    when ``max_hamming <= bands - 1``), same degenerate-bucket cap, 8
+    bytes of state per doc."""
+
+    def __init__(self, spark: SparkSession, path: str, *, bits: int = 60,
+                 bands: int = 4, max_hamming: int = 3,
+                 max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                 buckets: int | None = None):
+        from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+        assert bits % bands == 0 and bits <= SIMHASH_MAX_BITS
+        self.bits, self.bands = bits, bands
+        self.max_hamming, self.max_bucket = max_hamming, max_bucket
+        schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("simhash", T.LongType())])
+        self.table = ParquetTable(spark, path, schema, "doc_id",
+                                  buckets=buckets)
+
+    def _banded(self, sigs: DataFrame, is_new: bool) -> DataFrame:
+        chunk_bits = self.bits // self.bands
+        mask = (1 << chunk_bits) - 1
+        entries = ", ".join(
+            f"CAST({b} AS INT), shiftright(simhash, {b * chunk_bits}) & {mask}"
+            for b in range(self.bands))
+        return (sigs.where(F.col("simhash").isNotNull())
+                .select("doc_id", "simhash",
+                        F.expr(f"stack({self.bands}, {entries})"
+                               " AS (band, chunk)"))
+                .withColumn("is_new", F.lit(is_new)))
+
+    def add_and_find(self, df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+        """Register a batch; return DISTINCT (doc_a < doc_b, hamming)
+        pairs within the radius where at least one side is new."""
+        new_sigs = simhash_table(
+            df.select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(text_col)),
+            "doc_id", text_col, bits=self.bits)
+        stored = self.table.read()
+        combined = self._banded(
+            stored.join(new_sigs.select("doc_id"), "doc_id", "left_anti"),
+            False).unionByName(self._banded(new_sigs, True))
+        if self.max_bucket is not None:
+            over = (combined.groupBy("band", "chunk")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .where(F.col("__n") > self.max_bucket)
+                    .select("band", "chunk"))
+            combined = combined.join(F.broadcast(over), ["band", "chunk"],
+                                     "left_anti")
+        a, b = combined.alias("a"), combined.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        pairs = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("a.is_new") | F.col("b.is_new")))
+            .where(ham <= self.max_hamming)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    ham.alias("hamming"))
+            .distinct()
+            .localCheckpoint(eager=True))      # pin before the upsert
+        self.table.merge_upsert(new_sigs)
+        return pairs
+
+
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
                    *, k: int = 8, bands: int = 4,
                    jaccard_threshold: float = 0.5,
