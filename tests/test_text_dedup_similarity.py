@@ -89,6 +89,30 @@ def test_simhash_forms_agree_and_hamming(spark):
     assert d12 < d13                         # similar docs closer in Hamming space
 
 
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame([
+        (1, "reach me at jo.doe+x@corp.example.com or +91 98765 43210 ok"),
+        (2, "server 192.168.1.7 logged card 4111 1111 1111 1111 at 9pm"),
+        (3, "released on 2026-08-13 with 42 fixes and no pii"),
+        (4, "call (022) 2345 6789 or 555-0123 today"),
+    ], "id long, text string")
+    out = {r["id"]: r for r in df.select(
+        "id", tx.pii_counts(F.col("text")).alias("c"),
+        tx.redact_pii(F.col("text")).alias("r")).collect()}
+    assert out[1]["c"]["email"] == 1 and out[1]["c"]["phone"] == 1
+    assert out[1]["r"] == "reach me at [PII:email] or [PII:phone] ok"
+    assert out[2]["c"]["ipv4"] == 1 and out[2]["c"]["card"] == 1
+    # redaction order: the card-shaped run is card, not phone chunks
+    assert out[2]["r"] == \
+        "server [PII:ipv4] logged card [PII:card] at 9pm"
+    # dates and plain numbers are NOT phone-shaped (3-digit group floor)
+    assert dict(out[3]["c"].asDict()) == \
+        {"email": 0, "ipv4": 0, "card": 0, "phone": 0}
+    assert out[3]["r"] == "released on 2026-08-13 with 42 fixes and no pii"
+    assert out[4]["c"]["phone"] == 2
+    assert out[4]["r"] == "call [PII:phone] or [PII:phone] today"
+
+
 def test_incremental_neardup_index(spark, tmp_path):
     base = "the quick brown fox jumps over the lazy dog and runs far away today"
     other = "completely different content about spark window aggregation internals"

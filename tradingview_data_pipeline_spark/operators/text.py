@@ -147,3 +147,50 @@ def quality_score(col: Column, *, target_len: int = 300) -> Column:
 
 def doc_fingerprint(col: Column) -> Column:
     return F.array_min(F.transform(word_shingles(col), lambda s: md5_hash60(s)))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction — the scrub stage a training-data pipeline
+# runs before corpus export. Pure native regexp expressions (JVM-side,
+# whole-stage codegen; no UDFs): at 100 TB this is a map-only pass whose
+# cost is regex throughput, so the pattern set is deliberately small and
+# anchored. Patterns target the high-precision shapes (emails, IPv4,
+# 13-19-digit card-like runs, intl/US phone shapes); recall-first
+# scrubbing (names, addresses) needs an NER model and is out of scope.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — conservative charset, no quoted locals
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # dotted quad with 1-3 digit octets, word-bounded
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    # 13-19 digits with single separators BETWEEN digits (card-shaped;
+    # run length checked, not Luhn) — separators are never consumed at
+    # the edges, so surrounding spacing survives redaction
+    "card": r"\b\d(?:[ \-]?\d){12,18}\b",
+    # +country or (area) prefixed groups of 3-5 digits: matches
+    # "+91 98765 43210", "555-0123", "(022) 2345 6789"; the 3-digit
+    # minimum per group rejects ISO dates like 2026-08-13
+    "phone": r"(?:\+\d{1,3}[ \-]?)?(?:\(\d{2,4}\)[ \-]?)?\d{3,5}[ \-]\d{3,5}(?:[ \-]\d{3,5})?",
+}
+
+
+def pii_counts(col: Column) -> Column:
+    """struct<email,ipv4,card,phone: int> of match counts — the audit
+    signal (how much PII a doc carries) without rewriting text."""
+    return F.struct(*[
+        F.coalesce(F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))),
+                   F.lit(0)).alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ])
+
+
+def redact_pii(col: Column, *, token: str = "[PII:{kind}]") -> Column:
+    """Replace every PII match with a typed placeholder. Order matters:
+    emails before phones (an email's digits must not be phone-chunked),
+    cards before phones (a spaced 16-digit run is card-shaped first)."""
+    out = col
+    for name in ["email", "ipv4", "card", "phone"]:
+        out = F.regexp_replace(out, PII_PATTERNS[name],
+                               token.format(kind=name))
+    return out
