@@ -60,7 +60,7 @@ def _text_profile_oracle() -> str:
 WITH t AS (SELECT doc_id, lang, text, n_chars, {_TOKS} AS toks, {_TOKS} AS w
            FROM documents),
 b AS (
-  SELECT doc_id, lang, n_chars,
+  SELECT doc_id, lang, n_chars, text,
          len(toks) AS n_tokens,
          CASE WHEN len(toks) > 0
               THEN length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len(toks)
@@ -79,9 +79,20 @@ b AS (
 SELECT doc_id, lang, n_chars, n_tokens, avg_token_len, h_en,
        CASE WHEN {best} = 0 THEN 'und' {cases} END AS predicted_lang,
        len_score * 0.5 + least(sw, 50.0) * 0.8 + least(pr, 20.0) * 0.5 AS quality,
-       fingerprint
+       fingerprint,
+       {_pii_total_sql()} AS n_pii
 FROM b
 """
+
+
+def _pii_total_sql() -> str:
+    """Total PII matches across the pattern set (RE2 ≡ Java for these
+    patterns — no backrefs, no lookaround)."""
+    from tradingview_data_pipeline_spark.operators.text import PII_PATTERNS
+    terms = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat in PII_PATTERNS.values())
+    return f"CAST({terms} AS BIGINT)"
 
 
 @register("q23_text_profile", oracle=_text_profile_oracle())
@@ -109,7 +120,17 @@ def q23_text_profile(spark, sf_dir):
         tx.lang_id_from_hits(hits).alias("predicted_lang"),
         tx.quality_score(F.col("text")).alias("quality"),
         tx.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        _pii_total_col().alias("n_pii"),
     )
+
+
+def _pii_total_col():
+    c = tx.pii_counts(F.col("text"))
+    out = None
+    for name in tx.PII_PATTERNS:
+        term = c[name].cast("bigint")
+        out = term if out is None else out + term
+    return out
 
 
 # ---------------------------------------------------------------------------
