@@ -113,6 +113,19 @@ def test_pii_counts_and_redaction(spark):
     assert out[4]["r"] == "call [PII:phone] or [PII:phone] today"
 
 
+def test_luhn_validation(spark):
+    df = spark.createDataFrame([
+        (1, "4111 1111 1111 1111"),      # valid test number
+        (2, "4111-1111-1111-1112"),      # bad checksum
+        (3, "378282246310005"),          # valid 15-digit amex shape
+        (4, "1234"),                     # too short
+        (5, ""),
+    ], "id long, t string")
+    got = {r["id"]: r["v"] for r in
+           df.select("id", tx.luhn_valid(F.col("t")).alias("v")).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: False}
+
+
 def test_incremental_neardup_index(spark, tmp_path):
     base = "the quick brown fox jumps over the lazy dog and runs far away today"
     other = "completely different content about spark window aggregation internals"

@@ -194,3 +194,25 @@ def redact_pii(col: Column, *, token: str = "[PII:{kind}]") -> Column:
         out = F.regexp_replace(out, PII_PATTERNS[name],
                                token.format(kind=name))
     return out
+
+
+def luhn_valid(col: Column) -> Column:
+    """True when the digit string in ``col`` (separators stripped, 13-19
+    digits) passes the Luhn checksum — turns card-SHAPED matches
+    (``PII_PATTERNS['card']``) into card-VALID ones. Pure expression
+    fold (sequence + aggregate over the reversed digit string), no UDF:
+    stays inside whole-stage codegen like the rest of the scrub pass."""
+    digits = F.regexp_replace(col, "[^0-9]", "")
+    rev = F.reverse(digits)
+    n = F.length(digits)
+    d = lambda i: F.substr(rev, i, F.lit(1)).cast("int")      # noqa: E731
+
+    def step(acc, i):
+        doubled = d(i) * 2
+        return acc + F.when(i % 2 == 0,
+                            F.when(doubled > 9, doubled - 9)
+                            .otherwise(doubled)).otherwise(d(i))
+
+    total = F.aggregate(F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                        F.lit(0), step)
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
