@@ -83,6 +83,42 @@ def test_missing_download_is_noop(spark, tmp_path):
     assert jobs.run_technical_upload(spark, str(tmp_path / "empty"), tables) == 0
 
 
+def test_backfill_replays_history_in_mtime_order(spark, tmp_path):
+    import os
+    import time
+
+    downloads = tmp_path / "hist"
+    downloads.mkdir()
+    # two generations of the technical file: day1 then day2 (mtime order
+    # must drive the replay so day2's values win the final MERGE)
+    _write_csv(downloads / "Technicals_day2.csv",
+               schemas.TECHNICAL_HEADER_MAP, n=10, prefix="NEW")
+    _write_csv(downloads / "Technicals_day1.csv",
+               schemas.TECHNICAL_HEADER_MAP, n=10, prefix="OLD")
+    now = time.time()
+    os.utime(downloads / "Technicals_day1.csv", (now - 200, now - 200))
+    os.utime(downloads / "Technicals_day2.csv", (now - 100, now - 100))
+    _write_csv(downloads / "funda_day1.csv",
+               schemas.FUNDAMENTAL_HEADER_MAP, n=10, prefix="NEW")
+
+    tables = jobs.warehouse_tables(spark, str(tmp_path / "wh"))
+    out = jobs.run_backfill(spark, str(downloads), tables)
+    assert out["technical_files"] == 2
+    assert out["fundamental_files"] == 1
+    assert out["stock_data_rows"] == 20            # OLD000-9 + NEW000-9
+    # fundamental columns merged onto the NEW generation's rows
+    row = tables["stock_data"].read().where("symbol = 'NEW001'").collect()[0]
+    assert row["rsi_14_1_day"] is not None and row["pe_ratio"] is not None
+
+    # idempotent: re-running the backfill converges to the same table
+    again = jobs.run_backfill(spark, str(downloads), tables)
+    assert again["stock_data_rows"] == 20
+
+    st = tables["stock_data"].status()          # warehouse table is plain
+    assert st["layout"] == "plain" and st["parquet_files"] > 0
+    assert st["bytes"] > 0
+
+
 def test_cli_reports_job_status_to_webhook(spark, tmp_path, monkeypatch):
     """CLI e2e: `jobs technical --webhook-url ...` runs the pipeline and
     delivers the ✅ report (reference run_technical.sh wrapper parity)."""

@@ -152,6 +152,18 @@ def test_random_op_sequence_bucketed_matches_unbucketed(spark, tmp_path):
         assert got_b == got_u, f"diverged after step {step} ({op})"
 
 
+def test_status_reports_manifest_metadata(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "st"), SCHEMA, "symbol", buckets=4)
+    assert t.status() == {"exists": False, "path": t.path}
+    t.overwrite(spark.createDataFrame(
+        [(f"S{i}", float(i), 1.0) for i in range(20)], SCHEMA))
+    st = t.status()
+    assert st["layout"] == "manifest" and st["version"] == 1
+    assert st["buckets_live"] > 0 and st["parquet_files"] > 0 and st["bytes"] > 0
+    t.merge_upsert(spark.createDataFrame([("S1", 9.0, 9.0)], SCHEMA))
+    assert t.status()["version"] == 2
+
+
 def test_read_key_scans_single_bucket(spark, tmp_path):
     path = str(tmp_path / "pk")
     t = ParquetTable(spark, path, SCHEMA, key="symbol", buckets=8)

@@ -143,6 +143,33 @@ class ParquetTable:
         ).collect()[0]["b"]
         return self._read_slice(m["buckets"], [b]).where(pred)
 
+    def status(self) -> dict:
+        """Table metadata from filesystem + manifest only — no Spark job.
+        Feeds ops reports (``notify``) and the jobs CLI."""
+        if not os.path.isdir(self.path):
+            return {"exists": False, "path": self.path}
+        m = self._load_manifest() if self.buckets else None
+        out: dict = {
+            "exists": self.exists(), "path": self.path,
+            "layout": ("manifest" if m is not None
+                       else "bucketed-legacy" if self.buckets else "plain"),
+        }
+        if m is not None:
+            out["version"] = int(m["version"])
+            out["buckets_live"] = len(m["buckets"])
+            dirs = [os.path.join(self.path, d) for d in m["buckets"].values()]
+        else:
+            dirs = [self.path]
+        files = total = 0
+        for d in dirs:
+            for root, _, names in os.walk(d):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        files += 1
+                        total += os.path.getsize(os.path.join(root, n))
+        out["parquet_files"], out["bytes"] = files, total
+        return out
+
     # -- manifest (the commit log, one atomic file) --------------------------
 
     def _manifest_file(self) -> str:

@@ -73,6 +73,28 @@ def run_fundamental_upload(spark: SparkSession, downloads_dir: str,
     return tables["stock_data"].read().count()
 
 
+def run_backfill(spark: SparkSession, downloads_dir: str,
+                 tables: dict[str, ParquetTable]) -> dict[str, int]:
+    """Replay EVERY historical Technicals*/funda*.csv oldest-to-newest
+    through the MERGE path — disaster recovery / cold-start for a
+    warehouse. Idempotent: per-file MERGE makes a re-run converge, and
+    the end state is last-writer-wins per (key, column subset), exactly
+    what daily newest-only runs would have produced."""
+    from tradingview_data_pipeline_spark.sources.csv_adapter import backfill_all
+
+    sink = tables["stock_data"].merge_upsert
+    sch = tables["stock_data"].schema
+    return {
+        "technical_files": backfill_all(
+            spark, downloads_dir, "Technicals",
+            schemas.TECHNICAL_HEADER_MAP, sch, sink),
+        "fundamental_files": backfill_all(
+            spark, downloads_dir, "funda",
+            schemas.FUNDAMENTAL_HEADER_MAP, sch, sink),
+        "stock_data_rows": tables["stock_data"].read().count(),
+    }
+
+
 def run_composite_job(spark: SparkSession, tables: dict[str, ParquetTable],
                       *, bucket_mode: str = "parity") -> DataFrame:
     """stock_data -> composite scores -> MERGE stock_rankings; returns the
@@ -115,7 +137,8 @@ def main(argv: list[str] | None = None) -> None:
 
     ap = argparse.ArgumentParser(prog="tradingview-data-pipeline-spark jobs")
     ap.add_argument("job", choices=["technical", "fundamental", "composite",
-                                    "fundamental-score", "all"])
+                                    "fundamental-score", "all", "backfill",
+                                    "status"])
     ap.add_argument("--downloads-dir", default="./downloads")
     ap.add_argument("--warehouse", default="./warehouse")
     ap.add_argument("--webhook-url", default=None,
@@ -155,6 +178,13 @@ def main(argv: list[str] | None = None) -> None:
     if args.job in ("fundamental-score", "all"):
         reported("Fundamental Score",
                  lambda t: run_fundamental_job(spark, tables))
+    if args.job == "backfill":
+        reported("Backfill", lambda t: t.metrics.update(
+            run_backfill(spark, args.downloads_dir, tables)))
+    if args.job == "status":
+        import json as _json
+        for name, tbl in tables.items():
+            print(name, _json.dumps(tbl.status()))
     spark.stop()
 
 

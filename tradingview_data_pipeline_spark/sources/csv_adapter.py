@@ -145,3 +145,32 @@ def ingest_newest(spark: SparkSession, directory: str, prefix: str,
     if path is None:
         return None
     return read_csv_with_mapping(spark, path, header_map, schema)
+
+
+def files_by_prefix(directory: str, prefix: str,
+                    suffix: str = ".csv") -> list[str]:
+    """ALL matching files, OLDEST first — the backfill/replay order (the
+    newest file must win the final MERGE, so history replays forward)."""
+    try:
+        names = [n for n in os.listdir(directory)
+                 if n.startswith(prefix) and n.endswith(suffix)]
+    except FileNotFoundError:
+        return []
+    names.sort(key=lambda n: os.path.getmtime(os.path.join(directory, n)))
+    return [os.path.join(directory, n) for n in names]
+
+
+def backfill_all(spark: SparkSession, directory: str, prefix: str,
+                 header_map: dict[str, str], schema: T.StructType,
+                 sink) -> int:
+    """Replay every matching file oldest-to-newest through ``sink(df)``
+    (e.g. ``table.merge_upsert``). Idempotent end state: MERGE per file
+    means re-running the backfill converges to the same table, and the
+    final state equals processing only with last-writer-wins per key.
+    Returns the number of files replayed. The reference has no recovery
+    path beyond manually re-running each day's cron; this is the
+    set-based equivalent."""
+    paths = files_by_prefix(directory, prefix)
+    for p in paths:
+        sink(read_csv_with_mapping(spark, p, header_map, schema))
+    return len(paths)
