@@ -152,6 +152,20 @@ def test_random_op_sequence_bucketed_matches_unbucketed(spark, tmp_path):
         assert got_b == got_u, f"diverged after step {step} ({op})"
 
 
+def test_bucket_count_mismatch_fails_loudly(spark, tmp_path):
+    import pytest
+    path = str(tmp_path / "bm")
+    t4 = ParquetTable(spark, path, SCHEMA, "symbol", buckets=4)
+    t4.overwrite(spark.createDataFrame([("A", 1.0, 1.0)], SCHEMA))
+    t8 = ParquetTable(spark, path, SCHEMA, "symbol", buckets=8)
+    with pytest.raises(RuntimeError, match="bucket-count mismatch"):
+        t8.read()
+    with pytest.raises(RuntimeError, match="bucket-count mismatch"):
+        t8.merge_upsert(spark.createDataFrame([("B", 2.0, 2.0)], SCHEMA))
+    # the right handle still works and the table is untouched
+    assert t4.read().count() == 1
+
+
 def test_status_reports_manifest_metadata(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "st"), SCHEMA, "symbol", buckets=4)
     assert t.status() == {"exists": False, "path": t.path}

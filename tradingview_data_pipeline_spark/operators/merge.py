@@ -178,9 +178,17 @@ class ParquetTable:
     def _load_manifest(self) -> dict | None:
         try:
             with open(self._manifest_file()) as fh:
-                return json.load(fh)
+                m = json.load(fh)
         except (FileNotFoundError, NotADirectoryError):
             return None
+        declared = m.get("n_buckets")
+        if declared is not None and declared != self.buckets:
+            # a handle with the wrong bucket count would route keys to the
+            # wrong buckets on write and mis-prune on read — fail loudly
+            raise RuntimeError(
+                f"bucket-count mismatch on {self.path}: table layout has "
+                f"{declared} buckets, handle was opened with {self.buckets}")
+        return m
 
     def _commit_manifest(self, buckets: dict[str, str], version: int) -> dict:
         """THE atomic visibility point: fsync a temp manifest, then
@@ -200,7 +208,8 @@ class ParquetTable:
                 f"concurrent commit detected on {self.path}: planned "
                 f"against version {version - 1}, found {cur_version} — "
                 f"re-run the maintenance op (MERGE is idempotent)")
-        m = {"format": 2, "version": version, "buckets": buckets}
+        m = {"format": 2, "version": version, "n_buckets": self.buckets,
+             "buckets": buckets}
         tmp = os.path.join(self.path, f"_manifest_tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(m, fh)
