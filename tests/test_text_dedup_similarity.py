@@ -113,6 +113,20 @@ def test_pii_counts_and_redaction(spark):
     assert out[4]["r"] == "call [PII:phone] or [PII:phone] today"
 
 
+def test_strip_markup(spark):
+    html = ("<html><head><style>p{color:red}</style></head><body>"
+            "<p>Hello <b>world</b></p><!-- note --><script>var x=1;"
+            "</script>A &amp;amp; B &lt;tag&gt;</body></html>")
+    df = spark.createDataFrame([(1, html), (2, "plain text stays")],
+                               "id long, t string")
+    got = {r["id"]: r["s"] for r in
+           df.select("id", tx.strip_markup(F.col("t")).alias("s")).collect()}
+    # scripts/styles/comments/tags gone; entities single-decoded AFTER
+    # tag removal so decoded brackets survive as text
+    assert got[1] == "Hello world A &amp; B <tag>"
+    assert got[2] == "plain text stays"
+
+
 def test_luhn_validation(spark):
     df = spark.createDataFrame([
         (1, "4111 1111 1111 1111"),      # valid test number

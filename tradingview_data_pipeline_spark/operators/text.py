@@ -216,3 +216,18 @@ def luhn_valid(col: Column) -> Column:
     total = F.aggregate(F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
                         F.lit(0), step)
     return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def strip_markup(col: Column) -> Column:
+    """Boilerplate scrub for scraped corpora: drop <script>/<style>
+    blocks wholesale, remove remaining tags and HTML comments, decode
+    the five core entities, collapse whitespace. Native regexp chain —
+    map-only at any scale. (A DOM-accurate extraction needs an HTML
+    parser; this is the high-recall regex tier used before tokenizing.)"""
+    out = F.regexp_replace(col, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                    ("&#39;", "'"), ("&amp;", "&")]:   # amp LAST
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
