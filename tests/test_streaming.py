@@ -44,6 +44,33 @@ def test_stream_csv_ingest_merges_each_file(spark, tmp_path):
     assert got == {"A": 9.0, "B": 2.0, "C": 3.0}
 
 
+def test_stream_csv_ingest_with_quality_gate(spark, tmp_path):
+    """Gated ingest: violating rows land in the quarantine dir with a
+    batch stamp; only clean rows reach the MERGE table."""
+    from tradingview_data_pipeline_spark.operators import quality as q
+
+    inbox = tmp_path / "inbox_q"
+    inbox.mkdir()
+    table = ParquetTable(spark, str(tmp_path / "stock_q"), SCHEMA,
+                         key="symbol")
+    qdir = str(tmp_path / "quarantine")
+    # B has a negative price (range violation); blank symbol row is a
+    # null-key violation
+    (inbox / "Technicals_1.csv").write_text(
+        "Symbol,Price\nA,1.0\nB,-2.0\n,3.0\n")
+    rules = [q.not_null("symbol"), q.in_range("price", 0.0, 1e6)]
+    sq = stream_csv_to_table(spark, str(inbox), HEADER_MAP, table,
+                             str(tmp_path / "ckpt_q"),
+                             csv_header_columns=["Symbol", "Price"],
+                             expectations=rules, quarantine_dir=qdir)
+    sq.awaitTermination(120)
+    got = {r["symbol"]: r["price"] for r in table.read().collect()}
+    assert got == {"A": 1.0}
+    quar = spark.read.parquet(qdir)
+    assert quar.count() == 2
+    assert set(quar.columns) >= {"symbol", "price", "__batch_id"}
+
+
 RAW_NEWS = "article_title string, article_description string, article_url string, " \
            "username string, posted_at timestamp, is_critical boolean"
 

@@ -59,6 +59,8 @@ def stream_csv_to_table(
     *,
     available_now: bool = True,
     csv_header_columns: list[str] | None = None,
+    expectations: list | None = None,
+    quarantine_dir: str | None = None,
 ):
     """Watch ``directory`` for CSVs and MERGE each micro-batch into
     ``table``. Returns the started StreamingQuery.
@@ -69,6 +71,13 @@ def stream_csv_to_table(
     POSITIONALLY, ``enforceSchema`` is set false so the reader validates
     each file's header against the declared names and fails loudly on a
     column-order mismatch instead of silently mis-assigning fields.
+
+    ``expectations`` (``operators.quality.Expect`` list): each micro-batch
+    passes the quality gate BEFORE the MERGE. With ``quarantine_dir``,
+    violating rows append there as parquet (stamped ``__batch_id``) and
+    the clean remainder merges; without it, a failing batch raises and
+    the stream stops — the checkpoint will replay the batch after the
+    data is fixed, so bad files cannot be silently half-applied.
     """
     raw_cols = csv_header_columns or list(header_map.keys())
     raw_schema = T.StructType([T.StructField(c, T.StringType()) for c in raw_cols])
@@ -82,6 +91,23 @@ def stream_csv_to_table(
     mapped = _mapped_select(stream, header_map, table.schema)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if expectations:
+            from tradingview_data_pipeline_spark.operators import quality as q
+            if quarantine_dir is not None:
+                good, _report = q.enforce(batch_df, expectations,
+                                          mode="quarantine")
+                # complement of the clean filter: a row violates when ANY
+                # predicate is false OR null (where() drops null matches)
+                viol_pred = None
+                for e in expectations:
+                    p = ~F.coalesce(e.predicate, F.lit(False))
+                    viol_pred = p if viol_pred is None else (viol_pred | p)
+                (batch_df.where(viol_pred)
+                 .withColumn("__batch_id", F.lit(batch_id))
+                 .write.mode("append").parquet(quarantine_dir))
+                batch_df = good
+            else:
+                batch_df, _ = q.enforce(batch_df, expectations, mode="raise")
         table.merge_upsert(batch_df)
 
     writer = mapped.writeStream.foreachBatch(sink).option(
