@@ -220,3 +220,54 @@ def test_legacy_hive_layout_migrates_in_place(spark, tmp_path):
     assert os.path.exists(manifest)
     assert _rows(t.read()) == expected
     assert not any("__old_" in n for n in os.listdir(t.path))
+
+
+def test_legacy_plain_layout_migrates_without_data_loss(spark, tmp_path):
+    # a PLAIN (unbucketed, root-level parquet files) table opened with
+    # buckets=N: the first maintenance op must carry the existing rows
+    # into the bucketed layout — committing a manifest with an empty
+    # bucket mapping would silently orphan every pre-existing row
+    path = str(tmp_path / "plain")
+    base = spark.createDataFrame(
+        [(f"S{i:03d}", float(i)) for i in range(40)], SCHEMA)
+    base.write.parquet(path)                     # legacy plain layout
+    t = ParquetTable(spark, path, SCHEMA, "symbol", buckets=4)
+    before = _rows(t.read())                     # legacy read path works
+    assert len(before) == 40
+
+    src = spark.createDataFrame([("S000", 999.0), ("NEW1", -1.0)], SCHEMA)
+    t.merge_upsert(src)                          # first op migrates + merges
+    expected = dict(before, S000=999.0, NEW1=-1.0)
+    assert _rows(t.read()) == expected
+    m = json.load(open(os.path.join(path, "_manifest.json")))
+    assert m["buckets"]                          # mapping is NOT empty
+    assert not any(n.endswith(".parquet") for n in os.listdir(path))
+
+    # point lookups prune to the migrated buckets correctly
+    assert _rows(t.read_key("S007")) == {"S007": 7.0}
+
+
+def test_repair_alone_migrates_plain_layout(spark, tmp_path):
+    path = str(tmp_path / "plain2")
+    spark.createDataFrame([("A", 1.0), ("B", 2.0)], SCHEMA).write.parquet(path)
+    t = ParquetTable(spark, path, SCHEMA, "symbol", buckets=4)
+    t.repair()
+    assert _rows(t.read()) == {"A": 1.0, "B": 2.0}
+    m = json.load(open(os.path.join(path, "_manifest.json")))
+    assert m["version"] == 1 and m["buckets"]
+
+
+def test_mixed_legacy_layout_refused_loudly(spark, tmp_path):
+    # root-level parquet files AND __bucket= dirs with no manifest is an
+    # unresolvable half-migrated state: refuse rather than guess
+    t, src, _ = _make(spark, tmp_path)
+    os.remove(os.path.join(t.path, "_manifest.json"))
+    spark.createDataFrame([("ZZZ", 0.0)], SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp_path / "one"))
+    import shutil as _sh
+    for n in os.listdir(str(tmp_path / "one")):
+        if n.endswith(".parquet"):
+            _sh.copy(os.path.join(str(tmp_path / "one"), n),
+                     os.path.join(t.path, n))
+    with pytest.raises(RuntimeError, match="mixed legacy layout"):
+        t.merge_upsert(src)

@@ -62,3 +62,25 @@ def test_empty_batch_passes(spark):
     empty = _df(spark).limit(0)
     rep = q.check(empty, _rules(), unique_key="symbol")
     assert rep["rows"] == 0 and rep["passed"]
+
+
+def test_duplicate_expectation_names_rejected(spark):
+    # two in_range rules on one column derive the same alias — one
+    # count would silently shadow the other, so check() must refuse
+    dup = [q.in_range("price", 0.0, 1000.0), q.in_range("price", 5.0, 50.0)]
+    with pytest.raises(ValueError, match="price_in_range"):
+        q.check(_df(spark), dup)
+    # explicit names disambiguate
+    ok = [q.in_range("price", 0.0, 1000.0),
+          q.Expect("price_tight", (F.col("price") >= 5.0)
+                   & (F.col("price") <= 50.0))]
+    rep = q.check(_df(spark), ok)
+    assert rep["violations"]["price_tight"] >= 1
+
+
+def test_reserved_expectation_names_rejected(spark):
+    with pytest.raises(ValueError, match="__n"):
+        q.check(_df(spark), [q.Expect("__n", F.col("price") >= 0)])
+    with pytest.raises(ValueError, match="symbol_unique"):
+        q.check(_df(spark), [q.Expect("symbol_unique", F.col("price") >= 0)],
+                unique_key="symbol")

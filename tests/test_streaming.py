@@ -70,6 +70,19 @@ def test_stream_csv_ingest_with_quality_gate(spark, tmp_path):
     assert quar.count() == 2
     assert set(quar.columns) >= {"symbol", "price", "__batch_id"}
 
+    # replay the same micro-batch (fresh checkpoint -> the file re-runs
+    # as batch 0 again, the at-least-once foreachBatch case): dynamic
+    # partition overwrite on __batch_id keeps the quarantine idempotent
+    # instead of appending a duplicate copy of every violating row
+    import shutil
+    shutil.rmtree(str(tmp_path / "ckpt_q"))
+    sq = stream_csv_to_table(spark, str(inbox), HEADER_MAP, table,
+                             str(tmp_path / "ckpt_q"),
+                             csv_header_columns=["Symbol", "Price"],
+                             expectations=rules, quarantine_dir=qdir)
+    sq.awaitTermination(120)
+    assert spark.read.parquet(qdir).count() == 2
+
 
 RAW_NEWS = "article_title string, article_description string, article_url string, " \
            "username string, posted_at timestamp, is_critical boolean"

@@ -71,6 +71,23 @@ _MANIFEST = "_manifest.json"
 _NEWDIR_RE = re.compile(r"^b\d+-[0-9a-f]{8}$")   # manifest-era bucket dirs
 
 
+def _fsync_dir(path: str) -> None:
+    """Make a rename/replace durable across power loss: POSIX persists a
+    rename only once the CONTAINING directory's entry is fsynced — an
+    ``os.replace`` alone survives a process crash but not necessarily a
+    power cut. Best-effort (some filesystems refuse O_RDONLY dir fsync)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project onto the declared schema: missing columns -> typed NULLs,
     extra columns dropped, types cast (tolerant sink alignment,
@@ -216,6 +233,7 @@ class ParquetTable:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._manifest_file())
+        _fsync_dir(self.path)          # persist the replace itself
         return m
 
     def repair(self) -> None:
@@ -236,9 +254,33 @@ class ParquetTable:
         m = self._load_manifest()
         if m is None:
             self._repair_legacy()
-            mapping = {n.split("=", 1)[1]: n for n in os.listdir(self.path)
-                       if n.startswith(f"{_BUCKET_COL}=")}
-            m = self._commit_manifest(mapping, 1)
+            names = os.listdir(self.path)
+            has_bucket_dirs = any(n.startswith(f"{_BUCKET_COL}=")
+                                  for n in names)
+            has_root_files = any(n.endswith(".parquet") for n in names)
+            if has_root_files and has_bucket_dirs:
+                # half-hive mystery layout — migrating either way could
+                # double- or zero-count rows; loud failure over data loss
+                raise RuntimeError(
+                    f"mixed legacy layout at {self.path}: both root-level "
+                    f"parquet files and {_BUCKET_COL}= directories exist — "
+                    f"resolve manually before bucketed maintenance")
+            if has_root_files:
+                # legacy PLAIN layout opened with buckets=N: committing a
+                # manifest built from (absent) bucket dirs would be an
+                # EMPTY mapping that silently orphans every row — rewrite
+                # the data through the bucketed layout instead.
+                # _replace_with writes the new tree to a sibling tmp dir
+                # while the source files are still in place, swaps the
+                # directory, and commits the v1 manifest.
+                self._replace_with(
+                    self.spark.read.schema(self.schema).parquet(self.path))
+                m = self._load_manifest()
+                assert m is not None
+            else:
+                mapping = {n.split("=", 1)[1]: n for n in names
+                           if n.startswith(f"{_BUCKET_COL}=")}
+                m = self._commit_manifest(mapping, 1)
         live = set(m["buckets"].values())
         for n in os.listdir(self.path):
             full = os.path.join(self.path, n)
@@ -323,6 +365,7 @@ class ParquetTable:
         if os.path.exists(self.path):
             os.rename(self.path, old)
         os.rename(tmp, self.path)
+        _fsync_dir(os.path.dirname(os.path.abspath(self.path)))
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
         if self.buckets:
@@ -381,6 +424,7 @@ class ParquetTable:
                     # empty — unmap it (keeping the old dir would resurrect
                     # rows the merged frame deleted)
                     stale.append(mapping.pop(key))
+            _fsync_dir(self.path)      # persist bucket-dir renames first
             self._commit_manifest(mapping, version + 1)   # atomic publish
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -59,6 +59,18 @@ def check(df: DataFrame, expectations: list[Expect],
     ``{"rows": n, "passed": bool, "violations": {name: count},
     "failed": [names]}``. ``unique_key`` adds a duplicate-key rule
     (one extra groupBy job)."""
+    names = [e.name for e in expectations]
+    reserved = {"__n"} | ({f"{unique_key}_unique"} if unique_key else set())
+    dup_or_reserved = ({n for n in names if names.count(n) > 1}
+                       | (set(names) & reserved))
+    if dup_or_reserved:
+        # two rules under one alias would make row[name] silently return
+        # one of them, letting a failing rule's count shadow the other —
+        # e.g. two in_range() rules on the same column both derive
+        # '{col}_in_range'; give one an explicit Expect(name=...)
+        raise ValueError(
+            "expectation names must be unique and not reserved; "
+            f"conflicting: {sorted(dup_or_reserved)}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for e in expectations:
         aggs.append(F.sum(F.when(~e.predicate, 1).otherwise(0))

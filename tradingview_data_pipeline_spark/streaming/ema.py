@@ -19,6 +19,15 @@ State is one fixed-size tuple per key — bounded by the active-key set;
 an event-time timeout evicts keys idle past the watermark + gap, after
 which a reappearing key restarts its EMA (same restart-from-first-value
 convention as the batch operator on a fresh series).
+
+CHECKPOINT COMPATIBILITY: ``EMA_STATE_SCHEMA`` grew a 5th field
+(``last_eid``) in round 5. Structured Streaming does NOT migrate state
+schemas — a checkpoint written by the 4-field version must be discarded
+(start the query with a fresh ``checkpointLocation``); resuming it is
+rejected by the state-store schema check rather than silently
+misreading. ``_update`` also pads a 4-tuple defensively (last_eid=-1,
+i.e. "replay any equal-ts event once") in case a state store delivers
+the legacy shape.
 """
 
 from __future__ import annotations
@@ -61,8 +70,13 @@ def _make_update_fn(fast: int, slow: int, signal: int, idle_evict_ms: int):
         if state.hasTimedOut:
             state.remove()
             return
-        ef, es, sig, last_us, last_eid = state.get if state.exists \
-            else (None, None, None, -1, -1)
+        if state.exists:
+            stored = tuple(state.get)
+            if len(stored) == 4:       # legacy pre-last_eid state tuple
+                stored += (-1,)
+            ef, es, sig, last_us, last_eid = stored
+        else:
+            ef, es, sig, last_us, last_eid = None, None, None, -1, -1
         out_frames = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["ts", "event_id"],

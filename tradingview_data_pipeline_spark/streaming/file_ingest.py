@@ -102,9 +102,16 @@ def stream_csv_to_table(
                 for e in expectations:
                     p = ~F.coalesce(e.predicate, F.lit(False))
                     viol_pred = p if viol_pred is None else (viol_pred | p)
+                # partition by batch id + DYNAMIC overwrite: foreachBatch
+                # is at-least-once, and a replayed batch must replace its
+                # own quarantine partition, not append a duplicate copy —
+                # this makes the quarantine sink idempotent like the MERGE
                 (batch_df.where(viol_pred)
                  .withColumn("__batch_id", F.lit(batch_id))
-                 .write.mode("append").parquet(quarantine_dir))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("__batch_id")
+                 .parquet(quarantine_dir))
                 batch_df = good
             else:
                 batch_df, _ = q.enforce(batch_df, expectations, mode="raise")
