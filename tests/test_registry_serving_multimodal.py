@@ -4,7 +4,8 @@ import pytest
 
 from tradingview_data_pipeline_spark.operators import multimodal as mm
 from tradingview_data_pipeline_spark.serving.api import (
-    RateLimiter, make_jwt, run_named_source, verify_jwt,
+    ACCESS_TOKEN_EXPIRE_MINUTES, RateLimiter, UserStore, cors_headers,
+    host_allowed, issue_token, make_jwt, run_named_source, verify_jwt,
 )
 from tradingview_data_pipeline_spark.sources.registry import SourceRegistry
 
@@ -42,6 +43,78 @@ def test_jwt_roundtrip_and_expiry():
         verify_jwt(tok + "x", "secret", now=1030.0)
     with pytest.raises(ValueError, match="signature"):
         verify_jwt(make_jwt({}, "other", now=1000.0), "secret", now=1001.0)
+
+
+def test_auth_token_issuance_roundtrip():
+    """POST /auth/token semantics: valid credentials mint a bearer JWT
+    that verifies until the configured expiry, then 401s (ValueError)."""
+    users = UserStore()
+    users.add_user("alice", "s3cret")
+    resp = issue_token(users, "alice", "s3cret", secret="k", now=1000.0)
+    assert resp["token_type"] == "bearer"
+    claims = verify_jwt(resp["access_token"], "k", now=1000.0 + 60)
+    assert claims["sub"] == "alice"
+    assert claims["exp"] == 1000 + ACCESS_TOKEN_EXPIRE_MINUTES * 60
+    # expiry honored: one second past exp -> rejected like the 401 path
+    with pytest.raises(ValueError, match="expired"):
+        verify_jwt(resp["access_token"], "k",
+                   now=1000.0 + ACCESS_TOKEN_EXPIRE_MINUTES * 60 + 1)
+    # custom expiry window (the ACCESS_TOKEN_EXPIRE_MINUTES setting)
+    short = issue_token(users, "alice", "s3cret", secret="k",
+                        expire_minutes=1, now=1000.0)
+    with pytest.raises(ValueError, match="expired"):
+        verify_jwt(short["access_token"], "k", now=1061.0)
+
+
+def test_auth_token_rejects_bad_credentials():
+    users = UserStore()
+    users.add_user("alice", "s3cret")
+    with pytest.raises(ValueError, match="incorrect"):
+        issue_token(users, "alice", "wrong", secret="k")
+    with pytest.raises(ValueError, match="incorrect"):
+        issue_token(users, "mallory", "s3cret", secret="k")
+
+
+def test_trusted_host_semantics():
+    allowed = ["api.example.com", "*.svc.example.com"]
+    assert host_allowed("api.example.com", allowed)
+    assert host_allowed("api.example.com:8443", allowed)   # port ignored
+    assert host_allowed("a.svc.example.com", allowed)      # wildcard
+    assert host_allowed("deep.a.svc.example.com", allowed)
+    assert not host_allowed("evil.com", allowed)           # rejected
+    assert not host_allowed("api.example.com.evil.com", allowed)
+    assert not host_allowed("", allowed)
+    assert host_allowed("anything", ["*"])
+
+
+def test_cors_header_semantics():
+    assert cors_headers("https://ui.example.com", ["*"]) \
+        == {"access-control-allow-origin": "*"}
+    hdrs = cors_headers("https://ui.example.com", ["https://ui.example.com"])
+    assert hdrs["access-control-allow-origin"] == "https://ui.example.com"
+    assert cors_headers("https://evil.com", ["https://ui.example.com"]) == {}
+    assert cors_headers(None, ["*"]) == {}
+
+
+def test_create_app_wires_token_route_and_middleware(spark):
+    """When fastapi is installed, the app must expose /auth/token and
+    carry the CORS + TrustedHost middleware; absent fastapi, create_app
+    raises the documented ImportError (primitives above stay covered)."""
+    try:
+        import fastapi  # noqa: F401
+    except ImportError:
+        from tradingview_data_pipeline_spark.serving.api import create_app
+        with pytest.raises(ImportError, match="fastapi"):
+            create_app(spark, SourceRegistry())
+        return
+    from tradingview_data_pipeline_spark.serving.api import create_app
+    app = create_app(spark, SourceRegistry(),
+                     allowed_hosts=("api.example.com",),
+                     allow_origins=("https://ui.example.com",))
+    routes = {r.path for r in app.routes}
+    assert "/auth/token" in routes
+    mids = {m.cls.__name__ for m in app.user_middleware}
+    assert {"TrustedHostMiddleware", "CORSMiddleware"} <= mids
 
 
 def test_rate_limiter_sliding_window():

@@ -1,7 +1,9 @@
 """Serving layer (SURVEY §2.11; reference: pyc:tradingview_api_server).
 
-Mirrors the reference's FastAPI surface — JWT bearer auth, API-key check,
-sliding-window rate limiting, `GET /screeners`, `GET /screeners/{name}`,
+Mirrors the reference's FastAPI surface — `POST /auth/token` issuance
+(JWT HS256, expiry via an ``ACCESS_TOKEN_EXPIRE_MINUTES``-shaped
+setting), JWT bearer auth, API-key check, sliding-window rate limiting,
+CORS + TrustedHost middleware, `GET /screeners`, `GET /screeners/{name}`,
 `POST /screeners/add`, `GET /health` — over the engine's SourceRegistry
 instead of Selenium downloads. Queries execute on the shared SparkSession
 (production: Spark Connect, so the API process holds no executors) and
@@ -9,9 +11,9 @@ return ``toJSON``-shaped records exactly like the reference's
 ScreenerResponse.
 
 FastAPI is not part of the engine's hard dependencies: ``create_app`` is
-import-gated, while the auth/rate-limit primitives below are plain Python
-(unit-testable without the web framework).
-"""
+import-gated, while the auth / token-issuance / rate-limit / host-trust
+primitives below are plain Python (unit-testable without the web
+framework)."""
 
 from __future__ import annotations
 
@@ -64,6 +66,79 @@ def verify_jwt(token: str, secret: str, *, now: float | None = None) -> dict:
     return body
 
 
+ACCESS_TOKEN_EXPIRE_MINUTES = 30     # reference default expiry window
+
+
+class UserStore:
+    """Credential store for token issuance: salted PBKDF2 hashes only —
+    a leaked store never yields plaintext passwords. The reference keeps
+    a user table checked by its ``/auth/token`` handler; same idea."""
+
+    def __init__(self) -> None:
+        self._users: dict[str, tuple[bytes, bytes]] = {}
+
+    def add_user(self, username: str, password: str) -> None:
+        import os as _os
+        salt = _os.urandom(16)
+        self._users[username] = (salt, self._hash(password, salt))
+
+    @staticmethod
+    def _hash(password: str, salt: bytes) -> bytes:
+        return hashlib.pbkdf2_hmac("sha256", password.encode(), salt, 100_000)
+
+    def verify(self, username: str, password: str) -> bool:
+        rec = self._users.get(username)
+        if rec is None:
+            # burn a hash anyway so unknown-user probes take the same time
+            self._hash(password, b"\x00" * 16)
+            return False
+        salt, expect = rec
+        return hmac.compare_digest(self._hash(password, salt), expect)
+
+
+def issue_token(users: UserStore, username: str, password: str, *,
+                secret: str,
+                expire_minutes: int = ACCESS_TOKEN_EXPIRE_MINUTES,
+                now: float | None = None) -> dict:
+    """``POST /auth/token`` body: verify credentials, mint an HS256 JWT
+    with the configured expiry. Returns the OAuth2 password-flow shape
+    ``{"access_token": ..., "token_type": "bearer"}``; raises ValueError
+    on bad credentials (the route maps that to 401)."""
+    if not users.verify(username, password):
+        raise ValueError("incorrect username or password")
+    token = make_jwt({"sub": username}, secret,
+                     expires_in=expire_minutes * 60, now=now)
+    return {"access_token": token, "token_type": "bearer"}
+
+
+def host_allowed(host: str, allowed_hosts: list[str] | tuple[str, ...]) -> bool:
+    """TrustedHost semantics (starlette): exact hostname match or a
+    ``*.domain`` wildcard matching any single-or-deeper subdomain;
+    ``"*"`` trusts everything. Port is ignored (Host header may carry
+    one)."""
+    hostname = (host or "").split(":")[0].lower()
+    for pattern in allowed_hosts:
+        p = pattern.lower()
+        if p == "*" or hostname == p:
+            return True
+        if p.startswith("*.") and hostname.endswith(p[1:]):
+            return True
+    return False
+
+
+def cors_headers(origin: str | None,
+                 allow_origins: list[str] | tuple[str, ...]) -> dict:
+    """CORS response headers for ``origin``, or ``{}`` when the origin
+    is absent/not allowed (the browser then blocks the response)."""
+    if not origin:
+        return {}
+    if "*" in allow_origins:
+        return {"access-control-allow-origin": "*"}
+    if origin in allow_origins:
+        return {"access-control-allow-origin": origin, "vary": "Origin"}
+    return {}
+
+
 @dataclass
 class RateLimiter:
     """In-memory sliding window, per client key (pyc:rate_limit_check:
@@ -97,16 +172,30 @@ def run_named_source(spark, registry, name: str, *, limit: int = 1000) -> dict:
 
 
 def create_app(spark, registry, *, jwt_secret: str = "change-me",
-               api_keys: frozenset[str] = frozenset(), limiter: RateLimiter | None = None):
-    """FastAPI app mirroring the reference endpoints; requires fastapi."""
+               api_keys: frozenset[str] = frozenset(),
+               limiter: RateLimiter | None = None,
+               users: UserStore | None = None,
+               token_expire_minutes: int = ACCESS_TOKEN_EXPIRE_MINUTES,
+               allow_origins: tuple[str, ...] = ("*",),
+               allowed_hosts: tuple[str, ...] = ("*",)):
+    """FastAPI app mirroring the reference endpoints (incl. CORS +
+    TrustedHost middleware and ``POST /auth/token``); requires fastapi."""
     try:
         from fastapi import Depends, FastAPI, HTTPException, Request
+        from fastapi.middleware.cors import CORSMiddleware
+        from fastapi.middleware.trustedhost import TrustedHostMiddleware
         from fastapi.security import HTTPAuthorizationCredentials, HTTPBearer
     except ImportError as e:  # pragma: no cover - not installed in harness
         raise ImportError("fastapi is not installed; serving layer is optional. "
                           "pip install fastapi uvicorn in production.") from e
 
     app = FastAPI(title="tradingview-data-pipeline-spark")
+    # same middleware pair as the reference server; the pure predicates
+    # (host_allowed / cors_headers) mirror these semantics for testing
+    # in environments without the web framework
+    app.add_middleware(TrustedHostMiddleware, allowed_hosts=list(allowed_hosts))
+    app.add_middleware(CORSMiddleware, allow_origins=list(allow_origins),
+                       allow_methods=["*"], allow_headers=["*"])
     limiter = limiter or RateLimiter()
     bearer = HTTPBearer(auto_error=False)
 
@@ -124,6 +213,17 @@ def create_app(spark, registry, *, jwt_secret: str = "change-me",
             except ValueError as err:
                 raise HTTPException(401, str(err)) from err
         raise HTTPException(401, "missing credentials")
+
+    @app.post("/auth/token")
+    def auth_token(form: dict):
+        if users is None:
+            raise HTTPException(501, "no user store configured")
+        try:
+            return issue_token(users, form.get("username", ""),
+                               form.get("password", ""), secret=jwt_secret,
+                               expire_minutes=token_expire_minutes)
+        except ValueError as err:
+            raise HTTPException(401, str(err)) from err
 
     @app.get("/health")
     def health():
