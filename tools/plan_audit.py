@@ -1,10 +1,13 @@
 """Executed-plan audit across the whole query registry.
 
-For every ``queries()`` entry, builds the plan against a sf dir and
-counts the structural features that matter at 100 TB: exchanges
-(shuffles), broadcast joins, sort-merge joins, broadcast nested loops
-(legitimate only for tiny broadcast probes), cartesian products (never
-legitimate — exit 1), parquet scans, and WholeStageCodegen spans.
+For every ``queries()`` entry, EXECUTES the query through the built-in
+``noop`` sink, then audits the FINALIZED adaptive plan — the one AQE
+actually ran, not the pre-execution sketch. Counts the structural
+features that matter at 100 TB: exchanges (shuffles), exchange REUSE,
+broadcast joins, sort-merge joins, broadcast nested loops (legitimate
+only for tiny broadcast probes), cartesian products (never legitimate —
+exit 1), parquet scans, and whole-stage-codegen spans.
+
 Usage:
 
     python tools/plan_audit.py [sf_dir] [query ...]
@@ -12,30 +15,45 @@ Usage:
 Prints one line per query plus a summary; write the output next to
 BENCH artifacts when auditing a round.
 
-Caveat: plans are audited BEFORE execution, so with AQE the string is
-the un-finalized adaptive plan — ``codegen`` spans typically read 0
-(they materialize per-stage at runtime) and broadcast decisions may
-still improve adaptively. The cartesian/shuffle/scan counts — the
-structural hazards — are already decided at this point.
+Post-execution the ``AdaptiveSparkPlan`` prints with
+``isFinalPlan=true``: codegen spans appear as ``*(n)`` stage markers
+(counted as DISTINCT ids) and runtime decisions (AQE broadcast
+upgrades, ReusedExchange dedup) are visible — pre-execution these read
+0 and the audit was blind to them.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FEATURES = {
     "exch": "Exchange ",
+    "reuse": "ReusedExchange",
     "bcast": "BroadcastExchange",
     "smj": "SortMergeJoin",
     "bhj": "BroadcastHashJoin",
     "bnlj": "BroadcastNestedLoopJoin",
     "cartesian": "CartesianProduct",
     "scan": "Scan parquet",
-    "codegen": "WholeStageCodegen",
 }
+
+
+def audit_plan(plan: str) -> dict:
+    # a finalized AdaptiveSparkPlan prints "<final plan> == Initial Plan ==
+    # <initial>" — count only the plan that ran
+    plan = plan.split("== Initial Plan ==")[0]
+    counts = {k: plan.count(v) for k, v in FEATURES.items()}
+    # executedPlan.toString renders each whole-stage-codegen span as a
+    # "*(n)" prefix on its member operators — distinct ids = span count
+    counts["codegen"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    counts["final"] = int("isFinalPlan=true" in plan
+                          or "AdaptiveSparkPlan" not in plan)
+    return counts
 
 
 def main() -> None:
@@ -46,24 +64,32 @@ def main() -> None:
     from tradingview_data_pipeline_spark.session import get_spark
 
     spark = get_spark("plan-audit")
+    cols = list(FEATURES) + ["codegen", "final"]
     bad = 0
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
         try:
             df = fn(spark, sf_dir)
+            t0 = time.monotonic()
+            # execute the frame's OWN QueryExecution so ITS adaptive plan
+            # finalizes (a noop-sink write spawns a separate execution and
+            # leaves df's plan un-finalized); results are discarded
+            df.collect()
+            secs = time.monotonic() - t0
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 — audit must cover the rest
             print(f"ERR   {name}: {type(e).__name__}: {e}"[:200])
             bad += 1
             continue
-        counts = {k: plan.count(v) for k, v in FEATURES.items()}
+        counts = audit_plan(plan)
         flag = ""
         if counts["cartesian"]:
             flag = "  <-- CARTESIAN"
             bad += 1
         print("  ".join([f"{name:28s}"]
-                        + [f"{k}={counts[k]}" for k in FEATURES]) + flag)
+                        + [f"{k}={counts[k]}" for k in cols])
+              + f"  sec={secs:.2f}" + flag)
     spark.stop()
     sys.exit(1 if bad else 0)
 
