@@ -203,6 +203,90 @@ def test_incremental_simhash_index(spark, tmp_path):
     assert idx2.table.read().count() == 5
 
 
+def _parquet_files(path):
+    import os
+    return [os.path.join(root, n) for root, _, names in os.walk(path)
+            for n in names if n.endswith(".parquet")]
+
+
+def test_incremental_index_compaction(spark, tmp_path):
+    """compact() bounds the signature table's file count without
+    changing any result: post-compact reads and add_and_find pairs are
+    identical, and the rewrite is crash-safe (manifest commit)."""
+    import os
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    path = str(tmp_path / "cix")
+    idx = dd.IncrementalNearDupIndex(spark, path, buckets=4)
+    for i in range(6):
+        idx.add_and_find(spark.createDataFrame(
+            [(i, f"{base} variant {i} unique tail {i}")],
+            "doc_id long, text string"))
+    # force the many-small-files state a batch-cadence table accumulates
+    # (at test scale AQE coalesces every write to one file per bucket,
+    # so build the fragmentation explicitly through the public API)
+    idx.table.overwrite(idx.table.read().repartition(6))
+    before_rows = {tuple(r) for r in idx.table.read().collect()}
+    n_before = len(_parquet_files(path))
+    assert n_before > 4                       # genuinely fragmented
+
+    idx.compact()
+    assert {tuple(r) for r in idx.table.read().collect()} == before_rows
+    n_after = len(_parquet_files(path))
+    assert n_after < n_before
+    assert n_after <= 4                       # <= one file per live bucket
+
+    # the index keeps working identically after compaction
+    pairs = {(r["doc_a"], r["doc_b"]) for r in idx.add_and_find(
+        spark.createDataFrame([(100, base + " variant 0 unique tail 0")],
+                              "doc_id long, text string")).collect()}
+    assert (0, 100) in pairs
+
+
+def test_compaction_crash_leaves_consistent_snapshot(spark, tmp_path,
+                                                     monkeypatch):
+    import json
+    import os
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    path = str(tmp_path / "crx")
+    idx = dd.IncrementalSimHashIndex(spark, path, buckets=4)
+    for i in range(4):
+        idx.add_and_find(spark.createDataFrame(
+            [(i, f"{base} tail {i}")], "doc_id long, text string"))
+    before_rows = {tuple(r) for r in idx.table.read().collect()}
+    manifest_before = json.load(open(os.path.join(path, "_manifest.json")))
+
+    real = os.rename
+    calls = {"n": 0}
+
+    def crashing(src, dst):
+        if "__bucket=" in str(src):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("simulated crash in compaction publish")
+        return real(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing)
+    import pytest as _pt
+    with _pt.raises(OSError, match="simulated crash"):
+        idx.compact()
+    monkeypatch.undo()
+
+    # crash before the commit: exact old snapshot, manifest untouched
+    assert json.load(open(os.path.join(path, "_manifest.json"))) \
+        == manifest_before
+    assert {tuple(r) for r in idx.table.read().collect()} == before_rows
+
+    idx.compact()                              # re-run converges + GCs
+    assert {tuple(r) for r in idx.table.read().collect()} == before_rows
+    live = set(json.load(open(os.path.join(path, "_manifest.json")))
+               ["buckets"].values())
+    orphans = [n for n in os.listdir(path)
+               if os.path.isdir(os.path.join(path, n)) and n not in live]
+    assert orphans == []
+
+
 def test_simhash_banded_retrieval_pigeonhole_and_filter(spark):
     # synthetic signatures injected via sigs= to pin the banding math
     # (60 bits, 4 bands of 15): distance <= 3 always shares a band and is

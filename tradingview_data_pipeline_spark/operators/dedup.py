@@ -527,6 +527,15 @@ class IncrementalNearDupIndex:
         self.table.merge_upsert(new_sigs)
         return pairs
 
+    def compact(self) -> None:
+        """Maintenance: rewrite the persisted signature table's live
+        buckets to one file each. Streaming-cadence ``add_and_find``
+        calls leave a file per shuffle task per touched bucket behind;
+        compaction bounds the file count without changing any result —
+        crash-safe via the same manifest commit as every maintenance
+        op."""
+        self.table.compact()
+
 
 class IncrementalSimHashIndex:
     """Hamming-radius retrieval for an append-only corpus: 60-bit SimHash
@@ -597,6 +606,11 @@ class IncrementalSimHashIndex:
             .localCheckpoint(eager=True))      # pin before the upsert
         self.table.merge_upsert(new_sigs)
         return pairs
+
+    def compact(self) -> None:
+        """Same small-file maintenance as
+        ``IncrementalNearDupIndex.compact`` — see there."""
+        self.table.compact()
 
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str,

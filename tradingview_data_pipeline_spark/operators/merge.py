@@ -435,6 +435,28 @@ class ParquetTable:
         """K3 truncate-and-load."""
         self._replace_with(df)
 
+    def compact(self) -> None:
+        """Small-file maintenance: rewrite every live bucket down to one
+        file (repartition on the bucket expression → one task per
+        bucket, partitionBy splits the dirs). Batch-cadence upserts
+        write a file per shuffle task per touched bucket, so a table fed
+        by frequent small batches accumulates files; compaction is the
+        standard table-format answer (Delta OPTIMIZE / Iceberg rewrite).
+
+        Rides ``_rewrite_touched_buckets``, so visibility is the same
+        single manifest commit as any maintenance op: a crash anywhere
+        leaves readers on exactly the old or exactly the new snapshot,
+        and the interrupted attempt's dirs are GC'd as orphans. Results
+        are byte-for-byte the same rows; only file layout changes."""
+        if not self.exists():
+            return
+        if not self.buckets:
+            self._replace_with(self.read().coalesce(1))
+            return
+        self._rewrite_touched_buckets(
+            self.read(),
+            lambda tgt, s: s.repartition(self.buckets, self._bucket_expr()))
+
     # -- merge frames (shared by whole-table and bucket-pruned paths) -------
 
     def _merge_frames(self, tgt: DataFrame, src: DataFrame,
