@@ -101,7 +101,8 @@ def _bench_pipelines(spark, timings: dict[str, float]) -> None:
         # baseline row 7: fundamental-score job end-to-end, 1,643 stocks -> 6.7 s
         t0 = time.perf_counter()
         fscored = fs.fundamental_ranks(
-            fs.fundamental_scores(stock.read()),
+            fs.fundamental_scores(stock.read(),
+                                  size_hint_rows=stock.row_count()),
             rankings.read().select("symbol", "market_cap_category"))
         rankings.merge_upsert(fs.rankings_output(fscored))
         timings["pipeline_fundamental_score"] = round(time.perf_counter() - t0, 3)

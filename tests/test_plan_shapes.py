@@ -67,6 +67,43 @@ def test_region_pick_joins_are_broadcast(spark):
 # reproduce the reference bit-for-bit and has a tested mode="scale").
 # ---------------------------------------------------------------------------
 
+def test_fundamental_scores_with_hint_runs_no_action(spark):
+    """The scoring job's percentile-mode gate must not spend a Spark
+    action when the caller supplies a size hint (the job path passes
+    ParquetTable.row_count(), computed from parquet footers): building
+    the plan is action-free end to end."""
+    from pyspark.sql import DataFrame
+
+    from tradingview_data_pipeline_spark.plans import fundamental_score as fs
+
+    df = (spark.read.parquet(f"{SF}/part.parquet")
+          .selectExpr("p_name as symbol", "p_type as sector",
+                      "p_brand as industry",
+                      "cast(p_retailprice as double) as pe_ratio",
+                      "cast(p_size as double) as return_on_equity_ttm"))
+
+    def boom(self, *a, **kw):                  # any action = test failure
+        raise AssertionError("Spark action during plan construction")
+
+    actions = {n: getattr(DataFrame, n) for n in
+               ("count", "collect", "take", "head", "first", "toPandas")}
+    try:
+        for n in actions:
+            setattr(DataFrame, n, boom)
+        scored = fs.fundamental_scores(df, size_hint_rows=2_000)
+    finally:
+        for n, real in actions.items():
+            setattr(DataFrame, n, real)
+    assert scored.where("fundamental_score is not null").count() > 0
+
+    # row_count() itself must match an actual count without a job
+    from tradingview_data_pipeline_spark.operators.merge import (
+        parquet_footer_rows,
+    )
+    assert parquet_footer_rows([f"{SF}/part.parquet"]) \
+        == spark.read.parquet(f"{SF}/part.parquet").count()
+
+
 _AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 _SINGLE_PARTITION_EXCEPTIONS = {"q10_rank_bucket"}
 

@@ -88,6 +88,26 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+def parquet_footer_rows(paths: list[str]) -> int:
+    """EXACT row count from parquet footers — driver-side metadata reads
+    only, no Spark job (each footer is a few KB; cost O(files), the same
+    listing a scan plan does anyway). The statistics source for mode
+    gates that must not spend a cluster action (e.g. the fundamental
+    job's percentile-mode pick)."""
+    import pyarrow.parquet as pq
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, names in os.walk(p):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, n)).metadata.num_rows
+        elif os.path.isfile(p):
+            total += pq.ParquetFile(p).metadata.num_rows
+    return total
+
+
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project onto the declared schema: missing columns -> typed NULLs,
     extra columns dropped, types cast (tolerant sink alignment,
@@ -159,6 +179,19 @@ class ParquetTable:
                    F.lit(self.buckets)).cast("int").alias("b")
         ).collect()[0]["b"]
         return self._read_slice(m["buckets"], [b]).where(pred)
+
+    def row_count(self) -> int:
+        """Exact table row count from parquet footers — no Spark job
+        (see ``parquet_footer_rows``). Counts the committed snapshot's
+        live directories only."""
+        if not self.exists():
+            return 0
+        m = self._load_manifest() if self.buckets else None
+        if m is not None:
+            dirs = [os.path.join(self.path, d) for d in m["buckets"].values()]
+        else:
+            dirs = [self.path]
+        return parquet_footer_rows(dirs)
 
     def status(self) -> dict:
         """Table metadata from filesystem + manifest only — no Spark job.

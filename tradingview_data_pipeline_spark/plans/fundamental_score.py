@@ -76,7 +76,8 @@ def apply_caps(df: DataFrame) -> DataFrame:
     return df
 
 
-def fundamental_scores(df: DataFrame) -> DataFrame:
+def fundamental_scores(df: DataFrame, *,
+                       size_hint_rows: int | None = None) -> DataFrame:
     """Adds ``{metric}_percentile``, peer_level, four category scores and
     fundamental_score to ``df``.
 
@@ -135,10 +136,16 @@ def fundamental_scores(df: DataFrame) -> DataFrame:
         # "all"-level percentile per metric: a (metric)-partitioned window
         # holds the FULL table in one task per metric at scale, so it comes
         # from the set-based exact-percentile operator instead. The mode
-        # gate probes the SHALLOW input frame (auto mode would re-probe
-        # through the melted window lineage — an expensive extra job).
+        # gate prefers a caller-supplied size hint (the job path passes
+        # ParquetTable.row_count() — exact, from parquet footers, zero
+        # Spark actions); only hint-less callers pay the bounded
+        # LIMIT-probe fallback. Results are identical in either mode —
+        # only the physical plan changes, so a stale/absent hint can
+        # never change answers.
         cap = 2_000_000 // max(len(metrics), 1)
-        mode = "small" if df.limit(cap + 1).count() <= cap else "set"
+        n_rows = size_hint_rows if size_hint_rows is not None \
+            else df.limit(cap + 1).count()
+        mode = "small" if n_rows <= cap else "set"
         long = attach_peer_percentile_exact(long, "sv", "__pct_all",
                                             group_keys=["metric"],
                                             min_peers=2, round_digits=2,

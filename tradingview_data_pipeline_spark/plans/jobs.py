@@ -108,7 +108,9 @@ def run_composite_job(spark: SparkSession, tables: dict[str, ParquetTable],
 def run_fundamental_job(spark: SparkSession, tables: dict[str, ParquetTable]) -> DataFrame:
     """stock_data -> fundamental scores + ranks -> MERGE stock_rankings
     (§3.2 stage 3); returns the scored frame projection."""
-    scored = fs.fundamental_scores(tables["stock_data"].read())
+    scored = fs.fundamental_scores(
+        tables["stock_data"].read(),
+        size_hint_rows=tables["stock_data"].row_count())
     ranked = fs.fundamental_ranks(
         scored, tables["stock_rankings"].read().select("symbol", "market_cap_category"))
     out = fs.rankings_output(ranked)

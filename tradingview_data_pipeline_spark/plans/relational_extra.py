@@ -322,14 +322,17 @@ def q38_fundamental_shape(spark, sf_dir):
     # task at scale. Keyed levels keep business-key windows.
     base = p.select("p_partkey", "p_brand", "p_type",
                     vq.alias("__vq"), vv.alias("__vv"), (-vv_m).alias("__negv"))
-    # one shallow LIMIT-probe on the scan decides the mode up front (auto
-    # mode would re-probe through join lineage), and BOTH metrics go
-    # through ONE melted attach call (keys=['__m']) — one histogram scan
-    # and one join-back instead of two of each. The cap is divided by the
-    # melt factor: stack(2, ...) doubles the frame, and it's the MELTED
-    # frame that "small" mode broadcasts.
+    # the mode gate reads the part table's parquet FOOTER row count —
+    # exact, driver-side, zero Spark actions (auto mode would LIMIT-probe
+    # through join lineage) — and BOTH metrics go through ONE melted
+    # attach call (keys=['__m']): one histogram scan and one join-back
+    # instead of two of each. The cap is divided by the melt factor:
+    # stack(2, ...) doubles the frame, and it's the MELTED frame that
+    # "small" mode broadcasts. Mode changes the plan, never the result.
+    from tradingview_data_pipeline_spark.operators.merge import parquet_footer_rows
     _cap = 2_000_000 // 2
-    mode = "small" if base.limit(_cap + 1).count() <= _cap else "set"
+    n_rows = parquet_footer_rows([os.path.join(sf_dir, "part.parquet")])
+    mode = "small" if n_rows <= _cap else "set"
     long = base.select(
         "p_partkey",
         F.expr("stack(2, 'q', __vq, 'v', __negv) AS (__m, __sv)"))
