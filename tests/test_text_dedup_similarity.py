@@ -203,6 +203,36 @@ def test_incremental_simhash_index(spark, tmp_path):
     assert idx2.table.read().count() == 5
 
 
+def test_simhash_arrow_impl_identical_to_sql(spark):
+    """The numpy mapInPandas signature path must be integer-identical to
+    the SQL fold — including groups that STRADDLE Arrow batches (forced
+    with a tiny maxRecordsPerBatch so the carry buffer is exercised) and
+    zero-token docs (NULL signature both ways)."""
+    import random
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(1, 40))))
+            for i in range(120)]
+    rows += [(900, ""), (901, "   ")]          # zero-token docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")               # force batch straddling
+        got_a = {r["doc_id"]: r["simhash"] for r in dd.simhash_table(
+            df, "doc_id", "text", bits=60, impl="arrow").collect()}
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    got_s = {r["doc_id"]: r["simhash"] for r in dd.simhash_table(
+        df, "doc_id", "text", bits=60, impl="sql").collect()}
+    assert got_a == got_s
+    assert got_a[900] is None and got_a[901] is None
+
+
 def _parquet_files(path):
     import os
     return [os.path.join(root, n) for root, _, names in os.walk(path)

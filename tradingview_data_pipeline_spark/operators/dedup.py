@@ -19,6 +19,7 @@ across engines and runs — never engine-native ``hash()``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -243,27 +244,108 @@ SIMHASH_MAX_BITS = 60
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str,
-                  bits: int = 16, out_col: str = "simhash") -> DataFrame:
+                  bits: int = 16, out_col: str = "simhash",
+                  impl: str = "sql") -> DataFrame:
+    """``impl="sql"``: the codegen'd conditional-sum aggregate (the
+    oracle-matched reference form). ``impl="arrow"``: identical bit
+    mapping computed by numpy over Arrow batches (``mapInPandas``) —
+    the per-row 60 shift/mask extractions that dominate the SQL form
+    become one vectorized ``(n, bits)`` bit-unpack + ``reduceat`` per
+    batch. Results are integer-for-integer identical by construction
+    (pinned by pytest); pick by measurement."""
     assert bits <= SIMHASH_MAX_BITS
     toks = F.array_distinct(tokens(F.col(text_col)))
     ex = (df.select(F.col(id_col), F.explode(toks).alias("__t"))
           .select(id_col,
                   F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10)
                   .cast("bigint").alias("__h60")))
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for j in range(bits):
-        shift = 59 - j
-        aggs.append(F.sum(F.shiftright(F.col("__h60"), shift)
-                          .bitwiseAND(F.lit(1))).alias(f"__b{j}"))
-    g = ex.groupBy(id_col).agg(*aggs)
-    sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"__b{j}") * 2 >= F.col("__n"),
-                      F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sig = term if sig is None else sig + term
-    g = g.select(id_col, sig.alias(out_col))
+    if impl == "arrow":
+        g = _simhash_agg_arrow(ex, id_col, df.schema[id_col].dataType,
+                               bits, out_col)
+    else:
+        assert impl == "sql", impl
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for j in range(bits):
+            shift = 59 - j
+            aggs.append(F.sum(F.shiftright(F.col("__h60"), shift)
+                              .bitwiseAND(F.lit(1))).alias(f"__b{j}"))
+        g = ex.groupBy(id_col).agg(*aggs)
+        sig = None
+        for j in range(bits):
+            term = F.when(F.col(f"__b{j}") * 2 >= F.col("__n"),
+                          F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            sig = term if sig is None else sig + term
+        g = g.select(id_col, sig.alias(out_col))
     # docs with zero tokens vanish in the explode; rejoin with NULL signature
     return df.select(id_col).join(g, id_col, "left")
+
+
+def _simhash_agg_arrow(ex: DataFrame, id_col: str, id_type,
+                       bits: int, out_col: str) -> DataFrame:
+    """(id, __h60) token-hash rows -> (id, signature) via numpy.
+
+    One shuffle on the id (hash repartition + sort-within-partitions —
+    groups arrive CONTIGUOUSLY, so a doc straddling two Arrow batches is
+    folded through a carry buffer instead of paying one Python call per
+    group the way ``applyInPandas`` would; same pattern as the EMA
+    recurrence operator). Per batch the majority vote is a single
+    ``(n, bits)`` bit-unpack and a ``reduceat`` over run boundaries —
+    no per-row Python."""
+    out_schema = T.StructType([T.StructField(id_col, id_type),
+                               T.StructField(out_col, T.LongType())])
+
+    def fold(batches):
+        import numpy as np
+        shifts = np.arange(59, 59 - bits, -1, dtype=np.int64)
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+        carry_id, carry_n = None, 0
+        carry_sums = np.zeros(bits, dtype=np.int64)
+
+        def sig_of(n, sums):
+            return int(weights[(sums * 2) >= n].sum())
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            h = pdf["__h60"].to_numpy().astype(np.int64, copy=False)
+            bitsmat = (h[:, None] >> shifts[None, :]) & np.int64(1)
+            starts = np.concatenate(
+                ([0], np.nonzero(ids[1:] != ids[:-1])[0] + 1))
+            sums = np.add.reduceat(bitsmat, starts, axis=0)
+            counts = np.diff(np.concatenate((starts, [len(ids)])))
+            run_ids = ids[starts]
+            first = 0
+            if carry_id is not None:
+                if run_ids[0] == carry_id:      # continuation of last run
+                    carry_sums = carry_sums + sums[0]
+                    carry_n += int(counts[0])
+                    first = 1
+                    if len(run_ids) == 1:       # still straddling
+                        continue
+                out_first = (carry_id, sig_of(carry_n, carry_sums))
+                carry_id = None
+            else:
+                out_first = None
+            last = len(run_ids) - 1
+            done_ids = list(run_ids[first:last])
+            done_sigs = [sig_of(counts[k], sums[k])
+                         for k in range(first, last)]
+            if out_first is not None:
+                done_ids.insert(0, out_first[0])
+                done_sigs.insert(0, out_first[1])
+            carry_id = run_ids[last]
+            carry_n = int(counts[last])
+            carry_sums = sums[last].copy()
+            if done_ids:
+                yield pd.DataFrame({id_col: done_ids, out_col: done_sigs})
+        if carry_id is not None:
+            yield pd.DataFrame({id_col: [carry_id],
+                                out_col: [sig_of(carry_n, carry_sums)]})
+
+    return (ex.repartition(F.col(id_col))
+            .sortWithinPartitions(id_col)
+            .mapInPandas(fold, out_schema))
 
 
 def simhash(col: Column, bits: int = 16) -> Column:
