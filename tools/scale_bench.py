@@ -1,0 +1,95 @@
+"""Measured scale-up bench for the dedup/ANN family (VERDICT r5 task 2).
+
+Runs the dedup/ANN/text queries at multiple sf dirs in ONE session and
+reports per-query wall time + the finalized-plan feature counts, so the
+"sub-quadratic by construction" claims in SCALING.md are measured at a
+10x step, not just argued.  Pair with tools/gen_scale.py:
+
+    python tools/gen_scale.py .scale/gen_sf0.1 1
+    python tools/gen_scale.py .scale/gen_sf1 10
+    python tools/scale_bench.py .scale/gen_sf0.1 .scale/gen_sf1
+
+Methodology notes (mirrored in SCALING.md):
+- Each scale starts with a cleared q28-family candidate cache, so
+  q28 pays the shared LSH materialization at every scale (comparable
+  numbers); q42/q59 then measure their own work on top of it.
+- Queries are materialized through the noop sink (full execution, no
+  driver collect) after one un-timed warm-up of q1 per scale to absorb
+  parquet-footer/JIT effects; an un-timed count() records output rows
+  so output growth is visible next to time growth.  Finalized-plan
+  feature counts come from `tools/plan_audit.py <sf_dir> <queries...>`,
+  which collect()s to finalize the adaptive plan.
+- A fixed-work JVM calibration job is timed per scale for drift checks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "q17_dedup_exact",
+    "q23_text_profile",
+    "q28_lsh_near_dup",
+    "q42_dedup_clusters",
+    "q59_neardup_graph_stats",
+    "q29_simhash",
+    "q30_cosine_topk",
+    "q31_ann_bucketed",
+    "q32_embedding_near_dup",
+    "q53_kmeans_assign",
+    "q62_quantized_ann",
+    "q47_chunking",
+    "q48_decontamination",
+    "q49_corpus_terms",
+]
+
+
+def main() -> None:
+    sf_dirs = [os.path.abspath(d) for d in sys.argv[1:]] or [
+        os.path.abspath(".scale/gen_sf0.1"), os.path.abspath(".scale/gen_sf1")]
+
+    import __spark_entry__ as entrymod
+    from tradingview_data_pipeline_spark.session import get_spark
+    from tradingview_data_pipeline_spark.plans import training_queries as tq
+
+    spark = get_spark("scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entrymod.queries()
+    out = []
+    for sf_dir in sf_dirs:
+        tq._DEDUP_CACHE.clear()          # q28 pays materialization per scale
+        qmap["q1_pricing_summary"](spark, sf_dir) \
+            .write.format("noop").mode("overwrite").save()    # warm-up
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
+        calibration = round(time.perf_counter() - t0, 3)
+        timings, rows = {}, {}
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            df = qmap[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            rows[name] = df.count()
+        rec = {"sf_dir": sf_dir, "calibration_sec": calibration,
+               "total_sec": round(sum(timings.values()), 3),
+               "queries": timings, "rows": rows}
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    if len(out) == 2:
+        print("\nratios (10x data -> time ratio; rows ratio):")
+        for name in QUERIES:
+            a, b = out[0]["queries"][name], out[1]["queries"][name]
+            ra, rb = out[0]["rows"][name], out[1]["rows"][name]
+            print(f"  {name:28s} {a:7.2f}s -> {b:7.2f}s  "
+                  f"x{b / a:5.2f}   rows {ra} -> {rb} (x{rb / max(ra, 1):.1f})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
