@@ -590,3 +590,81 @@ def test_quantize_int8_bounds_zero_vectors_and_ranking(spark):
     qq = sim.quantized_topk(base, queries, "vec_id", "embedding", k=1)
     ex = sim.brute_force_topk(base, queries, "vec_id", "embedding", k=1)
     assert qq.collect()[0]["neighbor_id"] == ex.collect()[0]["neighbor_id"] == 12
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane SimHash LSH over embeddings (q32's round-6 scale reshape)
+# ---------------------------------------------------------------------------
+
+def _unit_vectors(n, dim=8, seed=7, planted=()):
+    """Deterministic unit vectors; ``planted`` = (src, dst, eps) tuples
+    making dst a perturbed near-dup of src."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    for src, dst, eps in planted:
+        v = m[src] + eps * rng.standard_normal(dim)
+        m[dst] = v / np.linalg.norm(v)
+    return m
+
+
+def test_embedding_lsh_sql_and_vector_methods_identical(spark):
+    m = _unit_vectors(40, dim=8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id bigint, embedding array<float>")
+    a = sim.embedding_lsh_bands(df, "vec_id", "embedding", bits=24, bands=4,
+                                dim=8, method="vector")
+    b = sim.embedding_lsh_bands(df, "vec_id", "embedding", bits=24, bands=4,
+                                dim=8, method="sql")
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and len(rows_a) == 40 * 4
+
+
+def test_embedding_near_dups_lsh_finds_planted_pairs(spark):
+    planted = [(0, 10, 0.02), (3, 25, 0.02), (7, 31, 0.02)]
+    m = _unit_vectors(40, dim=8, planted=planted)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id bigint, embedding array<float>")
+    out = sim.embedding_near_dups_lsh(df, "vec_id", "embedding",
+                                      threshold=0.95, bits=24, bands=4, dim=8)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 40
+    hot = {i for pair in planted for i in pair[:2]}
+    for i in hot:
+        assert rows[i].neardup_n >= 1, f"planted near-dup {i} not retrieved"
+    # signature sanity: bands-many '-'-joined keys
+    assert all(len(r.sig_key.split("-")) == 4 for r in rows.values())
+    # vectors far from everything have degree 0 (8-dim randoms can brush
+    # 0.95 only via the planted pairs at this n)
+    assert sum(r.neardup_n for r in rows.values()) == 2 * len(planted)
+
+
+def test_embedding_near_dups_lsh_bucket_cap_drops_degenerate(spark):
+    # 30 identical vectors (one degenerate LSH bucket per band) + cap 10:
+    # the family is dropped from pair generation, not exploded into 435
+    # pairs; signatures still reported for every vector.
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, base) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = sim.embedding_near_dups_lsh(df, "vec_id", "embedding",
+                                      threshold=0.9, bits=8, bands=2, dim=4,
+                                      max_bucket=10)
+    got = out.collect()
+    assert len(got) == 30
+    assert all(r.neardup_n == 0 for r in got)
+    assert len({r.sig_key for r in got}) == 1
+
+
+def test_embedding_near_dups_exact_bucketed(spark):
+    # the exact intra-bucket form (valid when buckets come from a
+    # properly sized quantizer); q32 moved to the LSH path in round 6
+    rows = [(0, [1.0, 0.0], 0), (1, [0.999, 0.04], 0),   # same bucket, near
+            (2, [0.0, 1.0], 1), (3, [1.0, 0.0], 1)]      # cross-bucket pair unseen
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = sim.embedding_near_dups(df, "vec_id", "embedding", "label",
+                                  threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -367,3 +368,163 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "qdot", "rk")
     )
+
+# ---------------------------------------------------------------------------
+# Hyperplane SimHash LSH — the scale path for embedding NEAR-DUP retrieval.
+#
+# Why it replaced the label-bucketed exact form in q32: comparing all
+# intra-bucket pairs is c²/2 dot products per bucket, and with a FIXED
+# bucket count the population c grows with the corpus — measured x82
+# wall-time at 10x data on the scale bench (quadratic, as predicted by
+# the embedding_near_dups docstring).  Near-duplicates in a real corpus
+# are O(n) (each doc has O(1) perturbed copies), so retrieval should be
+# ~linear: a map-only signature pass + a banded equi-join that only
+# near-identical vectors collide in, + exact verification of the tiny
+# candidate set.  This is the random-hyperplane (sign-bit) family of the
+# text SimHash operator in dedup.py, with banding playing the same role
+# (recall here is probabilistic — P(collide) = agreement^chunk per band —
+# not the pigeonhole guarantee of hamming banding; the defaults give
+# ~0.98 recall at cos 0.975 and are pinned empirically in pytest).
+#
+# Cross-engine exactness (the q62 int8 trick, extended): vectors are
+# quantized to floor(x·2^20) BIGINTs (exact: float->double cast, one
+# power-of-two multiply, floor — all correctly rounded), hyperplanes are
+# ±1 Rademacher rows derived from md5 hex parity (reproducible from SQL
+# md5() in any engine — no RNG, no literals to ship), so every bit-sum,
+# band key, and verification dot product is integer arithmetic and the
+# final cosine is the same two-sqrt-one-divide double everywhere.
+#
+# Sizing at scale: buckets per band = 2^chunk_bits.  Random-vector
+# collisions contribute ~bands·n²/2^chunk_bits candidate pairs, so
+# chunk_bits is a corpus-size parameter (grow it with log2(n) to hold
+# the candidate budget); degenerate families (zero vectors, boilerplate
+# embeddings) hit the same max_bucket guard as the text LSH path.
+# ---------------------------------------------------------------------------
+
+EMB_QUANT = float(1 << 20)
+
+
+def hyperplane_signs(bits: int, dim: int) -> list[list[int]]:
+    """±1 Rademacher hyperplanes from md5 parity: s(i,d) = +1 iff the
+    first hex char of md5(f"{i}_{d}") is even — byte-identical to the
+    SQL derivation CASE WHEN strpos('02468ace', substr(md5(...),1,1))."""
+    import hashlib
+    return [[1 if hashlib.md5(f"{i}_{d}".encode()).hexdigest()[0] in "02468ace"
+             else -1 for d in range(dim)] for i in range(bits)]
+
+
+def quantize_grid(v: Column) -> Column:
+    """array<float> -> array<bigint> on the 2^-20 grid (exact)."""
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * F.lit(EMB_QUANT)).cast("bigint"))
+
+
+def embedding_lsh_bands(df: DataFrame, id_col: str, vec_col: str, *,
+                        bits: int = 96, bands: int = 8, dim: int = 64,
+                        method: str = "vector") -> DataFrame:
+    """(id, pos, key): one row per band, key = the band's sign bits.
+
+    ``method="vector"`` (default): per-Arrow-batch numpy — quantize,
+    one (n,dim)x(dim,bits) integer matmul, bit-pack.  Map-only, no
+    shuffle, no per-row Python.  ``method="sql"``: the engine-agnostic
+    long form (explode dims -> broadcast-join the ±1 matrix -> two
+    hash aggregations) that the DuckDB oracle mirrors; integer
+    arithmetic makes the two methods equal by construction (pinned in
+    pytest, like simhash_table's sql/arrow pair)."""
+    chunk = bits // bands
+    assert chunk * bands == bits
+    signs = hyperplane_signs(bits, dim)
+    id_type = df.schema[id_col].dataType
+    if method == "sql":
+        spark = df.sparkSession
+        sdf = spark.createDataFrame(
+            [(i, d, s) for i, row in enumerate(signs) for d, s in enumerate(row)],
+            schema="i INT, d INT, s BIGINT")
+        vq = df.select(
+            F.col(id_col),
+            F.posexplode(quantize_grid(F.col(vec_col))).alias("d", "x"))
+        bitsum = (vq.join(F.broadcast(sdf), "d")
+                  .groupBy(id_col, "i")
+                  .agg(F.sum(F.col("s") * F.col("x")).alias("bs")))
+        return (bitsum
+                .withColumn("b", F.when(F.col("bs") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"))
+                .groupBy(id_col, F.floor(F.col("i") / chunk).cast("bigint").alias("pos"))
+                .agg(F.sum(F.expr(f"b * shiftleft(CAST(1 AS BIGINT), CAST(i % {chunk} AS INT))")).alias("key")))
+    assert method == "vector", method
+    out_schema = T.StructType([T.StructField(id_col, id_type),
+                               T.StructField("pos", T.LongType()),
+                               T.StructField("key", T.LongType())])
+
+    def emit(batches):
+        import numpy as np
+        import pandas as pd
+        S = np.array(signs, dtype=np.int64)                      # (bits, dim)
+        w = (np.int64(1) << np.arange(chunk, dtype=np.int64))
+        poss = np.arange(bands, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            VQ = np.floor(V * EMB_QUANT).astype(np.int64)
+            B = ((VQ @ S.T) >= 0).astype(np.int64)               # (n, bits)
+            K = B.reshape(n, bands, chunk) @ w                   # (n, bands)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), bands),
+                "pos": np.tile(poss, n),
+                "key": K.ravel()})
+
+    return df.select(id_col, vec_col).mapInPandas(emit, out_schema)
+
+
+def embedding_near_dups_lsh(corpus: DataFrame, id_col: str, vec_col: str, *,
+                            threshold: float = 0.95, bits: int = 96,
+                            bands: int = 8, dim: int = 64,
+                            max_bucket: int = 1000,
+                            method: str = "vector") -> DataFrame:
+    """Per-vector near-dup retrieval: (id, sig_key, neardup_n).
+
+    sig_key is the '-'-joined band keys (the full signature, so the
+    whole hyperplane pipeline is value-verified even on corpora with no
+    near-dups); neardup_n counts partners with exact quantized cosine
+    >= threshold among banded candidates.  Buckets over max_bucket are
+    dropped before the self-join, same guard (and same oracle QUALIFY
+    mirror) as dedup.lsh_candidate_pairs."""
+    br = embedding_lsh_bands(corpus, id_col, vec_col, bits=bits,
+                             bands=bands, dim=dim, method=method)
+    sig = (br.groupBy(id_col)
+           .agg(F.array_sort(F.collect_list(F.struct("pos", "key"))).alias("a"))
+           .select(id_col,
+                   F.array_join(F.expr("transform(a, x -> CAST(x.key AS STRING))"),
+                                "-").alias("sig_key")))
+    over = (br.groupBy("pos", "key").agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket).select("pos", "key"))
+    capped = br.join(F.broadcast(over), ["pos", "key"], "left_anti")
+    pairs = (
+        capped.select(F.col(id_col).alias("id_a"), "pos", "key")
+        .join(capped.select(F.col(id_col).alias("id_b"), "pos", "key"),
+              ["pos", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct())
+    vq = corpus.select(F.col(id_col),
+                       quantize_grid(F.col(vec_col)).alias("vq"),
+                       int_dot(quantize_grid(F.col(vec_col)),
+                               quantize_grid(F.col(vec_col))).alias("n2"))
+    good = (
+        pairs
+        .join(vq.select(F.col(id_col).alias("id_a"), F.col("vq").alias("va"),
+                        F.col("n2").alias("na2")), "id_a")
+        .join(vq.select(F.col(id_col).alias("id_b"), F.col("vq").alias("vb"),
+                        F.col("n2").alias("nb2")), "id_b")
+        .withColumn("cos", int_dot(F.col("va"), F.col("vb")).cast("double")
+                    / (F.sqrt(F.col("na2").cast("double"))
+                       * F.sqrt(F.col("nb2").cast("double"))))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b"))
+    deg = (good.select(F.col("id_a").alias(id_col))
+           .unionAll(good.select(F.col("id_b").alias(id_col)))
+           .groupBy(id_col).agg(F.count(F.lit(1)).alias("neardup_n")))
+    return (sig.join(deg, id_col, "left")
+            .select(id_col, "sig_key",
+                    F.coalesce(F.col("neardup_n"), F.lit(0)).cast("bigint")
+                    .alias("neardup_n")))
