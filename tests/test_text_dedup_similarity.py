@@ -668,3 +668,13 @@ def test_embedding_near_dups_exact_bucketed(spark):
     out = sim.embedding_near_dups(df, "vec_id", "embedding", "label",
                                   threshold=0.95).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+
+
+def test_suggest_lsh_chunk_bits_sizing():
+    # linear-candidate rule: bucket count tracks corpus size
+    assert sim.suggest_lsh_chunk_bits(2_000) == 9
+    assert sim.suggest_lsh_chunk_bits(200_000) == 16
+    assert sim.suggest_lsh_chunk_bits(200_000_000) == 26
+    assert sim.suggest_lsh_chunk_bits(1) == 4          # floor
+    # 10x data -> ~+3.3 bits: bucket population stays ~constant
+    assert sim.suggest_lsh_chunk_bits(20_000) - sim.suggest_lsh_chunk_bits(2_000) in (3, 4)

@@ -528,3 +528,20 @@ def embedding_near_dups_lsh(corpus: DataFrame, id_col: str, vec_col: str, *,
             .select(id_col, "sig_key",
                     F.coalesce(F.col("neardup_n"), F.lit(0)).cast("bigint")
                     .alias("neardup_n")))
+
+
+def suggest_lsh_chunk_bits(n: int, target_bucket_pop: float = 4.0) -> int:
+    """Band key width for a corpus of ``n`` vectors: 2^chunk buckets per
+    band should hold ~``target_bucket_pop`` random vectors, keeping the
+    random-collision candidate budget ~bands·n·pop/2 — linear in n.
+
+    This is the knob the third-decade scale bench turned: fixed 12-bit
+    chunks measured ×29 wall-time going 20k→200k vectors (bucket
+    population ×10 → intra-bucket pairs ×100); resizing to the 16 bits
+    this rule suggests for 200k restored ~linear cost (126.5 s → 21.7 s,
+    same retrieval contract, ~0.97 planted recall — see SCALING.md).
+    Recall per band shrinks as agreement^chunk, so when raising chunk
+    bits also raise ``bands`` (or total bits) to hold the union recall.
+    """
+    import math
+    return max(4, math.ceil(math.log2(max(2.0, n / target_bucket_pop))))
