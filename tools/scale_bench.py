@@ -68,22 +68,30 @@ def main() -> None:
         t0 = time.perf_counter()
         spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
         calibration = round(time.perf_counter() - t0, 3)
-        timings, rows = {}, {}
+        timings, rows, errors = {}, {}, {}
         for name in QUERIES:
+            # per-query isolation (same round-4 lesson as bench.py): one
+            # failure must not erase the scale point's other timings
             t0 = time.perf_counter()
-            df = qmap[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            rows[name] = df.count()
+            try:
+                df = qmap[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 3)
+                rows[name] = df.count()
+            except Exception as exc:  # noqa: BLE001 — harness must survive
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         rec = {"sf_dir": sf_dir, "calibration_sec": calibration,
                "total_sec": round(sum(timings.values()), 3),
-               "queries": timings, "rows": rows}
+               "queries": timings, "rows": rows,
+               **({"errors": errors} if errors else {})}
         out.append(rec)
         print(json.dumps(rec), flush=True)
 
     if len(out) == 2:
         print("\nratios (10x data -> time ratio; rows ratio):")
         for name in QUERIES:
+            if name not in out[0]["queries"] or name not in out[1]["queries"]:
+                continue
             a, b = out[0]["queries"][name], out[1]["queries"][name]
             ra, rb = out[0]["rows"][name], out[1]["rows"][name]
             print(f"  {name:28s} {a:7.2f}s -> {b:7.2f}s  "
