@@ -678,3 +678,17 @@ def test_suggest_lsh_chunk_bits_sizing():
     assert sim.suggest_lsh_chunk_bits(1) == 4          # floor
     # 10x data -> ~+3.3 bits: bucket population stays ~constant
     assert sim.suggest_lsh_chunk_bits(20_000) - sim.suggest_lsh_chunk_bits(2_000) in (3, 4)
+
+
+def test_embedding_near_dups_lsh_size_hint_resizes_keys(spark):
+    m = _unit_vectors(30, dim=8, planted=[(2, 17, 0.02)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id bigint, embedding array<float>")
+    out = sim.embedding_near_dups_lsh(df, "vec_id", "embedding",
+                                      threshold=0.95, bands=4, dim=8,
+                                      size_hint=30)
+    rows = {r.vec_id: r for r in out.collect()}
+    # chunk = suggest_lsh_chunk_bits(30) = 4 -> band keys all < 2^4
+    assert all(int(k) < 16 for r in rows.values() for k in r.sig_key.split("-"))
+    assert rows[2].neardup_n >= 1 and rows[17].neardup_n >= 1

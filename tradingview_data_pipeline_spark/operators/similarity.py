@@ -481,7 +481,8 @@ def embedding_near_dups_lsh(corpus: DataFrame, id_col: str, vec_col: str, *,
                             threshold: float = 0.95, bits: int = 96,
                             bands: int = 8, dim: int = 64,
                             max_bucket: int = 1000,
-                            method: str = "vector") -> DataFrame:
+                            method: str = "vector",
+                            size_hint: int | None = None) -> DataFrame:
     """Per-vector near-dup retrieval: (id, sig_key, neardup_n).
 
     sig_key is the '-'-joined band keys (the full signature, so the
@@ -489,7 +490,16 @@ def embedding_near_dups_lsh(corpus: DataFrame, id_col: str, vec_col: str, *,
     near-dups); neardup_n counts partners with exact quantized cosine
     >= threshold among banded candidates.  Buckets over max_bucket are
     dropped before the self-join, same guard (and same oracle QUALIFY
-    mirror) as dedup.lsh_candidate_pairs."""
+    mirror) as dedup.lsh_candidate_pairs.
+
+    ``size_hint`` (approximate corpus row count, supplied by the caller
+    so no extra Spark action runs — same pattern as the fundamental-
+    score mode gate) re-sizes the band keys for the corpus via
+    ``suggest_lsh_chunk_bits``, overriding ``bits``: the third-decade
+    scale bench measured fixed 12-bit keys at x12 wall-time for the
+    20k->200k step and the re-sized 16-bit keys at x2.0."""
+    if size_hint is not None:
+        bits = bands * suggest_lsh_chunk_bits(size_hint)
     br = embedding_lsh_bands(corpus, id_col, vec_col, bits=bits,
                              bands=bands, dim=dim, method=method)
     sig = (br.groupBy(id_col)
@@ -506,10 +516,8 @@ def embedding_near_dups_lsh(corpus: DataFrame, id_col: str, vec_col: str, *,
               ["pos", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct())
-    vq = corpus.select(F.col(id_col),
-                       quantize_grid(F.col(vec_col)).alias("vq"),
-                       int_dot(quantize_grid(F.col(vec_col)),
-                               quantize_grid(F.col(vec_col))).alias("n2"))
+    vq = (corpus.select(F.col(id_col), quantize_grid(F.col(vec_col)).alias("vq"))
+          .withColumn("n2", int_dot(F.col("vq"), F.col("vq"))))
     good = (
         pairs
         .join(vq.select(F.col(id_col).alias("id_a"), F.col("vq").alias("va"),
