@@ -692,3 +692,55 @@ def test_embedding_near_dups_lsh_size_hint_resizes_keys(spark):
     # chunk = suggest_lsh_chunk_bits(30) = 4 -> band keys all < 2^4
     assert all(int(k) < 16 for r in rows.values() for k in r.sig_key.split("-"))
     assert rows[2].neardup_n >= 1 and rows[17].neardup_n >= 1
+
+
+def test_incremental_embedding_index(spark, tmp_path):
+    import numpy as np
+    path = str(tmp_path / "eix")
+    idx = sim.IncrementalEmbeddingIndex(spark, path, bits=24, bands=4, dim=8,
+                                        buckets=4)
+    m = _unit_vectors(8, dim=8)
+
+    def batch(ids_rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in ids_rows],
+            "vec_id bigint, embedding array<float>")
+
+    # batch 1: unrelated vectors -> no candidate pairs expected at this
+    # bit width for 8-dim randoms
+    p1 = {(r.id_a, r.id_b) for r in
+          idx.add_and_find(batch([(i, m[i]) for i in range(4)])).collect()}
+
+    # batch 2: vector 10 is an exact copy of stored vector 2 -> the
+    # cross-batch pair must appear; old×old pairs never (re)appear
+    p2 = {(r.id_a, r.id_b) for r in
+          idx.add_and_find(batch([(10, m[2]), (11, m[5])])).collect()}
+    assert (2, 10) in p2
+    assert not (p1 & p2)
+
+    # verification stays with the caller: exact cosine on the union frame
+    allv = batch([(i, m[i]) for i in range(4)] + [(10, m[2]), (11, m[5])])
+    good = sim.cosine_verify_pairs(
+        spark.createDataFrame(sorted(p2), "id_a long, id_b long"),
+        allv, "vec_id", "embedding", threshold=0.99).collect()
+    assert [(r.id_a, r.id_b) for r in good] == [(2, 10)]
+
+    # persistence + idempotence: fresh handle, re-adding vec 10 reports
+    # its pair again (signature refresh), never an old×old pair
+    idx2 = sim.IncrementalEmbeddingIndex(spark, path, bits=24, bands=4,
+                                         dim=8, buckets=4)
+    p3 = {(r.id_a, r.id_b) for r in
+          idx2.add_and_find(batch([(10, m[2])])).collect()}
+    assert (2, 10) in p3 and all(10 in pr for pr in p3)
+
+    # compaction: results identical afterwards, file count bounded
+    import os
+    def live_files():
+        return sum(len([f for f in files if f.endswith(".parquet")])
+                   for _, _, files in os.walk(path))
+    before = live_files()
+    idx2.compact()
+    assert live_files() <= before
+    p4 = {(r.id_a, r.id_b) for r in
+          idx2.add_and_find(batch([(12, m[2])])).collect()}
+    assert (2, 12) in p4 and (10, 12) in p4

@@ -516,9 +516,27 @@ def embedding_near_dups_lsh(corpus: DataFrame, id_col: str, vec_col: str, *,
               ["pos", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct())
-    vq = (corpus.select(F.col(id_col), quantize_grid(F.col(vec_col)).alias("vq"))
+    good = cosine_verify_pairs(pairs, corpus, id_col, vec_col,
+                               threshold=threshold).select("id_a", "id_b")
+    deg = (good.select(F.col("id_a").alias(id_col))
+           .unionAll(good.select(F.col("id_b").alias(id_col)))
+           .groupBy(id_col).agg(F.count(F.lit(1)).alias("neardup_n")))
+    return (sig.join(deg, id_col, "left")
+            .select(id_col, "sig_key",
+                    F.coalesce(F.col("neardup_n"), F.lit(0)).cast("bigint")
+                    .alias("neardup_n")))
+
+
+def cosine_verify_pairs(pairs: DataFrame, vectors: DataFrame, id_col: str,
+                        vec_col: str, *, threshold: float) -> DataFrame:
+    """Exact verification of candidate (id_a, id_b) pairs: quantized
+    integer dot + IEEE sqrt/divide (bit-reproducible cross-engine),
+    keeping pairs with cos >= threshold.  Returns (id_a, id_b, cos).
+    Cost is |pairs| folds — run it AFTER an LSH/banding funnel, never
+    on all pairs."""
+    vq = (vectors.select(F.col(id_col), quantize_grid(F.col(vec_col)).alias("vq"))
           .withColumn("n2", int_dot(F.col("vq"), F.col("vq"))))
-    good = (
+    return (
         pairs
         .join(vq.select(F.col(id_col).alias("id_a"), F.col("vq").alias("va"),
                         F.col("n2").alias("na2")), "id_a")
@@ -528,14 +546,7 @@ def embedding_near_dups_lsh(corpus: DataFrame, id_col: str, vec_col: str, *,
                     / (F.sqrt(F.col("na2").cast("double"))
                        * F.sqrt(F.col("nb2").cast("double"))))
         .where(F.col("cos") >= F.lit(threshold))
-        .select("id_a", "id_b"))
-    deg = (good.select(F.col("id_a").alias(id_col))
-           .unionAll(good.select(F.col("id_b").alias(id_col)))
-           .groupBy(id_col).agg(F.count(F.lit(1)).alias("neardup_n")))
-    return (sig.join(deg, id_col, "left")
-            .select(id_col, "sig_key",
-                    F.coalesce(F.col("neardup_n"), F.lit(0)).cast("bigint")
-                    .alias("neardup_n")))
+        .select("id_a", "id_b", "cos"))
 
 
 def suggest_lsh_chunk_bits(n: int, target_bucket_pop: float = 4.0) -> int:
@@ -553,3 +564,96 @@ def suggest_lsh_chunk_bits(n: int, target_bucket_pop: float = 4.0) -> int:
     """
     import math
     return max(4, math.ceil(math.log2(max(2.0, n / target_bucket_pop))))
+
+
+class IncrementalEmbeddingIndex:
+    """Embedding near-dup candidates for an APPEND-ONLY corpus without
+    recomputing old pairs — the vector-side sibling of
+    ``dedup.IncrementalNearDupIndex`` / ``IncrementalSimHashIndex``:
+
+      1. each new batch computes its hyperplane band keys once
+         (``embedding_lsh_bands``, one integer matmul per Arrow batch —
+         ``bands`` BIGINTs of state per vector, never the vector),
+      2. band-joins new∪stored keys keeping only pairs with a NEW
+         member (old×old pairs were reported when those vectors
+         arrived), so incremental cost is O(batch × collision rate),
+      3. upserts the new keys (idempotent: re-adding refreshes them).
+
+    Returns CANDIDATE pairs; exact verification needs the vectors and
+    stays with the caller (``cosine_verify_pairs``), mirroring how the
+    text index defers to ``jaccard_verify``.  The same ``max_bucket``
+    guard caps degenerate buckets (zero vectors, boilerplate
+    embeddings) across the combined frame.  Size ``bits`` for the
+    EVENTUAL corpus (``suggest_lsh_chunk_bits``) — band keys persist,
+    so re-sizing later means rebuilding the index.  At corpus scale,
+    bucket the table (``buckets=N``) so upserts rewrite only touched
+    buckets; ``compact()`` bounds streaming-cadence file counts via the
+    same manifest commit as every maintenance op."""
+
+    def __init__(self, spark, path: str, *, bits: int = 96, bands: int = 8,
+                 dim: int = 64, max_bucket: int | None = 1000,
+                 buckets: int | None = None):
+        from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+        assert bits % bands == 0
+        self.bits, self.bands, self.dim = bits, bands, dim
+        self.max_bucket = max_bucket
+        schema = T.StructType(
+            [T.StructField("vec_id", T.LongType())]
+            + [T.StructField(f"p{j}", T.LongType()) for j in range(bands)])
+        self.table = ParquetTable(spark, path, schema, "vec_id",
+                                  buckets=buckets)
+
+    def _wide(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        br = embedding_lsh_bands(
+            df.select(F.col(id_col).cast("long").alias("vec_id"),
+                      F.col(vec_col)),
+            "vec_id", vec_col, bits=self.bits, bands=self.bands,
+            dim=self.dim)
+        return (br.groupBy("vec_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "key")))
+                     .alias("a"))
+                .select("vec_id", *[F.expr(f"a[{j}].key").alias(f"p{j}")
+                                    for j in range(self.bands)]))
+
+    def _melt(self, wide: DataFrame, is_new: bool) -> DataFrame:
+        return (wide.select(
+            "vec_id",
+            F.posexplode(F.array(*[F.col(f"p{j}")
+                                   for j in range(self.bands)]))
+            .alias("pos", "key"))
+            .withColumn("is_new", F.lit(is_new)))
+
+    def add_and_find(self, df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+        """Register a batch; return DISTINCT candidate pairs
+        (id_a < id_b) where at least one side is from this batch."""
+        new_w = self._wide(df, id_col, vec_col)
+        stored = self.table.read()
+        new_ids = new_w.select("vec_id")
+        combined = (
+            self._melt(stored.join(new_ids, "vec_id", "left_anti"), False)
+            .unionByName(self._melt(new_w, True)))
+        if self.max_bucket is not None:
+            over = (combined.groupBy("pos", "key")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .where(F.col("__n") > self.max_bucket)
+                    .select("pos", "key"))
+            combined = combined.join(F.broadcast(over), ["pos", "key"],
+                                     "left_anti")
+        a, b = combined.alias("a"), combined.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.pos") == F.col("b.pos"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id"))
+                   & (F.col("a.is_new") | F.col("b.is_new")))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"))
+            .distinct())
+        pairs = pairs.localCheckpoint(eager=True)   # pin before the upsert
+        self.table.merge_upsert(new_w)
+        return pairs
+
+    def compact(self) -> None:
+        """Maintenance: one file per live bucket, results unchanged;
+        crash-safe via the manifest commit."""
+        self.table.compact()
