@@ -178,3 +178,53 @@ def test_stream_neardup_candidates_across_batches(spark, tmp_path):
     got = {(r["doc_a"], r["doc_b"]) for r in pairs_table.read().collect()}
     assert {(1, 3), (2, 4)} <= got
     assert (1, 2) not in got
+
+
+def test_stream_neardup_candidates_embedding_index(spark, tmp_path):
+    """The same streaming operator drives the vector-side incremental
+    index: cross-micro-batch embedding near-dup candidates, keyed
+    pair-dedup sink, nothing re-reported."""
+    import numpy as np
+    from tradingview_data_pipeline_spark.operators.similarity import (
+        IncrementalEmbeddingIndex,
+    )
+
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((6, 8))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    schema = "vec_id long, embedding array<float>"
+    pairs_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("pair_key", T.StringType()),
+    ])
+    idx = IncrementalEmbeddingIndex(spark, str(tmp_path / "eix_s"),
+                                    bits=24, bands=4, dim=8, buckets=4)
+    pairs_table = ParquetTable(spark, str(tmp_path / "epairs"), pairs_schema,
+                               key="pair_key")
+    src_dir = tmp_path / "vecs_in"
+    src_dir.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(i, [float(x) for x in m[j]]) for i, j in rows], schema) \
+            .coalesce(1).write.parquet(str(src_dir / name))
+
+    write_batch("b1", [(0, 0), (1, 1)])
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema).parquet(str(src_dir) + "/*")
+    q = stream_neardup_candidates(stream, idx, pairs_table,
+                                  str(tmp_path / "ckpt_e"),
+                                  id_col="vec_id", text_col="embedding")
+    q.awaitTermination(120)
+    assert pairs_table.read().count() == 0        # unrelated vectors
+
+    # second trigger: vec 10 duplicates stored vec 1 -> cross-batch pair
+    write_batch("b2", [(10, 1), (11, 3)])
+    q = stream_neardup_candidates(stream, idx, pairs_table,
+                                  str(tmp_path / "ckpt_e"),
+                                  id_col="vec_id", text_col="embedding")
+    q.awaitTermination(120)
+    got = {(r["id_a"], r["id_b"]) for r in pairs_table.read().collect()}
+    assert (1, 10) in got
+    assert all(10 in p or 11 in p for p in got)   # only new-member pairs

@@ -76,8 +76,8 @@ def stream_news_to_table(
 
 def stream_neardup_candidates(
     doc_stream: DataFrame,
-    index,                                  # dedup.IncrementalNearDupIndex
-    pairs_table: ParquetTable,
+    index,      # dedup.IncrementalNearDupIndex / IncrementalSimHashIndex
+    pairs_table: ParquetTable,              # / similarity.IncrementalEmbeddingIndex
     checkpoint_dir: str,
     *,
     id_col: str = "doc_id",
@@ -85,19 +85,25 @@ def stream_neardup_candidates(
     available_now: bool = True,
 ):
     """Streaming near-duplicate detection: each micro-batch registers its
-    documents with the incremental MinHash index and appends the NEW
-    candidate pairs (new-member-only — nothing is re-reported) to a
-    keyed pairs table. Work per trigger is O(batch × collision rate):
-    the signature table carries the whole corpus history, the stream
-    never re-reads it. Restart-safe end-to-end: the checkpoint replays
-    an unacknowledged batch, ``add_and_find`` re-upserts the same
+    documents with the incremental index and appends the NEW candidate
+    pairs (new-member-only — nothing is re-reported) to a keyed pairs
+    table. Work per trigger is O(batch × collision rate): the signature
+    table carries the whole corpus history, the stream never re-reads
+    it. Restart-safe end-to-end: the checkpoint replays an
+    unacknowledged batch, ``add_and_find`` re-upserts the same
     signatures (idempotent MERGE), and the pairs sink dedups on the
-    pair key."""
+    pair key.
+
+    Works with every incremental index family — all expose
+    ``add_and_find(batch, id_col, content_col)`` returning (a, b) pair
+    columns: MinHash/SimHash over text, hyperplane LSH over embeddings
+    (pass ``text_col="embedding"``; pair columns differ in name only,
+    so the key is derived from whatever the index returns)."""
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         pairs = index.add_and_find(batch_df, id_col, text_col)
+        ca, cb = pairs.columns[:2]
         pairs_table.append_dedup(
-            pairs.withColumn("pair_key",
-                             F.concat_ws(":", "doc_a", "doc_b")))
+            pairs.withColumn("pair_key", F.concat_ws(":", ca, cb)))
 
     writer = doc_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir)
