@@ -744,3 +744,15 @@ def test_incremental_embedding_index(spark, tmp_path):
     p4 = {(r.id_a, r.id_b) for r in
           idx2.add_and_find(batch([(12, m[2])])).collect()}
     assert (2, 12) in p4 and (10, 12) in p4
+
+
+def test_embedding_lsh_null_vectors_dropped(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, None), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>")
+    br = sim.embedding_lsh_bands(df, "vec_id", "embedding",
+                                 bits=8, bands=2, dim=4).collect()
+    assert {r.vec_id for r in br} == {0, 2} and len(br) == 4
+    out = sim.embedding_near_dups_lsh(df, "vec_id", "embedding",
+                                      threshold=0.9, bits=8, bands=2, dim=4)
+    assert {r.vec_id for r in out.collect()} == {0, 2}

@@ -430,11 +430,16 @@ def embedding_lsh_bands(df: DataFrame, id_col: str, vec_col: str, *,
     long form (explode dims -> broadcast-join the ±1 matrix -> two
     hash aggregations) that the DuckDB oracle mirrors; integer
     arithmetic makes the two methods equal by construction (pinned in
-    pytest, like simhash_table's sql/arrow pair)."""
+    pytest, like simhash_table's sql/arrow pair).
+
+    NULL vectors are dropped (they have no signature — mirrors the
+    text simhash's NULL-signature contract); vectors must be
+    ``dim``-length (a ragged batch fails loudly in the matmul)."""
     chunk = bits // bands
     assert chunk * bands == bits
     signs = hyperplane_signs(bits, dim)
     id_type = df.schema[id_col].dataType
+    df = df.where(F.col(vec_col).isNotNull())
     if method == "sql":
         spark = df.sparkSession
         sdf = spark.createDataFrame(
