@@ -756,3 +756,34 @@ def test_embedding_lsh_null_vectors_dropped(spark):
     out = sim.embedding_near_dups_lsh(df, "vec_id", "embedding",
                                       threshold=0.9, bits=8, bands=2, dim=4)
     assert {r.vec_id for r in out.collect()} == {0, 2}
+
+
+def test_incremental_embedding_index_duplicate_id_in_batch(spark, tmp_path):
+    # a duplicated vec_id within one batch must not interleave band
+    # structs into a corrupted signature (review finding, round 6)
+    m = _unit_vectors(3, dim=8)
+    path = str(tmp_path / "eix_dup")
+    idx = sim.IncrementalEmbeddingIndex(spark, path, bits=24, bands=4, dim=8)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in m[j]]) for i, j in rows],
+            "vec_id bigint, embedding array<float>")
+
+    idx.add_and_find(batch([(0, 0), (0, 0), (1, 1)]))   # 0 duplicated
+    stored = {r.vec_id: [r[f"p{j}"] for j in range(4)]
+              for r in idx.table.read().collect()}
+    clean = sim.IncrementalEmbeddingIndex(spark, str(tmp_path / "eix_c"),
+                                          bits=24, bands=4, dim=8)
+    clean.add_and_find(batch([(0, 0), (1, 1)]))
+    expect = {r.vec_id: [r[f"p{j}"] for j in range(4)]
+              for r in clean.table.read().collect()}
+    assert stored == expect
+
+
+def test_embedding_lsh_rejects_oversized_chunk(spark):
+    df = spark.createDataFrame([(0, [1.0, 0.0])],
+                               "vec_id bigint, embedding array<float>")
+    with pytest.raises(AssertionError):
+        sim.embedding_lsh_bands(df, "vec_id", "embedding",
+                                bits=96, bands=1, dim=2)

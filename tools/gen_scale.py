@@ -136,7 +136,10 @@ def gen_embeddings(out: str, factor: float, seed: int = 43) -> int:
 def main() -> None:
     out = os.path.abspath(sys.argv[1])
     factor = float(sys.argv[2])
-    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    # abspath: a relative src would make the symlinks below resolve
+    # relative to OUT_DIR and dangle
+    src = os.path.abspath(sys.argv[3] if len(sys.argv) > 3
+                          else "/root/testdata/sf0.1")
     os.makedirs(out, exist_ok=True)
     nd = gen_documents(out, factor, src)
     nv = gen_embeddings(out, factor)

@@ -62,7 +62,15 @@ def main() -> None:
     qmap = entrymod.queries()
     out = []
     for sf_dir in sf_dirs:
-        tq._DEDUP_CACHE.clear()          # q28 pays materialization per scale
+        # q28 pays materialization per scale; unpersist BEFORE clearing so
+        # the prior scale's checkpointed blocks don't linger into this
+        # scale's timed runs (same loop as _scored_pairs' own eviction)
+        for _, (_, sc) in tq._DEDUP_CACHE.items():
+            try:
+                sc.unpersist()
+            except Exception:
+                pass
+        tq._DEDUP_CACHE.clear()
         qmap["q1_pricing_summary"](spark, sf_dir) \
             .write.format("noop").mode("overwrite").save()    # warm-up
         t0 = time.perf_counter()
@@ -76,8 +84,10 @@ def main() -> None:
             try:
                 df = qmap[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                timings[name] = round(time.perf_counter() - t0, 3)
+                secs = round(time.perf_counter() - t0, 3)
                 rows[name] = df.count()
+                timings[name] = secs   # set with rows or not at all — the
+                # ratio printer indexes rows by the timings keys
             except Exception as exc:  # noqa: BLE001 — harness must survive
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         rec = {"sf_dir": sf_dir, "calibration_sec": calibration,

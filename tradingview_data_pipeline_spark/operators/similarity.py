@@ -437,6 +437,10 @@ def embedding_lsh_bands(df: DataFrame, id_col: str, vec_col: str, *,
     ``dim``-length (a ragged batch fails loudly in the matmul)."""
     chunk = bits // bands
     assert chunk * bands == bits
+    # keys are BIGINT shifts: numpy 1<<chunk is UB past 62 and Spark
+    # shiftleft wraps mod 64 — the two "equal by construction" methods
+    # would silently diverge instead of failing loudly
+    assert chunk <= 62, f"band key width {chunk} exceeds a BIGINT shift"
     signs = hyperplane_signs(bits, dim)
     id_type = df.schema[id_col].dataType
     df = df.where(F.col(vec_col).isNotNull())
@@ -609,9 +613,15 @@ class IncrementalEmbeddingIndex:
                                   buckets=buckets)
 
     def _wide(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        # one row per id BEFORE banding: a duplicated id in the batch
+        # would interleave its structs in the collect_list and shift
+        # every band key (the text siblings are safe because their
+        # signature aggregates group by doc_id); arbitrary-row pick
+        # matches merge_upsert's dedup-on-key contract
         br = embedding_lsh_bands(
             df.select(F.col(id_col).cast("long").alias("vec_id"),
-                      F.col(vec_col)),
+                      F.col(vec_col))
+            .dropDuplicates(["vec_id"]),
             "vec_id", vec_col, bits=self.bits, bands=self.bands,
             dim=self.dim)
         return (br.groupBy("vec_id")

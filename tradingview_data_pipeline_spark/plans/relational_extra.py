@@ -40,9 +40,10 @@ signs AS (
               THEN 1 ELSE -1 END AS s
   FROM hbits, dims),
 vq AS (
+  -- NULL vectors have no signature (mirrors embedding_lsh_bands' drop)
   SELECT vec_id, d,
          CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS x
-  FROM embeddings, dims),
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL), dims),
 bitsum AS (
   SELECT vec_id, i, SUM(s * x) AS bs
   FROM vq JOIN signs USING (d) GROUP BY 1, 2),
