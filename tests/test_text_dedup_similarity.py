@@ -787,3 +787,12 @@ def test_embedding_lsh_rejects_oversized_chunk(spark):
     with pytest.raises(AssertionError):
         sim.embedding_lsh_bands(df, "vec_id", "embedding",
                                 bits=96, bands=1, dim=2)
+
+
+def test_suggest_minhash_bands_s_curve():
+    # k=8: midpoints b=1 -> 1.0, b=2 -> 0.84, b=4 -> 0.5, b=8 -> 0.125
+    assert dd.suggest_minhash_bands(8, 0.5) == 4
+    assert dd.suggest_minhash_bands(8, 0.8) == 2
+    assert dd.suggest_minhash_bands(8, 0.12) == 8
+    # k=16 at a near-dup threshold: fewer, longer bands than at 0.2
+    assert dd.suggest_minhash_bands(16, 0.9) < dd.suggest_minhash_bands(16, 0.2)

@@ -721,3 +721,31 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
            .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
            .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id"))))
     return out
+
+
+def suggest_minhash_bands(k: int, threshold: float) -> int:
+    """Band count for a k-minhash signature targeting a Jaccard
+    ``threshold``: the LSH S-curve puts the collision-probability
+    midpoint at t ~ (1/b)^(r/k · k/r)^-1 = (1/b)^(1/r) with k = b·r;
+    pick the divisor b of k whose midpoint lands closest to the target
+    (log-space, so 0.25-vs-0.5 and 0.5-vs-1.0 misses weigh equally).
+
+    This is the MinHash sibling of
+    ``similarity.suggest_lsh_chunk_bits``: the third-decade scale bench
+    measured k=8/b=4 (r=2, midpoint ~0.5 but a heavy low-similarity
+    collision tail) at x34 for 10x docs, and r=4 (midpoint ~0.59,
+    sharper curve) at x7.5 with only borderline pairs lost — raising
+    rows-per-band is how the candidate budget stays linear as a corpus
+    grows past its banding's design point.
+    """
+    import math
+    assert 0.0 < threshold < 1.0
+    best, best_err = 1, float("inf")
+    for b in range(1, k + 1):
+        if k % b:
+            continue
+        mid = (1.0 / b) ** (b / k)          # (1/b)^(1/r), r = k/b
+        err = abs(math.log(mid) - math.log(threshold))
+        if err < best_err:
+            best, best_err = b, err
+    return best
