@@ -52,7 +52,7 @@ def test_no_cartesian_products_anywhere(spark):
 
 
 def test_region_pick_joins_are_broadcast(spark):
-    for q in ("q33_shipping_priority", "q34_local_supplier_volume"):
+    for q in ("q33_relational_shapes",):
         p = explain(analytics.QUERIES[q](spark, SF))
         assert "BroadcastHashJoin" in p, q
 

@@ -11,7 +11,9 @@ import os
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from tradingview_data_pipeline_spark.operators import fuzzy as fz
 from tradingview_data_pipeline_spark.operators import similarity as sim
+from tradingview_data_pipeline_spark.operators import skew as sk
 from tradingview_data_pipeline_spark.operators.scoring import (
     attach_peer_percentile_exact,
 )
@@ -89,26 +91,75 @@ def q32_embedding_near_dup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q33 — shipping-priority style multi-join + agg + top-k (TPC-H Q3 shape):
-# selective dim filter -> two fact joins -> grouped revenue -> TakeOrdered.
+# q33 — relational shapes, tagged union (round-6 consolidation #1 of the
+# COVERAGE.md headroom map; frees a driver slot while keeping both
+# operator families driver-verified):
+#   'shipping'     — shipping-priority multi-join + agg + top-k (TPC-H Q3
+#                    shape): selective dim filter -> two fact joins ->
+#                    grouped revenue -> TakeOrdered.
+#   'local_volume' — local-supplier volume (TPC-H Q5 shape): 6-table join
+#                    with the co-nation condition, grouped revenue/nation.
+# Shared schema (kind, key, revenue, detail, n): key is the group key as
+# a string, detail carries the Q3 date|priority payload, n the Q5
+# lineitem count.
 # ---------------------------------------------------------------------------
 
-@register("q33_shipping_priority", oracle="""
-SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-       o_orderdate, o_orderpriority
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-03-15'
-  AND l_shipdate > TIMESTAMP '1998-03-15'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey ASC
-LIMIT 10
+@register("q33_relational_shapes", oracle="""
+WITH shipping AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         o_orderdate, o_orderpriority
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15'
+    AND l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+  ORDER BY revenue DESC, l_orderkey ASC
+  LIMIT 10
+), local_volume AS (
+  SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lineitems
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = (SELECT min(r_name) FROM region)
+  GROUP BY n_name
+)
+SELECT 'shipping' AS kind, CAST(l_orderkey AS VARCHAR) AS key, revenue,
+       strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority AS detail,
+       CAST(NULL AS BIGINT) AS n
+FROM shipping
+UNION ALL
+SELECT 'local_volume' AS kind, n_name AS key, revenue,
+       CAST(NULL AS VARCHAR) AS detail, n_lineitems AS n
+FROM local_volume
 """)
-def q33_shipping_priority(spark, sf_dir):
+def q33_relational_shapes(spark, sf_dir):
+    ship = _q33_shipping_priority(spark, sf_dir).select(
+        F.lit("shipping").alias("kind"),
+        F.col("l_orderkey").cast("string").alias("key"),
+        F.col("revenue"),
+        F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("|"),
+                 F.col("o_orderpriority")).alias("detail"),
+        F.lit(None).cast("bigint").alias("n"))
+    vol = _q34_local_supplier_volume(spark, sf_dir).select(
+        F.lit("local_volume").alias("kind"),
+        F.col("n_name").alias("key"),
+        F.col("revenue"),
+        F.lit(None).cast("string").alias("detail"),
+        F.col("n_lineitems").alias("n"))
+    return ship.unionByName(vol)
+
+
+def _q33_shipping_priority(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
@@ -127,26 +178,7 @@ def q33_shipping_priority(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# q34 — local-supplier volume (TPC-H Q5 shape): 6-table join with the
-# co-nation condition, grouped revenue per nation.
-# ---------------------------------------------------------------------------
-
-@register("q34_local_supplier_volume", oracle="""
-SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_lineitems
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
-JOIN nation   ON c_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-WHERE r_name = (SELECT min(r_name) FROM region)
-GROUP BY n_name
-""")
-def q34_local_supplier_volume(spark, sf_dir):
+def _q34_local_supplier_volume(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -171,53 +203,76 @@ def q34_local_supplier_volume(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q35 — rollup (grouping-set aggregation; "free in Spark", SURVEY §2.4).
+# q35 — grouped-aggregate shapes, tagged union (round-6 consolidation #2
+# of the COVERAGE.md headroom map):
+#   'rollup'   — ROLLUP grouping-set aggregation over region/nation
+#                ("free in Spark", SURVEY §2.4); subtotal rows carry NULL
+#                group columns in both engines.
+#   'distinct' — COUNT(DISTINCT) + F10 volatility scaling parity in one
+#                pass over customer by market segment.
+# Shared schema (kind, g1, g2, n_rows, n_distinct, total_acctbal,
+# scaled_sum); columns a shape doesn't produce are typed NULLs.
 # ---------------------------------------------------------------------------
 
-@register("q35_rollup_region_nation", oracle="""
-SELECT r_name, n_name, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)
+@register("q35_grouped_aggregates", oracle="""
+WITH roll AS (
+  SELECT r_name, n_name, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+), dist AS (
+  SELECT c_mktsegment,
+         COUNT(DISTINCT c_nationkey) AS n_nations,
+         COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal,
+         CAST(SUM(CAST(ROUND(c_acctbal * 1000, 0) AS BIGINT)) AS BIGINT) AS scaled_sum
+  FROM customer
+  GROUP BY c_mktsegment
+)
+SELECT 'rollup' AS kind, r_name AS g1, n_name AS g2, n_customers AS n_rows,
+       CAST(NULL AS BIGINT) AS n_distinct, total_acctbal,
+       CAST(NULL AS BIGINT) AS scaled_sum
+FROM roll
+UNION ALL
+SELECT 'distinct' AS kind, c_mktsegment AS g1, CAST(NULL AS VARCHAR) AS g2,
+       n_customers AS n_rows, n_nations AS n_distinct, total_acctbal,
+       scaled_sum
+FROM dist
 """)
-def q35_rollup_region_nation(spark, sf_dir):
+def q35_grouped_aggregates(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    return (
+    roll = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"),
              _dsum(F.col("c_acctbal")).alias("total_acctbal"))
+        .select(F.lit("rollup").alias("kind"),
+                F.col("r_name").alias("g1"), F.col("n_name").alias("g2"),
+                F.col("n_customers").alias("n_rows"),
+                F.lit(None).cast("bigint").alias("n_distinct"),
+                F.col("total_acctbal"),
+                F.lit(None).cast("bigint").alias("scaled_sum"))
     )
-
-
-# ---------------------------------------------------------------------------
-# q36 — distinct aggregation + F10 volatility scaling parity in one pass.
-# ---------------------------------------------------------------------------
-
-@register("q36_distinct_agg", oracle="""
-SELECT c_mktsegment,
-       COUNT(DISTINCT c_nationkey) AS n_nations,
-       COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal,
-       CAST(SUM(CAST(ROUND(c_acctbal * 1000, 0) AS BIGINT)) AS BIGINT) AS scaled_sum
-FROM customer
-GROUP BY c_mktsegment
-""")
-def q36_distinct_agg(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
     scaled = F.round(F.col("c_acctbal") * 1000, 0).cast("bigint")
-    return (
+    dist = (
         c.groupBy("c_mktsegment")
         .agg(F.countDistinct("c_nationkey").alias("n_nations"),
              F.count(F.lit(1)).alias("n_customers"),
              _dsum(F.col("c_acctbal")).alias("total_acctbal"),
              F.sum(scaled).alias("scaled_sum"))
+        .select(F.lit("distinct").alias("kind"),
+                F.col("c_mktsegment").alias("g1"),
+                F.lit(None).cast("string").alias("g2"),
+                F.col("n_customers").alias("n_rows"),
+                F.col("n_nations").alias("n_distinct"),
+                F.col("total_acctbal"), F.col("scaled_sum"))
     )
+    return roll.unionByName(dist)
 
 
 # ---------------------------------------------------------------------------
@@ -463,3 +518,79 @@ def q55_cube_grouping(spark, sf_dir):
              _dsum(F.col("l_quantity")).alias("sum_qty"))
         .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 — skew-safe two-phase aggregation (operators/skew.salted_aggregate):
+# partial aggregate over (key, salt) spreads a hot key across N reducers,
+# then a cheap final aggregate over the partials.  The oracle is the
+# PLAIN group-by — decimal accumulators make the two-phase sum exactly
+# associative, so the salted plan must reproduce the direct answer
+# bit-for-bit.  This is the pattern for the keys AQE's skew-join split
+# can't fix (skewed groupBy, not join); the driver data is uniform, and
+# tests/test_stateful_skew.py pins equality on a synthesized hot key.
+# ---------------------------------------------------------------------------
+
+@register("q64_salted_skew_agg", oracle="""
+SELECT l_suppkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_suppkey
+""")
+def q64_salted_skew_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    pre = li.select(
+        "l_suppkey",
+        F.col("l_quantity").cast("decimal(25,6)").alias("__qty"),
+        (_dec(F.col("l_extendedprice"))
+         * (one - _dec(F.col("l_discount"), "4,2"))).alias("__rev"),
+        "l_extendedprice")
+    out = sk.salted_aggregate(pre, "l_suppkey", {
+        "n_items": "count",
+        "sum_qty": "sum:__qty",
+        "revenue": "sum:__rev",
+        "min_price": "min:l_extendedprice",
+        "max_price": "max:l_extendedprice",
+    }, buckets=16)
+    return out.select("l_suppkey", "n_items",
+                      F.col("sum_qty").cast("double").alias("sum_qty"),
+                      F.col("revenue").cast("double").alias("revenue"),
+                      "min_price", "max_price")
+
+
+# ---------------------------------------------------------------------------
+# q65 — fuzzy record linkage (operators/fuzzy.fuzzy_match_rollup):
+# vocabulary-first blocked Levenshtein self-join over part names, with a
+# row-count join-back.  Blocking key = last token; |len_a - len_b| <= d
+# band prunes before the distance; blocks over max_block are dropped
+# before the join (quadratic guard mirrored by the oracle's QUALIFY).
+# Distances are exact integers — hash-identical across engines.
+# ---------------------------------------------------------------------------
+
+@register("q65_fuzzy_match", oracle=r"""
+WITH v AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+b AS (SELECT name, regexp_extract(name, '(\S+)$', 1) AS blk FROM v),
+capped AS (SELECT * FROM b QUALIFY COUNT(*) OVER (PARTITION BY blk) <= 10000),
+pairs AS (
+  SELECT a.blk, a.name AS name_a, c.name AS name_b,
+         levenshtein(a.name, c.name) AS distance
+  FROM capped a JOIN capped c ON a.blk = c.blk AND a.name < c.name
+  WHERE abs(length(a.name) - length(c.name)) <= 3
+    AND levenshtein(a.name, c.name) <= 3),
+cnt AS (SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1)
+SELECT p.blk, p.name_a, p.name_b, CAST(p.distance AS INT) AS distance,
+       ca.n AS n_rows_a, cb.n AS n_rows_b
+FROM pairs p
+JOIN cnt ca ON ca.name = p.name_a
+JOIN cnt cb ON cb.name = p.name_b
+""")
+def q65_fuzzy_match(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return fz.fuzzy_match_rollup(p, "p_name", max_distance=3,
+                                 max_block=10_000)
