@@ -1,17 +1,26 @@
 """Skew-handling primitives for hot keys (SURVEY §4 / scale design).
 
-AQE's skew-join splitting handles most cases automatically
-(``spark.sql.adaptive.skewJoin.enabled``, on in session defaults). These
-helpers cover the two patterns AQE does not:
+Measured guidance (tools/skew_bench.py, 32M rows with one key owning
+50% of the fact — SKEW_BENCH_r6.jsonl):
 
-- ``salted_aggregate``: two-phase aggregation for skewed groupBy keys —
-  partial aggregate over (key, salt) spreads a hot key over N reducers,
-  then a cheap final aggregate over the partials. Works for any algebraic
-  aggregate (sum/count/min/max, and mean via sum+count).
-- ``salted_broadcast_left``: replicate-and-salt for joining a skewed fact
-  against a dimension too big to broadcast: the dim is exploded ×N on a
-  salt column, the fact picks a random-but-deterministic salt per row, so
-  one hot key's rows land on N different reducers.
+- **Algebraic groupBy skew is a non-problem in Spark**: map-side
+  partial aggregation collapses each map partition to one row per key
+  before the shuffle, so the hot key reaches the reducer as one row per
+  map task. Plain groupBy measured 1.0 s vs 3.0 s for the salted
+  two-phase form — use plain groupBy for sum/count/min/max and reserve
+  ``salted_aggregate`` for the regime where the partial agg degrades:
+  per-partition key cardinality large enough to spill the hash agg
+  (objectHashAggregate fallback) while the reduce distribution is
+  skewed.
+- **Skewed sort-merge join IS the real problem**: with mitigation off,
+  the hot key's whole slice lands on one reduce task (7.7 s). Two
+  fixes, both measured: AQE's skew-join split (session default; 2.2 s,
+  the best non-broadcast path) and ``salted_broadcast_left`` (4.7 s,
+  pays a ×buckets dim replication) — the static fix for when AQE
+  can't apply (skewed side feeding a co-partitioned downstream op, or
+  a join shape AQE won't re-split). When the dim fits the broadcast
+  threshold none of this matters (0.39 s) — broadcast first, AQE
+  second, salt last.
 """
 
 from __future__ import annotations
