@@ -11,6 +11,7 @@ import os
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from tradingview_data_pipeline_spark.operators import fingerprint as fp
 from tradingview_data_pipeline_spark.operators import fuzzy as fz
 from tradingview_data_pipeline_spark.operators import similarity as sim
 from tradingview_data_pipeline_spark.operators import skew as sk
@@ -474,50 +475,67 @@ def q38_fundamental_shape(spark, sf_dir):
 # scale path swaps in approx_percentile with a documented error bound.
 # ---------------------------------------------------------------------------
 
-@register("q40_group_quantiles", oracle="""
-SELECT c_mktsegment,
-       quantile_cont(c_acctbal, 0.5) AS median_bal,
-       quantile_cont(c_acctbal, 0.9) AS p90_bal,
-       COUNT(*) AS n
-FROM customer
-GROUP BY c_mktsegment
+@register("q40_quantile_cube", oracle="""
+WITH q AS (
+  SELECT c_mktsegment,
+         quantile_cont(c_acctbal, 0.5) AS median_bal,
+         quantile_cont(c_acctbal, 0.9) AS p90_bal,
+         COUNT(*) AS n
+  FROM customer
+  GROUP BY c_mktsegment
+), cu AS (
+  SELECT l_returnflag, l_linestatus,
+         GROUPING(l_returnflag, l_linestatus) AS gid,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem
+  GROUP BY CUBE (l_returnflag, l_linestatus)
+)
+SELECT 'quantiles' AS kind, c_mktsegment AS g1, CAST(NULL AS VARCHAR) AS g2,
+       CAST(NULL AS BIGINT) AS gid, n AS n_rows,
+       median_bal AS v1, p90_bal AS v2
+FROM q
+UNION ALL
+SELECT 'cube' AS kind, l_returnflag AS g1, l_linestatus AS g2, gid, n_rows,
+       sum_qty AS v1, CAST(NULL AS DOUBLE) AS v2
+FROM cu
 """)
-def q40_group_quantiles(spark, sf_dir):
+def q40_quantile_cube(spark, sf_dir):
+    """Tagged union (round-6 consolidation #3 of the COVERAGE.md map):
+    'quantiles' — exact interpolated group quantiles (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, bit-identical; the scale
+    path swaps in approx_percentile / sketch.grouped_quantiles_approx
+    with a documented error bound); 'cube' — CUBE with grouping id, one
+    Expand + single hash aggregate over every grouping set (one scan,
+    map-side combine; grouping_id bit order matches DuckDB
+    GROUPING(a, b))."""
     c = _t(spark, sf_dir, "customer")
-    return (
+    q = (
         c.groupBy("c_mktsegment")
         .agg(F.expr("percentile(c_acctbal, 0.5)").alias("median_bal"),
              F.expr("percentile(c_acctbal, 0.9)").alias("p90_bal"),
              F.count(F.lit(1)).alias("n"))
+        .select(F.lit("quantiles").alias("kind"),
+                F.col("c_mktsegment").alias("g1"),
+                F.lit(None).cast("string").alias("g2"),
+                F.lit(None).cast("bigint").alias("gid"),
+                F.col("n").alias("n_rows"),
+                F.col("median_bal").alias("v1"),
+                F.col("p90_bal").alias("v2"))
     )
-
-
-# ---------------------------------------------------------------------------
-# q55 — CUBE with grouping id: every subtotal combination over
-# (returnflag, linestatus) in one pass.  Spark expands grouping sets
-# inside a single hash aggregate (Expand + partial/final agg — one
-# shuffle, map-side combine on every grouping set); at 100 TB this beats
-# 4 separate group-bys by reusing one scan.  grouping_id bit order
-# (first column = MSB) matches DuckDB GROUPING(a, b).
-# ---------------------------------------------------------------------------
-
-@register("q55_cube_grouping", oracle="""
-SELECT l_returnflag, l_linestatus,
-       GROUPING(l_returnflag, l_linestatus) AS gid,
-       COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-""")
-def q55_cube_grouping(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    cu = (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.grouping_id().cast("bigint").alias("gid"),
              F.count(F.lit(1)).alias("n_rows"),
              _dsum(F.col("l_quantity")).alias("sum_qty"))
-        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+        .select(F.lit("cube").alias("kind"),
+                F.col("l_returnflag").alias("g1"),
+                F.col("l_linestatus").alias("g2"),
+                "gid", "n_rows", F.col("sum_qty").alias("v1"),
+                F.lit(None).cast("double").alias("v2"))
     )
+    return q.unionByName(cu)
 
 
 # ---------------------------------------------------------------------------
@@ -594,3 +612,119 @@ def q65_fuzzy_match(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     return fz.fuzzy_match_rollup(p, "p_name", max_distance=3,
                                  max_block=10_000)
+
+
+# ---------------------------------------------------------------------------
+# q66 — correlated-subquery shapes, decorrelated the way Catalyst (and
+# any scale plan) wants them:
+#   'small_qty'  — scalar correlated subquery (TPC-H Q17 shape: lineitems
+#                  below 20% of their part's average quantity) rewritten
+#                  as an aggregate join; the avg comparison is kept in
+#                  exact integer/decimal form (5 * qty * n < sum_qty) so
+#                  no cross-engine float drift enters the FILTER.
+#   'exists'     — EXISTS correlated subquery as a left-semi join
+#                  (orders with a returned lineitem, counted by
+#                  priority).
+#   'not_exists' — NOT EXISTS as a left-anti join (orders with no
+#                  returned lineitem).
+# ---------------------------------------------------------------------------
+
+@register("q66_correlated_shapes", oracle="""
+WITH agg AS (
+  SELECT l_partkey, COUNT(*) AS n_li,
+         SUM(CAST(l_quantity AS DECIMAL(25,6))) AS sq
+  FROM lineitem GROUP BY l_partkey
+), small AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS val
+  FROM lineitem li
+  JOIN part ON p_partkey = li.l_partkey
+  JOIN agg ON agg.l_partkey = li.l_partkey
+  WHERE CAST(li.l_quantity AS DECIMAL(25,6)) * 5 * agg.n_li < agg.sq
+  GROUP BY p_brand
+), ret AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+), ex AS (
+  SELECT o_orderpriority, COUNT(*) AS n
+  FROM orders WHERE EXISTS (SELECT 1 FROM ret WHERE l_orderkey = o_orderkey)
+  GROUP BY o_orderpriority
+), nex AS (
+  SELECT o_orderpriority, COUNT(*) AS n
+  FROM orders
+  WHERE NOT EXISTS (SELECT 1 FROM ret WHERE l_orderkey = o_orderkey)
+  GROUP BY o_orderpriority
+)
+SELECT 'small_qty' AS kind, p_brand AS g, n, val FROM small
+UNION ALL
+SELECT 'exists' AS kind, o_orderpriority AS g, n, CAST(NULL AS DOUBLE) AS val
+FROM ex
+UNION ALL
+SELECT 'not_exists' AS kind, o_orderpriority AS g, n,
+       CAST(NULL AS DOUBLE) AS val
+FROM nex
+""")
+def q66_correlated_shapes(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    qty = F.col("l_quantity").cast("decimal(25,6)")
+    agg = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.sum(qty).alias("sq"))
+    small = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(agg, "l_partkey")
+        .where(qty * 5 * F.col("n_li") < F.col("sq"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _dsum(F.col("l_extendedprice")).alias("val"))
+        .select(F.lit("small_qty").alias("kind"),
+                F.col("p_brand").alias("g"), "n", "val")
+    )
+    ret = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+
+    def _count(join_type, tag):
+        return (orders.join(ret, orders.o_orderkey == ret.l_orderkey,
+                            join_type)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(tag).alias("kind"),
+                        F.col("o_orderpriority").alias("g"), "n",
+                        F.lit(None).cast("double").alias("val")))
+
+    return small.unionByName(_count("left_semi", "exists")) \
+                .unionByName(_count("left_anti", "not_exists"))
+
+
+# ---------------------------------------------------------------------------
+# q67 — bucketed table fingerprint (operators/fingerprint): the
+# cross-system reconciliation checksum — 60-bit md5 row hash over a
+# canonical column image, 64 buckets, per bucket an exact-count +
+# modular-sum + XOR triple, all order-independent.  Comparing two table
+# copies is then a 64-row join (fingerprint_diff) and only differing
+# buckets get re-scanned.  The oracle recomputes the identical hash in
+# DuckDB, so this query IS a cross-engine reconciliation run.
+# ---------------------------------------------------------------------------
+
+_FP_NULL = "__NULL__"
+_FP_COLS_SQL = ", ".join(
+    f"COALESCE(CAST({c} AS VARCHAR), '{_FP_NULL}')"
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+              "o_orderdate"])
+
+@register("q67_table_fingerprint", oracle=f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(concat_ws('|', {_FP_COLS_SQL})), 1, 15))::BIGINT
+           AS rh
+  FROM orders)
+SELECT rh % 64 AS bucket, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(rh AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)
+         AS sum_mod,
+       bit_xor(rh) AS xor_hash
+FROM h GROUP BY 1
+""")
+def q67_table_fingerprint(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return fp.table_fingerprint(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate"], n_buckets=64)

@@ -28,24 +28,63 @@ from tradingview_data_pipeline_spark.plans.events_queries import events
 # user_id; every frame shares the (ts, event_id) sort.
 # ---------------------------------------------------------------------------
 
-@register("q60_rolling_indicators", oracle="""
-SELECT event_id, user_id, ts, value,
+def _q60_oracle() -> str:
+    rolling = """
+SELECT 'rolling' AS kind, CAST(user_id AS VARCHAR) AS key_a,
+       CAST(NULL AS VARCHAR) AS key_b, event_id, ts,
+       CAST(NULL AS BIGINT) AS n,
+       value AS v1,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w5 AS DOUBLE)
-         / COUNT(value) OVER w5 AS sma5,
-       MIN(value) OVER w5 AS min5,
-       MAX(value) OVER w5 AS max5,
-       MAX(value) OVER w5 - MIN(value) OVER w5 AS range5,
-       value - lag(value, 3) OVER wo AS momentum3
+         / COUNT(value) OVER w5 AS v2,
+       MIN(value) OVER w5 AS v3,
+       MAX(value) OVER w5 AS v4,
+       MAX(value) OVER w5 - MIN(value) OVER w5 AS v5,
+       value - lag(value, 3) OVER wo AS v6
 FROM events
 WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
        wo AS (PARTITION BY user_id ORDER BY ts, event_id)
-""")
-def q60_rolling_indicators(spark, sf_dir):
+"""
+    corr = """
+SELECT 'corr' AS kind, series_a AS key_a, series_b AS key_b,
+       CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts,
+       n_periods AS n, corr AS v1,
+       CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3,
+       CAST(NULL AS DOUBLE) AS v4, CAST(NULL AS DOUBLE) AS v5,
+       CAST(NULL AS DOUBLE) AS v6
+FROM ({}) __corr
+""".format(_q61_oracle())
+    return rolling + " UNION ALL " + corr
+
+
+def q60_timeseries_stats(spark, sf_dir):
+    """Tagged union (round-6 consolidation #4 of the COVERAGE.md map):
+    'rolling' — per-stream rolling indicators (5-row SMA via DECIMAL
+    sum / exact count, rolling min/max/range, 3-row momentum; one
+    shuffle on user_id, every frame shares the (ts, event_id) sort);
+    'corr' — exact pairwise Pearson of hourly event-type activity
+    (dense declared pivot -> one BIGINT-sums aggregate -> 10 pair
+    rows; integer arithmetic until the closing IEEE divide/sqrt)."""
     e = events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
-    return tso.rolling_features(e, "user_id", "ts", "value",
+    roll = tso.rolling_features(e, "user_id", "ts", "value",
                                 window_rows=5, momentum_lag=3,
                                 tiebreak="event_id")
+    roll = roll.select(
+        F.lit("rolling").alias("kind"),
+        F.col("user_id").cast("string").alias("key_a"),
+        F.lit(None).cast("string").alias("key_b"),
+        "event_id", "ts", F.lit(None).cast("bigint").alias("n"),
+        F.col("value").alias("v1"), F.col("sma5").alias("v2"),
+        F.col("min5").alias("v3"), F.col("max5").alias("v4"),
+        F.col("range5").alias("v5"), F.col("momentum3").alias("v6"))
+    corr = _q61_event_correlation(spark, sf_dir).select(
+        F.lit("corr").alias("kind"),
+        F.col("series_a").alias("key_a"), F.col("series_b").alias("key_b"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("n_periods").alias("n"), F.col("corr").alias("v1"),
+        *[F.lit(None).cast("double").alias(f"v{i}") for i in range(2, 7)])
+    return roll.unionByName(corr)
 
 
 # ---------------------------------------------------------------------------
@@ -84,8 +123,7 @@ def _q61_oracle() -> str:
             + " UNION ALL ".join(pair_rows))
 
 
-@register("q61_event_correlation", oracle=_q61_oracle())
-def q61_event_correlation(spark, sf_dir):
+def _q61_event_correlation(spark, sf_dir):
     e = events(spark, sf_dir)
     hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("h"))
               .pivot("event_type", _ETYPES)
@@ -93,6 +131,11 @@ def q61_event_correlation(spark, sf_dir):
     hourly = hourly.select(
         "h", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _ETYPES])
     return tso.pairwise_pearson_counts(hourly, _ETYPES)
+
+
+# Registration happens here because _q60_oracle() embeds _q61_oracle()
+# (defined above) as the 'corr' leg.
+register("q60_timeseries_stats", oracle=_q60_oracle())(q60_timeseries_stats)
 
 
 # ---------------------------------------------------------------------------
