@@ -128,40 +128,60 @@ def q20_events_session(spark, sf_dir):
 # JSON surface is serialization-only, S3/K7 — here it's a data-plane op).
 # ---------------------------------------------------------------------------
 
-@register("q21_events_json", oracle="""
-SELECT event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-       COUNT(*) AS n
-FROM events
-GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+@register("q21_events_shapes", oracle="""
+WITH js AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+), mo AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         o_orderpriority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM orders
+  GROUP BY date_trunc('month', o_orderdate), o_orderpriority
+)
+SELECT 'json' AS kind, event_type AS g1, k_bucket AS b,
+       CAST(NULL AS TIMESTAMP) AS month, n,
+       CAST(NULL AS DOUBLE) AS total
+FROM js
+UNION ALL
+SELECT 'monthly' AS kind, o_orderpriority AS g1, CAST(NULL AS BIGINT) AS b,
+       month, n_orders AS n, total_price AS total
+FROM mo
 """)
-def q21_events_json(spark, sf_dir):
+def q21_events_shapes(spark, sf_dir):
+    """Tagged union (round-6 consolidation #5, COVERAGE.md map): 'json'
+    — JSON property extraction + bucket count over events (scalar JSON
+    family; the reference's JSON surface is serialization-only, S3/K7 —
+    here it's a data-plane op); 'monthly' — calendar rollup on the
+    orders fact (date-functions family F14)."""
     e = events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
+    js = (
         e.groupBy("event_type", (k % 10).alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("json").alias("kind"),
+                F.col("event_type").alias("g1"),
+                F.col("k_bucket").alias("b"),
+                F.lit(None).cast("timestamp").alias("month"),
+                "n", F.lit(None).cast("double").alias("total"))
     )
-
-
-# ---------------------------------------------------------------------------
-# q22 — calendar rollup on the orders fact (date functions family F14).
-# ---------------------------------------------------------------------------
-
-@register("q22_orders_monthly", oracle="""
-SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, o_orderpriority,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-FROM orders
-GROUP BY date_trunc('month', o_orderdate), o_orderpriority
-""")
-def q22_orders_monthly(spark, sf_dir):
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    return (
-        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"), "o_orderpriority")
+    mo = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"),
+                  "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"),
              _dsum(F.col("o_totalprice"), scale="18,2").alias("total_price"))
+        .select(F.lit("monthly").alias("kind"),
+                F.col("o_orderpriority").alias("g1"),
+                F.lit(None).cast("bigint").alias("b"),
+                "month", F.col("n_orders").alias("n"),
+                F.col("total_price").alias("total"))
     )
+    return js.unionByName(mo)
 
 
 # ---------------------------------------------------------------------------

@@ -11,6 +11,7 @@ import os
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from tradingview_data_pipeline_spark.operators import cdc
 from tradingview_data_pipeline_spark.operators import fingerprint as fp
 from tradingview_data_pipeline_spark.operators import fuzzy as fz
 from tradingview_data_pipeline_spark.operators import similarity as sim
@@ -728,3 +729,52 @@ def q67_table_fingerprint(spark, sf_dir):
     return fp.table_fingerprint(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
             "o_orderdate"], n_buckets=64)
+
+
+# ---------------------------------------------------------------------------
+# q68 — snapshot-diff CDC (operators/cdc.snapshot_diff): derive the
+# changelog between two snapshots of the orders table — full-outer join
+# on the key, null-safe column compare, unchanged rows dropped so the
+# changelog is churn-sized.  The two snapshots are deterministic
+# derivations of the driver's orders table (old drops keys %7==0, new
+# drops %7==3 and rewrites priority where %11==0), so inserts, deletes,
+# and updates are all exercised and the oracle reproduces the identical
+# changelog.  The round-trip law apply(old, diff(old,new)) == new is
+# pinned in tests/test_cdc.py.
+# ---------------------------------------------------------------------------
+
+@register("q68_snapshot_cdc", oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 != 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X-REVISED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 7 != 3
+), j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+              THEN 'update' END AS op,
+         o.o_orderstatus AS o_orderstatus_old,
+         n.o_orderstatus AS o_orderstatus_new,
+         o.o_orderpriority AS o_orderpriority_old,
+         n.o_orderpriority AS o_orderpriority_new
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM j WHERE op IS NOT NULL
+""")
+def q68_snapshot_cdc(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    old = (o.where(F.col("o_orderkey") % 7 != 0)
+           .select("o_orderkey", "o_orderstatus", "o_orderpriority"))
+    new = (o.where(F.col("o_orderkey") % 7 != 3)
+           .select("o_orderkey", "o_orderstatus",
+                   F.when(F.col("o_orderkey") % 11 == 0, F.lit("X-REVISED"))
+                    .otherwise(F.col("o_orderpriority"))
+                    .alias("o_orderpriority")))
+    return cdc.snapshot_diff(old, new, ["o_orderkey"],
+                             ["o_orderstatus", "o_orderpriority"])
