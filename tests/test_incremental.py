@@ -108,3 +108,34 @@ def test_sharded_export_stable_and_one_file_per_shard(spark, tmp_path):
     expected = {(r["shard"], r["doc_id"])
                 for r in assign_shard(df, "doc_id", 8).collect()}
     assert rows1 == expected
+
+
+def test_clustered_write_makes_zone_maps_prunable(spark, tmp_path):
+    """write_clustered produces disjoint per-row-group ranges so a
+    narrow range predicate prunes most row groups from the footers
+    alone; the same data written hash-scattered prunes ~nothing."""
+    from tradingview_data_pipeline_spark.operators.export import (
+        prunable_fraction, write_clustered, zone_maps)
+    from pyspark.sql import functions as F
+
+    df = (spark.range(20_000)
+          .select((F.col("id") * 37 % 20_000).alias("k"),   # scrambled order
+                  F.col("id").alias("payload")))
+    clustered, scattered = str(tmp_path / "cl"), str(tmp_path / "sc")
+    write_clustered(df, clustered, ["k"], n_files=8)
+    df.repartition(8).write.mode("overwrite").parquet(scattered)
+
+    zc, zs = zone_maps(clustered, "k"), zone_maps(scattered, "k")
+    assert len(zc) >= 8
+    # clustered: disjoint, sorted ranges
+    spans = sorted(zc)
+    assert all(a_max < b_min for (_, a_max), (b_min, _)
+               in zip(spans, spans[1:]))
+    # a 5%-wide range predicate: clustered skips >=75% of row groups,
+    # the scattered layout skips (essentially) none
+    assert prunable_fraction(zc, 1000, 2000) >= 0.75
+    assert prunable_fraction(zs, 1000, 2000) <= 0.10
+    # correctness unchanged: both layouts return the same rows
+    got_c = spark.read.parquet(clustered).where(F.col("k").between(1000, 2000))
+    got_s = spark.read.parquet(scattered).where(F.col("k").between(1000, 2000))
+    assert got_c.count() == got_s.count() == 1001

@@ -58,3 +58,61 @@ def write_training_shards(
         writer.json(path)
     else:
         raise ValueError(f"unsupported format: {fmt}")
+
+
+# ---------------------------------------------------------------------------
+# Clustered (sorted) writes + zone-map inspection.
+#
+# At 100 TB the cheapest scan is the one that never happens: parquet
+# row-group min/max statistics ("zone maps") let a range predicate skip
+# whole row groups, but only if the layout CLUSTERS the predicate column
+# — a hash/arrival layout scatters every value range across every file
+# and the stats prune nothing. ``write_clustered`` is the 1-D
+# clustering pass (repartitionByRange -> sortWithinPartitions -> write):
+# one range shuffle, globally sorted layout, disjoint per-file ranges.
+# ``zone_maps``/``prunable_fraction`` read the footers back (pyarrow) so
+# the pruning win is MEASURED, not assumed — the same check a table
+#-maintenance job would run after an OPTIMIZE-style rewrite.
+# ---------------------------------------------------------------------------
+
+
+def write_clustered(df: DataFrame, path: str, sort_cols: list[str], *,
+                    n_files: int = 8, fmt: str = "parquet") -> None:
+    """Range-cluster ``df`` on ``sort_cols`` into ``n_files`` sorted
+    files (globally sorted layout; ranges across files are disjoint)."""
+    cols = [F.col(c) for c in sort_cols]
+    out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    writer = out.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+
+
+def zone_maps(path: str, col: str) -> list[tuple]:
+    """(min, max) per parquet row group across all files under ``path``
+    for ``col``, straight from the footers (no data pages read)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"),
+                               recursive=True)):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index(col)
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                out.append((st.min, st.max))
+    return out
+
+
+def prunable_fraction(zmaps: list[tuple], lo, hi) -> float:
+    """Fraction of row groups a ``col BETWEEN lo AND hi`` scan skips
+    using only the zone maps (the reader's pruning decision)."""
+    if not zmaps:
+        return 0.0
+    skipped = sum(1 for mn, mx in zmaps if mx < lo or mn > hi)
+    return skipped / len(zmaps)
