@@ -67,3 +67,37 @@ def test_null_distinct_from_empty_and_sentinel_string(spark):
     hc = fp.table_fingerprint(c, COLS, n_buckets=1).head()
     assert ha["xor_hash"] != hb["xor_hash"]      # NULL != ''
     assert ha["xor_hash"] == hc["xor_hash"]      # documented sentinel alias
+
+
+def test_incremental_update_equals_recompute(spark):
+    """Maintained fingerprint + changelog delta == fresh fingerprint of
+    the new snapshot, bucket for bucket — churn-sized maintenance."""
+    from tradingview_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = _tbl(spark, [(i, f"v{i}") for i in range(300)])
+    new = _tbl(spark, [(i, ("CH" if i % 31 == 0 else f"v{i}"))
+                       for i in range(7, 310)])
+    log = snapshot_diff(old, new, ["k"], ["s"])
+    fp_old = fp.table_fingerprint(old, COLS, n_buckets=16)
+    delta = fp.changelog_fingerprint_delta(log, ["k"], ["s"], n_buckets=16)
+    updated = fp.apply_fingerprint_delta(fp_old, delta)
+    fresh = fp.table_fingerprint(new, COLS, n_buckets=16)
+    assert fp.fingerprint_diff(updated, fresh).count() == 0
+    # and the updated fingerprint still detects a real divergence
+    tampered = _tbl(spark, [(i, ("XX" if i == 100 else
+                                 ("CH" if i % 31 == 0 else f"v{i}")))
+                            for i in range(7, 310)])
+    assert fp.fingerprint_diff(
+        updated, fp.table_fingerprint(tampered, COLS, n_buckets=16)).count() > 0
+
+
+def test_empty_changelog_delta_is_identity(spark):
+    from tradingview_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    t = _tbl(spark, [(i, f"v{i}") for i in range(40)])
+    log = snapshot_diff(t, t, ["k"], ["s"])
+    assert log.count() == 0
+    fp0 = fp.table_fingerprint(t, COLS, n_buckets=8)
+    delta = fp.changelog_fingerprint_delta(log, ["k"], ["s"], n_buckets=8)
+    assert fp.fingerprint_diff(
+        fp.apply_fingerprint_delta(fp0, delta), fp0).count() == 0

@@ -86,3 +86,54 @@ def rows_in_buckets(df: DataFrame, cols: list[str], buckets: list[int], *,
     hash lands in ``buckets`` (cost ~ |diff| / n_buckets of the table)."""
     h = row_hash60(cols)
     return df.where(F.pmod(h, F.lit(n_buckets)).isin(buckets))
+
+
+def changelog_fingerprint_delta(changelog: DataFrame, keys: list[str],
+                                cols: list[str], *,
+                                n_buckets: int = 64) -> DataFrame:
+    """Per-bucket fingerprint delta implied by a ``cdc.snapshot_diff``
+    changelog: every accumulator in the triple is invertible (count
+    adds, modular sum adds, XOR self-cancels), so a maintained
+    fingerprint is updated in O(churn) instead of re-hashing the table.
+
+    Old images (deletes + update-before) contribute (-1, -hash, hash);
+    new images (inserts + update-after) contribute (+1, +hash, hash).
+    """
+    def image(side: str, ops: list[str]):
+        sel = [F.col(k) for k in keys] + \
+              [F.col(f"{c}_{side}").alias(c) for c in cols]
+        img = changelog.where(F.col("op").isin(ops)).select(*sel)
+        h = row_hash60(keys + cols)
+        sign = -1 if side == "old" else 1
+        return img.select(
+            F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+            F.lit(sign).alias("__dn"),
+            (F.lit(sign) * h).cast("decimal(38,0)").alias("__dsum"),
+            h.alias("__dxor"))
+
+    both = image("old", ["delete", "update"]) \
+        .unionByName(image("new", ["insert", "update"]))
+    return (both.groupBy("bucket")
+            .agg(F.sum("__dn").alias("d_rows"),
+                 F.sum("__dsum").alias("d_sum"),
+                 F.bit_xor("__dxor").alias("d_xor")))
+
+
+def apply_fingerprint_delta(fp: DataFrame, delta: DataFrame) -> DataFrame:
+    """New fingerprint = old fingerprint ⊕ changelog delta (64-row join;
+    the table itself is never touched). Result rows with n_rows = 0 are
+    dropped (bucket emptied). Pinned in pytest: incremental ≡ full
+    recompute on the new snapshot."""
+    n = F.coalesce(F.col("n_rows"), F.lit(0)) + \
+        F.coalesce(F.col("d_rows"), F.lit(0))
+    s = F.pmod(F.coalesce(F.col("sum_mod").cast("decimal(38,0)"),
+                          F.lit(0).cast("decimal(38,0)"))
+               + F.coalesce(F.col("d_sum"),
+                            F.lit(0).cast("decimal(38,0)")),
+               F.lit(HASH_MOD).cast("decimal(38,0)")).cast("bigint")
+    x = F.coalesce(F.col("xor_hash"), F.lit(0)).bitwiseXOR(
+        F.coalesce(F.col("d_xor"), F.lit(0)))
+    return (fp.join(delta, "bucket", "full_outer")
+            .select(F.col("bucket"), n.alias("n_rows"), s.alias("sum_mod"),
+                    x.alias("xor_hash"))
+            .where(F.col("n_rows") > 0))
