@@ -123,3 +123,43 @@ def test_ema_macd_group_carry_across_arrow_batches(spark):
                 assert r["ema_fast"] == ef and r["macd_signal"] == sig
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_resample_counts_fills_gaps(spark):
+    import datetime as dt
+    from tradingview_data_pipeline_spark.operators.timeseries import (
+        resample_counts)
+
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    rows = [("a", t0), ("a", t0 + dt.timedelta(hours=3)),   # 2 silent hours
+            ("b", t0 + dt.timedelta(hours=1))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {(r["k"], r["period"].hour): r["n"]
+           for r in resample_counts(df, "ts", "k").collect()}
+    # dense: 4 periods x 2 keys
+    assert len(got) == 8
+    assert got[("a", 10)] == 1 and got[("a", 11)] == 0 \
+        and got[("a", 12)] == 0 and got[("a", 13)] == 1
+    assert got[("b", 11)] == 1 and sum(v for (k, _), v in got.items()
+                                       if k == "b") == 1
+
+
+def test_trailing_window_is_time_based_not_row_based(spark):
+    import datetime as dt
+    from tradingview_data_pipeline_spark.operators.timeseries import (
+        trailing_window_stats)
+
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    rows = [(1, t0, 1.0),
+            (1, t0 + dt.timedelta(minutes=30), 2.0),
+            (1, t0 + dt.timedelta(minutes=59, seconds=59), 4.0),
+            (1, t0 + dt.timedelta(hours=2), 8.0)]          # old rows expire
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = {r["ts"]: (r["n_trailing"], r["sum_trailing"])
+           for r in trailing_window_stats(df, "k", "ts", "v",
+                                          seconds=3600).collect()}
+    assert got[t0] == (1, 1.0)
+    assert got[t0 + dt.timedelta(minutes=30)] == (2, 3.0)
+    assert got[t0 + dt.timedelta(minutes=59, seconds=59)] == (3, 7.0)
+    # 2h later: every earlier row is outside the 3600 s frame
+    assert got[t0 + dt.timedelta(hours=2)] == (1, 8.0)

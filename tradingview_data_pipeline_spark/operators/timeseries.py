@@ -196,3 +196,48 @@ def ema_macd(
 
     parts = df.repartition(key).sortWithinPartitions(key, *sort_cols)
     return parts.mapInPandas(compute, out_schema)
+
+
+def resample_counts(df: DataFrame, ts_col: str, key_col: str, *,
+                    interval: str = "1 hour") -> DataFrame:
+    """Dense per-interval counts with gap fill.
+
+    Time-series consumers (forecasting features, rate alerting) need a
+    row for EVERY period, including empty ones — a bare groupBy emits
+    nothing for silent hours. Scale shape: the spine is built from ONE
+    tiny global (min, max) aggregate (sequence() explode — rows =
+    periods, independent of fact size), the key domain is a broadcast
+    distinct, and the zero-fill is a left join of spine×keys against
+    the grouped counts. No window, no per-key spine recompute.
+    """
+    trunc_unit = interval.split()[-1].rstrip("s")
+    t = F.date_trunc(trunc_unit, F.col(ts_col))
+    bounds = df.agg(F.date_trunc(trunc_unit, F.min(ts_col)).alias("h0"),
+                    F.date_trunc(trunc_unit, F.max(ts_col)).alias("h1"))
+    spine = bounds.select(F.explode(F.sequence(
+        "h0", "h1", F.expr(f"INTERVAL {interval}"))).alias("period"))
+    keys = df.select(F.col(key_col)).distinct()
+    dense = spine.crossJoin(F.broadcast(keys))   # BNLJ over tiny frames
+    counts = (df.groupBy(t.alias("period"), key_col)
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (dense.join(counts, ["period", key_col], "left")
+            .select("period", key_col,
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+
+
+def trailing_window_stats(df: DataFrame, key_col: str, ts_col: str,
+                          value_col: str, *, seconds: int = 3600,
+                          dec_scale: str = "18,2") -> DataFrame:
+    """Time-based (RANGE-frame) trailing aggregates: count and exact
+    decimal sum of the last ``seconds`` per key, ordered by epoch
+    seconds — the value-based frame ROWS windows can't express (rows
+    per hour varies). One shuffle on the key; frame bounds are resolved
+    by the sorted run, not a self-join."""
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.unix_timestamp(F.col(ts_col)))
+         .rangeBetween(-(seconds - 1), 0))
+    return df.select(
+        key_col, ts_col, value_col,
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col(value_col).cast(f"decimal({dec_scale})")).over(w)
+         .cast("double").alias("sum_trailing"))

@@ -30,7 +30,7 @@ from tradingview_data_pipeline_spark.plans.events_queries import events
 # shuffle on user_id, no range fan-out).
 # ---------------------------------------------------------------------------
 
-@register("q45_asof_join", oracle="""
+_Q45_ASOF_SQL = """
 WITH u AS (
   SELECT user_id, ts AS ord_ts, 0 AS side, event_id AS tb,
          event_id AS r_id, ts AS r_ts, value AS r_value,
@@ -52,8 +52,10 @@ WITH u AS (
 SELECT l_event_id AS event_id, user_id, l_ts AS ts, l_value AS value,
        click_id_asof, click_ts_asof, click_value_asof
 FROM w WHERE side = 1
-""")
-def q45_asof_join(spark, sf_dir):
+"""
+
+
+def _q45_asof_join(spark, sf_dir):
     e = events(spark, sf_dir)
     purchases = e.where(F.col("event_type") == "purchase") \
                  .select("event_id", "user_id", "ts", "value")
@@ -82,7 +84,7 @@ def q45_asof_join(spark, sf_dir):
 # key-only join whose fan-out is every (error, click) pair per user.
 # ---------------------------------------------------------------------------
 
-@register("q50_interval_join", oracle="""
+_Q50_INTERVAL_SQL = """
 SELECT i.event_id AS err_id, i.user_id,
        COUNT(*) AS n_clicks,
        MIN(p.ts) AS first_click_ts,
@@ -94,8 +96,53 @@ JOIN events p
  AND i.event_type = 'error' AND p.event_type = 'click'
  AND p.ts >= i.ts AND p.ts <= i.ts + INTERVAL '30 minutes'
 GROUP BY i.event_id, i.user_id
+"""
+
+
+@register("q45_temporal_joins", oracle=f"""
+WITH ao AS ({_Q45_ASOF_SQL}), iv AS ({_Q50_INTERVAL_SQL})
+SELECT 'asof' AS kind, event_id, user_id, ts, value AS v,
+       click_id_asof AS ref_id, click_ts_asof AS ref_ts,
+       click_value_asof AS ref_v,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS TIMESTAMP) AS ts2
+FROM ao
+UNION ALL
+SELECT 'interval' AS kind, err_id AS event_id, user_id,
+       first_click_ts AS ts, click_value_sum AS v,
+       CAST(NULL AS BIGINT) AS ref_id, CAST(NULL AS TIMESTAMP) AS ref_ts,
+       CAST(NULL AS DOUBLE) AS ref_v,
+       n_clicks AS n, last_click_ts AS ts2
+FROM iv
 """)
-def q50_interval_join(spark, sf_dir):
+def q45_temporal_joins(spark, sf_dir):
+    """Tagged union (round-6 consolidation #6, COVERAGE.md map): 'asof'
+    — as-of join (latest click at-or-before each purchase; union-tag +
+    running last_value, one shuffle, no range fan-out); 'interval' —
+    bucketed interval join (clicks inside each error's 30-minute
+    follow-up window; equi-join on (user_id, 1800 s bucket) keeps the
+    fan-out bounded at 100 TB)."""
+    asof = _q45_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("kind"), "event_id", "user_id", "ts",
+        F.col("value").alias("v"),
+        F.col("click_id_asof").alias("ref_id"),
+        F.col("click_ts_asof").alias("ref_ts"),
+        F.col("click_value_asof").alias("ref_v"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("timestamp").alias("ts2"))
+    iv = _q50_interval_join(spark, sf_dir).select(
+        F.lit("interval").alias("kind"),
+        F.col("err_id").alias("event_id"), "user_id",
+        F.col("first_click_ts").alias("ts"),
+        F.col("click_value_sum").alias("v"),
+        F.lit(None).cast("bigint").alias("ref_id"),
+        F.lit(None).cast("timestamp").alias("ref_ts"),
+        F.lit(None).cast("double").alias("ref_v"),
+        F.col("n_clicks").alias("n"),
+        F.col("last_click_ts").alias("ts2"))
+    return asof.unionByName(iv)
+
+
+def _q50_interval_join(spark, sf_dir):
     e = events(spark, sf_dir)
     errors = e.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"), "user_id",

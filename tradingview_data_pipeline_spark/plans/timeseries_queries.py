@@ -181,3 +181,68 @@ def q63_ema_macd(spark, sf_dir):
     e = events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
     return tso.ema_macd(e, "user_id", "ts", "value",
                         fast=12, slow=26, signal=9, tiebreak="event_id")
+
+
+# ---------------------------------------------------------------------------
+# q69 — temporal density, tagged union (slot freed by the q45+q50
+# merge):
+#   'gap_fill' — dense hourly counts per event type including EMPTY
+#                hours (timeseries.resample_counts: one tiny (min,max)
+#                aggregate builds the spine, broadcast key domain,
+#                left-join zero-fill — spine cost is periods, not fact
+#                size).
+#   'trailing' — time-based RANGE-frame trailing hour per user
+#                (timeseries.trailing_window_stats: count + exact
+#                decimal sum over the last 3600 s, frame bounds by
+#                epoch-second value, which ROWS frames can't express).
+# Epoch ordering is integer seconds on both engines (Spark
+# unix_timestamp truncates; the oracle floors epoch()) so frame
+# membership is identical.
+# ---------------------------------------------------------------------------
+
+@register("q69_temporal_density", oracle="""
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS period FROM b
+), types AS (SELECT DISTINCT event_type FROM events),
+cnt AS (
+  SELECT date_trunc('hour', ts) AS period, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), gap AS (
+  SELECT s.period, t.event_type, COALESCE(cnt.n, 0) AS n
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN cnt ON cnt.period = s.period AND cnt.event_type = t.event_type
+), tr AS (
+  SELECT user_id, ts, value,
+         COUNT(*) OVER w AS n_trailing,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           AS sum_trailing
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+)
+SELECT 'gap_fill' AS kind, event_type AS g, period AS ts, n,
+       CAST(NULL AS DOUBLE) AS total
+FROM gap
+UNION ALL
+SELECT 'trailing' AS kind, CAST(user_id AS VARCHAR) AS g, ts,
+       n_trailing AS n, sum_trailing AS total
+FROM tr
+""")
+def q69_temporal_density(spark, sf_dir):
+    e = events(spark, sf_dir)
+    gap = tso.resample_counts(e, "ts", "event_type", interval="1 hour") \
+        .select(F.lit("gap_fill").alias("kind"),
+                F.col("event_type").alias("g"),
+                F.col("period").alias("ts"), "n",
+                F.lit(None).cast("double").alias("total"))
+    tr = tso.trailing_window_stats(e, "user_id", "ts", "value",
+                                   seconds=3600) \
+        .select(F.lit("trailing").alias("kind"),
+                F.col("user_id").cast("string").alias("g"),
+                "ts", F.col("n_trailing").alias("n"),
+                F.col("sum_trailing").alias("total"))
+    return gap.unionByName(tr)
