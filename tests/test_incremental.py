@@ -139,3 +139,34 @@ def test_clustered_write_makes_zone_maps_prunable(spark, tmp_path):
     got_c = spark.read.parquet(clustered).where(F.col("k").between(1000, 2000))
     got_s = spark.read.parquet(scattered).where(F.col("k").between(1000, 2000))
     assert got_c.count() == got_s.count() == 1001
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order layout gives usable zone maps on BOTH columns; the 1-D
+    sorted layout prunes one column perfectly and the other ~not at
+    all. Thresholds are loose (zone granularity = 16 files here) but
+    strictly separate the two layouts."""
+    from tradingview_data_pipeline_spark.operators.export import (
+        prunable_fraction, write_clustered, write_zordered, zone_maps)
+    from pyspark.sql import functions as F
+
+    df = (spark.range(40_000)
+          .select(((F.col("id") * 37) % 256).alias("x"),
+                  ((F.col("id") * 101) % 256).alias("y")))
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zpath, ["x", "y"], bits=8, n_files=16)
+    write_clustered(df, spath, ["x"], n_files=16)
+
+    def frac(path, col):
+        return prunable_fraction(zone_maps(path, col), 100, 131)  # 1/8 wide
+
+    # 1-D: near-perfect on the sort column, blind on the other
+    assert frac(spath, "x") >= 0.8
+    assert frac(spath, "y") <= 0.1
+    # Z-order: both columns prune meaningfully
+    assert frac(zpath, "x") >= 0.4
+    assert frac(zpath, "y") >= 0.4
+    # identical answers regardless of layout
+    q = lambda p: (spark.read.parquet(p)
+                   .where(F.col("x").between(100, 131)).count())
+    assert q(zpath) == q(spath)

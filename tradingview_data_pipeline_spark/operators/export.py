@@ -116,3 +116,34 @@ def prunable_fraction(zmaps: list[tuple], lo, hi) -> float:
         return 0.0
     skipped = sum(1 for mn, mx in zmaps if mx < lo or mn > hi)
     return skipped / len(zmaps)
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Morton (Z-order) interleave of ``len(cols)`` non-negative integer
+    columns: bit j of column i lands at position j*n + i. A pure
+    shift/mask expression tree (codegen'd, no UDF). Callers quantize
+    non-integer columns to ranks/buckets first — Z-order operates on
+    the quantized image, like every lakehouse OPTIMIZE ZORDER."""
+    n = len(cols)
+    z = None
+    for i, c in enumerate(cols):
+        for j in range(bits):
+            term = F.shiftleft(
+                F.shiftright(c.cast("bigint"), j).bitwiseAND(F.lit(1)),
+                j * n + i)
+            z = term if z is None else z + term
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str], *,
+                   bits: int = 16, n_files: int = 8) -> None:
+    """Multi-dimensional clustering: range-partition + sort on the
+    Morton value so EVERY listed column gets usable zone maps — the
+    2-D answer to ``write_clustered``'s 1-D layout (which prunes one
+    column perfectly and the others not at all)."""
+    z = zorder_value([F.col(c) for c in cols], bits)
+    out = (df.withColumn("__z", z)
+           .repartitionByRange(n_files, F.col("__z"))
+           .sortWithinPartitions("__z")
+           .drop("__z"))
+    out.write.mode("overwrite").parquet(path)
