@@ -170,3 +170,20 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
     q = lambda p: (spark.read.parquet(p)
                    .where(F.col("x").between(100, 131)).count())
     assert q(zpath) == q(spath)
+
+
+def test_zorder_write_validates_range(spark, tmp_path):
+    """Regression: a column wider than `bits` would silently degenerate
+    into low-bit-hash order; the write must fail loudly instead."""
+    import pytest
+    from pyspark.sql import functions as F
+    from tradingview_data_pipeline_spark.operators.export import write_zordered
+
+    wide = spark.range(100).select(
+        (F.col("id") * 1000).alias("x"), F.col("id").alias("y"))
+    with pytest.raises(ValueError, match="needs more than bits=8"):
+        write_zordered(wide, str(tmp_path / "zx"), ["x", "y"], bits=8)
+    neg = spark.range(10).select((F.col("id") - 5).alias("x"),
+                                 F.col("id").alias("y"))
+    with pytest.raises(ValueError, match="negative"):
+        write_zordered(neg, str(tmp_path / "zn"), ["x", "y"], bits=8)

@@ -163,3 +163,38 @@ def test_trailing_window_is_time_based_not_row_based(spark):
     assert got[t0 + dt.timedelta(minutes=59, seconds=59)] == (3, 7.0)
     # 2h later: every earlier row is outside the 3600 s frame
     assert got[t0 + dt.timedelta(hours=2)] == (1, 8.0)
+
+
+def test_resample_counts_multi_unit_interval(spark):
+    """Regression: counts must bucket by the SAME tumbling assignment
+    as the spine — a base-unit date_trunc dropped every row not landing
+    exactly on a multi-unit spine period."""
+    import datetime as dt
+    from tradingview_data_pipeline_spark.operators.timeseries import (
+        resample_counts)
+
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    rows = [("a", t0), ("a", t0 + dt.timedelta(minutes=20)),
+            ("a", t0 + dt.timedelta(minutes=40))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r["period"].minute: r["n"]
+           for r in resample_counts(df, "ts", "k",
+                                    interval="15 minutes").collect()}
+    # epoch-aligned 15-min buckets: 10:00 ->1, 10:15 ->1, 10:30 ->1, 10:45 absent
+    assert got == {0: 1, 15: 1, 30: 1}
+    assert sum(got.values()) == df.count()      # nothing silently dropped
+
+
+def test_resample_counts_null_key_preserved(spark):
+    import datetime as dt
+    from tradingview_data_pipeline_spark.operators.timeseries import (
+        resample_counts)
+
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [(None, t0), (None, t0), ("a", t0 + dt.timedelta(hours=1))],
+        "k string, ts timestamp")
+    got = {(r["k"], r["period"].hour): r["n"]
+           for r in resample_counts(df, "ts", "k").collect()}
+    assert got[(None, 10)] == 2 and got[(None, 11)] == 0
+    assert got[("a", 10)] == 0 and got[("a", 11)] == 1

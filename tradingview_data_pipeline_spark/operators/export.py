@@ -136,11 +136,33 @@ def zorder_value(cols: list, bits: int = 16):
 
 
 def write_zordered(df: DataFrame, path: str, cols: list[str], *,
-                   bits: int = 16, n_files: int = 8) -> None:
+                   bits: int = 16, n_files: int = 8,
+                   validate: bool = True) -> None:
     """Multi-dimensional clustering: range-partition + sort on the
     Morton value so EVERY listed column gets usable zone maps — the
     2-D answer to ``write_clustered``'s 1-D layout (which prunes one
-    column perfectly and the others not at all)."""
+    column perfectly and the others not at all).
+
+    ``zorder_value`` interleaves only the low ``bits`` bits, so a
+    column exceeding that range would silently degenerate into
+    low-bit-hash order and prune nothing; ``validate`` (default on)
+    spends one tiny min/max aggregate before the (heavyweight) write
+    to fail loudly instead. Quantize wide columns to ranks/buckets
+    first, as every OPTIMIZE ZORDER does.
+    """
+    if validate:
+        row = df.agg(*[F.min(c).alias(f"mn_{c}") for c in cols],
+                     *[F.max(c).alias(f"mx_{c}") for c in cols]).head()
+        for c in cols:
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            if mn is not None and mn < 0:
+                raise ValueError(
+                    f"write_zordered: column {c!r} has negative value "
+                    f"{mn}; quantize to non-negative ints first")
+            if mx is not None and mx >= (1 << bits):
+                raise ValueError(
+                    f"write_zordered: column {c!r} max {mx} needs more "
+                    f"than bits={bits}; raise bits or quantize to ranks")
     z = zorder_value([F.col(c) for c in cols], bits)
     out = (df.withColumn("__z", z)
            .repartitionByRange(n_files, F.col("__z"))

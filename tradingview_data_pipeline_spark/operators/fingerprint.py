@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tradingview_data_pipeline_spark.operators.sampling import hash60
+
 NULL_SENTINEL = "__NULL__"
 HASH_MOD = 1 << 60
 
@@ -42,9 +44,9 @@ def canonical_row(cols: list[str]) -> Column:
 
 
 def row_hash60(cols: list[str]) -> Column:
-    """Non-negative 60-bit md5 hash of the canonical row string."""
-    return F.conv(F.substring(F.md5(canonical_row(cols)), 1, 15), 16, 10) \
-            .cast("bigint")
+    """Non-negative 60-bit md5 hash of the canonical row string (the
+    single cross-engine hash construction, sampling.hash60)."""
+    return hash60(canonical_row(cols))
 
 
 def table_fingerprint(df: DataFrame, cols: list[str], *,

@@ -72,13 +72,13 @@ def hll_merge(sketches: DataFrame, keys: list[str],
 
 
 def hll_estimate(sketches: DataFrame, cols: list[str]) -> DataFrame:
-    """Replace each ``<col>_hll`` blob with ``<col>_distinct`` estimate."""
-    out = sketches
-    for c in cols:
-        out = out.withColumn(f"{c}_distinct",
-                             F.hll_sketch_estimate(F.col(f"{c}_hll")))
-        out = out.drop(f"{c}_hll")
-    return out
+    """Replace each ``<col>_hll`` blob with ``<col>_distinct`` estimate
+    (one projection; pass-through for every non-sketch column)."""
+    blob_cols = {f"{c}_hll" for c in cols}
+    keep = [c for c in sketches.columns if c not in blob_cols]
+    ests = [F.hll_sketch_estimate(F.col(f"{c}_hll")).alias(f"{c}_distinct")
+            for c in cols]
+    return sketches.select(*keep, *ests)
 
 
 def cms_build(df: DataFrame, col: str, *, eps: float = 0.001,

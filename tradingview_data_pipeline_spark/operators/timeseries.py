@@ -208,19 +208,27 @@ def resample_counts(df: DataFrame, ts_col: str, key_col: str, *,
     tiny global (min, max) aggregate (sequence() explode — rows =
     periods, independent of fact size), the key domain is a broadcast
     distinct, and the zero-fill is a left join of spine×keys against
-    the grouped counts. No window, no per-key spine recompute.
+    the grouped counts. No window spec, no per-key spine recompute.
+
+    Rows and spine bucket through the SAME ``F.window(ts, interval)``
+    tumbling assignment (epoch-aligned), so multi-unit intervals
+    ('15 minutes', '2 hours') bucket correctly — a date_trunc of the
+    base unit would drop every row not landing exactly on a spine
+    period. NULL keys are preserved via a null-safe key join.
     """
-    trunc_unit = interval.split()[-1].rstrip("s")
-    t = F.date_trunc(trunc_unit, F.col(ts_col))
-    bounds = df.agg(F.date_trunc(trunc_unit, F.min(ts_col)).alias("h0"),
-                    F.date_trunc(trunc_unit, F.max(ts_col)).alias("h1"))
+    t = F.window(F.col(ts_col), interval).start
+    bounds = df.select(t.alias("w")).agg(F.min("w").alias("h0"),
+                                         F.max("w").alias("h1"))
     spine = bounds.select(F.explode(F.sequence(
         "h0", "h1", F.expr(f"INTERVAL {interval}"))).alias("period"))
     keys = df.select(F.col(key_col)).distinct()
     dense = spine.crossJoin(F.broadcast(keys))   # BNLJ over tiny frames
-    counts = (df.groupBy(t.alias("period"), key_col)
+    counts = (df.groupBy(t.alias("__cp"), F.col(key_col).alias("__ck"))
               .agg(F.count(F.lit(1)).alias("n")))
-    return (dense.join(counts, ["period", key_col], "left")
+    return (dense.join(counts,
+                       (F.col("period") == F.col("__cp"))
+                       & F.col(key_col).eqNullSafe(F.col("__ck")),
+                       "left")
             .select("period", key_col,
                     F.coalesce(F.col("n"), F.lit(0)).alias("n")))
 
