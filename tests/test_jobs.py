@@ -157,3 +157,33 @@ def test_cli_reports_job_status_to_webhook(spark, tmp_path, monkeypatch):
     msg = received[0]["content"]
     assert "✅ **Technical Pipeline Success**" in msg
     assert "stock_data_rows: 30" in msg
+
+
+def test_cli_reconcile_detects_divergence(spark, tmp_path, capsys):
+    import pytest
+
+    downloads = tmp_path / "downloads"
+    downloads.mkdir()
+    _write_csv(downloads / "Technicals_1.csv", schemas.TECHNICAL_HEADER_MAP)
+
+    wh_a = jobs.warehouse_tables(spark, str(tmp_path / "wa"))
+    wh_b = jobs.warehouse_tables(spark, str(tmp_path / "wb"))
+    jobs.run_technical_upload(spark, str(downloads), wh_a)
+    jobs.run_technical_upload(spark, str(downloads), wh_b)
+
+    from tradingview_data_pipeline_spark.operators import fingerprint as fp
+
+    def compare(a, b):
+        da, db = a.read(), b.read()
+        cols = sorted(set(da.columns) & set(db.columns))
+        # the upload stamps a load timestamp; exclude volatile columns
+        cols = [c for c in cols if c != "last_modified_date"]
+        return fp.fingerprint_diff(fp.table_fingerprint(da, cols),
+                                   fp.table_fingerprint(db, cols)).count()
+
+    assert compare(wh_a["stock_data"], wh_b["stock_data"]) == 0
+
+    # tamper with copy B -> reconciliation flags it
+    wh_b["stock_data"].update_where(spark.createDataFrame(
+        [("SYM003", 99.0)], "symbol string, rsi_14_1_day double"))
+    assert compare(wh_a["stock_data"], wh_b["stock_data"]) > 0

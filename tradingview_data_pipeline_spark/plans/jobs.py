@@ -140,9 +140,16 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="tradingview-data-pipeline-spark jobs")
     ap.add_argument("job", choices=["technical", "fundamental", "composite",
                                     "fundamental-score", "all", "backfill",
-                                    "status"])
+                                    "status", "reconcile"])
     ap.add_argument("--downloads-dir", default="./downloads")
     ap.add_argument("--warehouse", default="./warehouse")
+    ap.add_argument("--against", default=None,
+                    help="reconcile: second warehouse (replica/migration "
+                         "target) to fingerprint-compare against")
+    ap.add_argument("--ignore-cols", default="last_modified_date",
+                    help="reconcile: comma-separated volatile columns to "
+                         "exclude from the content checksum (default: the "
+                         "per-load audit timestamp)")
     ap.add_argument("--webhook-url", default=None,
                     help="job status webhook (falls back to "
                          "$PIPELINE_WEBHOOK_URL; unset = print only)")
@@ -187,6 +194,31 @@ def main(argv: list[str] | None = None) -> None:
         import json as _json
         for name, tbl in tables.items():
             print(name, _json.dumps(tbl.status()))
+    if args.job == "reconcile":
+        # cross-copy verification: bucketed content checksums per table,
+        # diff is a 64-row join per table; exit 1 on any divergence so
+        # cron/migration scripts can gate on it (operators/fingerprint).
+        import sys as _sys
+
+        from tradingview_data_pipeline_spark.operators import (
+            fingerprint as _fp,
+        )
+        if not args.against:
+            ap.error("reconcile requires --against <other-warehouse>")
+        other = warehouse_tables(spark, args.against)
+        ignore = {c for c in args.ignore_cols.split(",") if c}
+        divergent = 0
+        for name, tbl in tables.items():
+            a, b = tbl.read(), other[name].read()
+            cols = sorted((set(a.columns) & set(b.columns)) - ignore)
+            diff = _fp.fingerprint_diff(_fp.table_fingerprint(a, cols),
+                                        _fp.table_fingerprint(b, cols))
+            n = diff.count()
+            print(name, "OK" if n == 0 else f"DIVERGENT buckets={n}")
+            divergent += n
+        if divergent:
+            spark.stop()
+            _sys.exit(1)
     spark.stop()
 
 
