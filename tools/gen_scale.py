@@ -133,22 +133,63 @@ def gen_embeddings(out: str, factor: float, seed: int = 43) -> int:
     return n
 
 
+BASE_EVENTS = 100_000          # sf0.1 events rows
+BASE_USERS = 150               # sf0.1 distinct users
+EVENTS_PER_FILE = 250_000
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+EVENTS_SPAN_S = 30 * 24 * 3600
+
+
+def gen_events(out: str, factor: float, seed: int = 44) -> int:
+    """Factor-N events stream matching the driver profile: 30-day span,
+    5 uniform types, 2-dp values, JSON props. Users scale WITH the
+    factor so per-user density stays constant — the scaling claim under
+    test is "more keys", not "deeper per-key history" (per-key window
+    depth is the reference's own workload shape)."""
+    n = int(BASE_EVENTS * factor)
+    n_users = max(1, int(BASE_USERS * factor))
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    offs = np.sort(rng.integers(0, EVENTS_SPAN_S * 1_000_000, size=n))
+    ts = base + offs.astype("timedelta64[us]")
+    values = np.round(rng.uniform(0, 1000, size=n), 2)
+    ks = rng.integers(0, 100, size=n)
+    table = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(rng.integers(0, n_users, size=n), pa.int64()),
+        "event_type": pa.array(
+            [EVENT_TYPES[i] for i in rng.integers(0, 5, size=n)],
+            pa.string()),
+        "value": pa.array(values, pa.float64()),
+        "props": pa.array([f'{{"k": {k}}}' for k in ks], pa.string()),
+    })
+    _write_sharded(table, os.path.join(out, "events.parquet"),
+                   EVENTS_PER_FILE)
+    return n
+
+
 def main() -> None:
-    out = os.path.abspath(sys.argv[1])
-    factor = float(sys.argv[2])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    with_events = "--events" in sys.argv
+    out = os.path.abspath(args[0])
+    factor = float(args[1])
     # abspath: a relative src would make the symlinks below resolve
     # relative to OUT_DIR and dangle
-    src = os.path.abspath(sys.argv[3] if len(sys.argv) > 3
+    src = os.path.abspath(args[2] if len(args) > 2
                           else "/root/testdata/sf0.1")
     os.makedirs(out, exist_ok=True)
     nd = gen_documents(out, factor, src)
     nv = gen_embeddings(out, factor)
-    for name in ("region", "nation", "customer", "supplier", "part",
-                 "orders", "lineitem", "events"):
+    ne = gen_events(out, factor) if with_events else 0
+    linked = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"] + ([] if with_events else ["events"])
+    for name in linked:
         dst = os.path.join(out, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(src, f"{name}.parquet"), dst)
-    print(f"{out}: {nd} documents, {nv} embeddings (factor {factor} of {src})")
+    print(f"{out}: {nd} documents, {nv} embeddings, {ne} events "
+          f"(factor {factor} of {src})")
 
 
 if __name__ == "__main__":

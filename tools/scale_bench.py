@@ -50,7 +50,16 @@ QUERIES = [
 
 
 def main() -> None:
-    sf_dirs = [os.path.abspath(d) for d in sys.argv[1:]] or [
+    # --queries=a,b,c overrides the default dedup/ANN family — used for
+    # the temporal/window scale curve over --events corpora.
+    global QUERIES
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--queries="):
+            QUERIES = a.split("=", 1)[1].split(",")
+        else:
+            args.append(a)
+    sf_dirs = [os.path.abspath(d) for d in args] or [
         os.path.abspath(".scale/gen_sf0.1"), os.path.abspath(".scale/gen_sf1")]
 
     import __spark_entry__ as entrymod
