@@ -1,0 +1,97 @@
+"""Manifest-history time travel on the bucketed ParquetTable:
+retention-window GC, read(version=), versions(), vacuum()."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+])
+
+
+def _tbl(spark, path, retain=3):
+    return ParquetTable(spark, str(path), SCHEMA, "k", buckets=4,
+                        retain_versions=retain)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, SCHEMA)
+
+
+def _snap(tbl, version=None):
+    return {(r["k"], r["v"]) for r in tbl.read(version=version).collect()}
+
+
+def test_read_earlier_versions_within_retention(spark, tmp_path):
+    t = _tbl(spark, tmp_path / "t", retain=3)
+    t.merge_upsert(_rows(spark, [(1, "a"), (2, "b")]))      # v2 (v1 = seed)
+    t.merge_upsert(_rows(spark, [(2, "B"), (3, "c")]))      # v3
+    t.merge_upsert(_rows(spark, [(1, "A2")]))               # v4
+    vs = t.versions()
+    assert vs[-1] == int(t.status()["version"])
+    assert len(vs) >= 3
+    assert _snap(t, vs[-1]) == _snap(t) == {(1, "A2"), (2, "B"), (3, "c")}
+    assert _snap(t, vs[-2]) == {(1, "a"), (2, "B"), (3, "c")}
+    assert _snap(t, vs[-3]) == {(1, "a"), (2, "b")}
+
+
+def test_gc_rolls_the_retention_window(spark, tmp_path):
+    t = _tbl(spark, tmp_path / "t", retain=2)
+    for i in range(6):
+        t.merge_upsert(_rows(spark, [(1, f"v{i}")]))
+    vs = t.versions()
+    live = int(t.status()["version"])
+    # only the last two versions remain fully readable
+    assert vs == [live - 1, live]
+    assert _snap(t, live - 1) == {(1, "v4")}
+    with pytest.raises(ValueError):
+        t.read(version=live - 3)
+
+
+def test_default_retain_one_keeps_old_behavior(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), SCHEMA, "k", buckets=4)
+    t.merge_upsert(_rows(spark, [(1, "a")]))
+    t.merge_upsert(_rows(spark, [(1, "b")]))
+    t.merge_upsert(_rows(spark, [(1, "c")]))
+    assert t.versions() == [int(t.status()["version"])]
+    with pytest.raises(ValueError):
+        t.read(version=2)
+
+
+def test_vacuum_trims_history_and_dirs(spark, tmp_path):
+    t = _tbl(spark, tmp_path / "t", retain=3)
+    for i in range(4):
+        t.merge_upsert(_rows(spark, [(1, f"v{i}")]))
+    assert len(t.versions()) == 3
+    n_dirs_before = sum(1 for n in os.listdir(t.path)
+                        if os.path.isdir(os.path.join(t.path, n)))
+    t.vacuum(keep=1)
+    assert t.versions() == [int(t.status()["version"])]
+    n_dirs_after = sum(1 for n in os.listdir(t.path)
+                       if os.path.isdir(os.path.join(t.path, n)))
+    assert n_dirs_after < n_dirs_before
+    assert _snap(t) == {(1, "v3")}            # live snapshot untouched
+
+
+def test_raising_retention_later_starts_protecting(spark, tmp_path):
+    # history manifests are written regardless of the knob, so a handle
+    # reopened with a bigger window protects from the next commit on
+    t1 = _tbl(spark, tmp_path / "t", retain=1)
+    t1.merge_upsert(_rows(spark, [(1, "a")]))
+    t2 = _tbl(spark, tmp_path / "t", retain=2)
+    t2.merge_upsert(_rows(spark, [(1, "b")]))
+    vs = t2.versions()
+    assert len(vs) == 2
+    assert _snap(t2, vs[0]) == {(1, "a")}
+
+
+def test_unbucketed_table_rejects_time_travel(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), SCHEMA, "k")
+    t.merge_upsert(_rows(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="bucketed"):
+        t.read(version=1)

@@ -36,10 +36,14 @@ next op) or the new one (stale dirs are orphans likewise) — never a
 mixed-version or half-visible table. Single-writer is assumed (as in
 the reference's cron serialization); the one residual race is a reader
 that resolved the OLD manifest and is still scanning while the writer
-GCs those directories post-commit — Delta/Iceberg solve that with
-retention windows on the log, which is the remaining reason to swap
-this class for a real table format when the package is available (the
-call sites are MERGE-shaped either way).
+GCs those directories post-commit — solved the way Delta/Iceberg solve
+it: ``retain_versions=N`` keeps the last N snapshots' directories
+through GC (manifest history files ``_manifest_vNNNNNN.json``), which
+both shields in-flight readers and enables time travel
+(``read(version=...)``, ``versions()``, ``vacuum()``). What a real
+table format still adds is multi-writer log coordination beyond this
+class's loud-failure optimistic check (the call sites are MERGE-shaped
+either way).
 
 A daily upsert touching K symbols costs O(K/N * table), not O(table).
 At 100 TB: size N so a bucket ~ a few GB (e.g. N=8192 for symbol
@@ -128,12 +132,25 @@ class ParquetTable:
     maintenance (see module docstring)."""
 
     def __init__(self, spark: SparkSession, path: str, schema: T.StructType,
-                 key: str, *, buckets: int | None = None):
+                 key: str, *, buckets: int | None = None,
+                 retain_versions: int = 1):
         self.spark = spark
         self.path = path
         self.schema = schema
         self.key = key
         self.buckets = buckets
+        # Time travel / reader retention (bucketed tables): how many
+        # committed versions' data directories survive GC. 1 = current
+        # only (the original behavior); N > 1 keeps the last N snapshots
+        # readable via read(version=...) — the reader-retention window a
+        # real table format provides. History manifests are written at
+        # every commit regardless (metadata is cheap); only DIRECTORY
+        # retention is governed by this knob, so raising it later starts
+        # protecting snapshots from the next commit on. overwrite()
+        # resets the table (and its history) to version 1 by design.
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        self.retain_versions = retain_versions
 
     # -- read ---------------------------------------------------------------
 
@@ -146,19 +163,39 @@ class ParquetTable:
                 or any(n.endswith(".parquet") for n in names)
                 or any(n.startswith(f"{_BUCKET_COL}=") for n in names))
 
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: resolves the manifest once at plan time, so the
         frame sees exactly one committed version regardless of concurrent
         maintenance. Read-only — crash housekeeping lives on the write
-        path (``repair``)."""
+        path (``repair``).
+
+        ``version=N`` time-travels to an earlier committed snapshot
+        (bucketed tables with ``retain_versions > 1``): the manifest
+        history names that version's directories, which GC keeps for the
+        last ``retain_versions`` commits. Raises ValueError when the
+        version's manifest or any of its directories is gone."""
         if not self.exists():
+            if version is not None:
+                raise ValueError(f"version {version}: table {self.path} "
+                                 f"does not exist")
             return self.spark.createDataFrame([], self.schema)
         if not self.buckets:
+            if version is not None:
+                raise ValueError("time travel requires a bucketed table "
+                                 "(manifest commits carry the history)")
             return self.spark.read.schema(self.schema).parquet(self.path)
-        m = self._load_manifest()
+        m = self._load_manifest() if version is None             else self._load_version(version)
         if m is None:                          # pre-manifest legacy layout
             return self._read_raw().drop(_BUCKET_COL)
         dirs = [os.path.join(self.path, d) for d in m["buckets"].values()]
+        if version is not None:
+            missing = [d for d in dirs if not os.path.isdir(d)]
+            if missing:
+                raise ValueError(
+                    f"version {version} of {self.path} is no longer "
+                    f"readable: {len(missing)} directories were GC'd "
+                    f"(outside the retain_versions={self.retain_versions} "
+                    f"window)")
         if not dirs:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*dirs)
@@ -207,6 +244,7 @@ class ParquetTable:
         if m is not None:
             out["version"] = int(m["version"])
             out["buckets_live"] = len(m["buckets"])
+            out["versions_readable"] = self.versions()
             dirs = [os.path.join(self.path, d) for d in m["buckets"].values()]
         else:
             dirs = [self.path]
@@ -224,6 +262,9 @@ class ParquetTable:
 
     def _manifest_file(self) -> str:
         return os.path.join(self.path, _MANIFEST)
+
+    def _history_file(self, version: int) -> str:
+        return os.path.join(self.path, f"_manifest_v{int(version):06d}.json")
 
     def _load_manifest(self) -> dict | None:
         try:
@@ -267,7 +308,93 @@ class ParquetTable:
             os.fsync(fh.fileno())
         os.replace(tmp, self._manifest_file())
         _fsync_dir(self.path)          # persist the replace itself
+        # immutable history copy (time travel metadata). Written AFTER
+        # the live replace: a crash in between costs only this version's
+        # history entry (read(version=...) falls back to the live
+        # manifest for the current version), never snapshot atomicity.
+        hist = self._history_file(version)
+        htmp = os.path.join(self.path, f"_manifest_tmp_{uuid.uuid4().hex[:8]}")
+        with open(htmp, "w") as fh:
+            json.dump(m, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(htmp, hist)
+        _fsync_dir(self.path)
         return m
+
+    def _protected_dirs(self, live: dict) -> set:
+        """Directory names GC must keep: the live mapping plus every
+        mapping of the previous ``retain_versions - 1`` history
+        manifests (missing history entries protect nothing)."""
+        keep = set(live["buckets"].values())
+        v = int(live["version"])
+        for old in range(max(1, v - self.retain_versions + 1), v):
+            try:
+                with open(self._history_file(old)) as fh:
+                    keep |= set(json.load(fh)["buckets"].values())
+            except FileNotFoundError:
+                pass
+        return keep
+
+    def _load_version(self, version: int) -> dict:
+        live = self._load_manifest()
+        if live is not None and int(live["version"]) == int(version):
+            return live
+        try:
+            with open(self._history_file(version)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} of {self.path} is not available "
+                f"(never committed, vacuumed, or pre-history)") from None
+
+    def versions(self) -> list[int]:
+        """Committed versions still fully readable: their manifest is
+        retained AND every directory it references still exists."""
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        live = self._load_manifest()
+        cand = {int(live["version"])} if live is not None else set()
+        for n in os.listdir(self.path):
+            if n.startswith("_manifest_v") and n.endswith(".json"):
+                cand.add(int(n[len("_manifest_v"):-len(".json")]))
+        for v in sorted(cand):
+            try:
+                m = self._load_version(v)
+            except ValueError:
+                continue
+            if all(os.path.isdir(os.path.join(self.path, d))
+                   for d in m["buckets"].values()):
+                out.append(v)
+        return out
+
+    def vacuum(self, keep: int | None = None) -> None:
+        """Drop history older than ``keep`` versions (default: the
+        handle's retain_versions) and GC directories no retained
+        manifest references. Single-writer context, like repair()."""
+        live = self._load_manifest()
+        if live is None:
+            return
+        keep = self.retain_versions if keep is None else max(1, int(keep))
+        v = int(live["version"])
+        for n in os.listdir(self.path):
+            if n.startswith("_manifest_v") and n.endswith(".json"):
+                hv = int(n[len("_manifest_v"):-len(".json")])
+                if hv <= v - keep:
+                    os.remove(os.path.join(self.path, n))
+        saved = self.retain_versions
+        try:
+            self.retain_versions = keep
+            protected = self._protected_dirs(live)
+        finally:
+            self.retain_versions = saved
+        for n in os.listdir(self.path):
+            full = os.path.join(self.path, n)
+            if (os.path.isdir(full) and n not in protected
+                    and (n.startswith(f"{_BUCKET_COL}=")
+                         or _NEWDIR_RE.match(n))):
+                shutil.rmtree(full, ignore_errors=True)
 
     def repair(self) -> None:
         """Write-path housekeeping, run at the start of every bucketed
@@ -314,7 +441,7 @@ class ParquetTable:
                 mapping = {n.split("=", 1)[1]: n for n in names
                            if n.startswith(f"{_BUCKET_COL}=")}
                 m = self._commit_manifest(mapping, 1)
-        live = set(m["buckets"].values())
+        live = self._protected_dirs(m)
         for n in os.listdir(self.path):
             full = os.path.join(self.path, n)
             if n in live:
@@ -441,7 +568,6 @@ class ParquetTable:
         align_to_schema(merged, self.schema) \
             .withColumn(_BUCKET_COL, self._bucket_expr()) \
             .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(tmp)
-        stale: list[str] = []
         try:
             for b in touched:
                 new_dir = os.path.join(tmp, f"{_BUCKET_COL}={b}")
@@ -449,20 +575,27 @@ class ParquetTable:
                 if os.path.isdir(new_dir):
                     name = f"b{b}-{uuid.uuid4().hex[:8]}"
                     os.rename(new_dir, os.path.join(self.path, name))
-                    if key in mapping:
-                        stale.append(mapping[key])
                     mapping[key] = name
                 elif key in mapping:
                     # combine produced no rows for this bucket: it is now
                     # empty — unmap it (keeping the old dir would resurrect
                     # rows the merged frame deleted)
-                    stale.append(mapping.pop(key))
+                    mapping.pop(key)
             _fsync_dir(self.path)      # persist bucket-dir renames first
-            self._commit_manifest(mapping, version + 1)   # atomic publish
+            new_m = self._commit_manifest(mapping, version + 1)  # publish
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        for d in stale:      # post-commit GC; a crash here leaves orphans
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        # post-commit GC (a crash here leaves orphans, never a torn
+        # table): delete every bucket directory no retained snapshot
+        # references — this op's replaced dirs once they leave the
+        # retention window, and the dirs of versions that just rolled
+        # out of it.
+        protected = self._protected_dirs(new_m)
+        for n in os.listdir(self.path):
+            full = os.path.join(self.path, n)
+            if n not in protected and os.path.isdir(full) and (
+                    n.startswith(f"{_BUCKET_COL}=") or _NEWDIR_RE.match(n)):
+                shutil.rmtree(full, ignore_errors=True)
 
     def overwrite(self, df: DataFrame) -> None:
         """K3 truncate-and-load."""
