@@ -159,7 +159,11 @@ def test_cli_reports_job_status_to_webhook(spark, tmp_path, monkeypatch):
     assert "stock_data_rows: 30" in msg
 
 
-def test_cli_reconcile_detects_divergence(spark, tmp_path, capsys):
+def test_cli_reconcile_detects_divergence(spark, tmp_path, capsys,
+                                          monkeypatch):
+    """Drives the actual `jobs reconcile --against` CLI branch: clean
+    copies exit 0 with OK lines, a tampered copy exits 1 and prints
+    DIVERGENT."""
     import pytest
 
     downloads = tmp_path / "downloads"
@@ -171,19 +175,24 @@ def test_cli_reconcile_detects_divergence(spark, tmp_path, capsys):
     jobs.run_technical_upload(spark, str(downloads), wh_a)
     jobs.run_technical_upload(spark, str(downloads), wh_b)
 
-    from tradingview_data_pipeline_spark.operators import fingerprint as fp
+    # the CLI owns a session in production; under the shared fixture its
+    # stop() must not tear the fixture down
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    argv = ["reconcile", "--warehouse", str(tmp_path / "wa"),
+            "--against", str(tmp_path / "wb")]
 
-    def compare(a, b):
-        da, db = a.read(), b.read()
-        cols = sorted(set(da.columns) & set(db.columns))
-        # the upload stamps a load timestamp; exclude volatile columns
-        cols = [c for c in cols if c != "last_modified_date"]
-        return fp.fingerprint_diff(fp.table_fingerprint(da, cols),
-                                   fp.table_fingerprint(db, cols)).count()
+    jobs.main(argv)                               # clean: exit 0 (no raise)
+    out = capsys.readouterr().out
+    assert "stock_data OK" in out and "DIVERGENT" not in out
 
-    assert compare(wh_a["stock_data"], wh_b["stock_data"]) == 0
-
-    # tamper with copy B -> reconciliation flags it
+    # tamper with copy B -> the CLI flags it and exits 1
     wh_b["stock_data"].update_where(spark.createDataFrame(
         [("SYM003", 99.0)], "symbol string, rsi_14_1_day double"))
-    assert compare(wh_a["stock_data"], wh_b["stock_data"]) > 0
+    with pytest.raises(SystemExit) as exc:
+        jobs.main(argv)
+    assert exc.value.code == 1
+    assert "stock_data DIVERGENT" in capsys.readouterr().out
+
+    # missing --against is a loud usage error
+    with pytest.raises(SystemExit):
+        jobs.main(["reconcile", "--warehouse", str(tmp_path / "wa")])

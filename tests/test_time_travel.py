@@ -95,3 +95,30 @@ def test_unbucketed_table_rejects_time_travel(spark, tmp_path):
     t.merge_upsert(_rows(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="bucketed"):
         t.read(version=1)
+
+
+def test_default_handle_cannot_gc_configured_retention(spark, tmp_path):
+    """Retention is a TABLE property persisted in the manifest: a
+    default handle (cron job, CLI) committing to a table configured
+    with retain_versions=3 must keep the stored window, not GC it."""
+    cfg = _tbl(spark, tmp_path / "t", retain=3)
+    cfg.merge_upsert(_rows(spark, [(1, "a")]))
+    cfg.merge_upsert(_rows(spark, [(1, "b")]))
+    # a handle with NO retention opinion (e.g. jobs.warehouse_tables)
+    dflt = ParquetTable(spark, str(tmp_path / "t"), SCHEMA, "k", buckets=4)
+    dflt.merge_upsert(_rows(spark, [(1, "c")]))
+    vs = dflt.versions()
+    assert len(vs) == 3
+    assert _snap(dflt, vs[0]) == {(1, "a")}
+    assert _snap(dflt, vs[1]) == {(1, "b")}
+    assert int(dflt.status()["version"]) == vs[-1]
+
+
+def test_history_metadata_bounded_by_window(spark, tmp_path):
+    """Commits prune history manifests older than the stored window, so
+    metadata stays O(retain), not O(commits)."""
+    t = _tbl(spark, tmp_path / "t", retain=2)
+    for i in range(7):
+        t.merge_upsert(_rows(spark, [(1, f"v{i}")]))
+    hist = [n for n in os.listdir(t.path) if n.startswith("_manifest_v")]
+    assert len(hist) <= 2

@@ -170,8 +170,12 @@ def gen_events(out: str, factor: float, seed: int = 44) -> int:
 
 
 def main() -> None:
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    unknown = [f for f in flags if f != "--events"]
+    if unknown:
+        raise SystemExit(f"unknown flag(s) {unknown}; supported: --events")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    with_events = "--events" in sys.argv
+    with_events = "--events" in flags
     out = os.path.abspath(args[0])
     factor = float(args[1])
     # abspath: a relative src would make the symlinks below resolve

@@ -133,7 +133,7 @@ class ParquetTable:
 
     def __init__(self, spark: SparkSession, path: str, schema: T.StructType,
                  key: str, *, buckets: int | None = None,
-                 retain_versions: int = 1):
+                 retain_versions: int | None = None):
         self.spark = spark
         self.path = path
         self.schema = schema
@@ -143,14 +143,27 @@ class ParquetTable:
         # committed versions' data directories survive GC. 1 = current
         # only (the original behavior); N > 1 keeps the last N snapshots
         # readable via read(version=...) — the reader-retention window a
-        # real table format provides. History manifests are written at
-        # every commit regardless (metadata is cheap); only DIRECTORY
-        # retention is governed by this knob, so raising it later starts
-        # protecting snapshots from the next commit on. overwrite()
-        # resets the table (and its history) to version 1 by design.
-        if retain_versions < 1:
+        # real table format provides. Retention is a TABLE property
+        # persisted in the manifest (like n_buckets): None here means
+        # "use the table's stored window" (default 1), so a default
+        # handle — a cron job, the CLI — can never silently GC the
+        # snapshots a retention-configured handle asked to keep. Passing
+        # a value updates the stored window at this handle's next
+        # commit. overwrite() (K3 truncate) resets the table INCLUDING
+        # its history to version 1 by design — the retention shield
+        # covers maintenance commits, not explicit truncation.
+        if retain_versions is not None and retain_versions < 1:
             raise ValueError("retain_versions must be >= 1")
         self.retain_versions = retain_versions
+
+    def _retention(self, m: dict | None) -> int:
+        """Effective window: the handle's explicit value, else the
+        table's stored one, else 1."""
+        if self.retain_versions is not None:
+            return self.retain_versions
+        if m is not None:
+            return int(m.get("retain_versions", 1))
+        return 1
 
     # -- read ---------------------------------------------------------------
 
@@ -194,8 +207,8 @@ class ParquetTable:
                 raise ValueError(
                     f"version {version} of {self.path} is no longer "
                     f"readable: {len(missing)} directories were GC'd "
-                    f"(outside the retain_versions={self.retain_versions} "
-                    f"window)")
+                    f"(outside the retain_versions="
+                    f"{self._retention(m)} window)")
         if not dirs:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*dirs)
@@ -299,8 +312,10 @@ class ParquetTable:
                 f"concurrent commit detected on {self.path}: planned "
                 f"against version {version - 1}, found {cur_version} — "
                 f"re-run the maintenance op (MERGE is idempotent)")
+        retain = self.retain_versions if self.retain_versions is not None \
+            else (int(cur.get("retain_versions", 1)) if cur else 1)
         m = {"format": 2, "version": version, "n_buckets": self.buckets,
-             "buckets": buckets}
+             "retain_versions": retain, "buckets": buckets}
         tmp = os.path.join(self.path, f"_manifest_tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(m, fh)
@@ -320,21 +335,45 @@ class ParquetTable:
             os.fsync(fh.fileno())
         os.replace(htmp, hist)
         _fsync_dir(self.path)
+        # bound history metadata: manifests older than the stored window
+        # protect nothing and read nothing — prune them here so a table
+        # committed daily for years keeps O(retain) history files, not
+        # O(commits)
+        for n in os.listdir(self.path):
+            if n.startswith("_manifest_v") and n.endswith(".json"):
+                hv = int(n[len("_manifest_v"):-len(".json")])
+                if hv <= version - retain:
+                    try:
+                        os.remove(os.path.join(self.path, n))
+                    except OSError:
+                        pass
         return m
 
-    def _protected_dirs(self, live: dict) -> set:
+    def _protected_dirs(self, live: dict, retain: int | None = None) -> set:
         """Directory names GC must keep: the live mapping plus every
-        mapping of the previous ``retain_versions - 1`` history
-        manifests (missing history entries protect nothing)."""
+        mapping of the previous ``retain - 1`` history manifests
+        (missing history entries protect nothing). ``retain`` defaults
+        to the TABLE's effective window (stored in the manifest)."""
+        if retain is None:
+            retain = self._retention(live)
         keep = set(live["buckets"].values())
         v = int(live["version"])
-        for old in range(max(1, v - self.retain_versions + 1), v):
+        for old in range(max(1, v - retain + 1), v):
             try:
                 with open(self._history_file(old)) as fh:
                     keep |= set(json.load(fh)["buckets"].values())
             except FileNotFoundError:
                 pass
         return keep
+
+    def _gc_unprotected(self, protected: set) -> None:
+        """Delete every bucket directory no retained snapshot references
+        (the single GC sweep shared by repair, post-commit GC, vacuum)."""
+        for n in os.listdir(self.path):
+            full = os.path.join(self.path, n)
+            if n not in protected and os.path.isdir(full) and (
+                    n.startswith(f"{_BUCKET_COL}=") or _NEWDIR_RE.match(n)):
+                shutil.rmtree(full, ignore_errors=True)
 
     def _load_version(self, version: int) -> dict:
         live = self._load_manifest()
@@ -355,46 +394,41 @@ class ParquetTable:
             return []
         out = []
         live = self._load_manifest()
-        cand = {int(live["version"])} if live is not None else set()
+        mans = {}
+        if live is not None:
+            mans[int(live["version"])] = live
         for n in os.listdir(self.path):
             if n.startswith("_manifest_v") and n.endswith(".json"):
-                cand.add(int(n[len("_manifest_v"):-len(".json")]))
-        for v in sorted(cand):
-            try:
-                m = self._load_version(v)
-            except ValueError:
-                continue
+                v = int(n[len("_manifest_v"):-len(".json")])
+                if v not in mans:
+                    try:
+                        with open(os.path.join(self.path, n)) as fh:
+                            mans[v] = json.load(fh)
+                    except (OSError, ValueError):
+                        continue
+        for v in sorted(mans):
             if all(os.path.isdir(os.path.join(self.path, d))
-                   for d in m["buckets"].values()):
+                   for d in mans[v]["buckets"].values()):
                 out.append(v)
         return out
 
     def vacuum(self, keep: int | None = None) -> None:
         """Drop history older than ``keep`` versions (default: the
-        handle's retain_versions) and GC directories no retained
-        manifest references. Single-writer context, like repair()."""
+        table's effective window) and GC directories no retained
+        manifest references. Explicitly destructive below the stored
+        window; does NOT change the stored window. Single-writer
+        context, like repair()."""
         live = self._load_manifest()
         if live is None:
             return
-        keep = self.retain_versions if keep is None else max(1, int(keep))
+        keep = self._retention(live) if keep is None else max(1, int(keep))
         v = int(live["version"])
         for n in os.listdir(self.path):
             if n.startswith("_manifest_v") and n.endswith(".json"):
                 hv = int(n[len("_manifest_v"):-len(".json")])
                 if hv <= v - keep:
                     os.remove(os.path.join(self.path, n))
-        saved = self.retain_versions
-        try:
-            self.retain_versions = keep
-            protected = self._protected_dirs(live)
-        finally:
-            self.retain_versions = saved
-        for n in os.listdir(self.path):
-            full = os.path.join(self.path, n)
-            if (os.path.isdir(full) and n not in protected
-                    and (n.startswith(f"{_BUCKET_COL}=")
-                         or _NEWDIR_RE.match(n))):
-                shutil.rmtree(full, ignore_errors=True)
+        self._gc_unprotected(self._protected_dirs(live, retain=keep))
 
     def repair(self) -> None:
         """Write-path housekeeping, run at the start of every bucketed
@@ -441,16 +475,11 @@ class ParquetTable:
                 mapping = {n.split("=", 1)[1]: n for n in names
                            if n.startswith(f"{_BUCKET_COL}=")}
                 m = self._commit_manifest(mapping, 1)
-        live = self._protected_dirs(m)
         for n in os.listdir(self.path):
             full = os.path.join(self.path, n)
-            if n in live:
-                continue
             if n.startswith("_manifest_tmp_") and os.path.isfile(full):
                 os.remove(full)                # crashed pre-replace commit
-            elif os.path.isdir(full) and (
-                    n.startswith(f"{_BUCKET_COL}=") or _NEWDIR_RE.match(n)):
-                shutil.rmtree(full, ignore_errors=True)
+        self._gc_unprotected(self._protected_dirs(m))
 
     def _repair_legacy(self) -> None:
         """Resolve pre-manifest crash states (the old rename-pair swap
@@ -590,15 +619,14 @@ class ParquetTable:
         # references — this op's replaced dirs once they leave the
         # retention window, and the dirs of versions that just rolled
         # out of it.
-        protected = self._protected_dirs(new_m)
-        for n in os.listdir(self.path):
-            full = os.path.join(self.path, n)
-            if n not in protected and os.path.isdir(full) and (
-                    n.startswith(f"{_BUCKET_COL}=") or _NEWDIR_RE.match(n)):
-                shutil.rmtree(full, ignore_errors=True)
+        self._gc_unprotected(self._protected_dirs(new_m))
 
     def overwrite(self, df: DataFrame) -> None:
-        """K3 truncate-and-load."""
+        """K3 truncate-and-load. Explicit truncation DESTROYS history:
+        the table (and its manifest/history) resets to version 1, and
+        the retention shield does not apply — an in-flight reader of the
+        old snapshot can fail mid-scan. Use merge/update maintenance ops
+        when readers or time travel must survive the write."""
         self._replace_with(df)
 
     def compact(self) -> None:
