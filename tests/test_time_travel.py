@@ -122,3 +122,43 @@ def test_history_metadata_bounded_by_window(spark, tmp_path):
         t.merge_upsert(_rows(spark, [(1, f"v{i}")]))
     hist = [n for n in os.listdir(t.path) if n.startswith("_manifest_v")]
     assert len(hist) <= 2
+
+
+def test_rollback_restores_snapshot_append_only(spark, tmp_path):
+    t = _tbl(spark, tmp_path / "t", retain=4)
+    t.merge_upsert(_rows(spark, [(1, "good")]))             # v1 (seed)
+    t.merge_upsert(_rows(spark, [(1, "bad"), (2, "junk")]))  # v2
+    vs = t.versions()
+    t.rollback(vs[0])
+    assert _snap(t) == {(1, "good")}
+    # append-only: the rollback is a NEW version; the bad one remains
+    # readable inside the window
+    assert int(t.status()["version"]) == vs[-1] + 1
+    assert _snap(t, vs[-1]) == {(1, "bad"), (2, "junk")}
+    # a subsequent merge continues normally from the restored state
+    t.merge_upsert(_rows(spark, [(3, "new")]))
+    assert _snap(t) == {(1, "good"), (3, "new")}
+
+
+def test_rollback_outside_window_raises(spark, tmp_path):
+    t = _tbl(spark, tmp_path / "t", retain=2)
+    for i in range(5):
+        t.merge_upsert(_rows(spark, [(1, f"v{i}")]))
+    gone = t.versions()[0] - 1
+    with pytest.raises(ValueError):
+        t.rollback(gone)
+
+
+def test_table_changes_between_versions(spark, tmp_path):
+    from tradingview_data_pipeline_spark.operators.cdc import table_changes
+
+    t = _tbl(spark, tmp_path / "t", retain=4)
+    t.merge_upsert(_rows(spark, [(1, "a"), (2, "b")]))
+    t.merge_upsert(_rows(spark, [(2, "B"), (3, "c")]))       # update + insert
+    vs = t.versions()
+    log = {r["k"]: r for r in
+           table_changes(t, vs[-2], vs[-1]).collect()}
+    assert set(log) == {2, 3}
+    assert log[2]["op"] == "update" and log[2]["v_old"] == "b" \
+        and log[2]["v_new"] == "B"
+    assert log[3]["op"] == "insert"

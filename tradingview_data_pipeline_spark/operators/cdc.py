@@ -71,3 +71,19 @@ def apply_changelog(base: DataFrame, changelog: DataFrame, keys: list[str],
     new_rows = (changelog.where(F.col("op").isin("insert", "update"))
                 .select(*keys, *[F.col(f"{c}_new").alias(c) for c in cols]))
     return kept.unionByName(new_rows)
+
+
+def table_changes(table, from_version: int, to_version: int,
+                  cols: list[str] | None = None) -> DataFrame:
+    """Change-data-feed between two retained versions of a
+    ``merge.ParquetTable`` (the Delta CDF idea, derived rather than
+    logged): snapshot-diff the two point-in-time reads. Cost is one
+    full-outer join of the two snapshots — at scale both sides share
+    the table's bucket layout, and a fingerprint pre-filter
+    (``fingerprint.fingerprint_diff``) can bound it to changed buckets.
+    ``cols`` defaults to every non-key column of the table schema."""
+    key = table.key
+    if cols is None:
+        cols = [f.name for f in table.schema.fields if f.name != key]
+    return snapshot_diff(table.read(version=from_version),
+                         table.read(version=to_version), [key], cols)

@@ -412,6 +412,23 @@ class ParquetTable:
                 out.append(v)
         return out
 
+    def rollback(self, version: int) -> None:
+        """Restore a retained snapshot as the NEW live version (audit /
+        bad-load recovery). Not an undo of the commit log: rolling back
+        v5 to v3 commits a v6 whose mapping equals v3's, so history
+        stays append-only, the OCC check still guards concurrent
+        writers, and the botched versions remain readable until they
+        roll out of the window."""
+        m = self._load_version(version)
+        missing = [d for d in m["buckets"].values()
+                   if not os.path.isdir(os.path.join(self.path, d))]
+        if missing:
+            raise ValueError(
+                f"cannot roll back {self.path} to version {version}: "
+                f"{len(missing)} directories were GC'd")
+        live = self._load_manifest()
+        self._commit_manifest(dict(m["buckets"]), int(live["version"]) + 1)
+
     def vacuum(self, keep: int | None = None) -> None:
         """Drop history older than ``keep`` versions (default: the
         table's effective window) and GC directories no retained
