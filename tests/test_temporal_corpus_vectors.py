@@ -323,3 +323,28 @@ def test_weighted_sample_k_deterministic_and_biased(spark):
     got3 = [r["doc_id"] for r in
             sp.weighted_sample_k(df3, "doc_id", "wt", 10).collect()]
     assert got3 == [4]
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """Every member of a cluster lands in the SAME split; singletons
+    keep hash-split determinism on their own id."""
+    from tradingview_data_pipeline_spark.operators.sampling import (
+        cluster_safe_split, hash_split)
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # clusters: {0,1,2} -> 0, {10,11} -> 10; everyone else singleton
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in
+           cluster_safe_split(docs, "doc_id", clusters).collect()}
+    assert len(out) == 200
+    assert out[0] == out[1] == out[2]            # whole cluster together
+    assert out[10] == out[11]
+    # singletons match the plain hash split on the same salt
+    plain = {r["doc_id"]: r["split"] for r in
+             hash_split(docs, "doc_id",
+                        {"train": 80, "val": 90, "test": 100},
+                        salt="csplit").collect()}
+    for d in (5, 42, 199):
+        assert out[d] == (d, plain[d])

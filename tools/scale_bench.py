@@ -43,7 +43,7 @@ QUERIES = [
     "q32_embedding_near_dup",
     "q53_kmeans_assign",
     "q62_quantized_ann",
-    "q47_chunking",
+    "q46_corpus_prep",   # chunking leg (merged q46+q47)
     "q48_decontamination",
     "q49_corpus_terms",
 ]

@@ -117,3 +117,28 @@ def weighted_sample_k(
                                         Window.orderBy(F.col("__sk").asc(),
                                                        F.col(id_col).asc()))))
     return out.drop("__sk")
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    cluster_col: str = "cluster_id",
+    boundaries: dict[str, int] | None = None,
+    salt: str = "csplit",
+) -> DataFrame:
+    """Leakage-safe split: every member of a near-duplicate cluster gets
+    the SAME split assignment, so a paraphrase of a test document can
+    never land in train (the train/test contamination a plain per-doc
+    hash split cannot prevent). Rows absent from ``clusters`` are
+    singletons (cluster = own id); the split hashes the CLUSTER id.
+    Scale shape: ``clusters`` is the dedup output (one row per clustered
+    doc — small next to the corpus) and the join is key-partitioned;
+    determinism and grow-stability are inherited from ``hash_split``.
+    """
+    boundaries = boundaries or {"train": 80, "val": 90, "test": 100}
+    j = df.join(clusters.select(F.col(id_col), F.col(cluster_col)),
+                id_col, "left")
+    j = j.withColumn(cluster_col,
+                     F.coalesce(F.col(cluster_col), F.col(id_col)))
+    return hash_split(j, cluster_col, boundaries, salt=salt)

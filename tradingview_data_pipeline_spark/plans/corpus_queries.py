@@ -42,7 +42,7 @@ _H60S = "('0x' || substr(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 15))::BIGIN
 # (Consolidates the former q46 + q54.)
 # ---------------------------------------------------------------------------
 
-@register("q46_split_sample", oracle=f"""
+_Q46_SPLIT_SQL = f"""
 WITH h AS (
   SELECT doc_id, lang,
          {_H60S.format(salt='split', col='doc_id')} % 100 AS split_bucket,
@@ -63,8 +63,55 @@ SELECT h.doc_id, h.lang,
        sv < 100000 AS in_sample,
        CASE WHEN r.sample_rank <= 20 THEN r.sample_rank END AS lang_sample_rank
 FROM h JOIN r USING (doc_id)
+"""
+
+_Q47_CHUNK_SQL = """
+SELECT doc_id,
+       (cs - 1) // 150 AS chunk_idx,
+       cs AS chunk_start,
+       substring(text, CAST(cs AS INT), 200) AS chunk_text,
+       length(substring(text, CAST(cs AS INT), 200)) AS chunk_len
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(1, greatest(length(text), 1), 150)) AS cs) t
+"""
+
+
+@register("q46_corpus_prep", oracle=f"""
+WITH sp AS ({_Q46_SPLIT_SQL}), ch AS ({_Q47_CHUNK_SQL})
+SELECT 'split' AS kind, doc_id, lang AS s1, split AS s2,
+       split_bucket AS n1, CAST(NULL AS BIGINT) AS n2,
+       in_sample AS flag, lang_sample_rank AS rank
+FROM sp
+UNION ALL
+SELECT 'chunk' AS kind, doc_id, chunk_text AS s1, CAST(NULL AS VARCHAR) AS s2,
+       chunk_idx AS n1, chunk_start AS n2,
+       CAST(NULL AS BOOLEAN) AS flag, chunk_len AS rank
+FROM ch
 """)
-def q46_split_sample(spark, sf_dir):
+def q46_corpus_prep(spark, sf_dir):
+    """Tagged union (round-6 consolidation #7, COVERAGE.md map):
+    'split' — deterministic sampling suite in one pass (hash split,
+    Bernoulli flag, per-language 20-doc uniform sample rank); 'chunk' —
+    overlapping fixed-size chunking (200-char windows, 50 overlap;
+    map-side sequence + posexplode, no shuffle)."""
+    split = _q46_split_sample(spark, sf_dir).select(
+        F.lit("split").alias("kind"), "doc_id",
+        F.col("lang").alias("s1"), F.col("split").alias("s2"),
+        F.col("split_bucket").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("in_sample").alias("flag"),
+        F.col("lang_sample_rank").alias("rank"))
+    chunk = _q47_chunking(spark, sf_dir).select(
+        F.lit("chunk").alias("kind"), "doc_id",
+        F.col("chunk_text").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("chunk_idx").alias("n1"), F.col("chunk_start").alias("n2"),
+        F.lit(None).cast("boolean").alias("flag"),
+        F.col("chunk_len").alias("rank"))
+    return split.unionByName(chunk)
+
+
+def _q46_split_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = sp.hash_split(d, "doc_id", {"train": 80, "val": 90, "test": 100})
     out = out.withColumn(
@@ -79,20 +126,12 @@ def q46_split_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q47 — overlapping fixed-size chunking (200-char windows, 50 overlap):
-# map-side sequence + posexplode, no shuffle at all.
+# q47 (merged into q46_corpus_prep) — overlapping fixed-size chunking
+# (200-char windows, 50 overlap): map-side sequence + posexplode, no
+# shuffle at all.
 # ---------------------------------------------------------------------------
 
-@register("q47_chunking", oracle="""
-SELECT doc_id,
-       (cs - 1) // 150 AS chunk_idx,
-       cs AS chunk_start,
-       substring(text, CAST(cs AS INT), 200) AS chunk_text,
-       length(substring(text, CAST(cs AS INT), 200)) AS chunk_len
-FROM documents,
-     LATERAL (SELECT unnest(generate_series(1, greatest(length(text), 1), 150)) AS cs) t
-""")
-def q47_chunking(spark, sf_dir):
+def _q47_chunking(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = cp.chunk_text(d, "doc_id", "text", size=200, overlap=50)
     return out.select(

@@ -562,3 +562,56 @@ def q59_neardup_graph_stats(spark, sf_dir):
     return (deg.join(tcnt, "doc_id", "left")
             .select("doc_id", "degree",
                     F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")))
+
+
+# ---------------------------------------------------------------------------
+# q70 — leakage-safe train/test split (sampling.cluster_safe_split,
+# slot freed by the q46+q47 merge): near-duplicate cluster members all
+# receive the SAME split, so a paraphrase of a test document can never
+# leak into train — the contamination control a per-doc hash split
+# can't provide.  Clusters come from the shared LSH -> Jaccard ->
+# connected-components frame (q42); the split hashes the CLUSTER id
+# (singletons hash their own id).  The oracle recomputes the identical
+# clustering (recursive-CTE closure) and split hash.
+# ---------------------------------------------------------------------------
+
+@register("q70_leakage_safe_split", oracle=f"""
+WITH RECURSIVE {_PAIRS_CTE},
+verified AS (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+walk(doc_id, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+),
+comp AS (SELECT doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY doc_id),
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       b AS split_bucket
+FROM (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5('csplit' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 AS b
+  FROM assigned)
+""")
+def q70_leakage_safe_split(spark, sf_dir):
+    from tradingview_data_pipeline_spark.operators import sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(
+        d, "doc_id", "text", jaccard_threshold=0.5,
+        scored_pairs=_scored_pairs(spark, sf_dir)
+    ).select("doc_id", "cluster_id")
+    out = sp.cluster_safe_split(d.select("doc_id"), "doc_id", clusters)
+    return out.select("doc_id", "cluster_id", "split",
+                      F.col("split_bucket").cast("bigint").alias("split_bucket"))
