@@ -60,3 +60,12 @@ def test_changelog_size_exact(spark):
     ops = {r["op"] for r in log.collect()}
     assert ops == {"insert", "delete", "update"}
     assert log.count() == 3           # delete k=0, insert k=10, update k=4
+
+
+def test_membership_diff_with_no_compare_cols(spark):
+    """cols=[] is a key-set diff: inserts/deletes only, never update."""
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r["k"]: r["op"] for r in
+           snapshot_diff(old, new, KEYS, []).collect()}
+    assert got == {1: "delete", 3: "insert"}

@@ -43,7 +43,9 @@ QUERIES = [
     "q32_embedding_near_dup",
     "q53_kmeans_assign",
     "q62_quantized_ann",
-    "q46_corpus_prep",   # chunking leg (merged q46+q47)
+    "q46_corpus_prep",   # merged split+chunk query: times BOTH legs,
+                         # so its curve is NOT comparable to the
+                         # pre-merge q47 chunking-only numbers
     "q48_decontamination",
     "q49_corpus_terms",
 ]

@@ -45,8 +45,10 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
     cond = reduce(lambda a, b: a & b,
                   [o[k].eqNullSafe(n[f"__n_{k}"]) for k in keys])
     j = o.join(n, cond, "full_outer")
+    # cols=[] is a key-set (membership) diff: inserts/deletes only
     changed = reduce(lambda a, b: a | b,
-                     [~F.col(c).eqNullSafe(F.col(f"__n_{c}")) for c in cols])
+                     [~F.col(c).eqNullSafe(F.col(f"__n_{c}")) for c in cols],
+                     F.lit(False))
     op = (F.when(F.col("__in_old").isNull(), F.lit("insert"))
            .when(F.col("__in_new").isNull(), F.lit("delete"))
            .when(changed, F.lit("update")))

@@ -133,8 +133,17 @@ def cluster_safe_split(
     hash split cannot prevent). Rows absent from ``clusters`` are
     singletons (cluster = own id); the split hashes the CLUSTER id.
     Scale shape: ``clusters`` is the dedup output (one row per clustered
-    doc — small next to the corpus) and the join is key-partitioned;
-    determinism and grow-stability are inherited from ``hash_split``.
+    doc — small next to the corpus) and the join is key-partitioned.
+
+    Stability contract (weaker than ``hash_split``'s, necessarily): the
+    assignment is deterministic GIVEN the clustering, but corpus growth
+    can change cluster ids — a new document bridging two clusters
+    merges them, and the merged members rehash to the surviving
+    cluster's split. That reassignment is FORCED by leakage-safety (two
+    now-linked docs in different splits would be the leak), so you
+    cannot have both per-row stability and cluster containment under
+    merges. Practice: freeze split assignments at dataset release
+    (persist this output), and re-derive only when re-clustering.
     """
     boundaries = boundaries or {"train": 80, "val": 90, "test": 100}
     j = df.join(clusters.select(F.col(id_col), F.col(cluster_col)),

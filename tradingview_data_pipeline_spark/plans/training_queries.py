@@ -196,6 +196,23 @@ scored_pairs AS (
   JOIN sizes nb ON nb.doc_id = i.doc_b
 )"""
 
+# connected-components closure over the verified pair graph (cluster_id =
+# min reachable doc id) — shared by the q42 and q70 oracles so the
+# clustering semantics cannot silently diverge between them.
+_COMP_CTE = """verified AS (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+walk(doc_id, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+),
+comp AS (SELECT doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY doc_id)"""
+
+
 # One Jaccard-scored LSH candidate frame per (session, sf_dir), shared
 # by q28 / q42 / q59 — the md5 shingle pass and the LSH band join run
 # ONCE per session instead of once per query.  The (big) shingle-hash
@@ -464,18 +481,7 @@ def q41_token_budget(spark, sf_dir):
 
 @register("q42_dedup_clusters", oracle=f"""
 WITH RECURSIVE {_PAIRS_CTE},
-verified AS (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.5),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM verified
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM verified
-),
-walk(doc_id, reach) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
-),
-comp AS (SELECT doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY doc_id)
+{_COMP_CTE}
 SELECT d.doc_id,
        COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
        d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper
@@ -577,18 +583,7 @@ def q59_neardup_graph_stats(spark, sf_dir):
 
 @register("q70_leakage_safe_split", oracle=f"""
 WITH RECURSIVE {_PAIRS_CTE},
-verified AS (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.5),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM verified
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM verified
-),
-walk(doc_id, reach) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
-),
-comp AS (SELECT doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY doc_id),
+{_COMP_CTE},
 assigned AS (
   SELECT d.doc_id,
          COALESCE(c.cluster_id, d.doc_id) AS cluster_id
