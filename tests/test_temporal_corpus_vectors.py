@@ -348,3 +348,43 @@ def test_cluster_safe_split_no_leakage(spark):
                         salt="csplit").collect()}
     for d in (5, 42, 199):
         assert out[d] == (d, plain[d])
+
+
+def test_contrastive_triplets_deterministic_and_clean(spark):
+    from tradingview_data_pipeline_spark.operators.corpus import (
+        contrastive_triplets)
+
+    ids = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    t1 = contrastive_triplets(pairs, ids, "doc_id", k_negatives=3).collect()
+    t2 = contrastive_triplets(pairs, ids, "doc_id", k_negatives=3).collect()
+    assert sorted(map(tuple, t1)) == sorted(map(tuple, t2))  # deterministic
+
+    rows = [(r["anchor"], r["positive"], r["negative"]) for r in t1]
+    assert rows
+    pair_set = {(1, 2), (2, 1), (3, 4), (4, 3)}
+    for a, p, n in rows:
+        assert (a, p) in pair_set              # positives are the pairs
+        assert n != a and (a, n) not in pair_set   # negatives are clean
+    # anchors with negatives get up to k of them
+    per_anchor = {}
+    for a, _, n in rows:
+        per_anchor.setdefault(a, set()).add(n)
+    assert all(1 <= len(v) <= 3 for v in per_anchor.values())
+
+
+def test_contrastive_triplets_grow_mostly_stable(spark):
+    from tradingview_data_pipeline_spark.operators.corpus import (
+        contrastive_triplets)
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    small = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    n_small = {(r["anchor"], r["negative"]) for r in
+               contrastive_triplets(pairs, small, "doc_id",
+                                    k_negatives=2).collect()}
+    n_big = {(r["anchor"], r["negative"]) for r in
+             contrastive_triplets(pairs, big, "doc_id",
+                                  k_negatives=2).collect()}
+    # growth only changes a triplet where a new doc wins a probed slot
+    assert len(n_small & n_big) >= 1

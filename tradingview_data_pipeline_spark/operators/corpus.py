@@ -160,3 +160,66 @@ def decontaminate(
         .agg(F.countDistinct("h").alias("n_hits"),
              F.countDistinct("doc_id_b").alias("n_benchmark_docs"))
     )
+
+
+def contrastive_triplets(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    *,
+    k_negatives: int = 2,
+    n_slots: int = 64,
+    salt: str = "neg",
+) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive training.
+
+    Positives are the verified near-dup ``pairs`` (``doc_a``/``doc_b``,
+    e.g. ``dedup.lsh_candidate_pairs`` after Jaccard verification —
+    each unordered pair yields one triplet row per direction).
+    Negatives are drawn deterministically WITHOUT an O(n) scan per
+    anchor: every id is assigned to one of ``n_slots`` hash slots, each
+    (anchor, j < k_negatives) probe hashes to a slot, and the candidate
+    with the smallest (anchor, candidate) hash inside that slot wins —
+    O(k) probes per anchor against slot-sized candidate lists, the
+    bucketed-sampling shape that survives any corpus size. Accidental
+    positives (a probe landing on a true neighbor or the anchor itself)
+    are dropped by an anti-join on the pair set, so a probe can yield
+    fewer than ``k_negatives`` rows (documented, not silent: the
+    ``n_negatives`` column carries the per-anchor count).
+
+    Deterministic end to end (salted md5 only) — re-running on a grown
+    corpus keeps old triplets except where new docs win a slot.
+    """
+    from tradingview_data_pipeline_spark.operators.sampling import hash60
+
+    anchors = (pairs.select(F.col("doc_a").alias("anchor"),
+                            F.col("doc_b").alias("positive"))
+               .unionByName(pairs.select(
+                   F.col("doc_b").alias("anchor"),
+                   F.col("doc_a").alias("positive"))))
+    cands = ids.select(
+        F.col(id_col).alias("cand"),
+        F.pmod(hash60(F.col(id_col), salt + "_slot"), F.lit(n_slots))
+         .alias("slot"))
+    probes = anchors.select("anchor").distinct().select(
+        "anchor",
+        F.explode(F.array(*[
+            F.pmod(hash60(F.concat(F.col("anchor").cast("string"),
+                                   F.lit(f"|{j}")), salt + "_probe"),
+                   F.lit(n_slots))
+            for j in range(k_negatives)])).alias("slot"))
+    scored = (probes.join(cands, "slot")
+              .where(F.col("cand") != F.col("anchor"))
+              .withColumn("__h", hash60(
+                  F.concat(F.col("anchor").cast("string"), F.lit("|"),
+                           F.col("cand").cast("string")), salt)))
+    w = Window.partitionBy("anchor", "slot").orderBy("__h", "cand")
+    negs = (scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("anchor", F.col("cand").alias("negative")))
+    # drop accidental positives: any (anchor, negative) that IS a pair
+    sym = anchors.select("anchor", F.col("positive").alias("negative"))
+    negs = negs.join(sym, ["anchor", "negative"], "left_anti").distinct()
+    out = anchors.join(negs, "anchor")
+    counts = negs.groupBy("anchor").agg(F.count(F.lit(1)).alias("n_negatives"))
+    return out.join(counts, "anchor")
