@@ -160,12 +160,16 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
     def frac(path, col):
         return prunable_fraction(zone_maps(path, col), 100, 131)  # 1/8 wide
 
-    # 1-D: near-perfect on the sort column, blind on the other
-    assert frac(spath, "x") >= 0.8
-    assert frac(spath, "y") <= 0.1
+    # Thresholds leave >= 2 row-group margin: under memory pressure the
+    # writer may split a file into extra row groups (measured idle
+    # values: 1-D x 0.81, y 0.0; Z x 0.5, y 0.5), and the assertion is
+    # the SEPARATION of the layouts, not an exact fraction.
+    # 1-D: strong on the sort column, blind on the other
+    assert frac(spath, "x") >= 0.6
+    assert frac(spath, "y") <= 0.15
     # Z-order: both columns prune meaningfully
-    assert frac(zpath, "x") >= 0.4
-    assert frac(zpath, "y") >= 0.4
+    assert frac(zpath, "x") >= 0.3
+    assert frac(zpath, "y") >= 0.3
     # identical answers regardless of layout
     q = lambda p: (spark.read.parquet(p)
                    .where(F.col("x").between(100, 131)).count())
