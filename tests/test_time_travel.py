@@ -162,3 +162,44 @@ def test_table_changes_between_versions(spark, tmp_path):
     assert log[2]["op"] == "update" and log[2]["v_old"] == "b" \
         and log[2]["v_new"] == "B"
     assert log[3]["op"] == "insert"
+
+
+def test_randomized_ops_match_snapshot_model(spark, tmp_path):
+    """Model-based check: a random sequence of merge/rollback/vacuum ops
+    must keep (a) the live read equal to a pure-Python model of the
+    table, and (b) every version versions() reports readable equal to
+    the model's recorded snapshot at that version."""
+    import random
+
+    rng = random.Random(7)
+    t = _tbl(spark, tmp_path / "t", retain=3)
+    model: dict[int, str] = {}            # live state: key -> value
+    snaps: dict[int, dict] = {}           # committed version -> state
+
+    def current_version():
+        st = t.status()
+        return int(st["version"]) if "version" in st else 0
+
+    for step in range(14):
+        op = rng.choice(["merge", "merge", "merge", "rollback", "vacuum"])
+        if op == "merge" or not snaps:
+            # unique keys per batch: merge_upsert dropDuplicates-es the
+            # source on the key, which the model can't predict otherwise
+            rows = [(k, f"s{step}_{k}") for k in rng.sample(range(6), 2)]
+            t.merge_upsert(_rows(spark, rows))
+            for k, v in dict(rows).items():
+                model[k] = v
+            snaps[current_version()] = dict(model)
+        elif op == "rollback":
+            vs = t.versions()
+            target = rng.choice(vs)
+            t.rollback(target)
+            model = dict(snaps[target])
+            snaps[current_version()] = dict(model)
+        else:
+            t.vacuum()
+
+        assert _snap(t) == {(k, v) for k, v in model.items()}
+        for v in t.versions():
+            if v in snaps:                # v1 seed may predate tracking
+                assert _snap(t, v) == {(k, x) for k, x in snaps[v].items()}, v
