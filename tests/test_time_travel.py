@@ -203,3 +203,34 @@ def test_randomized_ops_match_snapshot_model(spark, tmp_path):
         for v in t.versions():
             if v in snaps:                # v1 seed may predate tracking
                 assert _snap(t, v) == {(k, x) for k, x in snaps[v].items()}, v
+
+
+def test_schema_evolution_widened_handle(spark, tmp_path):
+    """Schema evolution contract: reopening a table with a WIDENED
+    declared schema reads old files with typed NULLs for the new
+    column, merges align the source (align_to_schema), and retained
+    old versions stay readable through the widened handle."""
+    old_schema = SCHEMA
+    new_schema = T.StructType(list(SCHEMA.fields) + [
+        T.StructField("extra", T.DoubleType())])
+
+    t1 = ParquetTable(spark, str(tmp_path / "t"), old_schema, "k",
+                      buckets=4, retain_versions=3)
+    t1.merge_upsert(spark.createDataFrame([(1, "a"), (2, "b")], old_schema))
+
+    t2 = ParquetTable(spark, str(tmp_path / "t"), new_schema, "k",
+                      buckets=4)
+    # old rows surface with NULL in the new column
+    got = {r["k"]: (r["v"], r["extra"]) for r in t2.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", None)}
+    # merge through the widened handle: new column persisted, old kept
+    t2.merge_upsert(spark.createDataFrame([(2, "B", 9.5), (3, "c", 1.0)],
+                                          new_schema))
+    got = {r["k"]: (r["v"], r["extra"]) for r in t2.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.0)}
+    # the pre-evolution snapshot is still readable via the new handle
+    vs = t2.versions()
+    assert len(vs) >= 2
+    old_snap = {r["k"]: (r["v"], r["extra"])
+                for r in t2.read(version=vs[0]).collect()}
+    assert old_snap == {1: ("a", None), 2: ("b", None)}
