@@ -52,15 +52,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
 
     pr = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    # dangling nodes never change; their count prices the initial mass
+    n_dangling = nodes.join(out_deg, "node", "left_anti").count()
+    dangling = n_dangling / n                # initial ranks are uniform
     for it in range(max_iter):
         contrib = (e.join(pr, "node")
                    .groupBy(F.col("to").alias("node"))
                    .agg(F.sum(F.col("rank") / F.col("out_deg"))
                         .alias("in_mass")))
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (pr.join(out_deg, "node", "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .collect()[0][0])
         new_pr = (nodes.join(contrib, "node", "left")
                   .select("node",
                           (F.lit(base)
@@ -69,10 +68,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
                               + F.lit(dangling / n))).alias("rank")))
         if (it + 1) % CHECKPOINT_EVERY == 0:
             new_pr = new_pr.localCheckpoint(eager=True)
-        delta = (new_pr.select(F.col("node"), F.col("rank").alias("r2"))
-                 .join(pr, "node")
-                 .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))))
-                 .collect()[0][0])
+        # ONE action per iteration: the L1 convergence delta and the
+        # NEXT round's dangling mass come out of the same aggregate
+        row = (new_pr.select("node", F.col("rank").alias("r2"))
+               .join(pr.select("node", "rank"), "node")
+               .join(out_deg, "node", "left")
+               .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))).alias("d"),
+                    F.coalesce(F.sum(F.when(F.col("out_deg").isNull(),
+                                            F.col("r2"))), F.lit(0.0))
+                    .alias("dm"))
+               .collect()[0])
+        delta, dangling = row["d"], row["dm"]
         pr = new_pr
         if delta is not None and delta < tol:
             return pr
