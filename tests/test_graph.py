@@ -51,3 +51,19 @@ def test_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         pagerank(edges, tol=0.0, max_iter=2)
+
+
+def test_null_endpoints_dropped_and_mass_conserved(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, None), (None, 0)],
+        "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, tol=1e-7, max_iter=120).collect()}
+    assert set(got) == {0, 1}                  # NULL never becomes a node
+    assert abs(sum(got.values()) - 1.0) < 1e-8  # no mass leaks
+
+
+def test_invalid_max_iter_rejected(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="max_iter"):
+        pagerank(edges, max_iter=0)

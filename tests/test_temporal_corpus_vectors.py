@@ -360,7 +360,8 @@ def test_contrastive_triplets_deterministic_and_clean(spark):
     t2 = contrastive_triplets(pairs, ids, "doc_id", k_negatives=3).collect()
     assert sorted(map(tuple, t1)) == sorted(map(tuple, t2))  # deterministic
 
-    rows = [(r["anchor"], r["positive"], r["negative"]) for r in t1]
+    rows = [(r["anchor"], r["positive"], r["negative"]) for r in t1
+            if r["negative"] is not None]
     assert rows
     pair_set = {(1, 2), (2, 1), (3, 4), (4, 3)}
     for a, p, n in rows:
@@ -382,9 +383,30 @@ def test_contrastive_triplets_grow_mostly_stable(spark):
     big = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
     n_small = {(r["anchor"], r["negative"]) for r in
                contrastive_triplets(pairs, small, "doc_id",
-                                    k_negatives=2).collect()}
+                                    k_negatives=2).collect()
+               if r["negative"] is not None}
     n_big = {(r["anchor"], r["negative"]) for r in
              contrastive_triplets(pairs, big, "doc_id",
-                                  k_negatives=2).collect()}
-    # growth only changes a triplet where a new doc wins a probed slot
+                                  k_negatives=2).collect()
+             if r["negative"] is not None}
+    # growth only changes a triplet where a NEW doc (id >= 50) wins a
+    # probed slot: every gained negative must be a new doc, and every
+    # lost one must have been displaced by a new doc in the same probe
+    gained = {n for (_, n) in n_big - n_small}
+    assert gained <= set(range(50, 60))
     assert len(n_small & n_big) >= 1
+
+
+def test_contrastive_triplets_zero_negative_anchor_not_dropped(spark):
+    """An anchor whose probes find no usable negative still emits its
+    positive rows with n_negatives=0 and a NULL negative."""
+    from tradingview_data_pipeline_spark.operators.corpus import (
+        contrastive_triplets)
+
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    rows = contrastive_triplets(pairs, ids, "doc_id",
+                                k_negatives=2).collect()
+    assert {(r["anchor"], r["positive"]) for r in rows} == {(1, 2), (2, 1)}
+    assert all(r["negative"] is None and r["n_negatives"] == 0
+               for r in rows)

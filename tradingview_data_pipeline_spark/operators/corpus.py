@@ -181,16 +181,19 @@ def contrastive_triplets(
     (anchor, j < k_negatives) probe hashes to a slot, and the candidate
     with the smallest (anchor, candidate) hash inside that slot wins —
     O(k) probes per anchor against slot-sized candidate lists, the
-    bucketed-sampling shape that survives any corpus size. Accidental
-    positives (a probe landing on a true neighbor or the anchor itself)
-    are dropped by an anti-join on the pair set, so a probe can yield
-    fewer than ``k_negatives`` rows (documented, not silent: the
-    ``n_negatives`` column carries the per-anchor count).
+    bucketed-sampling shape that survives any corpus size. A probe can
+    yield fewer than ``k_negatives`` rows for three reasons — an empty
+    slot, two probes colliding on one slot, or the winner being an
+    accidental positive (anti-joined out) — so the ``n_negatives``
+    column carries the per-anchor count explicitly, INCLUDING 0: an
+    anchor whose probes all come up empty still emits its positive
+    rows with a NULL ``negative`` rather than vanishing.
 
     Deterministic end to end (salted md5 only) — re-running on a grown
     corpus keeps old triplets except where new docs win a slot.
     """
-    from tradingview_data_pipeline_spark.operators.sampling import hash60
+    from tradingview_data_pipeline_spark.operators.sampling import (
+        hash60, hash_bucket)
 
     anchors = (pairs.select(F.col("doc_a").alias("anchor"),
                             F.col("doc_b").alias("positive"))
@@ -199,14 +202,12 @@ def contrastive_triplets(
                    F.col("doc_a").alias("positive"))))
     cands = ids.select(
         F.col(id_col).alias("cand"),
-        F.pmod(hash60(F.col(id_col), salt + "_slot"), F.lit(n_slots))
-         .alias("slot"))
+        hash_bucket(F.col(id_col), n_slots, salt + "_slot").alias("slot"))
     probes = anchors.select("anchor").distinct().select(
         "anchor",
         F.explode(F.array(*[
-            F.pmod(hash60(F.concat(F.col("anchor").cast("string"),
-                                   F.lit(f"|{j}")), salt + "_probe"),
-                   F.lit(n_slots))
+            hash_bucket(F.concat(F.col("anchor").cast("string"),
+                                 F.lit(f"|{j}")), n_slots, salt + "_probe")
             for j in range(k_negatives)])).alias("slot"))
     scored = (probes.join(cands, "slot")
               .where(F.col("cand") != F.col("anchor"))
@@ -220,6 +221,10 @@ def contrastive_triplets(
     # drop accidental positives: any (anchor, negative) that IS a pair
     sym = anchors.select("anchor", F.col("positive").alias("negative"))
     negs = negs.join(sym, ["anchor", "negative"], "left_anti").distinct()
-    out = anchors.join(negs, "anchor")
+    # LEFT joins: an anchor with zero surviving negatives still emits
+    # its positives (NULL negative, n_negatives = 0) — loud, not lost
+    out = anchors.join(negs, "anchor", "left")
     counts = negs.groupBy("anchor").agg(F.count(F.lit(1)).alias("n_negatives"))
-    return out.join(counts, "anchor")
+    return (out.join(counts, "anchor", "left")
+            .withColumn("n_negatives",
+                        F.coalesce(F.col("n_negatives"), F.lit(0))))

@@ -26,8 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CHECKPOINT_EVERY = 5
-
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
              damping: float = 0.85, tol: float = 1e-6,
@@ -36,8 +34,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
 
     Ranks sum to 1. Nodes = distinct endpoints; parallel edges count
     once per occurrence (weight by repetition); dangling nodes donate
-    their mass uniformly, the standard formulation.
+    their mass uniformly, the standard formulation. Edges with a NULL
+    endpoint are dropped up front (a NULL key would silently leak rank
+    mass through the inner joins — same policy as the MERGE sink's
+    null-key filter).
     """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    edges = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
     nodes = (edges.select(F.col(src).alias("node"))
              .unionByName(edges.select(F.col(dst).alias("node")))
              .distinct()).localCheckpoint(eager=True)
@@ -66,8 +70,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
                            + F.lit(damping)
                            * (F.coalesce(F.col("in_mass"), F.lit(0.0))
                               + F.lit(dangling / n))).alias("rank")))
-        if (it + 1) % CHECKPOINT_EVERY == 0:
-            new_pr = new_pr.localCheckpoint(eager=True)
+        # an action runs every round anyway (the stats aggregate), so
+        # checkpointing every round is strictly cheaper than letting k
+        # rounds of lineage recompute under each collect
+        new_pr = new_pr.localCheckpoint(eager=True)
         # ONE action per iteration: the L1 convergence delta and the
         # NEXT round's dangling mass come out of the same aggregate
         row = (new_pr.select("node", F.col("rank").alias("r2"))
