@@ -69,3 +69,31 @@ def test_membership_diff_with_no_compare_cols(spark):
     got = {r["k"]: r["op"] for r in
            snapshot_diff(old, new, KEYS, []).collect()}
     assert got == {1: "delete", 3: "insert"}
+
+
+def test_roundtrip_holds_for_null_keys(spark):
+    """Regression (ADVICE r6): apply_changelog's anti-join must match
+    keys with eqNullSafe like snapshot_diff does — a NULL-key row the
+    changelog deletes or updates was previously never removed from
+    base (stale row kept / update duplicated)."""
+    old = _t(spark, [(None, "x", 10), (1, "y", 20), (2, "z", 30)])
+    # NULL key updated, 2 deleted, 3 inserted
+    new = _t(spark, [(None, "X", 99), (1, "y", 20), (3, "w", 40)])
+    log = snapshot_diff(old, new, KEYS, COLS)
+    got = {r["k"]: r["op"] for r in log.collect()}
+    assert got == {None: "update", 2: "delete", 3: "insert"}
+    rebuilt = apply_changelog(old, log, KEYS, COLS)
+    sym_diff = rebuilt.exceptAll(new).unionAll(new.exceptAll(rebuilt))
+    assert sym_diff.count() == 0
+    # and specifically: exactly ONE NULL-key row, the new image
+    null_rows = rebuilt.where(F.col("k").isNull()).collect()
+    assert len(null_rows) == 1 and null_rows[0]["a"] == "X"
+
+
+def test_roundtrip_null_key_delete(spark):
+    old = _t(spark, [(None, "x", 10), (1, "y", 20)])
+    new = _t(spark, [(1, "y", 20)])
+    log = snapshot_diff(old, new, KEYS, COLS)
+    rebuilt = apply_changelog(old, log, KEYS, COLS)
+    assert rebuilt.where(F.col("k").isNull()).count() == 0
+    assert rebuilt.count() == 1

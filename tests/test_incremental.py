@@ -191,3 +191,23 @@ def test_zorder_write_validates_range(spark, tmp_path):
                                  F.col("id").alias("y"))
     with pytest.raises(ValueError, match="negative"):
         write_zordered(neg, str(tmp_path / "zn"), ["x", "y"], bits=8)
+
+
+def test_zorder_write_rejects_sign_bit_overflow(spark, tmp_path):
+    """Regression (ADVICE r6): len(cols) * bits must stay <= 63 — at 4
+    columns x 16 bits the top interleaved bit lands on the bigint SIGN
+    bit and 5+ columns wrap shift amounts mod 64; both silently corrupt
+    the Z ordering, so the write must refuse up front."""
+    import pytest
+    from pyspark.sql import functions as F
+    from tradingview_data_pipeline_spark.operators.export import write_zordered
+
+    df = spark.range(16).select(*[(F.col("id") % 4).alias(c)
+                                  for c in ("a", "b", "c", "d")])
+    with pytest.raises(ValueError, match="> 63"):
+        write_zordered(df, str(tmp_path / "z4"), ["a", "b", "c", "d"],
+                       bits=16)
+    # 4 cols fit at bits<=15; validate=False exercises the guard alone
+    write_zordered(df, str(tmp_path / "zok"), ["a", "b", "c", "d"],
+                   bits=15, n_files=2)
+    assert spark.read.parquet(str(tmp_path / "zok")).count() == 16

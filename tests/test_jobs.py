@@ -196,3 +196,41 @@ def test_cli_reconcile_detects_divergence(spark, tmp_path, capsys,
     # missing --against is a loud usage error
     with pytest.raises(SystemExit):
         jobs.main(["reconcile", "--warehouse", str(tmp_path / "wa")])
+
+
+def test_cli_reconcile_flags_missing_column(spark, tmp_path, capsys,
+                                            monkeypatch):
+    """Regression (ADVICE r6): a replica that is entirely missing a
+    column — a real migration divergence, e.g. a schema-evolved handle
+    on one side — must print DIVERGENT and exit 1 even when every
+    SHARED column matches (previously the intersection fingerprint
+    printed OK)."""
+    import pytest
+
+    downloads = tmp_path / "downloads"
+    downloads.mkdir()
+    _write_csv(downloads / "Technicals_1.csv", schemas.TECHNICAL_HEADER_MAP)
+    wh_a = jobs.warehouse_tables(spark, str(tmp_path / "wa"))
+    wh_b = jobs.warehouse_tables(spark, str(tmp_path / "wb"))
+    jobs.run_technical_upload(spark, str(downloads), wh_a)
+    jobs.run_technical_upload(spark, str(downloads), wh_b)
+
+    real = jobs.warehouse_tables
+
+    def dropping(spark_, warehouse):
+        tables = real(spark_, warehouse)
+        if warehouse.endswith("wb"):
+            t = tables["stock_data"]
+            orig = t.read
+            t.read = lambda version=None: orig(version).drop("rsi_14_1_day")
+        return tables
+
+    monkeypatch.setattr(jobs, "warehouse_tables", dropping)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    with pytest.raises(SystemExit) as exc:
+        jobs.main(["reconcile", "--warehouse", str(tmp_path / "wa"),
+                   "--against", str(tmp_path / "wb")])
+    assert exc.value.code == 1
+    out = capsys.readouterr().out
+    assert "stock_data DIVERGENT columns" in out
+    assert "rsi_14_1_day" in out

@@ -67,9 +67,19 @@ def apply_changelog(base: DataFrame, changelog: DataFrame, keys: list[str],
                     cols: list[str]) -> DataFrame:
     """Replay a ``snapshot_diff`` changelog onto ``base``: deletes and
     updates remove the old image (anti-join on touched keys), then the
-    new images (inserts + updates) are unioned back in."""
-    touched = changelog.select(*keys)
-    kept = base.select(*keys, *cols).join(touched, keys, "left_anti")
+    new images (inserts + updates) are unioned back in.
+
+    The anti-join matches keys with ``eqNullSafe`` — the same NULL
+    semantics ``snapshot_diff`` uses to pair rows — so a NULL-key row
+    the changelog deletes or updates is actually removed and the
+    round-trip law ``apply(old, diff(old, new)) == new`` holds for
+    NULL keys too (plain ``=`` would silently keep the stale image)."""
+    touched = changelog.select(
+        *[F.col(k).alias(f"__t_{k}") for k in keys]).dropDuplicates()
+    kept = base.select(*keys, *cols)
+    anti = reduce(lambda a, b: a & b,
+                  [kept[k].eqNullSafe(touched[f"__t_{k}"]) for k in keys])
+    kept = kept.join(touched, anti, "left_anti")
     new_rows = (changelog.where(F.col("op").isin("insert", "update"))
                 .select(*keys, *[F.col(f"{c}_new").alias(c) for c in cols]))
     return kept.unionByName(new_rows)

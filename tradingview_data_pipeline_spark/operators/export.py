@@ -150,6 +150,15 @@ def write_zordered(df: DataFrame, path: str, cols: list[str], *,
     to fail loudly instead. Quantize wide columns to ranks/buckets
     first, as every OPTIMIZE ZORDER does.
     """
+    if len(cols) * bits > 63:
+        # bit j*n+i must stay below the bigint sign bit: one more and
+        # the top interleaved bit flips the SIGN (reversing the order
+        # of the high half), and past 64 the shiftleft amount wraps
+        # mod 64 — both silently corrupt the clustering.
+        raise ValueError(
+            f"write_zordered: {len(cols)} columns x bits={bits} = "
+            f"{len(cols) * bits} interleaved bits > 63 (bigint sign "
+            f"bit); lower bits to <= {63 // len(cols)} or drop columns")
     if validate:
         row = df.agg(*[F.min(c).alias(f"mn_{c}") for c in cols],
                      *[F.max(c).alias(f"mx_{c}") for c in cols]).head()

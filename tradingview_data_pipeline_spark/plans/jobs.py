@@ -210,6 +210,17 @@ def main(argv: list[str] | None = None) -> None:
         divergent = 0
         for name, tbl in tables.items():
             a, b = tbl.read(), other[name].read()
+            only_a = (set(a.columns) - set(b.columns)) - ignore
+            only_b = (set(b.columns) - set(a.columns)) - ignore
+            if only_a or only_b:
+                # a replica missing a whole column is a divergence even
+                # when the shared columns match — report it, don't let
+                # the intersection fingerprint print OK.
+                print(name, "DIVERGENT columns:",
+                      f"only-left={sorted(only_a)}",
+                      f"only-right={sorted(only_b)}")
+                divergent += 1
+                continue
             cols = sorted((set(a.columns) & set(b.columns)) - ignore)
             diff = _fp.fingerprint_diff(_fp.table_fingerprint(a, cols),
                                         _fp.table_fingerprint(b, cols))
