@@ -18,7 +18,7 @@ def explain(df) -> str:
 
 
 def test_scan_filter_pushdown_and_pruning(spark):
-    p = explain(analytics.QUERIES["q2_scan_filter"](spark, SF))
+    p = explain(analytics._q2_scan_filter(spark, SF))
     assert "PushedFilters" in p
     assert "EqualTo(l_returnflag,R)" in p
     assert "GreaterThan(l_quantity,45.0)" in p
@@ -34,7 +34,7 @@ def test_dim_joins_are_broadcast(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    p = explain(analytics.QUERIES["q3_topk_orders"](spark, SF))
+    p = explain(analytics._q3_topk_orders(spark, SF))
     assert "TakeOrderedAndProject" in p     # no global sort
 
 

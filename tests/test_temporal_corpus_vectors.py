@@ -410,3 +410,103 @@ def test_contrastive_triplets_zero_negative_anchor_not_dropped(spark):
     assert {(r["anchor"], r["positive"]) for r in rows} == {(1, 2), (2, 1)}
     assert all(r["negative"] is None and r["n_negatives"] == 0
                for r in rows)
+
+
+# --- BM25 ranking (operators/corpus.bm25_scores) --------------------------
+
+def _bm25_docs(spark):
+    return spark.createDataFrame(
+        [(1, "spark query engine fast spark"),      # tf(spark)=2, short
+         (2, "spark " + "filler " * 40 + "query"),  # long doc, tf=1 each
+         (3, "query query query"),                  # only 'query'
+         (4, "nothing relevant here at all"),
+         (5, "fast fast spark")],
+        "doc_id long, text string")
+
+
+def test_bm25_prefers_tf_and_penalizes_length(spark):
+    out = cp.bm25_scores(_bm25_docs(spark), "doc_id", "text",
+                         ["spark", "query", "fast"], k=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # every doc ranked, rk dense 1..5, no-term doc scores 0 and ranks last
+    assert sorted(r["rk"] for r in rows.values()) == [1, 2, 3, 4, 5]
+    assert rows[4]["score"] == 0.0 and rows[4]["rk"] == 5
+    # doc 1 (2x spark + query + fast, short) must beat the long doc 2
+    assert rows[1]["score"] > rows[2]["score"]
+    # length normalization: same tf=1 for spark+query, doc 2 is 42 tokens
+    # vs doc 1's 5 -> doc 2's per-term contributions are strictly smaller
+    assert rows[2]["score"] < rows[1]["score"]
+    assert rows[1]["rk"] == 1
+
+
+def test_bm25_log_idf_rank_agreement(spark):
+    """Single-term rankings must match Lucene-style log-idf BM25
+    (idf = ln(1 + (N-df+.5)/(df+.5)), always positive — the classic
+    un-shifted ln goes NEGATIVE when df > N/2 and inverts rankings,
+    which is exactly why Lucene adds the 1). ln(1+x) is a positive
+    monotone transform of the rational idf, so per-term orderings
+    agree. Pins that the oracle-checkable variant ranks like the BM25
+    implementations people actually run."""
+    import math
+    docs = _bm25_docs(spark)
+    out = cp.bm25_scores(docs, "doc_id", "text", ["spark"], k=5).collect()
+    by_rank = [r["doc_id"] for r in sorted(out, key=lambda r: r["rk"])]
+    # recompute Lucene log-idf BM25 in python ('spark' has df=4 of 5,
+    # so the un-shifted classic idf would be negative here)
+    rows = docs.collect()
+    toks = {r["doc_id"]: r["text"].split() for r in rows}
+    n = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = sum(1 for t in toks.values() if "spark" in t)
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    assert idf > 0
+
+    def s(d):
+        tf = toks[d].count("spark")
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl))
+
+    expect = sorted(toks, key=lambda d: (-s(d), d))
+    assert by_rank == expect
+
+
+def test_bm25_zero_df_term_contributes_nothing(spark):
+    out = cp.bm25_scores(_bm25_docs(spark), "doc_id", "text",
+                         ["spark", "absent_term"], k=5)
+    base = cp.bm25_scores(_bm25_docs(spark), "doc_id", "text",
+                          ["spark"], k=5)
+    a = {r["doc_id"]: r["score"] for r in out.collect()}
+    b = {r["doc_id"]: r["score"] for r in base.collect()}
+    assert a == b  # tf=0 terms add exactly 0.0 regardless of df
+
+
+# --- duplicate spans (operators/corpus.dup_span_profile) ------------------
+
+def test_dup_span_profile_planted_overlap(spark):
+    shared = "one two three four five six seven eight"      # 8 words
+    docs = spark.createDataFrame(
+        [(1, shared + " tail1 tail2"),     # 3 spans, 1 shared with doc 2
+         (2, "head " + shared),            # 2 spans, 1 shared with doc 1
+         (3, "totally different words in this document here now ok"),
+         (4, "short doc")],                # < 8 words: zero spans
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cp.dup_span_profile(docs, "doc_id", "text", n=8).collect()}
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 1
+    assert out[1]["dup_frac"] == 1 / 3 and out[2]["dup_frac"] == 0.5
+    assert out[3]["n_spans"] == 2 and out[3]["n_dup_spans"] == 0
+    # doc 4 has no spans but is still reported, with frac 0.0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+def test_dup_span_within_doc_repeat_is_not_a_dup(spark):
+    """A span repeated only within ONE document is not cross-doc
+    duplication (nd counts distinct docs)."""
+    span = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, span + " x " + span),
+         (2, "unrelated material goes right here in doc two ok")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cp.dup_span_profile(docs, "doc_id", "text", n=8).collect()}
+    assert out[1]["n_dup_spans"] == 0

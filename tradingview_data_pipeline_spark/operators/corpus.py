@@ -228,3 +228,128 @@ def contrastive_triplets(
     return (out.join(counts, "anchor", "left")
             .withColumn("n_negatives",
                         F.coalesce(F.col("n_negatives"), F.lit(0))))
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 relevance for a bag of query terms.
+
+    The retrieval scorer a corpus pipeline uses to rank documents
+    against a probe query (quality filtering against a topic, seed-doc
+    expansion, eval-set mining). One map pass computes per-doc term
+    frequencies and document length; one tiny aggregate row carries the
+    corpus stats (N, total length, per-term document frequencies) and is
+    broadcast back — two jobs total, no shuffle of the corpus itself.
+
+    Cross-engine determinism: uses the RATIONAL idf variant
+    ``(N - df + 0.5) / (df + 0.5)`` — the classic BM25 idf without the
+    log. Every step is IEEE +,-,*,/ on exactly-representable inputs
+    (correctly rounded, bit-identical across engines), and the per-term
+    contributions are summed left-to-right in ``query_terms`` order, so
+    scores are oracle-checkable by hash. ``ln(1 + idf)`` (the
+    Lucene-style log idf — always positive, unlike the classic
+    un-shifted ln which goes negative past df > N/2) is a monotone
+    transform of this rational idf, so single-term rankings are
+    identical to the BM25 people actually run; the agreement is
+    pytest-pinned (same pattern as ``tfidf_top_terms``' log variant).
+
+    Scale: the stats row is O(len(query_terms)); the corpus pass is
+    map-only + one broadcast join. At 100 TB this is a scan, not a
+    shuffle. Ties break on ``id_col`` ascending.
+    """
+    toks = tx.tokens(F.col(text_col))
+
+    # NB: a two-argument lambda would be interpreted by F.filter as
+    # (element, index) — close over the term with a factory instead.
+    def _is_term(term):
+        return lambda t: t == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _is_term(term))).cast("bigint").alias(f"tf_{i}")
+        for i, term in enumerate(query_terms)
+    ]
+    per_doc = df.select(F.col(id_col), F.size(toks).cast("bigint").alias("dl"),
+                        *tf_cols)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+          .alias(f"df_{i}") for i in range(len(query_terms))])
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    dl_norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    score = None
+    for i in range(len(query_terms)):
+        tfd = F.col(f"tf_{i}").cast("double")
+        idf = ((F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5)) \
+            / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        s_i = idf * ((tfd * F.lit(k1 + 1.0)) / (tfd + F.lit(k1) * dl_norm))
+        score = s_i if score is None else score + s_i
+    topk = (scored.withColumn("score", score)
+            .select(id_col, "dl",
+                    *[F.col(f"tf_{i}") for i in range(len(query_terms))],
+                    "score")
+            # orderBy+limit plans as TakeOrderedAndProject (per-partition
+            # top-k + driver merge) — no global sort, no one-partition
+            # window over the corpus; the rank window below only ever
+            # sees the k survivors.
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+def dup_span_profile(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 8
+) -> DataFrame:
+    """Substring-level duplication profile: for every document, how many
+    of its word ``n``-gram spans also occur in at least one OTHER
+    document — the n-gram-granular approximation of exact substring
+    dedup (suffix-array dedup a la "Deduplicating Training Data Makes
+    Language Models Better"), which flags boilerplate/templated spans
+    document-level MinHash misses.
+
+    Returns one row per input document: ``n_spans`` (total n-gram
+    positions), ``n_dup_spans`` (positions whose n-gram is shared with
+    >= 2 distinct documents), ``dup_frac`` (exact integer division to
+    double). Documents shorter than ``n`` words have zero spans.
+
+    Scale: explode to one row per token position, hash-aggregate on the
+    n-gram, join back — linear in corpus tokens, the standard map-reduce
+    shape for exact-span dedup. The n-gram aggregate carries map-side
+    partial aggregation; at 100 TB hash the gram to 8 bytes before the
+    shuffle if gram strings dominate the exchange (decontaminate's
+    trick) — kept as strings here so results are directly inspectable.
+    """
+    grams = (df.select(F.col(id_col),
+                       F.explode(tx.word_shingles(F.col(text_col), n=n))
+                       .alias("gram"))
+             # word_shingles falls back to whole-text for < n words; a
+             # real n-gram has exactly n-1 separating spaces
+             .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n)))
+    shared = grams.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("nd"))
+    prof = (grams.join(shared, "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                 .alias("n_dup_spans")))
+    out = (df.select(id_col).join(prof, id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+                   F.coalesce(F.col("n_dup_spans"), F.lit(0))
+                   .alias("n_dup_spans")))
+    return out.withColumn(
+        "dup_frac",
+        F.when(F.col("n_spans") > 0,
+               F.col("n_dup_spans").cast("double")
+               / F.col("n_spans").cast("double"))
+        .otherwise(F.lit(0.0)))

@@ -108,16 +108,48 @@ def q1_pricing_summary(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q2 — scan + predicate + projection (S1/P2/P4/P8; pushdown-verified).
+# q2 — scan shapes, tagged union (round-7 consolidation of q2+q3; see
+# COVERAGE.md headroom map): the 'filter' leg is scan + predicate +
+# projection (S1/P2/P4/P8; pushdown-verified via _q2_scan_filter in
+# test_plan_shapes), the 'topk' leg is top-k with deterministic
+# tie-break (W7/O1; TakeOrderedAndProject, no global sort — reference
+# nlargest at calcompositescore.py:396-399). Each leg keeps its own
+# scan subtree so predicate pushdown / the limit pushdown stay intact.
 # ---------------------------------------------------------------------------
 
-@register("q2_scan_filter", oracle="""
-SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+@register("q2_scan_shapes", oracle="""
+SELECT 'filter' AS kind, l_orderkey AS k1, CAST(l_linenumber AS BIGINT) AS k2,
+       l_quantity AS v1, l_extendedprice AS v2, l_shipdate AS ts
 FROM lineitem
 WHERE l_returnflag = 'R' AND l_quantity > 45
   AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+UNION ALL
+SELECT 'topk' AS kind, o_orderkey AS k1, o_custkey AS k2,
+       CAST(NULL AS DOUBLE) AS v1, o_totalprice AS v2,
+       CAST(NULL AS TIMESTAMP) AS ts
+FROM (SELECT * FROM orders
+      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
+      LIMIT 10)
 """)
-def q2_scan_filter(spark, sf_dir):
+def q2_scan_shapes(spark, sf_dir):
+    filt = _q2_scan_filter(spark, sf_dir).select(
+        F.lit("filter").alias("kind"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("bigint").alias("k2"),
+        F.col("l_quantity").alias("v1"),
+        F.col("l_extendedprice").alias("v2"),
+        F.col("l_shipdate").alias("ts"))
+    topk = _q3_topk_orders(spark, sf_dir).select(
+        F.lit("topk").alias("kind"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_custkey").alias("k2"),
+        F.lit(None).cast("double").alias("v1"),
+        F.col("o_totalprice").alias("v2"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    return filt.unionByName(topk)
+
+
+def _q2_scan_filter(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(
@@ -130,18 +162,7 @@ def q2_scan_filter(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# q3 — top-k with deterministic tie-break (W7/O1; TakeOrderedAndProject,
-# no global sort — reference nlargest at calcompositescore.py:396-399).
-# ---------------------------------------------------------------------------
-
-@register("q3_topk_orders", oracle="""
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
-LIMIT 10
-""")
-def q3_topk_orders(spark, sf_dir):
+def _q3_topk_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return ops.top_k(o, "o_totalprice", 10, tie_break="o_orderkey").select(
         "o_orderkey", "o_custkey", "o_totalprice")

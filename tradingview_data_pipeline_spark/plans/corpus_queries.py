@@ -236,3 +236,103 @@ def q49_corpus_terms(spark, sf_dir):
     return doc.unionByName(corpus)
 
 
+
+
+# ---------------------------------------------------------------------------
+# q71 — BM25 relevance ranking (rational-idf variant; see
+# operators/corpus.bm25_scores for the determinism argument): top-50
+# documents for a fixed 3-term probe query. One map pass + one broadcast
+# stats row + TakeOrderedAndProject — a scan, not a shuffle, at scale.
+# The oracle rebuilds the IDENTICAL expression tree (same parenthesis
+# order, every constant CAST AS DOUBLE so DuckDB doesn't parse decimal
+# literals into DECIMAL arithmetic).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "query", "fast"]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 50
+
+
+def _bm25_oracle() -> str:
+    terms = _BM25_TERMS
+    tf_defs = ", ".join(
+        f"CAST(len(list_filter(w, t -> t = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_defs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms)))
+    d = "CAST({} AS DOUBLE)"
+    avgdl = f"({d.format('sum_dl')} / {d.format('n_docs')})"
+    dl_norm = (f"({d.format(repr(1.0 - _BM25_B))} + "
+               f"{d.format(repr(_BM25_B))} * ({d.format('dl')} / {avgdl}))")
+    parts = []
+    for i in range(len(terms)):
+        idf = (f"(({d.format(f'n_docs - df_{i}')} + {d.format('0.5')}) / "
+               f"({d.format(f'df_{i}')} + {d.format('0.5')}))")
+        s_i = (f"{idf} * (({d.format(f'tf_{i}')} * "
+               f"{d.format(repr(_BM25_K1 + 1.0))}) / ({d.format(f'tf_{i}')} + "
+               f"{d.format(repr(_BM25_K1))} * {dl_norm}))")
+        parts.append(s_i)
+    score = parts[0]
+    for p in parts[1:]:
+        score = f"({score} + {p})"
+    tf_cols = ", ".join(f"tf_{i}" for i in range(len(terms)))
+    return f"""
+WITH perdoc AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, {tf_defs}
+  FROM (SELECT doc_id, {_TOK_W} AS w FROM documents)
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_defs}
+  FROM perdoc
+), scored AS (
+  SELECT doc_id, dl, {tf_cols}, {score} AS score
+  FROM perdoc CROSS JOIN stats
+)
+SELECT doc_id, dl, {tf_cols}, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {_BM25_K}
+"""
+
+
+@register("q71_bm25_rank", oracle=_bm25_oracle())
+def q71_bm25_rank(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return cp.bm25_scores(d, "doc_id", "text", _BM25_TERMS,
+                          k1=_BM25_K1, b=_BM25_B, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# q72 — substring-level duplicate spans (operators/corpus.
+# dup_span_profile): per-document count/fraction of word 8-gram spans
+# shared with another document — the n-gram-granular approximation of
+# suffix-array substring dedup, catching boilerplate spans that
+# document-level MinHash (q28) misses. Integer counts + one exact
+# division; linear in corpus tokens.
+# ---------------------------------------------------------------------------
+
+@register("q72_dup_spans", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_W} AS w FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_grams_sql(8)}) AS gram FROM tok
+), shared AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram
+), prof AS (
+  SELECT grams.doc_id,
+         COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM grams JOIN shared USING (gram)
+  GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN COALESCE(n_spans, 0) > 0
+            THEN CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS dup_frac
+FROM documents d LEFT JOIN prof ON prof.doc_id = d.doc_id
+""")
+def q72_dup_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return cp.dup_span_profile(d, "doc_id", "text", n=8)

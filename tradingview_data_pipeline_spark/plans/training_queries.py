@@ -443,30 +443,52 @@ def q31_ann_bucketed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q41 — token-budget estimation: whitespace tokens + a BPE-ish estimate
-# (≈1 subword per 4 chars per word, integer-exact in both engines) — the
-# budgeting pass a training-data pipeline runs before packing sequences.
+# q41 — token prep, tagged union (round-7 consolidation of q41+q44; see
+# COVERAGE.md headroom map). The 'budget' leg is token-budget
+# estimation: whitespace tokens + a BPE-ish estimate (≈1 subword per 4
+# chars per word, integer-exact in both engines) — the budgeting pass a
+# training-data pipeline runs before packing. The 'packing' leg is
+# contiguous sequence packing: per-language bins of <=512 tokens by
+# exclusive running sum over doc id (operators/packing.pack_contiguous;
+# the strict-budget first-fit variant keeps its pandas-oracle pytest).
 # ---------------------------------------------------------------------------
 
-@register("q41_token_budget", oracle=f"""
-WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents)
-SELECT doc_id, n_chars,
+@register("q41_token_prep", oracle=f"""
+WITH t AS (SELECT doc_id, lang, n_chars, {_TOKS} AS toks FROM documents)
+SELECT 'budget' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars,
        len(toks) AS ws_tokens,
        CAST(list_sum(list_transform(toks,
-            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est_tokens
+            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS v
+FROM t
+UNION ALL
+SELECT 'packing' AS kind, doc_id, lang, CAST(NULL AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS ws_tokens,
+       CAST(floor((SUM(len(toks)) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                   - len(toks)) / 512.0) AS BIGINT) AS v
 FROM t
 """)
-def q41_token_budget(spark, sf_dir):
+def q41_token_prep(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
-    step = d.select("doc_id", "n_chars", toks.alias("__toks"))
+    step = d.select("doc_id", "lang", "n_chars", toks.alias("__toks"))
     bpe = F.aggregate(
         F.transform(F.col("__toks"),
                     lambda t: F.ceil(F.length(t) / 4.0).cast("bigint")),
         F.lit(0).cast("bigint"), lambda acc, v: acc + v)
-    return step.select("doc_id", "n_chars",
-                       F.size("__toks").cast("bigint").alias("ws_tokens"),
-                       bpe.alias("bpe_est_tokens"))
+    budget = step.select(
+        F.lit("budget").alias("kind"), "doc_id",
+        F.lit(None).cast("string").alias("lang"), "n_chars",
+        F.size("__toks").cast("bigint").alias("ws_tokens"),
+        bpe.alias("v"))
+    counts = step.select("doc_id", "lang",
+                         F.size("__toks").cast("bigint").alias("ws_tokens"))
+    packing = pk.pack_contiguous(counts, "doc_id", "ws_tokens", 512,
+                                 ["lang"]).select(
+        F.lit("packing").alias("kind"), "doc_id", "lang",
+        F.lit(None).cast("bigint").alias("n_chars"),
+        "ws_tokens", F.col("bin_id").alias("v"))
+    return budget.unionByName(packing)
 
 
 # ---------------------------------------------------------------------------
@@ -491,28 +513,6 @@ def q42_dedup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dd.dedup_clusters(d, "doc_id", "text", jaccard_threshold=0.5,
                              scored_pairs=_scored_pairs(spark, sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# q44 — sequence packing (contiguous model): whitespace-token counts ->
-# per-language bins of <=512 tokens by exclusive running sum over doc id.
-# Integer-exact across engines; the strict-budget first-fit variant is
-# operators/packing.pack_first_fit (pandas-oracle pytest).
-# ---------------------------------------------------------------------------
-
-@register("q44_token_packing", oracle=f"""
-WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS ws_tokens FROM documents)
-SELECT doc_id, lang, CAST(ws_tokens AS BIGINT) AS ws_tokens,
-       CAST(floor((SUM(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                        ROWS UNBOUNDED PRECEDING)
-                   - ws_tokens) / 512.0) AS BIGINT) AS bin_id
-FROM t
-""")
-def q44_token_packing(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    step = d.select("doc_id", "lang",
-                    tx.token_count(F.col("text")).cast("bigint").alias("ws_tokens"))
-    return pk.pack_contiguous(step, "doc_id", "ws_tokens", 512, ["lang"])
 
 
 # ---------------------------------------------------------------------------
