@@ -1,0 +1,108 @@
+"""Distributed BPE induction (operators/bpe) vs a pure-Python reference
+implementation: identical merge lists, greedy-overlap law, tie-break
+determinism, and encode round-trip properties."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.operators import bpe
+
+EOW = bpe.END_OF_WORD
+
+
+# --- pure-python reference trainer (independent of the operator) ----------
+
+def _ref_merge(syms, a, b):
+    out = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def _ref_train(texts, n_merges, min_pair_count=2):
+    wf = Counter(w for t in texts for w in t.split())
+    words = {w: list(w) + [EOW] for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += wf[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        words = {w: _ref_merge(s, a, b) for w, s in words.items()}
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new news",
+    "widow window widen low new",
+    "the newer the lower the wider",
+]
+
+
+def _df(spark, texts=TEXTS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_bpe_train_matches_reference(spark):
+    got = bpe.bpe_train(_df(spark), "text", n_merges=20)
+    assert got == _ref_train(TEXTS, 20)
+    assert len(got) >= 15  # corpus is rich enough for a deep merge list
+
+
+def test_bpe_train_early_stop_and_tiebreak(spark):
+    # every pair unique -> weighted counts equal freq; with
+    # min_pair_count above the max the trainer must stop immediately
+    assert bpe.bpe_train(_df(spark, ["abcd"]), "text", n_merges=5,
+                         min_pair_count=10) == []
+    # all pair counts tie at 1 -> lexicographically smallest pair wins
+    got = bpe.bpe_train(_df(spark, ["bca"]), "text", n_merges=1,
+                        min_pair_count=1)
+    assert got == [("a", EOW)]  # ('a','</w>') < ('b','c') < ('c','a')
+
+
+def test_bpe_greedy_overlap_law(spark):
+    # 'aaaa' with pair (a,a): greedy-left pairs -> [aa, aa, </w>];
+    # the (a,a) count is 3 (overlapping adjacencies all counted)
+    got = bpe.bpe_train(_df(spark, ["aaaa aaaa"]), "text", n_merges=1,
+                        min_pair_count=2)
+    assert got == [("a", "a")]
+    enc = bpe.bpe_encode(_df(spark, ["aaaa"]), "doc_id", "text",
+                         got).collect()[0]
+    assert enc["bpe_tokens"] == ["aa", "aa", EOW]
+
+
+def test_bpe_encode_matches_reference_and_compresses(spark):
+    merges = bpe.bpe_train(_df(spark), "text", n_merges=30)
+    out = {r["doc_id"]: r for r in
+           bpe.bpe_encode(_df(spark), "doc_id", "text", merges).collect()}
+    for i, t in enumerate(TEXTS):
+        expect = [s for w in t.split()
+                  for s in bpe._encode_word(w, merges)]
+        assert out[i]["bpe_tokens"] == expect
+        assert out[i]["n_bpe_tokens"] == len(expect)
+        # learned merges must compress vs the char baseline
+        chars = sum(len(w) + 1 for w in t.split())
+        assert out[i]["n_bpe_tokens"] < chars
+    # empty/whitespace text encodes to zero tokens
+    empty = bpe.bpe_encode(_df(spark, ["", "   "]), "doc_id", "text",
+                           merges).collect()
+    assert all(r["n_bpe_tokens"] == 0 for r in empty)
+
+
+def test_bpe_merges_deterministic_across_runs(spark):
+    a = bpe.bpe_train(_df(spark), "text", n_merges=12)
+    b = bpe.bpe_train(_df(spark), "text", n_merges=12)
+    assert a == b

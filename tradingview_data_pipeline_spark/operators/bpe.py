@@ -1,0 +1,179 @@
+"""Distributed BPE tokenizer induction and encoding.
+
+The step after token counting (q41) that a real training-data pipeline
+runs: LEARN the subword vocabulary from the corpus, then encode with
+it. Classic byte-pair encoding (Sennrich et al. 2016), re-expressed for
+Spark's execution model:
+
+- ``bpe_train`` works on the WORD-FREQUENCY table, not raw text: the
+  corpus collapses to ``(word, freq)`` once (one shuffle over corpus
+  tokens — at 100 TB this is the same hash-agg every word-count runs),
+  and every merge iteration then touches only the distinct-word table
+  (~10^7 rows at web scale, independent of corpus size). Each
+  iteration is ONE Spark action: explode adjacent symbol pairs
+  weighted by word freq, hash-aggregate, take the arg-max pair
+  (deterministic tie-break: count desc, then pair lexicographic), and
+  rewrite the symbol arrays with a pure expression fold — no Python in
+  the per-word hot path. Lineage is truncated with an eager
+  ``localCheckpoint`` every few rounds (the PageRank pattern,
+  operators/graph.py) so plans don't grow with the merge count.
+- ``bpe_encode`` applies a learned merge list to documents via one
+  Arrow-batched ``mapInPandas`` (SURVEY §2.10's sanctioned escape
+  hatch — applying R ordered merges per word is inherently sequential,
+  exactly the recurrence case the policy reserves Pandas execution
+  for). Encoding is embarrassingly parallel over rows.
+
+Not SQL-expressible (iterative argmax-dependent state), so verified
+like PageRank: pytest against a pure-Python reference implementation
+(identical merge lists, greedy-overlap and tie-break laws), not the
+DuckDB oracle.
+
+Reference parity note: the reference pipeline has no tokenizer; this
+belongs to the training-data extension surface (SURVEY §2 extension
+family, BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tradingview_data_pipeline_spark.operators import text as tx
+
+END_OF_WORD = "</w>"
+
+
+def word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
+    """``(word, freq)`` over the corpus — the one corpus-sized pass of
+    BPE training; everything after runs on the distinct-word table."""
+    return (df.select(F.explode(tx.tokens(F.col(text_col))).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Character symbols with the end-of-word marker appended — the
+    standard BPE base alphabet (the marker keeps word-final merges
+    distinct from word-internal ones)."""
+    return F.concat(F.split(word, ""), F.array(F.lit(END_OF_WORD)))
+
+
+def _merge_pair(symbols: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b)
+    into ``a+b`` — a pure expression fold (stays in codegen): append
+    each symbol unless it forms the pair with the accumulator's last
+    element, in which case replace that element with the merged token.
+    Greedy-left matches the reference BPE semantics on runs like
+    'aaa' with pair (a,a) -> [aa, a]."""
+    la, lb, merged = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        symbols,
+        F.lit(None).cast(T.ArrayType(T.StringType())),
+        lambda acc, s: F.when(acc.isNull(), F.array(s)).otherwise(
+            F.when((F.element_at(acc, -1) == la) & (s == lb),
+                   F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(merged)))
+            .otherwise(F.concat(acc, F.array(s)))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 5,
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus; returns the
+    ordered merge list (the tokenizer). Stops early when no adjacent
+    pair reaches ``min_pair_count`` (weighted by word frequency).
+
+    Per iteration: one action over the word table (pair count + argmax
+    with count-desc / pair-lexicographic tie-break — deterministic on
+    any cluster layout), then a lazy symbol rewrite. The collect is a
+    single row; word-table lineage is truncated every
+    ``checkpoint_every`` rounds.
+    """
+    words = word_freq_table(df, text_col).withColumn(
+        "symbols", _initial_symbols(F.col("word"))).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        pairs = words.select(
+            F.col("freq"),
+            F.explode(F.expr(
+                "transform(slice(symbols, 1, size(symbols) - 1), "
+                "(s, i) -> struct(s AS a, symbols[i + 1] AS b))")).alias("p"))
+        best = (pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1).collect())
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        words = words.withColumn("symbols",
+                                 _merge_pair(F.col("symbols"), a, b))
+        if (it + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python single-word BPE application (driver/test reference
+    and the per-batch kernel for ``bpe_encode``)."""
+    syms = list(word) + [END_OF_WORD]
+    for a, b in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode each document with a learned merge list: returns
+    ``(id_col, bpe_tokens array<string>, n_bpe_tokens)``.
+
+    One Arrow-batched ``mapInPandas`` pass; within a batch each
+    distinct word is encoded once (memoized) — web corpora repeat
+    words heavily, so the per-row cost is a dict lookup.
+    """
+    spark_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
+        T.StructField("n_bpe_tokens", T.LongType()),
+    ])
+
+    def encode_batches(batches):
+        import pandas as pd
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            toks: list[str] = []
+            for w in (text.split() if text and text.strip() else []):
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _encode_word(w, merges)
+                toks.extend(got)
+            return toks
+
+        for pdf in batches:
+            encoded = pdf[text_col].map(enc)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "bpe_tokens": encoded,
+                "n_bpe_tokens": encoded.map(len).astype("int64"),
+            })
+
+    return (df.select(id_col, text_col)
+            .mapInPandas(encode_batches, schema=spark_schema))
