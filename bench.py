@@ -110,6 +110,23 @@ def _bench_pipelines(spark, timings: dict[str, float]) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bench_corpus_pipeline(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """End-to-end training-corpus build over the sf documents table
+    (dedup -> near-dup clustering -> quality gate -> PII redaction ->
+    leakage-safe split -> sharded export), including its real writes —
+    the training-data counterpart of the three reference pipelines."""
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    work = tempfile.mkdtemp(prefix="bench_corpus_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        t0 = time.perf_counter()
+        corpus_pipeline.run_corpus_prep(spark, docs, os.path.join(work, "out"))
+        timings["pipeline_corpus_prep"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -144,6 +161,11 @@ def main():
         _bench_pipelines(spark, timings)
     except Exception as exc:  # noqa: BLE001
         errors["pipelines"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    try:
+        _bench_corpus_pipeline(spark, sf_dir, timings)
+    except Exception as exc:  # noqa: BLE001
+        errors["pipeline_corpus_prep"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -211,3 +211,30 @@ def test_zorder_write_rejects_sign_bit_overflow(spark, tmp_path):
     write_zordered(df, str(tmp_path / "zok"), ["a", "b", "c", "d"],
                    bits=15, n_files=2)
     assert spark.read.parquet(str(tmp_path / "zok")).count() == 16
+
+
+def test_training_shards_partition_cols_single_pass_layout(spark, tmp_path):
+    """write_training_shards with partition_cols writes hive
+    <col>=v/shard=K dirs with ONE file per (partition, shard), and the
+    shard assignment of a row is identical to the unpartitioned write
+    (the multi-split corpus export contract)."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from tradingview_data_pipeline_spark.operators.export import (
+        write_training_shards)
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 7).alias("v"))
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    write_training_shards(df, flat, "id", 4)
+    write_training_shards(df, part, "id", 4, partition_cols=["grp"])
+
+    # one file per (grp, shard)
+    for d in glob.glob(os.path.join(part, "grp=*", "shard=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    a = spark.read.parquet(flat).select("id", "shard")
+    b = spark.read.parquet(part).select("id", "shard")
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0

@@ -234,3 +234,45 @@ def test_cli_reconcile_flags_missing_column(spark, tmp_path, capsys,
     out = capsys.readouterr().out
     assert "stock_data DIVERGENT columns" in out
     assert "rsi_14_1_day" in out
+
+
+def test_cli_corpus_prep_end_to_end(spark, tmp_path, capsys, monkeypatch):
+    """Full corpus-prep pipeline over the sf0.001 documents table via
+    the CLI: shards land on disk per split, the output has no exact
+    duplicates, no near-dup cluster straddles two splits, and the
+    reported metric arithmetic is consistent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "corpus"
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    jobs.main(["corpus-prep",
+               "--docs-parquet", "/root/testdata/sf0.001/documents.parquet",
+               "--out-dir", str(out)])
+    report = capsys.readouterr().out
+    assert "Corpus Prep Success" in report
+
+    splits = sorted(p for p in os.listdir(out) if p.startswith("split="))
+    assert "split=train" in splits
+    frames = {s.split("=")[1]: spark.read.parquet(str(out / s))
+              for s in splits}
+    full = None
+    for name, df in frames.items():
+        df = df.withColumn("split", F.lit(name))
+        full = df if full is None else full.unionByName(df)
+
+    # no exact duplicate texts in the output
+    assert full.groupBy("text").count().where("count > 1").count() == 0
+    # leakage safety: every cluster lives in exactly one split
+    assert (full.groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("ns"))
+            .where("ns > 1").count()) == 0
+    # metrics arithmetic: input >= exact-dedup >= final = sum of splits
+    import re
+    m = {k: int(v) for k, v in re.findall(r"(\w+): (\d+)", report)}
+    assert m["input_rows"] >= m["after_exact_dedup"] \
+        >= m["after_near_dedup_and_quality"] > 0
+    assert m["after_near_dedup_and_quality"] == full.count() \
+        == m["train_rows"] + m["val_rows"] + m["test_rows"]
+    assert m["total_tokens"] > 0

@@ -42,16 +42,25 @@ def write_training_shards(
     *,
     fmt: str = "parquet",
     salt: str = "shard",
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` as ``n_shards`` hash-stable shard directories
     (``shard=K/part-*.{parquet,json}``), one file per shard, rows
-    ordered by (row hash, id)."""
+    ordered by (row hash, id).
+
+    ``partition_cols`` prepends hive partition levels (e.g.
+    ``["split"]`` -> ``split=train/shard=K/...``) written in the SAME
+    single pass — each shard lives in exactly one task, so every
+    (partition, shard) still gets one file, and a multi-split corpus
+    export costs one computation of the input instead of one filtered
+    pass per split."""
     sharded = assign_shard(df, id_col, n_shards, salt)
     out = (
         sharded.repartition(n_shards, F.col(SHARD_COL))
         .sortWithinPartitions(hash60(F.col(id_col), salt), F.col(id_col))
     )
-    writer = out.write.mode("overwrite").partitionBy(SHARD_COL)
+    writer = out.write.mode("overwrite").partitionBy(
+        *(partition_cols or []), SHARD_COL)
     if fmt == "parquet":
         writer.parquet(path)
     elif fmt == "json":

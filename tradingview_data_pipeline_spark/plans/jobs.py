@@ -140,7 +140,11 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="tradingview-data-pipeline-spark jobs")
     ap.add_argument("job", choices=["technical", "fundamental", "composite",
                                     "fundamental-score", "all", "backfill",
-                                    "status", "reconcile"])
+                                    "status", "reconcile", "corpus-prep"])
+    ap.add_argument("--docs-parquet", default=None,
+                    help="corpus-prep: documents parquet path")
+    ap.add_argument("--out-dir", default="./corpus_out",
+                    help="corpus-prep: output directory for the shards")
     ap.add_argument("--downloads-dir", default="./downloads")
     ap.add_argument("--warehouse", default="./warehouse")
     ap.add_argument("--against", default=None,
@@ -194,6 +198,19 @@ def main(argv: list[str] | None = None) -> None:
         import json as _json
         for name, tbl in tables.items():
             print(name, _json.dumps(tbl.status()))
+    if args.job == "corpus-prep":
+        # end-to-end training-corpus build: dedup -> quality -> redact ->
+        # leakage-safe split -> sharded export (plans/corpus_pipeline)
+        from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+        if not args.docs_parquet:
+            ap.error("corpus-prep requires --docs-parquet <documents.parquet>")
+
+        def corpus_body(t):
+            docs = spark.read.parquet(args.docs_parquet)
+            t.metrics.update(corpus_pipeline.run_corpus_prep(
+                spark, docs, args.out_dir))
+        reported("Corpus Prep", corpus_body)
     if args.job == "reconcile":
         # cross-copy verification: bucketed content checksums per table,
         # diff is a 64-row join per table; exit 1 on any divergence so
