@@ -106,3 +106,17 @@ def test_bpe_merges_deterministic_across_runs(spark):
     a = bpe.bpe_train(_df(spark), "text", n_merges=12)
     b = bpe.bpe_train(_df(spark), "text", n_merges=12)
     assert a == b
+
+
+def test_bpe_encode_tokenizes_like_training(spark):
+    """Regression (review r7): encode must split words exactly like
+    tx.tokens (ASCII \\s+) — Python str.split() also splits on Unicode
+    whitespace (NBSP etc.) and would segment words the vocabulary was
+    never trained on."""
+    nbsp_text = "a b a b"
+    df = _df(spark, [nbsp_text])
+    merges = bpe.bpe_train(df, "text", n_merges=3, min_pair_count=2)
+    out = bpe.bpe_encode(df, "doc_id", "text", merges).collect()[0]
+    expect = [s for w in ["a b", "a b"]
+              for s in bpe._encode_word(w, merges)]
+    assert out["bpe_tokens"] == expect  # ONE word per occurrence, not two

@@ -276,3 +276,17 @@ def test_cli_corpus_prep_end_to_end(spark, tmp_path, capsys, monkeypatch):
     assert m["after_near_dedup_and_quality"] == full.count() \
         == m["train_rows"] + m["val_rows"] + m["test_rows"]
     assert m["total_tokens"] > 0
+
+
+def test_corpus_prep_all_filtered_reports_zero_metrics(spark, tmp_path):
+    """Regression (review r7): a corpus where every document fails the
+    quality gate must return zero-row metrics, not crash reading back
+    an empty partitioned directory."""
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    junk = spark.createDataFrame([(1, ""), (2, "   ")],
+                                 "doc_id long, text string")
+    m = corpus_pipeline.run_corpus_prep(spark, junk, str(tmp_path / "out"))
+    assert m["after_near_dedup_and_quality"] == 0
+    assert m["train_rows"] == m["val_rows"] == m["test_rows"] == 0
+    assert m["total_tokens"] == 0

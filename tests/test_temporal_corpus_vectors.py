@@ -510,3 +510,9 @@ def test_dup_span_within_doc_repeat_is_not_a_dup(spark):
     out = {r["doc_id"]: r for r in
            cp.dup_span_profile(docs, "doc_id", "text", n=8).collect()}
     assert out[1]["n_dup_spans"] == 0
+
+
+def test_bm25_empty_terms_rejected(spark):
+    import pytest
+    with pytest.raises(ValueError, match="non-empty"):
+        cp.bm25_scores(_bm25_docs(spark), "doc_id", "text", [])

@@ -155,12 +155,19 @@ def bpe_encode(
     ])
 
     def encode_batches(batches):
+        import re
+
         import pandas as pd
+        # tokenize EXACTLY like tx.tokens (Java \s+ = ASCII whitespace):
+        # Python str.split() would additionally split on Unicode spaces
+        # (NBSP, U+2028, ...) and segment words differently from the
+        # vocabulary the merges were trained on
+        word_re = re.compile(r"[^ \t\n\x0b\f\r]+")
         cache: dict[str, list[str]] = {}
 
         def enc(text):
             toks: list[str] = []
-            for w in (text.split() if text and text.strip() else []):
+            for w in (word_re.findall(text) if text else []):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = _encode_word(w, merges)

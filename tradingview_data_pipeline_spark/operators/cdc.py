@@ -75,7 +75,7 @@ def apply_changelog(base: DataFrame, changelog: DataFrame, keys: list[str],
     round-trip law ``apply(old, diff(old, new)) == new`` holds for
     NULL keys too (plain ``=`` would silently keep the stale image)."""
     touched = changelog.select(
-        *[F.col(k).alias(f"__t_{k}") for k in keys]).dropDuplicates()
+        *[F.col(k).alias(f"__t_{k}") for k in keys])
     kept = base.select(*keys, *cols)
     anti = reduce(lambda a, b: a & b,
                   [kept[k].eqNullSafe(touched[f"__t_{k}"]) for k in keys])

@@ -265,6 +265,8 @@ def bm25_scores(
     map-only + one broadcast join. At 100 TB this is a scan, not a
     shuffle. Ties break on ``id_col`` ascending.
     """
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
     toks = tx.tokens(F.col(text_col))
 
     # NB: a two-argument lambda would be interpreted by F.filter as

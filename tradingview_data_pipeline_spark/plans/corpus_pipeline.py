@@ -89,11 +89,16 @@ def run_corpus_prep(
     # computation of the dedup->quality->split chain
     ex.write_training_shards(final, out_dir, "doc_id", n_shards,
                              partition_cols=["split"])
-    written = spark.read.parquet(out_dir)
-    per_split = {r["split"]: r for r in
-                 written.groupBy("split").agg(
-                     F.count(F.lit(1)).alias("rows"),
-                     F.sum("n_tokens").alias("tokens")).collect()}
+    # an all-filtered corpus writes only _SUCCESS; reading that back
+    # raises UNABLE_TO_INFER_SCHEMA — report zero-row metrics instead
+    has_files = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(out_dir) for f in files)
+    per_split = {} if not has_files else {
+        r["split"]: r for r in
+        spark.read.parquet(out_dir).groupBy("split").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_tokens").alias("tokens")).collect()}
 
     return {
         "input_rows": n_input,
