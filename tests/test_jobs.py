@@ -290,3 +290,99 @@ def test_corpus_prep_all_filtered_reports_zero_metrics(spark, tmp_path):
     assert m["after_near_dedup_and_quality"] == 0
     assert m["train_rows"] == m["val_rows"] == m["test_rows"] == 0
     assert m["total_tokens"] == 0
+
+
+def _corpus_batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE_WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo lima mike november oscar papa quebec romeo "
+              "sierra tango uniform victor whiskey xray yankee zulu one "
+              "two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen")
+
+
+def _variant(swap_at, token="dup"):
+    ws = BASE_WORDS.split()
+    ws[swap_at] = token
+    return " ".join(ws)
+
+
+def test_incremental_corpus_builder_dedups_across_batches(spark, tmp_path):
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    b = IncrementalCorpusBuilder(spark, str(tmp_path / "state"),
+                                 quality_min=0.0)
+    m1 = b.add_batch(_corpus_batch(spark, [
+        (1, BASE_WORDS),
+        (2, "completely different words entirely here about other topics "
+            "with many extra tokens to make shingles " * 2),
+    ]))
+    assert m1 == {"batch_rows": 2, "after_quality_and_exact": 2,
+                  "neardup_dropped": 0, "appended": 2, "corpus_rows": 2}
+
+    m2 = b.add_batch(_corpus_batch(spark, [
+        (3, BASE_WORDS),            # exact dup of doc 1 -> dropped
+        (4, _variant(10)),          # near-dup of doc 1 -> dropped
+        (5, "a fresh unrelated document with plenty of novel words "
+            "covering totally new material and nothing shared " * 2),
+        (6, _variant(20, "aaa")),   # near-dup of doc 1 -> dropped
+    ]))
+    assert m2["batch_rows"] == 4
+    assert m2["after_quality_and_exact"] == 3      # exact dup gone
+    assert m2["neardup_dropped"] == 2              # docs 4 and 6
+    assert m2["appended"] == 1 and m2["corpus_rows"] == 3
+    ids = sorted(r["doc_id"] for r in b.corpus.read().collect())
+    assert ids == [1, 2, 5]
+    # every corpus row carries a split and token count
+    rows = b.corpus.read().collect()
+    assert all(r["split"] in ("train", "val", "test") and r["n_tokens"] > 0
+               for r in rows)
+
+
+def test_incremental_corpus_builder_transitive_and_replay(spark, tmp_path):
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    state = str(tmp_path / "state")
+    b = IncrementalCorpusBuilder(spark, state, quality_min=0.0)
+    b.add_batch(_corpus_batch(spark, [(1, BASE_WORDS)]))
+    batch2 = _corpus_batch(spark, [(2, _variant(10))])   # dropped near-dup
+    m2 = b.add_batch(batch2)
+    assert m2["appended"] == 0 and m2["neardup_dropped"] == 1
+
+    # transitive: doc 3 matches the DROPPED doc 2's text exactly except
+    # one more swap — still a near-dup of SEEN content, must be dropped
+    ws = _variant(10).split()
+    ws[25] = "bbb"
+    m3 = b.add_batch(_corpus_batch(spark, [(3, " ".join(ws))]))
+    assert m3["appended"] == 0 and m3["neardup_dropped"] == 1
+
+    # replay idempotence: re-adding batch2 appends nothing (exact hash
+    # already in the seen store)
+    m2r = b.add_batch(batch2)
+    assert m2r["after_quality_and_exact"] == 0 and m2r["appended"] == 0
+
+    # state persists across builder instances
+    b2 = IncrementalCorpusBuilder(spark, state, quality_min=0.0)
+    m4 = b2.add_batch(_corpus_batch(spark, [(4, _variant(30, "ccc"))]))
+    assert m4["appended"] == 0 and m4["neardup_dropped"] == 1
+    assert b2.corpus.row_count() == 1
+
+
+def test_incremental_corpus_builder_within_batch_component(spark, tmp_path):
+    """A within-batch near-dup component keeps exactly its min doc_id."""
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    b = IncrementalCorpusBuilder(spark, str(tmp_path / "state"),
+                                 quality_min=0.0)
+    m = b.add_batch(_corpus_batch(spark, [
+        (10, BASE_WORDS),
+        (11, _variant(5)),
+        (12, _variant(15, "zzz")),
+    ]))
+    assert m["appended"] == 1
+    assert [r["doc_id"] for r in b.corpus.read().collect()] == [10]

@@ -110,3 +110,148 @@ def run_corpus_prep(
         "total_tokens": int(sum(r["tokens"] for r in per_split.values())),
         "n_shards": n_shards,
     }
+
+
+class IncrementalCorpusBuilder:
+    """Append-only corpus maintenance — the streaming-cadence
+    counterpart of ``run_corpus_prep``: each new batch is quality-gated,
+    exact-deduped against everything already SEEN, near-dup-checked via
+    the persisted MinHash index (O(batch) incremental cost,
+    ``dedup.IncrementalNearDupIndex``), and only keepers are appended to
+    the corpus table — all writes manifest-committed.
+
+    State layout under ``state_dir``:
+      * ``corpus``  — the keeper documents (doc_id, text, content_hash,
+        split, n_tokens), the table training reads.
+      * ``seen``    — every document that ever entered the index
+        (keepers AND dropped near-dups), used to EXACTLY verify
+        candidate pairs against docs no longer in the corpus; the raw
+        ingest retention a production pipeline keeps anyway.
+      * ``neardup`` — the MinHash signature table.
+
+    Dedup semantics are deliberately AGGRESSIVE-transitive: a new doc
+    that Jaccard-verifies (>= threshold) against ANY seen doc is
+    dropped, so a duplicate of an already-dropped duplicate never
+    re-enters the corpus. Within a batch, verified pair components keep
+    their min doc_id (components via ``dedup.connected_components`` on
+    the tiny verified-pair set). Because near-dups of seen docs are
+    dropped OUTRIGHT (not clustered), every corpus member is a
+    near-dup singleton up to LSH recall, and the plain per-doc hash
+    split is leakage-safe by construction — the incremental analogue of
+    ``cluster_safe_split``'s guarantee.
+
+    Replay-idempotent: re-adding a batch finds every content hash
+    already seen and appends nothing.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str, *,
+                 quality_min: float = 25.0,
+                 jaccard_threshold: float = 0.5,
+                 buckets: int | None = None):
+        from pyspark.sql import types as T
+
+        from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+
+        self.spark = spark
+        self.quality_min = quality_min
+        self.jaccard_threshold = jaccard_threshold
+        corpus_schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("content_hash", T.StringType()),
+            T.StructField("split", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+        ])
+        seen_schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("content_hash", T.StringType()),
+        ])
+        self.corpus = ParquetTable(
+            spark, os.path.join(state_dir, "corpus"), corpus_schema,
+            "doc_id", buckets=buckets)
+        self.seen = ParquetTable(
+            spark, os.path.join(state_dir, "seen"), seen_schema,
+            "doc_id", buckets=buckets)
+        self.index = dd.IncrementalNearDupIndex(
+            spark, os.path.join(state_dir, "neardup"), buckets=buckets)
+
+    def add_batch(self, docs: DataFrame) -> dict:
+        """Process one batch of (doc_id, text); returns stage metrics."""
+        n_batch = docs.count()
+
+        gated = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text").where(
+            (tx.quality_score(F.col("text")) >= F.lit(self.quality_min))
+            & (tx.token_count(F.col("text")) > 0))
+
+        # exact dedup: min doc_id per content within the batch, then
+        # anti-join against every hash ever seen
+        hashed = gated.withColumn("content_hash", F.md5(F.col("text")))
+        keep_min = (hashed.groupBy("content_hash")
+                    .agg(F.min("doc_id").alias("doc_id")))
+        batch_e = (hashed.join(keep_min, ["content_hash", "doc_id"],
+                               "left_semi")
+                   .join(self.seen.read().select("content_hash"),
+                         "content_hash", "left_anti")
+                   .localCheckpoint(eager=True))
+        n_exact = batch_e.count()
+
+        dropped_ids = None
+        if n_exact:
+            # near-dup candidates vs everything seen (registers sigs)
+            pairs = self.index.add_and_find(batch_e)
+            texts = (self.seen.read().select("doc_id", "text")
+                     .unionByName(batch_e.select("doc_id", "text")))
+            members = (pairs.select(F.col("doc_a").alias("doc_id"))
+                       .unionByName(
+                           pairs.select(F.col("doc_b").alias("doc_id")))
+                       .distinct())
+            shingles = dd.shingle_rows(
+                texts.join(members, "doc_id", "left_semi"),
+                "doc_id", "text")
+            verified = dd.jaccard_verify(
+                pairs, shingles, "doc_id",
+                threshold=self.jaccard_threshold)
+            comps = dd.connected_components(verified)
+            batch_ids = batch_e.select("doc_id")
+            old_comps = (comps.join(batch_ids, "doc_id", "left_anti")
+                         .select("cluster_id").distinct())
+            # drop: batch members of a component containing a seen doc,
+            # plus batch members that are not their component's min
+            in_comp = comps.join(batch_ids, "doc_id", "left_semi")
+            dropped_ids = (
+                in_comp.join(old_comps, "cluster_id", "left_semi")
+                .select("doc_id")
+                .unionByName(
+                    in_comp.join(old_comps, "cluster_id", "left_anti")
+                    .where(F.col("doc_id") != F.col("cluster_id"))
+                    .select("doc_id"))
+                .distinct().localCheckpoint(eager=True))
+
+        keepers = batch_e if dropped_ids is None else \
+            batch_e.join(dropped_ids, "doc_id", "left_anti")
+        final = sp.hash_split(
+            keepers.withColumn("text", tx.redact_pii(F.col("text"))),
+            "doc_id", {"train": 80, "val": 90, "test": 100}).drop(
+            "split_bucket").withColumn(
+            "n_tokens", tx.token_count(F.col("text")).cast("long"))
+
+        n_appended = final.count()
+        self.corpus.merge_upsert(final)
+        self.seen.merge_upsert(batch_e.select("doc_id", "text",
+                                              "content_hash"))
+        return {
+            "batch_rows": n_batch,
+            "after_quality_and_exact": n_exact,
+            "neardup_dropped": n_exact - n_appended,
+            "appended": n_appended,
+            "corpus_rows": self.corpus.row_count(),
+        }
+
+    def compact(self) -> None:
+        """Bound file counts after many small batches (manifest-committed,
+        results unchanged) — run at maintenance cadence."""
+        self.corpus.compact()
+        self.seen.compact()
+        self.index.compact()
