@@ -259,3 +259,51 @@ def test_stream_merge_sink_builds_time_travel_history(spark, tmp_path):
     assert prices(vs[1]) == {"A": 2.0, "B": 5.0}
     assert prices(vs[2]) == {"A": 3.0, "B": 5.0}
     assert prices(None) == prices(vs[2])
+
+
+def test_stream_corpus_build_across_batches(spark, tmp_path):
+    """Streaming corpus build: micro-batches feed the incremental
+    builder through foreachBatch; near-dups of FIRST-trigger documents
+    are dropped at the second trigger via the persisted index, and a
+    checkpointed restart re-appends nothing."""
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+    from tradingview_data_pipeline_spark.streaming.corpus_stream import (
+        stream_corpus_build)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    variant = base.replace("kilo", "dup")
+    other = ("entirely different material discussing spark adaptive "
+             "execution and shuffle partition coalescing at length "
+             "with many words")
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    schema = "doc_id long, text string"
+    builder = IncrementalCorpusBuilder(spark, str(tmp_path / "state"),
+                                       quality_min=0.0, buckets=4)
+
+    spark.createDataFrame([(1, base), (2, other)], schema) \
+        .coalesce(1).write.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema).parquet(str(src_dir) + "/*")
+    q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert builder.corpus.row_count() == 2
+
+    # trigger 2: an exact dup, a near-dup, and one fresh doc
+    spark.createDataFrame(
+        [(3, base), (4, variant),
+         (5, "novel fresh standalone content with plenty of new words "
+             "never seen before anywhere in this corpus at all")],
+        schema).coalesce(1).write.parquet(str(src_dir / "b2"))
+    q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in builder.corpus.read().collect())
+    assert ids == [1, 2, 5]
+
+    # restart with the same checkpoint: no new files -> nothing changes
+    q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert builder.corpus.row_count() == 3
