@@ -203,6 +203,73 @@ def test_incremental_simhash_index(spark, tmp_path):
     assert idx2.table.read().count() == 5
 
 
+def test_incremental_index_stored_side_unshuffled(spark, tmp_path,
+                                                  monkeypatch):
+    """The O(batch) plan contract (round-8 fix): ``add_and_find`` must
+    never shuffle the stored signature table — its parquet scan streams
+    under broadcast joins (anti-join on batch ids, semi-prune to
+    touched buckets). Audited from the ACTUAL code path by intercepting
+    the eager checkpoints ``_batch_vs_stored_pairs`` pins: the only
+    captured plan that reads parquet is the stored-side survivor frame,
+    and it must be all-broadcast, shuffle-free."""
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an ABC in 4.x)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    idx = dd.IncrementalNearDupIndex(spark, str(tmp_path / "pix"), buckets=4)
+    idx.add_and_find(spark.createDataFrame(
+        [(i, f"{base} tail {i}") for i in range(8)],
+        "doc_id long, text string"))
+
+    plans = []
+    real = DataFrame.localCheckpoint
+
+    def capturing(self, eager=True):
+        plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return real(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", capturing)
+    got = {(r["doc_a"], r["doc_b"]) for r in idx.add_and_find(
+        spark.createDataFrame([(100, base + " tail 0")],
+                              "doc_id long, text string")).collect()}
+    monkeypatch.undo()
+    assert (0, 100) in got                    # behavior unchanged
+
+    def scan_ancestors(plan: str) -> list[str]:
+        """Operators ABOVE each parquet scan in the printed tree (the
+        path the scanned rows flow through), by indentation walk."""
+        lines = plan.splitlines()
+
+        def indent(ln):
+            body = ln.lstrip(" :+-*(0123456789)")
+            return len(ln) - len(body)
+
+        out = []
+        for i, ln in enumerate(lines):
+            if "parquet" not in ln:
+                continue
+            cur = indent(ln)
+            for j in range(i - 1, -1, -1):
+                ij = indent(lines[j])
+                if ij < cur:
+                    out.append(lines[j].strip(" :+-"))
+                    cur = ij
+        return out
+
+    stored_plans = [p for p in plans if "parquet" in p]
+    assert stored_plans                       # the stored side WAS read
+    for p in stored_plans:
+        anc = scan_ancestors(p)
+        assert anc and any("BroadcastHashJoin" in a for a in anc)
+        # no shuffle/sort between the stored scan and its joins: the
+        # only Exchange allowed anywhere on the scan's path is the
+        # broadcast of the (tiny) batch side, which sits on the BUILD
+        # side, never above the scan
+        for a in anc:
+            assert "Exchange" not in a, a
+            assert "SortMergeJoin" not in a and "Sort " not in a, a
+
+
 def test_simhash_arrow_impl_identical_to_sql(spark):
     """The numpy mapInPandas signature path must be integer-identical to
     the SQL fold — including groups that STRADDLE Arrow batches (forced

@@ -120,6 +120,78 @@ def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
 LSH_MAX_BUCKET_DEFAULT = 1000
 
 
+def _batch_vs_stored_pairs(new_banded: DataFrame, stored_banded: DataFrame,
+                           key_cols: list[str], id_col: str,
+                           max_bucket: int | None,
+                           payload_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Band-bucket pairing with at least one NEW member, with an
+    O(batch)-sized PLAN — the shared join shape of the three incremental
+    indexes (MinHash / SimHash / embedding LSH).
+
+    The naive formulation (self-join stored∪new with an ``is_new``
+    post-filter) computes the right output but shuffles the FULL stored
+    signature table on every micro-batch — O(index) plan cost per
+    trigger. This shape keeps the stored side shuffle-free:
+
+      1. ``new_banded`` (batch × bands rows — tiny) is pinned eagerly.
+      2. The stored side is filtered to buckets the batch touches via a
+         broadcast LEFT SEMI join on the distinct batch bucket keys —
+         the stored scan streams under a BroadcastHashJoin, no shuffle,
+         no sort — and the (small: O(batch × collision rate)) survivor
+         set is pinned.
+      3. The degenerate-bucket cap counts stored+new members per
+         TOUCHED bucket only. Equivalent to capping the combined frame:
+         untouched buckets can't emit pairs (no new member), and a
+         touched bucket's combined population is exactly its stored
+         survivors + its batch rows.
+      4. old×new pairs come from broadcast(new) ⋈ stored-survivors;
+         new×new pairs from the tiny batch self-join.
+
+    Returns (id_a < id_b) pairs plus ``<c>_a`` / ``<c>_b`` for each
+    payload column (side-consistent with the id ordering). NOT distinct
+    — callers dedup across bands. Both inputs must already be disjoint
+    on ``id_col`` (callers anti-join stored against the batch ids).
+    """
+    from functools import reduce
+    from operator import and_
+
+    new_b = new_banded.localCheckpoint(eager=True)
+    touched = new_b.select(*key_cols).distinct()
+    stored_t = (stored_banded
+                .join(F.broadcast(touched), key_cols, "left_semi")
+                .localCheckpoint(eager=True))
+    if max_bucket is not None:
+        over = (stored_t.select(*key_cols)
+                .unionByName(new_b.select(*key_cols))
+                .groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > max_bucket)
+                .select(*key_cols))
+        new_b = new_b.join(F.broadcast(over), key_cols, "left_anti")
+        stored_t = stored_t.join(F.broadcast(over), key_cols, "left_anti")
+
+    def _pairs(left: DataFrame, right: DataFrame, strict: bool) -> DataFrame:
+        n, s = left.alias("n"), right.alias("s")
+        cond = reduce(and_, [F.col(f"n.{c}") == F.col(f"s.{c}")
+                             for c in key_cols])
+        if strict:              # new×new self-join: order by id directly
+            cond = cond & (F.col(f"n.{id_col}") < F.col(f"s.{id_col}"))
+        n_first = F.col(f"n.{id_col}") < F.col(f"s.{id_col}")
+        sel = [F.when(n_first, F.col(f"n.{id_col}"))
+               .otherwise(F.col(f"s.{id_col}")).alias("id_a"),
+               F.when(n_first, F.col(f"s.{id_col}"))
+               .otherwise(F.col(f"n.{id_col}")).alias("id_b")]
+        for c in payload_cols:
+            sel += [F.when(n_first, F.col(f"n.{c}"))
+                    .otherwise(F.col(f"s.{c}")).alias(f"{c}_a"),
+                    F.when(n_first, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"n.{c}")).alias(f"{c}_b")]
+        return F.broadcast(n).join(s, cond).select(*sel)
+
+    return _pairs(new_b, stored_t, strict=False) \
+        .unionByName(_pairs(new_b, new_b, strict=True))
+
+
 def _banded_signatures(g: DataFrame, id_col: str, k: int,
                        bands: int) -> DataFrame:
     """(id, m0..m{k-1}) -> (id, band, bh): md5 of the ':'-joined band
@@ -540,10 +612,14 @@ class IncrementalNearDupIndex:
 
       1. computes its signatures once (k BIGINT minhashes — tens of
          bytes per doc regardless of document size),
-      2. band-joins new∪stored banded hashes, keeping only pairs with a
-         NEW member (old×old pairs were reported when those docs
-         arrived — the flag join prunes them, so incremental cost is
-         O(batch × collision rate), never O(corpus²)),
+      2. pairs the batch's banded hashes against the stored banded
+         hashes with an O(batch)-sized PLAN (``_batch_vs_stored_pairs``:
+         broadcast semi-join prunes stored rows to touched buckets with
+         the stored side streaming — never shuffled — then
+         broadcast(new) ⋈ survivors plus a tiny new×new self-join);
+         old×old pairs were reported when those docs arrived and cannot
+         appear (no new member), so incremental cost is
+         O(batch × collision rate), never O(corpus²),
       3. upserts the new signatures (idempotent: re-adding a doc
          refreshes its signature).
 
@@ -579,31 +655,21 @@ class IncrementalNearDupIndex:
         new_sigs = _minhash_agg(
             df.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(text_col)),
-            "doc_id", text_col, self.k)
+            "doc_id", text_col, self.k).localCheckpoint(eager=True)
         stored = self.table.read()
         new_ids = new_sigs.select("doc_id")
-        combined = (
-            _banded_signatures(stored.join(new_ids, "doc_id", "left_anti"),
-                               "doc_id", self.k, self.bands)
-            .withColumn("is_new", F.lit(False))
-            .unionByName(
-                _banded_signatures(new_sigs, "doc_id", self.k, self.bands)
-                .withColumn("is_new", F.lit(True))))
-        if self.max_bucket is not None:
-            over = (combined.groupBy("band", "bh")
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .where(F.col("__n") > self.max_bucket)
-                    .select("band", "bh"))
-            combined = combined.join(F.broadcast(over), ["band", "bh"],
-                                     "left_anti")
-        a, b = combined.alias("a"), combined.alias("b")
-        pairs = (
-            a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bh") == F.col("b.bh"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id"))
-                   & (F.col("a.is_new") | F.col("b.is_new")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+        stored_banded = _banded_signatures(
+            stored.join(F.broadcast(new_ids), "doc_id", "left_anti"),
+            "doc_id", self.k, self.bands)
+        new_banded = _banded_signatures(new_sigs, "doc_id", self.k,
+                                        self.bands)
+        # O(batch) plan: the stored side streams under broadcast joins
+        # (never shuffled); see _batch_vs_stored_pairs
+        pairs = (_batch_vs_stored_pairs(
+            new_banded, stored_banded, ["band", "bh"], "doc_id",
+            self.max_bucket)
+            .select(F.col("id_a").alias("doc_a"),
+                    F.col("id_b").alias("doc_b"))
             .distinct())
         pairs = pairs.localCheckpoint(eager=True)   # pin before the upsert
         self.table.merge_upsert(new_sigs)
@@ -621,9 +687,11 @@ class IncrementalNearDupIndex:
 
 class IncrementalSimHashIndex:
     """Hamming-radius retrieval for an append-only corpus: 60-bit SimHash
-    signatures persist in a keyed ``ParquetTable``; each batch band-joins
-    its chunked signature against new∪stored (new-member-only, like
-    ``IncrementalNearDupIndex``) and returns exact
+    signatures persist in a keyed ``ParquetTable``; each batch pairs its
+    chunked signature against the stored chunks with the same
+    O(batch)-plan join shape as ``IncrementalNearDupIndex``
+    (``_batch_vs_stored_pairs``: the stored side streams under broadcast
+    joins, never shuffled) and returns exact
     (doc_a, doc_b, hamming <= max_hamming) pairs. Same pigeonhole recall
     guarantee as ``simhash_candidate_pairs`` (exact within the radius
     when ``max_hamming <= bands - 1``), same degenerate-bucket cap, 8
@@ -642,7 +710,7 @@ class IncrementalSimHashIndex:
         self.table = ParquetTable(spark, path, schema, "doc_id",
                                   buckets=buckets)
 
-    def _banded(self, sigs: DataFrame, is_new: bool) -> DataFrame:
+    def _banded(self, sigs: DataFrame) -> DataFrame:
         chunk_bits = self.bits // self.bands
         mask = (1 << chunk_bits) - 1
         entries = ", ".join(
@@ -651,8 +719,7 @@ class IncrementalSimHashIndex:
         return (sigs.where(F.col("simhash").isNotNull())
                 .select("doc_id", "simhash",
                         F.expr(f"stack({self.bands}, {entries})"
-                               " AS (band, chunk)"))
-                .withColumn("is_new", F.lit(is_new)))
+                               " AS (band, chunk)")))
 
     def add_and_find(self, df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
@@ -661,31 +728,24 @@ class IncrementalSimHashIndex:
         new_sigs = simhash_table(
             df.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(text_col)),
-            "doc_id", text_col, bits=self.bits)
+            "doc_id", text_col, bits=self.bits).localCheckpoint(eager=True)
         stored = self.table.read()
-        combined = self._banded(
-            stored.join(new_sigs.select("doc_id"), "doc_id", "left_anti"),
-            False).unionByName(self._banded(new_sigs, True))
-        if self.max_bucket is not None:
-            over = (combined.groupBy("band", "chunk")
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .where(F.col("__n") > self.max_bucket)
-                    .select("band", "chunk"))
-            combined = combined.join(F.broadcast(over), ["band", "chunk"],
-                                     "left_anti")
-        a, b = combined.alias("a"), combined.alias("b")
-        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-        pairs = (
-            a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id"))
-                   & (F.col("a.is_new") | F.col("b.is_new")))
-            .where(ham <= self.max_hamming)
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    ham.alias("hamming"))
-            .distinct()
-            .localCheckpoint(eager=True))      # pin before the upsert
+        stored_banded = self._banded(
+            stored.join(F.broadcast(new_sigs.select("doc_id")), "doc_id",
+                        "left_anti"))
+        # O(batch) plan — see _batch_vs_stored_pairs; simhash rides
+        # along so hamming is computed on the (small) pair set only
+        raw = _batch_vs_stored_pairs(
+            self._banded(new_sigs), stored_banded, ["band", "chunk"],
+            "doc_id", self.max_bucket, payload_cols=("simhash",))
+        ham = F.bit_count(
+            F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        pairs = (raw.where(ham <= self.max_hamming)
+                 .select(F.col("id_a").alias("doc_a"),
+                         F.col("id_b").alias("doc_b"),
+                         ham.alias("hamming"))
+                 .distinct()
+                 .localCheckpoint(eager=True))  # pin before the upsert
         self.table.merge_upsert(new_sigs)
         return pairs
 

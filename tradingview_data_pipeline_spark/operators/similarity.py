@@ -583,9 +583,11 @@ class IncrementalEmbeddingIndex:
       1. each new batch computes its hyperplane band keys once
          (``embedding_lsh_bands``, one integer matmul per Arrow batch —
          ``bands`` BIGINTs of state per vector, never the vector),
-      2. band-joins new∪stored keys keeping only pairs with a NEW
-         member (old×old pairs were reported when those vectors
-         arrived), so incremental cost is O(batch × collision rate),
+      2. pairs the batch's band keys against the stored keys with an
+         O(batch)-sized plan (``dedup._batch_vs_stored_pairs``: the
+         stored side streams under broadcast joins, never shuffled;
+         old×old pairs were reported when those vectors arrived), so
+         incremental cost is O(batch × collision rate),
       3. upserts the new keys (idempotent: re-adding refreshes them).
 
     Returns CANDIDATE pairs; exact verification needs the vectors and
@@ -630,39 +632,30 @@ class IncrementalEmbeddingIndex:
                 .select("vec_id", *[F.expr(f"a[{j}].key").alias(f"p{j}")
                                     for j in range(self.bands)]))
 
-    def _melt(self, wide: DataFrame, is_new: bool) -> DataFrame:
-        return (wide.select(
+    def _melt(self, wide: DataFrame) -> DataFrame:
+        return wide.select(
             "vec_id",
             F.posexplode(F.array(*[F.col(f"p{j}")
                                    for j in range(self.bands)]))
             .alias("pos", "key"))
-            .withColumn("is_new", F.lit(is_new)))
 
     def add_and_find(self, df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
         """Register a batch; return DISTINCT candidate pairs
         (id_a < id_b) where at least one side is from this batch."""
-        new_w = self._wide(df, id_col, vec_col)
+        from tradingview_data_pipeline_spark.operators.dedup import (
+            _batch_vs_stored_pairs,
+        )
+        new_w = self._wide(df, id_col, vec_col).localCheckpoint(eager=True)
         stored = self.table.read()
         new_ids = new_w.select("vec_id")
-        combined = (
-            self._melt(stored.join(new_ids, "vec_id", "left_anti"), False)
-            .unionByName(self._melt(new_w, True)))
-        if self.max_bucket is not None:
-            over = (combined.groupBy("pos", "key")
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .where(F.col("__n") > self.max_bucket)
-                    .select("pos", "key"))
-            combined = combined.join(F.broadcast(over), ["pos", "key"],
-                                     "left_anti")
-        a, b = combined.alias("a"), combined.alias("b")
-        pairs = (
-            a.join(b, (F.col("a.pos") == F.col("b.pos"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id"))
-                   & (F.col("a.is_new") | F.col("b.is_new")))
-            .select(F.col("a.vec_id").alias("id_a"),
-                    F.col("b.vec_id").alias("id_b"))
+        stored_melt = self._melt(
+            stored.join(F.broadcast(new_ids), "vec_id", "left_anti"))
+        # O(batch) plan: stored side streams under broadcast joins —
+        # never shuffled (see dedup._batch_vs_stored_pairs)
+        pairs = (_batch_vs_stored_pairs(
+            self._melt(new_w), stored_melt, ["pos", "key"], "vec_id",
+            self.max_bucket)
             .distinct())
         pairs = pairs.localCheckpoint(eager=True)   # pin before the upsert
         self.table.merge_upsert(new_w)
