@@ -1,0 +1,96 @@
+"""Incremental-index scale curve: add_and_find at FIXED batch size as
+the stored index grows 10x / 100x (VERDICT r7 task 1's "Done" bar).
+
+The round-8 join-shape fix makes each micro-batch's PLAN O(batch): the
+stored signature table streams under broadcast joins instead of being
+shuffled per trigger. This bench is the curve that would have caught
+the old shape — seed each index with the gen corpus at three decades
+(5k / 50k / 500k docs), then time one add_and_find of the SAME
+500-doc batch against each. Flat (per calibration drift) = fixed; a
+decade-over-decade ratio near 10x = O(index) regression.
+
+Seeding goes through the table handle's bulk ``overwrite`` (one job)
+rather than thousands of add_and_find calls — the measurement is the
+per-batch marginal cost, not index construction.
+
+    python tools/incremental_bench.py .scale/gen_sf0.1 .scale/gen_sf1 \
+        .scale/gen_sf10
+
+Prints one JSON line per (index, scale); append to SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH_DOCS = 500
+BATCH_VECS = 500
+
+
+def main() -> None:
+    sf_dirs = [os.path.abspath(d) for d in sys.argv[1:]] or [
+        os.path.abspath(f".scale/gen_sf{s}") for s in ("0.1", "1", "10")]
+
+    from pyspark.sql import functions as F
+
+    from tradingview_data_pipeline_spark.operators import dedup as dd
+    from tradingview_data_pipeline_spark.operators import similarity as sim
+    from tradingview_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("incremental-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for sf_dir in sf_dirs:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        n_docs, n_vecs = docs.count(), vecs.count()
+        # the batch: real corpus texts/vectors re-keyed past the corpus,
+        # so collisions against the stored side genuinely occur
+        doc_batch = (docs.limit(BATCH_DOCS)
+                     .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                             "text").localCheckpoint(eager=True))
+        vec_batch = (vecs.limit(BATCH_VECS)
+                     .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                             "embedding").localCheckpoint(eager=True))
+
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 % 7)") \
+            .collect()
+        calibration = round(time.perf_counter() - t0, 3)
+
+        with tempfile.TemporaryDirectory() as tmp:
+            mh = dd.IncrementalNearDupIndex(
+                spark, os.path.join(tmp, "mh"), buckets=32)
+            mh.table.overwrite(dd._minhash_agg(docs, "doc_id", "text", mh.k))
+            sh = dd.IncrementalSimHashIndex(
+                spark, os.path.join(tmp, "sh"), buckets=32)
+            sh.table.overwrite(dd.simhash_table(docs, "doc_id", "text",
+                                                bits=sh.bits))
+            em = sim.IncrementalEmbeddingIndex(
+                spark, os.path.join(tmp, "em"), buckets=32)
+            em.table.overwrite(em._wide(vecs, "vec_id", "embedding"))
+
+            for name, idx, batch, stored in (
+                    ("minhash", mh, doc_batch, n_docs),
+                    ("simhash", sh, doc_batch, n_docs),
+                    ("embedding", em, vec_batch, n_vecs)):
+                t0 = time.perf_counter()
+                pairs = idx.add_and_find(batch)
+                n_pairs = pairs.count()
+                secs = round(time.perf_counter() - t0, 3)
+                print(json.dumps({
+                    "index": name, "sf_dir": sf_dir, "stored_rows": stored,
+                    "batch_rows": BATCH_DOCS, "pairs": n_pairs,
+                    "add_and_find_sec": secs,
+                    "calibration_sec": calibration}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
