@@ -386,3 +386,64 @@ def test_incremental_corpus_builder_within_batch_component(spark, tmp_path):
     ]))
     assert m["appended"] == 1
     assert [r["doc_id"] for r in b.corpus.read().collect()] == [10]
+
+
+def test_incremental_builder_crash_between_commits_converges(
+        spark, tmp_path, monkeypatch):
+    """add_batch writes FOUR manifest commits (index sigs -> corpus ->
+    seen -> hash gate). A crash in ANY window between them must leave a
+    state that a plain replay of the same batch converges to the
+    no-crash result: every pre-gate write is an idempotent upsert, and
+    the gate (hashes) commits last, so an un-gated batch is always
+    fully re-processed."""
+    import pytest
+
+    from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    batch1 = [(1, BASE_WORDS),
+              (2, "completely different words entirely here about other "
+                  "topics with many extra tokens to make shingles " * 2)]
+    batch2 = [(3, BASE_WORDS),          # exact dup -> dropped
+              (4, _variant(10)),        # near-dup  -> dropped
+              (5, "a fresh unrelated document with plenty of novel words "
+                  "covering totally new material and nothing shared " * 2)]
+
+    def state_of(b):
+        return (sorted(tuple(r) for r in b.corpus.read().collect()),
+                sorted(tuple(r) for r in b.seen.read().collect()),
+                sorted(tuple(r) for r in b.hashes.read().collect()),
+                sorted(tuple(r) for r in b.index.table.read().collect()))
+
+    ref = IncrementalCorpusBuilder(spark, str(tmp_path / "ref"),
+                                   quality_min=0.0)
+    ref.add_batch(_corpus_batch(spark, batch1))
+    ref.add_batch(_corpus_batch(spark, batch2))
+    want = state_of(ref)
+
+    real = ParquetTable.merge_upsert
+    # windows: after index commit / after corpus / after seen (the
+    # crash kills commit crash_after+1 of batch 2's four)
+    for crash_after in (1, 2, 3):
+        state = str(tmp_path / f"s{crash_after}")
+        b = IncrementalCorpusBuilder(spark, state, quality_min=0.0)
+        b.add_batch(_corpus_batch(spark, batch1))
+
+        calls = {"n": 0}
+
+        def crashing(self, df, **kw):
+            calls["n"] += 1
+            if calls["n"] > crash_after:
+                raise OSError("simulated crash between batch commits")
+            return real(self, df, **kw)
+
+        monkeypatch.setattr(ParquetTable, "merge_upsert", crashing)
+        with pytest.raises(OSError, match="simulated crash"):
+            b.add_batch(_corpus_batch(spark, batch2))
+        monkeypatch.undo()
+
+        b2 = IncrementalCorpusBuilder(spark, state, quality_min=0.0)
+        m = b2.add_batch(_corpus_batch(spark, batch2))    # plain replay
+        assert state_of(b2) == want, f"window after commit {crash_after}"
+        assert m["appended"] <= 1                         # no double-adds

@@ -195,6 +195,29 @@ def test_read_key_scans_single_bucket(spark, tmp_path):
     assert tu.read_key("A").count() == 1
 
 
+def test_read_matching_prunes_to_touched_buckets(spark, tmp_path):
+    """read_matching returns a SUPERSET slice (touched buckets only):
+    every key-match is inside it, and the scan reads strictly fewer
+    bucket directories than the table has when the key set is small."""
+    path = str(tmp_path / "pm")
+    t = ParquetTable(spark, path, SCHEMA, key="symbol", buckets=16)
+    t.overwrite(spark.createDataFrame(
+        [(f"SYM{i}", float(i), float(i) / 2) for i in range(200)], SCHEMA))
+    keys = spark.createDataFrame([("SYM3",), ("SYM17",), ("ABSENT",)],
+                                 "symbol string")
+    sl = t.read_matching(keys)
+    got = {r["symbol"] for r in
+           sl.join(keys, "symbol", "left_semi").collect()}
+    assert got == {"SYM3", "SYM17"}           # all matches present
+    dirs = {os.path.dirname(f.replace("file:", ""))
+            for f in sl.inputFiles()}
+    assert 0 < len(dirs) <= 3                 # <= one dir per key
+    # unbucketed fallback reads everything but still answers correctly
+    tu = ParquetTable(spark, str(tmp_path / "pmu"), SCHEMA, key="symbol")
+    tu.overwrite(spark.createDataFrame([("A", 1.0, 2.0)], SCHEMA))
+    assert tu.read_matching(keys.limit(1)).count() == 1
+
+
 def test_bucketed_insert_creates_new_bucket_dir(spark, tmp_path):
     path = str(tmp_path / "nb")
     t = ParquetTable(spark, path, SCHEMA, key="symbol", buckets=64)

@@ -230,6 +230,29 @@ class ParquetTable:
         ).collect()[0]["b"]
         return self._read_slice(m["buckets"], [b]).where(pred)
 
+    def read_matching(self, keys: DataFrame,
+                      key_col: str | None = None) -> DataFrame:
+        """Bucket-pruned SUPERSET read for key-join workloads: rows from
+        only the bucket directories that any key in ``keys`` hashes to —
+        the join / semi-join / anti-join itself stays with the caller
+        (every key-equality match is guaranteed to be inside the
+        returned slice; non-matching rows from touched buckets ride
+        along). One tiny job collects the distinct touched BUCKET IDS
+        (bounded by the bucket count, never O(keys)), so a batch that
+        touches b of N buckets reads b/N of the table instead of all of
+        it. Falls back to a full read for unbucketed or pre-manifest
+        tables, where no pruning is possible."""
+        key_col = key_col or self.key
+        key_type = self.schema[self.key].dataType
+        m = self._load_manifest() if self.buckets else None
+        if m is None:
+            return self.read()
+        bs = sorted(r["b"] for r in keys.select(
+            F.pmod(F.hash(F.col(key_col).cast(key_type)),
+                   F.lit(self.buckets)).cast("int").alias("b"))
+            .distinct().collect())
+        return self._read_slice(m["buckets"], bs)
+
     def row_count(self) -> int:
         """Exact table row count from parquet footers — no Spark job
         (see ``parquet_footer_rows``). Counts the committed snapshot's

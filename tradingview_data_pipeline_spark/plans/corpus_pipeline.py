@@ -126,7 +126,20 @@ class IncrementalCorpusBuilder:
       * ``seen``    — every document that ever entered the index
         (keepers AND dropped near-dups), used to EXACTLY verify
         candidate pairs against docs no longer in the corpus; the raw
-        ingest retention a production pipeline keeps anyway.
+        ingest retention a production pipeline keeps anyway. Keyed by
+        doc_id so candidate-pair member texts come back through
+        BUCKET-PRUNED reads (``read_matching``) — the batch never
+        scans the full seen text column.
+      * ``hashes``  — content_hash only, keyed by content_hash: the
+        exact-dedup replay gate. A skinny hash-keyed side table so the
+        per-batch anti-join reads only the hash buckets the batch
+        touches, not every seen hash (at 1B docs the full hash column
+        is ~32 GB per trigger; the pruned read is batch-proportional).
+        Commits LAST in ``add_batch`` so a crash after any earlier
+        commit leaves the gate un-advanced and a full replay
+        re-converges (all earlier writes are idempotent upserts).
+        Backfilled automatically from ``seen`` for pre-existing state
+        dirs that lack it.
       * ``neardup`` — the MinHash signature table.
 
     Dedup semantics are deliberately AGGRESSIVE-transitive: a new doc
@@ -173,6 +186,16 @@ class IncrementalCorpusBuilder:
         self.seen = ParquetTable(
             spark, os.path.join(state_dir, "seen"), seen_schema,
             "doc_id", buckets=buckets)
+        self.hashes = ParquetTable(
+            spark, os.path.join(state_dir, "hashes"),
+            T.StructType([T.StructField("content_hash", T.StringType())]),
+            "content_hash", buckets=buckets)
+        # one-time migration: a state dir from before the hash-gate
+        # table existed derives it from the seen store (hashes there are
+        # unique by construction — the gate admits each hash once)
+        if self.seen.exists() and not self.hashes.exists():
+            self.hashes.overwrite(
+                self.seen.read().select("content_hash").distinct())
         self.index = dd.IncrementalNearDupIndex(
             spark, os.path.join(state_dir, "neardup"), buckets=buckets)
 
@@ -186,14 +209,15 @@ class IncrementalCorpusBuilder:
             & (tx.token_count(F.col("text")) > 0))
 
         # exact dedup: min doc_id per content within the batch, then
-        # anti-join against every hash ever seen
+        # anti-join against the hash-gate table — read BUCKET-PRUNED to
+        # the hash buckets this batch touches (never the full column)
         hashed = gated.withColumn("content_hash", F.md5(F.col("text")))
         keep_min = (hashed.groupBy("content_hash")
                     .agg(F.min("doc_id").alias("doc_id")))
+        seen_h = self.hashes.read_matching(hashed.select("content_hash"))
         batch_e = (hashed.join(keep_min, ["content_hash", "doc_id"],
                                "left_semi")
-                   .join(self.seen.read().select("content_hash"),
-                         "content_hash", "left_anti")
+                   .join(seen_h, "content_hash", "left_anti")
                    .localCheckpoint(eager=True))
         n_exact = batch_e.count()
 
@@ -201,20 +225,28 @@ class IncrementalCorpusBuilder:
         if n_exact:
             # near-dup candidates vs everything seen (registers sigs)
             pairs = self.index.add_and_find(batch_e)
-            texts = (self.seen.read().select("doc_id", "text")
-                     .unionByName(batch_e.select("doc_id", "text")))
             members = (pairs.select(F.col("doc_a").alias("doc_id"))
                        .unionByName(
                            pairs.select(F.col("doc_b").alias("doc_id")))
-                       .distinct())
-            shingles = dd.shingle_rows(
-                texts.join(members, "doc_id", "left_semi"),
-                "doc_id", "text")
+                       .distinct().localCheckpoint(eager=True))
+            batch_ids = batch_e.select("doc_id")
+            # member texts: batch members from the (pinned) batch; SEEN
+            # members via a bucket-pruned read on their ids — per-batch
+            # read cost is O(pairs), not O(corpus text) [r7 verdict #2]
+            seen_member_ids = members.join(batch_ids, "doc_id",
+                                           "left_anti")
+            texts = (batch_e.select("doc_id", "text")
+                     .join(F.broadcast(members), "doc_id", "left_semi")
+                     .unionByName(
+                         self.seen.read_matching(seen_member_ids)
+                         .join(F.broadcast(seen_member_ids), "doc_id",
+                               "left_semi")
+                         .select("doc_id", "text")))
+            shingles = dd.shingle_rows(texts, "doc_id", "text")
             verified = dd.jaccard_verify(
                 pairs, shingles, "doc_id",
                 threshold=self.jaccard_threshold)
             comps = dd.connected_components(verified)
-            batch_ids = batch_e.select("doc_id")
             old_comps = (comps.join(batch_ids, "doc_id", "left_anti")
                          .select("cluster_id").distinct())
             # drop: batch members of a component containing a seen doc,
@@ -238,9 +270,13 @@ class IncrementalCorpusBuilder:
             "n_tokens", tx.token_count(F.col("text")).cast("long"))
 
         n_appended = final.count()
+        # commit order matters for crash convergence: the hash GATE goes
+        # last, so a crash between any two commits leaves the batch
+        # un-gated and a full replay re-runs every (idempotent) upsert
         self.corpus.merge_upsert(final)
         self.seen.merge_upsert(batch_e.select("doc_id", "text",
                                               "content_hash"))
+        self.hashes.merge_upsert(batch_e.select("content_hash"))
         return {
             "batch_rows": n_batch,
             "after_quality_and_exact": n_exact,
@@ -254,4 +290,5 @@ class IncrementalCorpusBuilder:
         results unchanged) — run at maintenance cadence."""
         self.corpus.compact()
         self.seen.compact()
+        self.hashes.compact()
         self.index.compact()
