@@ -512,6 +512,46 @@ def test_dup_span_within_doc_repeat_is_not_a_dup(spark):
     assert out[1]["n_dup_spans"] == 0
 
 
+def test_remove_dup_spans_planted_overlap(spark):
+    """The action half of the profiler: every word covered by a shared
+    8-gram is cut from BOTH documents; unique tails survive; short and
+    unique docs pass through (whitespace-normalized) untouched."""
+    shared = "one two three four five six seven eight"      # 8 words
+    docs = spark.createDataFrame(
+        [(1, shared + " tail1 tail2"),
+         (2, "head " + shared),
+         (3, "totally different words in this document here now ok"),
+         (4, "short  doc")],                # < 8 words: no spans
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cp.remove_dup_spans(docs, "doc_id", "text", n=8).collect()}
+    assert out[1]["text_clean"] == "tail1 tail2"
+    assert out[1]["n_words"] == 10 and out[1]["n_removed"] == 8
+    assert out[2]["text_clean"] == "head"
+    assert out[2]["n_words"] == 9 and out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "short doc"      # normalized, kept
+    assert out[4]["n_removed"] == 0
+
+
+def test_remove_dup_spans_overlapping_spans_merge(spark):
+    """Two OVERLAPPING shared grams cover a merged interval — covered
+    positions union positionally, so overlap never double-cuts and the
+    whole 9-word run disappears; a doc repeating a span only within
+    itself is untouched (cross-doc means distinct docs)."""
+    run9 = "a b c d e f g h i"                       # 9 words: 2 grams
+    docs = spark.createDataFrame(
+        [(1, run9 + " keepme"),
+         (2, "pre " + run9),
+         (3, "x1 x2 x3 x4 x5 x6 x7 x8 y " + "x1 x2 x3 x4 x5 x6 x7 x8")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cp.remove_dup_spans(docs, "doc_id", "text", n=8).collect()}
+    assert out[1]["text_clean"] == "keepme" and out[1]["n_removed"] == 9
+    assert out[2]["text_clean"] == "pre" and out[2]["n_removed"] == 9
+    assert out[3]["n_removed"] == 0                  # within-doc only
+
+
 def test_bm25_empty_terms_rejected(spark):
     import pytest
     with pytest.raises(ValueError, match="non-empty"):

@@ -361,3 +361,63 @@ def dup_span_profile(
                F.col("n_dup_spans").cast("double")
                / F.col("n_spans").cast("double"))
         .otherwise(F.lit(0.0)))
+
+
+def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
+                     *, n: int = 8, min_docs: int = 2) -> DataFrame:
+    """The ACTION half of ``dup_span_profile``: rewrite every document
+    with its cross-document duplicated spans EXCISED — the cut step of
+    suffix-array substring dedup ("Deduplicating Training Data Makes
+    Language Models Better"), at word-n-gram granularity.
+
+    A word position is covered when ANY n-gram through it occurs in
+    >= ``min_docs`` distinct documents; covered words are removed from
+    ALL documents and the text is rebuilt from the survivors (adjacent
+    shared grams merge into one excised interval automatically —
+    coverage is computed positionally, so overlapping spans never
+    double-cut). Unlike the suffix-array pipeline's keep-one-copy rule
+    this cuts every copy: keeping "the first" occurrence needs a total
+    order over documents, which a distributed rewrite cannot honor
+    deterministically without a global sort — callers that want one
+    retained copy should route keeper docs around the operator.
+
+    Returns one row per input document: (id, ``text_clean``,
+    ``n_words``, ``n_removed``). Documents shorter than ``n`` words
+    have no spans and pass through verbatim (whitespace-normalized).
+
+    Scale shape: every shuffle before the final join moves 8-byte gram
+    hashes or int positions, pre-aggregated per doc (the q72/q48
+    payload discipline). The rebuild is ONE doc-keyed join of the
+    corpus against the per-doc covered-position arrays — only docs
+    that actually contain shared spans appear on the build side, so
+    Spark broadcasts it when duplication is sparse; rewriting the text
+    itself is inherently corpus-sized and happens map-side after the
+    join via an index filter over the token array (no word-level
+    explode of the corpus, no collect_list re-assembly shuffle).
+    """
+    # (doc, start, gram-hash): posexplode over the shingle array gives
+    # the start WORD index directly (one shingle per word position)
+    gp = (df.select(F.col(id_col),
+                    F.posexplode(tx.word_shingles(F.col(text_col), n=n))
+                    .alias("pos", "gram"))
+          .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n))
+          .select(F.col(id_col), "pos",
+                  tx.md5_hash60(F.col("gram")).alias("h")))
+    shared = (gp.select(id_col, "h").distinct()
+              .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+              .where(F.col("nd") >= min_docs).select("h"))
+    cov = (gp.join(shared, "h", "left_semi")
+           .select(F.col(id_col),
+                   F.explode(F.sequence(F.col("pos"),
+                                        F.col("pos") + F.lit(n - 1)))
+                   .alias("p"))
+           .groupBy(id_col).agg(F.collect_set("p").alias("cov")))
+    toks = tx.tokens(F.col(text_col))
+    covered = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(toks, lambda w, i: ~F.array_contains(covered, i))
+    return (df.join(cov, id_col, "left")
+            .select(F.col(id_col),
+                    F.array_join(kept, " ").alias("text_clean"),
+                    F.size(toks).cast("bigint").alias("n_words"),
+                    (F.size(toks) - F.size(kept)).cast("bigint")
+                    .alias("n_removed")))

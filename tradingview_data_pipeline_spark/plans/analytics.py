@@ -248,9 +248,13 @@ def q5_order_activity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q7 — per-group z-score with min-group + zero-std gates (W3+A1;
-# calcompositescore.py:222-270). Exact-deterministic formulation: decimal
-# sums for mean/M2, then identical double arithmetic in both engines.
+# q7 — per-group window statistics, tagged union (round-8 consolidation
+# #10, COVERAGE.md map): 'zscore' — per-group z-score with min-group +
+# zero-std gates (W3+A1; calcompositescore.py:222-270), exact-
+# deterministic via decimal sums then identical double arithmetic;
+# 'rank' — rank within partition (W2; calfundamentalscore.py:339-349
+# fundamental_rank per market-cap category). Each leg keeps its own
+# single-window plan over customer; the union is plan-free glue.
 # ---------------------------------------------------------------------------
 
 @register("q7_group_zscore", oracle="""
@@ -262,16 +266,39 @@ WITH b AS (
   FROM customer
   WINDOW w AS (PARTITION BY c_nationkey)
 )
-SELECT c_custkey, c_nationkey, c_acctbal,
+SELECT 'zscore' AS kind, c_custkey AS custkey,
+       CAST(c_nationkey AS VARCHAR) AS grp, c_acctbal,
        CASE WHEN c_acctbal IS NULL OR n < 3 OR sd = 0.0 OR sd IS NULL
-            THEN 0.0 ELSE (c_acctbal - mu) / sd END AS acctbal_z
+            THEN 0.0 ELSE (c_acctbal - mu) / sd END AS z,
+       CAST(NULL AS BIGINT) AS rnk
 FROM (
   SELECT *, s1 / n AS mu,
          SQRT(GREATEST((s2 - (s1 * s1) / n) / (n - 1), 0.0)) AS sd
   FROM b
 )
+UNION ALL
+SELECT 'rank' AS kind, c_custkey AS custkey, c_mktsegment AS grp,
+       c_acctbal, CAST(NULL AS DOUBLE) AS z,
+       ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC)
+         AS rnk
+FROM customer
 """)
 def q7_group_zscore(spark, sf_dir):
+    z = _q7_zscore(spark, sf_dir).select(
+        F.lit("zscore").alias("kind"), F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("string").alias("grp"), "c_acctbal",
+        F.col("acctbal_z").alias("z"),
+        F.lit(None).cast("bigint").alias("rnk"))
+    r = _q11_rank_partition(spark, sf_dir).select(
+        F.lit("rank").alias("kind"), F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("grp"), "c_acctbal",
+        F.lit(None).cast("double").alias("z"),
+        F.col("segment_rank").alias("rnk"))
+    return z.unionByName(r)
+
+
+def _q7_zscore(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey")
     v = F.col("c_acctbal")
@@ -379,17 +406,11 @@ def q10_rank_bucket(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q11 — rank within partition (W2; calfundamentalscore.py:339-349
-# fundamental_rank per market-cap category).
+# q11 — rank within partition: the 'rank' leg of q7_group_zscore since
+# the round-8 consolidation (W2; calfundamentalscore.py:339-349).
 # ---------------------------------------------------------------------------
 
-@register("q11_rank_partition", oracle="""
-SELECT c_custkey, c_mktsegment, c_acctbal,
-       ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                          ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC) AS segment_rank
-FROM customer
-""")
-def q11_rank_partition(spark, sf_dir):
+def _q11_rank_partition(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     out = ops.rank_within(c, ["c_mktsegment"], "c_acctbal",
                           out_col="segment_rank", tie_break="c_custkey")
