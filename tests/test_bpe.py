@@ -120,3 +120,29 @@ def test_bpe_encode_tokenizes_like_training(spark):
     expect = [s for w in ["a b", "a b"]
               for s in bpe._encode_word(w, merges)]
     assert out["bpe_tokens"] == expect  # ONE word per occurrence, not two
+
+
+def test_bpe_pair_batch_is_exact(spark):
+    """pair_batch amortizes driver round-trips but must produce the
+    BIT-IDENTICAL merge sequence: each action applies only the prefix
+    of the sequential order the count snapshot can PROVE (see
+    _select_exact_batch's soundness argument)."""
+    base = bpe.bpe_train(_df(spark), "text", n_merges=20)
+    for pb in (4, 16, 64):
+        got = bpe.bpe_train(_df(spark), "text", n_merges=20, pair_batch=pb)
+        assert got == base, f"pair_batch={pb}"
+    assert base == _ref_train(TEXTS, 20)
+
+
+def test_bpe_leading_whitespace_no_phantom_empty_word(spark):
+    """Text starting with a tab/newline must not inject an empty word
+    into the frequency table (tx.tokens trims spaces only, so \\s+
+    split yields a leading '' for such texts)."""
+    df = spark.createDataFrame(
+        [(1, "\tab ab ab"), (2, "\nab ab")], "doc_id long, text string")
+    wf = {r["word"]: r["freq"]
+          for r in bpe.word_freq_table(df, "text").collect()}
+    assert "" not in wf
+    assert wf == {"ab": 5}
+    merges = bpe.bpe_train(df, "text", n_merges=3, min_pair_count=2)
+    assert merges == _ref_train(["ab ab ab", "ab ab"], 3)

@@ -469,6 +469,47 @@ def test_bm25_log_idf_rank_agreement(spark):
     assert by_rank == expect
 
 
+def test_bm25_lucene_variant_matches_python_bm25(spark):
+    """idf='lucene' must compute full Lucene-style log-idf BM25 — the
+    drop-in variant for callers whose MULTI-term rankings the default
+    rational idf can distort (rare terms overweighted). Verified by
+    value against a pure-Python BM25 (this variant is pytest-verified,
+    not oracle-checked: transcendental ln is not hash-stable across
+    engines)."""
+    import math
+    docs = _bm25_docs(spark)
+    terms = ["spark", "query", "fast"]
+    out = {r["doc_id"]: r for r in cp.bm25_scores(
+        docs, "doc_id", "text", terms, k=5, idf="lucene").collect()}
+
+    rows = docs.collect()
+    toks = {r["doc_id"]: r["text"].split() for r in rows}
+    n = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / n
+
+    def score(d):
+        s = 0.0
+        for t in terms:
+            dfreq = sum(1 for w in toks.values() if t in w)
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            tf = toks[d].count(t)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl))
+        return s
+
+    for d in toks:
+        assert abs(out[d]["score"] - score(d)) < 1e-12, d
+    expect = sorted(toks, key=lambda d: (-score(d), d))
+    assert [r["doc_id"] for r in
+            sorted(out.values(), key=lambda r: r["rk"])] == expect
+
+
+def test_bm25_unknown_idf_rejected(spark):
+    import pytest
+    with pytest.raises(ValueError, match="idf variant"):
+        cp.bm25_scores(_bm25_docs(spark), "doc_id", "text", ["x"],
+                       idf="classic")
+
+
 def test_bm25_zero_df_term_contributes_nothing(spark):
     out = cp.bm25_scores(_bm25_docs(spark), "doc_id", "text",
                          ["spark", "absent_term"], k=5)

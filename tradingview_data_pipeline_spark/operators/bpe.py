@@ -46,8 +46,15 @@ END_OF_WORD = "</w>"
 
 def word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
     """``(word, freq)`` over the corpus — the one corpus-sized pass of
-    BPE training; everything after runs on the distinct-word table."""
+    BPE training; everything after runs on the distinct-word table.
+
+    Empty tokens are dropped: ``tx.tokens`` splits the space-trimmed
+    text on ``\\s+``, so text starting with a tab/newline yields a
+    leading "" token — a phantom word ``['', '</w>']`` that
+    ``bpe_encode``'s tokenizer can never produce and that would skew
+    merge statistics."""
     return (df.select(F.explode(tx.tokens(F.col(text_col))).alias("word"))
+            .where(F.col("word") != "")
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
 
 
@@ -77,6 +84,53 @@ def _merge_pair(symbols: Column, a: str, b: str) -> Column:
     )
 
 
+def _select_exact_batch(rows, selected_limit: int,
+                        min_pair_count: int) -> list[tuple[str, str, int]]:
+    """From one pair-count snapshot (rows ordered cnt desc, a asc,
+    b asc), pick the LONGEST prefix of the exact sequential-BPE merge
+    sequence that the snapshot alone can prove.
+
+    Soundness: applying a selected merge (a, b) only (i) DECREASES
+    counts of pairs sharing a symbol with it, and (ii) CREATES pairs
+    involving the fresh token ``a+b`` whose counts are bounded by the
+    old counts of pairs sharing ``a`` or ``b`` (every (x, ab) was an
+    (x, a) occurrence). Fresh tokens can never equal a snapshot symbol,
+    so a candidate disjoint from everything selected keeps its exact
+    count, and it is provably the next argmax when its count strictly
+    exceeds ``bound`` = max old count over (1) snapshot pairs sharing a
+    symbol with the selected set and (2) every un-fetched pair (<= the
+    last fetched count). Strict inequality sidesteps tie-breaks against
+    pairs whose counts we can only bound. Selection stops at the first
+    unprovable candidate — callers re-count and continue, so results
+    are IDENTICAL to the one-merge-per-action sequence.
+    """
+    out: list[tuple[str, str, int]] = []
+    taken: set[int] = set()
+    sym: set[str] = set()
+    # anything beyond the fetched window is bounded by the last count
+    # fetched; if the window held every pair, nothing is beyond it
+    floor = rows[-1]["cnt"] if len(rows) == selected_limit else 0
+    while len(out) < selected_limit:
+        bound = floor
+        pick = None
+        for i, r in enumerate(rows):
+            if i in taken:
+                continue
+            if r["a"] in sym or r["b"] in sym:
+                bound = max(bound, r["cnt"])
+            elif pick is None:
+                pick = (i, r)
+        if pick is None:
+            break
+        i, r = pick
+        if r["cnt"] < min_pair_count or (out and r["cnt"] <= bound):
+            break
+        taken.add(i)
+        sym.update((r["a"], r["b"]))
+        out.append((r["a"], r["b"], r["cnt"]))
+    return out
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -84,39 +138,57 @@ def bpe_train(
     n_merges: int = 50,
     min_pair_count: int = 2,
     checkpoint_every: int = 5,
+    pair_batch: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list (the tokenizer). Stops early when no adjacent
     pair reaches ``min_pair_count`` (weighted by word frequency).
 
-    Per iteration: one action over the word table (pair count + argmax
+    Per iteration: one action over the word table (pair count + top-k
     with count-desc / pair-lexicographic tie-break — deterministic on
-    any cluster layout), then a lazy symbol rewrite. The collect is a
-    single row; word-table lineage is truncated every
+    any cluster layout), then a lazy symbol rewrite. The collect is
+    ``pair_batch`` rows; word-table lineage is truncated every
     ``checkpoint_every`` rounds.
+
+    ``pair_batch > 1`` amortizes the per-iteration driver round-trip —
+    the binding cost at realistic vocabulary sizes (tens of thousands
+    of merges), since the word-table job itself is corpus-size-
+    independent. Each action fetches the top ``pair_batch`` pairs and
+    applies the longest PROVABLY-exact prefix of the sequential merge
+    order (``_select_exact_batch``) — the result is bit-identical to
+    ``pair_batch=1`` (pytest-pinned), only the action count drops.
+    Merge-heavy regimes where consecutive best pairs share symbols
+    (early character-level rounds) batch poorly by construction;
+    plateau regimes (the long tail of a big vocabulary) batch well.
     """
     words = word_freq_table(df, text_col).withColumn(
         "symbols", _initial_symbols(F.col("word"))).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for it in range(n_merges):
+    since_ckpt = 0
+    while len(merges) < n_merges:
         pairs = words.select(
             F.col("freq"),
             F.explode(F.expr(
                 "transform(slice(symbols, 1, size(symbols) - 1), "
                 "(s, i) -> struct(s AS a, symbols[i + 1] AS b))")).alias("p"))
-        best = (pairs.groupBy("p.a", "p.b")
+        fetch = max(1, pair_batch)
+        rows = (pairs.groupBy("p.a", "p.b")
                 .agg(F.sum("freq").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), F.col("a").asc(),
                          F.col("b").asc())
-                .limit(1).collect())
-        if not best or best[0]["cnt"] < min_pair_count:
+                .limit(fetch).collect())
+        if not rows or rows[0]["cnt"] < min_pair_count:
             break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        words = words.withColumn("symbols",
-                                 _merge_pair(F.col("symbols"), a, b))
-        if (it + 1) % checkpoint_every == 0:
+        batch = _select_exact_batch(rows, fetch, min_pair_count)
+        batch = batch[:n_merges - len(merges)]
+        for a, b, _ in batch:
+            merges.append((a, b))
+            words = words.withColumn("symbols",
+                                     _merge_pair(F.col("symbols"), a, b))
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every:
             words = words.localCheckpoint(eager=True)
+            since_ckpt = 0
     return merges
 
 

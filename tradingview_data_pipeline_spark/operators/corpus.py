@@ -239,6 +239,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 50,
+    idf: str = "rational",
 ) -> DataFrame:
     """Top-``k`` documents by BM25 relevance for a bag of query terms.
 
@@ -249,9 +250,9 @@ def bm25_scores(
     corpus stats (N, total length, per-term document frequencies) and is
     broadcast back — two jobs total, no shuffle of the corpus itself.
 
-    Cross-engine determinism: uses the RATIONAL idf variant
-    ``(N - df + 0.5) / (df + 0.5)`` — the classic BM25 idf without the
-    log. Every step is IEEE +,-,*,/ on exactly-representable inputs
+    Cross-engine determinism: the default ``idf="rational"`` uses the
+    classic BM25 idf without the log, ``(N - df + 0.5) / (df + 0.5)``.
+    Every step is IEEE +,-,*,/ on exactly-representable inputs
     (correctly rounded, bit-identical across engines), and the per-term
     contributions are summed left-to-right in ``query_terms`` order, so
     scores are oracle-checkable by hash. ``ln(1 + idf)`` (the
@@ -261,12 +262,21 @@ def bm25_scores(
     identical to the BM25 people actually run; the agreement is
     pytest-pinned (same pattern as ``tfidf_top_terms``' log variant).
 
+    MULTI-term rankings can diverge between the variants (the rational
+    idf overweights rare terms relative to the log). Callers wanting
+    drop-in Lucene-style BM25 pass ``idf="lucene"`` — same plan, the
+    log applied per term; verified by pytest against a pure-Python
+    BM25 (transcendental ``ln`` is not hash-stable cross-engine, so
+    this variant is deliberately NOT the oracle-checked default).
+
     Scale: the stats row is O(len(query_terms)); the corpus pass is
     map-only + one broadcast join. At 100 TB this is a scan, not a
     shuffle. Ties break on ``id_col`` ascending.
     """
     if not query_terms:
         raise ValueError("bm25_scores: query_terms must be non-empty")
+    if idf not in ("rational", "lucene"):
+        raise ValueError(f"bm25_scores: unknown idf variant {idf!r}")
     toks = tx.tokens(F.col(text_col))
 
     # NB: a two-argument lambda would be interpreted by F.filter as
@@ -291,9 +301,12 @@ def bm25_scores(
     score = None
     for i in range(len(query_terms)):
         tfd = F.col(f"tf_{i}").cast("double")
-        idf = ((F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5)) \
+        idf_i = ((F.col("n_docs") - F.col(f"df_{i}")).cast("double")
+                 + F.lit(0.5)) \
             / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
-        s_i = idf * ((tfd * F.lit(k1 + 1.0)) / (tfd + F.lit(k1) * dl_norm))
+        if idf == "lucene":
+            idf_i = F.log(F.lit(1.0) + idf_i)
+        s_i = idf_i * ((tfd * F.lit(k1 + 1.0)) / (tfd + F.lit(k1) * dl_norm))
         score = s_i if score is None else score + s_i
     topk = (scored.withColumn("score", score)
             .select(id_col, "dl",
