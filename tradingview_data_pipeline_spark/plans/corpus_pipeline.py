@@ -49,9 +49,22 @@ def run_corpus_prep(
     quality_min: float = 25.0,
     jaccard_threshold: float = 0.5,
     n_shards: int = 8,
+    lsh_k: int = 8,
+    lsh_bands: int = 4,
 ) -> dict:
     """Run the full corpus-prep pipeline; returns a metrics dict (the
-    per-stage row accounting a production corpus build logs)."""
+    per-stage row accounting a production corpus build logs).
+
+    ``lsh_k`` / ``lsh_bands`` size the near-dup banding. The default
+    (k=8, bands=4 — 2 rows/band) matches the oracle-checked q28/q42
+    configuration, but 2-row bands collide heavily past ~10^5 docs on
+    low-entropy corpora (the measured q28 third-decade blowup,
+    SCALING.md): at corpus scale pass ``lsh_k=16`` (4 rows/band) —
+    measured to take the 500k-doc pipeline 396 -> 141 s, trading ~6%
+    of borderline-Jaccard candidate recall. Pipeline cost is
+    CANDIDATE-PAIR-bound (exact Jaccard verification is Θ(pairs ×
+    shingles/doc)); see the round-8 SCALING.md stage table for the
+    measured attribution."""
     n_input = docs.count()
 
     # exact dedup is recomputed by the clustering build and the export
@@ -63,7 +76,7 @@ def run_corpus_prep(
     # one LSH/clustering pass, reused by keeper-selection AND the split;
     # checkpointed, so its row count (= post-exact-dedup corpus) is free
     clusters = dd.dedup_clusters(
-        exact, "doc_id", "text",
+        exact, "doc_id", "text", k=lsh_k, bands=lsh_bands,
         jaccard_threshold=jaccard_threshold).localCheckpoint(eager=True)
     n_exact = clusters.count()
     kept = exact.join(
