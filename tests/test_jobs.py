@@ -447,3 +447,31 @@ def test_incremental_builder_crash_between_commits_converges(
         m = b2.add_batch(_corpus_batch(spark, batch2))    # plain replay
         assert state_of(b2) == want, f"window after commit {crash_after}"
         assert m["appended"] <= 1                         # no double-adds
+
+
+def test_corpus_prep_remove_spans_stage(spark, tmp_path):
+    """remove_spans=True adds the substring-level pass after document
+    dedup: a shared 8-gram run between otherwise-different docs (below
+    the Jaccard threshold, so both survive clustering) is kept only in
+    its min-doc owner; the other copy is excised from the shipped
+    shards."""
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    shared = "one two three four five six seven eight"
+    tail_a = ("completely separate material about alpha beta gamma delta "
+              "epsilon zeta eta theta iota kappa " * 2)
+    tail_b = ("unrelated second story covering música física química "
+              "baloncesto fútbol tenis golf rugby cricket " * 2)
+    docs = spark.createDataFrame(
+        [(1, shared + " " + tail_a),
+         (2, shared + " " + tail_b)],
+        "doc_id long, text string")
+    m = corpus_pipeline.run_corpus_prep(
+        spark, docs, str(tmp_path / "out"), quality_min=0.0,
+        remove_spans=True)
+    assert m["after_near_dedup_and_quality"] == 2     # both docs survive
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert texts[1].startswith(shared)                # owner keeps span
+    assert shared not in texts[2]                     # copy excised
+    assert "unrelated second story" in texts[2]       # tail intact

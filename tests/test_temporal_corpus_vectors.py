@@ -469,6 +469,29 @@ def test_bm25_log_idf_rank_agreement(spark):
     assert by_rank == expect
 
 
+def test_remove_dup_spans_keep_min_doc(spark):
+    """keep_min_doc=True protects shared-gram occurrences in the
+    MIN-doc_id owner: exactly one document retains each shared span
+    (suffix-array dedup's keep-one-copy rule with a deterministic,
+    layout-independent owner)."""
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(5, shared + " tail1 tail2"),     # min doc containing the span
+         (9, "head " + shared),
+         (12, shared + " other end here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cp.remove_dup_spans(
+        docs, "doc_id", "text", n=8, keep_min_doc=True).collect()}
+    assert out[5]["text_clean"] == shared + " tail1 tail2"   # owner keeps
+    assert out[5]["n_removed"] == 0
+    assert out[9]["text_clean"] == "head" and out[9]["n_removed"] == 8
+    assert out[12]["text_clean"] == "other end here"
+    # default mode still cuts every copy including the owner's
+    hard = {r["doc_id"]: r for r in cp.remove_dup_spans(
+        docs, "doc_id", "text", n=8).collect()}
+    assert hard[5]["text_clean"] == "tail1 tail2"
+
+
 def test_bm25_lucene_variant_matches_python_bm25(spark):
     """idf='lucene' must compute full Lucene-style log-idf BM25 — the
     drop-in variant for callers whose MULTI-term rankings the default

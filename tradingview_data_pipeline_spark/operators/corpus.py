@@ -377,7 +377,8 @@ def dup_span_profile(
 
 
 def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
-                     *, n: int = 8, min_docs: int = 2) -> DataFrame:
+                     *, n: int = 8, min_docs: int = 2,
+                     keep_min_doc: bool = False) -> DataFrame:
     """The ACTION half of ``dup_span_profile``: rewrite every document
     with its cross-document duplicated spans EXCISED — the cut step of
     suffix-array substring dedup ("Deduplicating Training Data Makes
@@ -388,11 +389,15 @@ def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
     ALL documents and the text is rebuilt from the survivors (adjacent
     shared grams merge into one excised interval automatically —
     coverage is computed positionally, so overlapping spans never
-    double-cut). Unlike the suffix-array pipeline's keep-one-copy rule
-    this cuts every copy: keeping "the first" occurrence needs a total
-    order over documents, which a distributed rewrite cannot honor
-    deterministically without a global sort — callers that want one
-    retained copy should route keeper docs around the operator.
+    double-cut). By default this cuts EVERY copy; the suffix-array
+    pipeline's keep-one-copy rule is available as
+    ``keep_min_doc=True``: occurrences of a shared gram inside the
+    MIN-doc_id document containing it are protected (a deterministic,
+    layout-independent owner — "first" by the stable key, no global
+    sort needed), so exactly one document retains each shared span.
+    Protection is per gram occurrence: a position in the owner doc can
+    still be cut when a DIFFERENT shared gram it sits under is owned
+    elsewhere.
 
     Returns one row per input document: (id, ``text_clean``,
     ``n_words``, ``n_removed``). Documents shorter than ``n`` words
@@ -417,9 +422,13 @@ def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
           .select(F.col(id_col), "pos",
                   tx.md5_hash60(F.col("gram")).alias("h")))
     shared = (gp.select(id_col, "h").distinct()
-              .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-              .where(F.col("nd") >= min_docs).select("h"))
-    cov = (gp.join(shared, "h", "left_semi")
+              .groupBy("h").agg(F.count(F.lit(1)).alias("nd"),
+                                F.min(id_col).alias("__owner"))
+              .where(F.col("nd") >= min_docs).select("h", "__owner"))
+    cutting = gp.join(shared, "h")
+    if keep_min_doc:
+        cutting = cutting.where(F.col(id_col) != F.col("__owner"))
+    cov = (cutting
            .select(F.col(id_col),
                    F.explode(F.sequence(F.col("pos"),
                                         F.col("pos") + F.lit(n - 1)))

@@ -9,6 +9,9 @@ a production corpus build runs them:
     documents
       -> exact dedup            (dedup.drop_exact_duplicates)
       -> near-dup clustering    (dedup.dedup_clusters; keepers only)
+      -> dup-span removal       (corpus.remove_dup_spans keep_min_doc;
+                                 optional — substring-level cut of
+                                 shared spans document dedup missed)
       -> quality gate           (text.quality_score threshold)
       -> PII redaction          (text.redact_pii)
       -> leakage-safe split     (sampling.cluster_safe_split on the
@@ -35,6 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tradingview_data_pipeline_spark.operators import corpus as cp
 from tradingview_data_pipeline_spark.operators import dedup as dd
 from tradingview_data_pipeline_spark.operators import export as ex
 from tradingview_data_pipeline_spark.operators import sampling as sp
@@ -51,6 +55,7 @@ def run_corpus_prep(
     n_shards: int = 8,
     lsh_k: int = 8,
     lsh_bands: int = 4,
+    remove_spans: bool = False,
 ) -> dict:
     """Run the full corpus-prep pipeline; returns a metrics dict (the
     per-stage row accounting a production corpus build logs).
@@ -82,6 +87,18 @@ def run_corpus_prep(
     kept = exact.join(
         clusters.where(F.col("is_keeper")).select("doc_id"),
         "doc_id", "left_semi")
+
+    if remove_spans:
+        # substring-level pass AFTER document-level dedup: cut shared
+        # 8-gram spans the near-dup clustering left behind (partial
+        # boilerplate overlap below the Jaccard threshold), keeping one
+        # canonical copy in the min-doc owner; docs emptied by the cut
+        # fall out at the quality gate below (token_count > 0)
+        cleaned = cp.remove_dup_spans(kept, "doc_id", "text",
+                                      keep_min_doc=True)
+        kept = kept.drop("text").join(
+            cleaned.select("doc_id",
+                           F.col("text_clean").alias("text")), "doc_id")
 
     gated = kept.where(
         (tx.quality_score(F.col("text")) >= F.lit(quality_min))
