@@ -475,3 +475,109 @@ def test_corpus_prep_remove_spans_stage(spark, tmp_path):
     assert texts[1].startswith(shared)                # owner keeps span
     assert shared not in texts[2]                     # copy excised
     assert "unrelated second story" in texts[2]       # tail intact
+
+
+SPAN = "one two three four five six seven eight"
+TAIL_A = ("completely separate material about alpha beta gamma delta "
+          "epsilon zeta eta theta iota kappa " * 2)
+TAIL_B = ("unrelated second story covering painting sculpture cinema "
+          "architecture poetry dance opera theatre " * 2)
+TAIL_C = ("third body of text mentioning rivers mountains valleys "
+          "deserts forests glaciers canyons islands " * 2)
+
+
+def test_incremental_builder_remove_spans_across_batches(spark, tmp_path):
+    """remove_spans=True cuts spans shared with the ALREADY-SHIPPED
+    corpus (keep-one-copy across batches: the first shipper retains),
+    and within a batch the min-doc owner retains; replayed batches cut
+    identically even with their own grams committed (owner-in-batch
+    hits are ignored)."""
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    b = IncrementalCorpusBuilder(spark, str(tmp_path / "state"),
+                                 quality_min=0.0, remove_spans=True)
+    m1 = b.add_batch(_corpus_batch(spark, [(1, SPAN + " " + TAIL_A)]))
+    assert m1["appended"] == 1 and m1["span_cut_tokens"] == 0
+
+    # doc 2 shares only the 8-word span (Jaccard far below 0.5, so it
+    # survives document-level dedup) -> the span is excised, tail kept
+    batch2 = _corpus_batch(spark, [(2, SPAN + " " + TAIL_B)])
+    m2 = b.add_batch(batch2)
+    assert m2["appended"] == 1 and m2["span_cut_tokens"] == 8
+    texts = {r["doc_id"]: r["text"] for r in b.corpus.read().collect()}
+    assert texts[1].startswith("one two three")          # shipper keeps
+    assert SPAN not in texts[2]
+    assert "unrelated second story" in texts[2]
+
+    # within-batch sharing: the min doc_id retains its copy
+    span2 = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    m3 = b.add_batch(_corpus_batch(spark, [
+        (10, span2 + " " + TAIL_C),
+        (11, span2 + " different closing words about astronomy physics "
+             "chemistry biology geology meteorology oceanography " * 2)]))
+    assert m3["appended"] == 2 and m3["span_cut_tokens"] == 8
+    texts = {r["doc_id"]: r["text"] for r in b.corpus.read().collect()}
+    assert texts[10].startswith(span2)
+    assert span2 not in texts[11]
+
+    # replay: the hash gate blocks re-processing entirely
+    m2r = b.add_batch(batch2)
+    assert m2r["appended"] == 0 and m2r["span_cut_tokens"] == 0
+
+
+def test_incremental_builder_remove_spans_crash_converges(
+        spark, tmp_path, monkeypatch):
+    """With remove_spans the per-batch chain is FIVE commits (index ->
+    corpus -> seen -> grams -> hash gate). A crash in any window must
+    replay to the no-crash state — the gram window (4) is the
+    interesting one: the replayed batch sees its OWN committed grams
+    and must ignore them (owner-in-batch exclusion) instead of cutting
+    its first-copy spans."""
+    import pytest
+
+    from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    batch1 = [(1, SPAN + " " + TAIL_A)]
+    batch2 = [(2, SPAN + " " + TAIL_B),
+              (3, "wholly new content with no shared spans at all "
+                  "covering gardening cooking carpentry plumbing " * 2)]
+
+    def state_of(b):
+        return (sorted(tuple(r) for r in b.corpus.read().collect()),
+                sorted(tuple(r) for r in b.seen.read().collect()),
+                sorted(tuple(r) for r in b.hashes.read().collect()),
+                sorted(tuple(r) for r in b.grams.read().collect()))
+
+    ref = IncrementalCorpusBuilder(spark, str(tmp_path / "ref"),
+                                   quality_min=0.0, remove_spans=True)
+    ref.add_batch(_corpus_batch(spark, batch1))
+    ref.add_batch(_corpus_batch(spark, batch2))
+    want = state_of(ref)
+
+    real = ParquetTable.merge_upsert
+    for crash_after in (1, 2, 3, 4):
+        state = str(tmp_path / f"s{crash_after}")
+        b = IncrementalCorpusBuilder(spark, state, quality_min=0.0,
+                                     remove_spans=True)
+        b.add_batch(_corpus_batch(spark, batch1))
+
+        calls = {"n": 0}
+
+        def crashing(self, df, **kw):
+            calls["n"] += 1
+            if calls["n"] > crash_after:
+                raise OSError("simulated crash between batch commits")
+            return real(self, df, **kw)
+
+        monkeypatch.setattr(ParquetTable, "merge_upsert", crashing)
+        with pytest.raises(OSError, match="simulated crash"):
+            b.add_batch(_corpus_batch(spark, batch2))
+        monkeypatch.undo()
+
+        b2 = IncrementalCorpusBuilder(spark, state, quality_min=0.0,
+                                      remove_spans=True)
+        b2.add_batch(_corpus_batch(spark, batch2))
+        assert state_of(b2) == want, f"window after commit {crash_after}"

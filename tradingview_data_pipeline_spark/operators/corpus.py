@@ -413,14 +413,7 @@ def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
     join via an index filter over the token array (no word-level
     explode of the corpus, no collect_list re-assembly shuffle).
     """
-    # (doc, start, gram-hash): posexplode over the shingle array gives
-    # the start WORD index directly (one shingle per word position)
-    gp = (df.select(F.col(id_col),
-                    F.posexplode(tx.word_shingles(F.col(text_col), n=n))
-                    .alias("pos", "gram"))
-          .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n))
-          .select(F.col(id_col), "pos",
-                  tx.md5_hash60(F.col("gram")).alias("h")))
+    gp = gram_positions(df, id_col, text_col, n=n)
     shared = (gp.select(id_col, "h").distinct()
               .groupBy("h").agg(F.count(F.lit(1)).alias("nd"),
                                 F.min(id_col).alias("__owner"))
@@ -428,7 +421,36 @@ def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
     cutting = gp.join(shared, "h")
     if keep_min_doc:
         cutting = cutting.where(F.col(id_col) != F.col("__owner"))
-    cov = (cutting
+    return cut_covered_positions(df, id_col, text_col,
+                                 cutting.select(id_col, "pos"), n=n)
+
+
+def gram_positions(df: DataFrame, id_col: str, text_col: str,
+                   *, n: int = 8) -> DataFrame:
+    """(id, pos, h): md5-60 hash of the word ``n``-gram starting at
+    word position ``pos`` (0-based) — posexplode over the shingle array
+    gives the start index directly (one shingle per word position;
+    the < n-word whole-text fallback is filtered by the exact-n
+    check). The shared span representation of ``dup_span_profile`` /
+    ``remove_dup_spans`` / the incremental builder's span store."""
+    return (df.select(F.col(id_col),
+                      F.posexplode(tx.word_shingles(F.col(text_col), n=n))
+                      .alias("pos", "gram"))
+            .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n))
+            .select(F.col(id_col), "pos",
+                    tx.md5_hash60(F.col("gram")).alias("h")))
+
+
+def cut_covered_positions(df: DataFrame, id_col: str, text_col: str,
+                          starts: DataFrame, *, n: int = 8) -> DataFrame:
+    """Rebuild each document with the given gram START positions
+    excised: ``starts`` is an (id, pos) frame; each start covers word
+    positions [pos, pos+n-1], unioned positionally (overlaps merge, no
+    double-cut). Returns (id, text_clean, n_words, n_removed). The
+    rebuild is ONE doc-keyed join of the corpus against the per-doc
+    covered-position arrays plus a map-side index filter over the
+    token array — no word-level explode of the corpus text."""
+    cov = (starts
            .select(F.col(id_col),
                    F.explode(F.sequence(F.col("pos"),
                                         F.col("pos") + F.lit(n - 1)))

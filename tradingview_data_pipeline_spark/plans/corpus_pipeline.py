@@ -171,6 +171,24 @@ class IncrementalCorpusBuilder:
         Backfilled automatically from ``seen`` for pre-existing state
         dirs that lack it.
       * ``neardup`` — the MinHash signature table.
+      * ``grams``   — present only with ``remove_spans=True``: one row
+        per shipped word-8-gram hash with the doc that RETAINED it
+        (h, owner). Insert-only (anti-joined before the upsert, so the
+        first owner is never overwritten); read bucket-pruned per
+        batch. ~16 bytes of state per shipped gram.
+
+    ``remove_spans=True`` adds incremental SUBSTRING-level dedup after
+    the document-level stages: batch keepers get every word position
+    covered by a gram already in the ``grams`` store excised (the
+    shipped copy is the protected one — keep-one-copy ACROSS batches),
+    plus within-batch sharing cut to the min-doc owner
+    (``corpus.remove_dup_spans`` semantics); docs emptied by the cut
+    are dropped before the split. Replay safety: store hits whose
+    owner is IN the current batch are ignored, so a replayed batch
+    cuts exactly what the first run cut even when its own grams are
+    already committed. Known edge (documented, matches the batch
+    operator's honesty contract): an owner doc emptied by OTHER cuts
+    can leave a recorded gram that no shipped doc carries.
 
     Dedup semantics are deliberately AGGRESSIVE-transitive: a new doc
     that Jaccard-verifies (>= threshold) against ANY seen doc is
@@ -190,7 +208,8 @@ class IncrementalCorpusBuilder:
     def __init__(self, spark: SparkSession, state_dir: str, *,
                  quality_min: float = 25.0,
                  jaccard_threshold: float = 0.5,
-                 buckets: int | None = None):
+                 buckets: int | None = None,
+                 remove_spans: bool = False):
         from pyspark.sql import types as T
 
         from tradingview_data_pipeline_spark.operators.merge import ParquetTable
@@ -228,6 +247,12 @@ class IncrementalCorpusBuilder:
                 self.seen.read().select("content_hash").distinct())
         self.index = dd.IncrementalNearDupIndex(
             spark, os.path.join(state_dir, "neardup"), buckets=buckets)
+        self.remove_spans = remove_spans
+        self.grams = ParquetTable(
+            spark, os.path.join(state_dir, "grams"),
+            T.StructType([T.StructField("h", T.LongType()),
+                          T.StructField("owner", T.LongType())]),
+            "h", buckets=buckets)
 
     def add_batch(self, docs: DataFrame) -> dict:
         """Process one batch of (doc_id, text); returns stage metrics."""
@@ -293,6 +318,49 @@ class IncrementalCorpusBuilder:
 
         keepers = batch_e if dropped_ids is None else \
             batch_e.join(dropped_ids, "doc_id", "left_anti")
+
+        new_grams = None
+        span_cut_tokens = 0
+        if self.remove_spans:
+            gp = cp.gram_positions(keepers, "doc_id", "text") \
+                .localCheckpoint(eager=True)
+            batch_ids2 = keepers.select("doc_id")
+            # store hits, bucket-pruned; hits owned by THIS batch are
+            # replay echoes of our own commit — ignore them so a
+            # replayed batch cuts exactly what the first run cut
+            hits = (self.grams.read_matching(gp.select("h"))
+                    .join(gp.select("h").distinct(), "h", "left_semi")
+                    .join(batch_ids2.withColumnRenamed("doc_id", "owner"),
+                          "owner", "left_anti"))
+            seen_cov = (gp.join(F.broadcast(hits.select("h")), "h",
+                                "left_semi")
+                        .select("doc_id", "pos"))
+            wb = (gp.select("doc_id", "h").distinct()
+                  .groupBy("h")
+                  .agg(F.count(F.lit(1)).alias("nd"),
+                       F.min("doc_id").alias("owner_b"))
+                  .where(F.col("nd") >= 2))
+            wb_cov = (gp.join(wb, "h")
+                      .where(F.col("doc_id") != F.col("owner_b"))
+                      .select("doc_id", "pos"))
+            cut = cp.cut_covered_positions(
+                keepers.select("doc_id", "text"), "doc_id", "text",
+                seen_cov.unionByName(wb_cov)).localCheckpoint(eager=True)
+            span_cut_tokens = (cut.agg(F.sum("n_removed")).collect()[0][0]
+                               or 0)
+            keepers = (keepers.drop("text")
+                       .join(cut.select(
+                           "doc_id",
+                           F.col("text_clean").alias("text")), "doc_id")
+                       .where(tx.token_count(F.col("text")) > 0))
+            # record each shipped gram once with its retaining doc;
+            # insert-only (first owner wins on replay)
+            new_grams = (gp.groupBy("h")
+                         .agg(F.min("doc_id").alias("owner"))
+                         .join(self.grams.read_matching(gp.select("h")),
+                               "h", "left_anti")
+                         .localCheckpoint(eager=True))
+
         final = sp.hash_split(
             keepers.withColumn("text", tx.redact_pii(F.col("text"))),
             "doc_id", {"train": 80, "val": 90, "test": 100}).drop(
@@ -306,14 +374,19 @@ class IncrementalCorpusBuilder:
         self.corpus.merge_upsert(final)
         self.seen.merge_upsert(batch_e.select("doc_id", "text",
                                               "content_hash"))
+        if new_grams is not None:
+            self.grams.merge_upsert(new_grams)
         self.hashes.merge_upsert(batch_e.select("content_hash"))
-        return {
+        out = {
             "batch_rows": n_batch,
             "after_quality_and_exact": n_exact,
             "neardup_dropped": n_exact - n_appended,
             "appended": n_appended,
             "corpus_rows": self.corpus.row_count(),
         }
+        if self.remove_spans:
+            out["span_cut_tokens"] = int(span_cut_tokens)
+        return out
 
     def compact(self) -> None:
         """Bound file counts after many small batches (manifest-committed,
@@ -321,4 +394,6 @@ class IncrementalCorpusBuilder:
         self.corpus.compact()
         self.seen.compact()
         self.hashes.compact()
+        if self.grams.exists():
+            self.grams.compact()
         self.index.compact()
