@@ -543,6 +543,26 @@ def test_bm25_zero_df_term_contributes_nothing(spark):
     assert a == b  # tf=0 terms add exactly 0.0 regardless of df
 
 
+def test_token_rarity_profile(spark):
+    """Hand-computed document frequencies: mean_token_df is
+    occurrence-weighted; rare_frac counts occurrences of
+    single-document tokens; empty docs report zeros."""
+    docs = spark.createDataFrame(
+        [(1, "a a b"),        # a: df=2, b: df=1
+         (2, "a c"),          # c: df=2
+         (3, "c d"),          # d: df=1
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cp.token_rarity_profile(docs, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_token_df"] == (2 + 2 + 1) / 3   # a,a,b
+    assert out[1]["rare_frac"] == 1 / 3                 # just b
+    assert out[2]["mean_token_df"] == (2 + 2) / 2 and out[2]["rare_frac"] == 0.0
+    assert out[3]["mean_token_df"] == (2 + 1) / 2 and out[3]["rare_frac"] == 0.5
+    assert out[4]["n_tokens"] == 0 and out[4]["mean_token_df"] == 0.0
+
+
 # --- duplicate spans (operators/corpus.dup_span_profile) ------------------
 
 def test_dup_span_profile_planted_overlap(spark):

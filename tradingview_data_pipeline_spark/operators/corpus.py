@@ -425,6 +425,52 @@ def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
                                  cutting.select(id_col, "pos"), n=n)
 
 
+def token_rarity_profile(df: DataFrame, id_col: str,
+                         text_col: str) -> DataFrame:
+    """Per-document corpus-frequency quality signals — the
+    exact-arithmetic stand-in for LM-perplexity corpus filtering:
+    documents whose tokens are corpus-rare are OCR noise / junk /
+    wrong-language; documents whose tokens are all corpus-ubiquitous
+    are boilerplate.
+
+    Returns one row per document: ``n_tokens`` (occurrences),
+    ``mean_token_df`` (occurrence-weighted mean DOCUMENT frequency of
+    the doc's tokens) and ``rare_frac`` (fraction of occurrences whose
+    token appears in no other document). Integer sums + one terminal
+    IEEE division each — deterministic on any layout (no
+    transcendental log, unlike perplexity, so thresholds reproduce
+    bit-for-bit across engines and runs).
+
+    Scale shape (the q72 payload discipline): tokens are md5-60 hashed
+    immediately and pre-aggregated to one row per (doc, token-hash)
+    with its multiplicity, so both shuffles (the document-frequency
+    aggregate and the join back) carry 8-byte hashes + small ints —
+    never token strings. A 60-bit collision conflates two tokens
+    (P ~ vocab²/2^61), shifting a count by noise; acceptable for a
+    quality SIGNAL.
+    """
+    th = (df.select(F.col(id_col),
+                    F.explode(tx.tokens(F.col(text_col))).alias("tok"))
+          .select(F.col(id_col), tx.md5_hash60(F.col("tok")).alias("th")))
+    per_tok = th.groupBy(id_col, "th").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = per_tok.groupBy("th").agg(F.count(F.lit(1)).alias("tdf"))
+    per = (per_tok.join(dfreq, "th")
+           .groupBy(id_col)
+           .agg(F.sum("c").alias("n_tokens"),
+                F.sum(F.col("c") * F.col("tdf")).alias("sum_df"),
+                F.sum(F.when(F.col("tdf") == 1, F.col("c")).otherwise(0))
+                .alias("n_rare")))
+    n = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+    return (df.select(id_col).join(per, id_col, "left")
+            .select(F.col(id_col), n.alias("n_tokens"),
+                    F.when(n > 0, F.col("sum_df").cast("double")
+                           / n.cast("double"))
+                    .otherwise(F.lit(0.0)).alias("mean_token_df"),
+                    F.when(n > 0, F.col("n_rare").cast("double")
+                           / n.cast("double"))
+                    .otherwise(F.lit(0.0)).alias("rare_frac")))
+
+
 def gram_positions(df: DataFrame, id_col: str, text_col: str,
                    *, n: int = 8) -> DataFrame:
     """(id, pos, h): md5-60 hash of the word ``n``-gram starting at
