@@ -270,6 +270,108 @@ def test_incremental_index_stored_side_unshuffled(spark, tmp_path,
             assert "SortMergeJoin" not in a and "Sort " not in a, a
 
 
+def test_incremental_neardup_banded_store_mode(spark, tmp_path):
+    """banded_store=True must behave exactly like the scan mode across
+    batches (same pair sets), honor the re-add refresh contract, and
+    persist across handles — while reading only touched bucket
+    directories per trigger (BandedBucketStore)."""
+    import random
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def text(i):
+        rng2 = random.Random(i % 17)           # collision-rich corpus
+        return " ".join(rng2.choices(vocab, k=20))
+
+    batches = [[(j, text(j)) for j in range(b * 7, b * 7 + 7)]
+               for b in range(4)]
+
+    scan = dd.IncrementalNearDupIndex(spark, str(tmp_path / "scan"),
+                                      buckets=4)
+    band = dd.IncrementalNearDupIndex(spark, str(tmp_path / "band"),
+                                      buckets=4, banded_store=True)
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got_s = {(r["doc_a"], r["doc_b"])
+                 for r in scan.add_and_find(df).collect()}
+        df2 = spark.createDataFrame(rows, "doc_id long, text string")
+        got_b = {(r["doc_a"], r["doc_b"])
+                 for r in band.add_and_find(df2).collect()}
+        assert got_b == got_s
+
+    # re-add doc 0 with DIFFERENT text: both modes refresh the
+    # signature (row count stable) and report the same new pairs
+    redo = [(0, text(3))]
+    got_s = {(r["doc_a"], r["doc_b"]) for r in scan.add_and_find(
+        spark.createDataFrame(redo, "doc_id long, text string")).collect()}
+    got_b = {(r["doc_a"], r["doc_b"]) for r in band.add_and_find(
+        spark.createDataFrame(redo, "doc_id long, text string")).collect()}
+    assert got_b == got_s
+    assert band.table.read().count() == scan.table.read().count() == 28
+
+    # persistence: a fresh banded handle continues identically
+    scan2 = dd.IncrementalNearDupIndex(spark, str(tmp_path / "scan"),
+                                       buckets=4)
+    band2 = dd.IncrementalNearDupIndex(spark, str(tmp_path / "band"),
+                                       buckets=4, banded_store=True)
+    more = [(100, text(5))]
+    got_s = {(r["doc_a"], r["doc_b"]) for r in scan2.add_and_find(
+        spark.createDataFrame(more, "doc_id long, text string")).collect()}
+    got_b = {(r["doc_a"], r["doc_b"]) for r in band2.add_and_find(
+        spark.createDataFrame(more, "doc_id long, text string")).collect()}
+    assert got_b == got_s and got_b
+
+
+def test_incremental_neardup_banded_store_crash_replay(spark, tmp_path,
+                                                       monkeypatch):
+    """The store commits BEFORE the signature table; a crash in that
+    window leaves the store one batch ahead. A replay of the same
+    batch must produce the same pairs as a no-crash run and converge
+    both tables (set-merge update is idempotent; the store's batch
+    entries cannot self-pair)."""
+    import pytest
+
+    from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+
+    base = "the quick brown fox jumps over the lazy dog runs far away today"
+    batch1 = [(1, base), (2, "entirely different content about spark "
+                             "window aggregation internals right here")]
+    batch2 = [(3, base), (4, base + " with a small twist at the end")]
+
+    ref = dd.IncrementalNearDupIndex(spark, str(tmp_path / "ref"),
+                                     buckets=4, banded_store=True)
+    ref.add_and_find(spark.createDataFrame(batch1,
+                                           "doc_id long, text string"))
+    want_pairs = {(r["doc_a"], r["doc_b"]) for r in ref.add_and_find(
+        spark.createDataFrame(batch2, "doc_id long, text string")).collect()}
+    want_sigs = {tuple(r) for r in ref.table.read().collect()}
+
+    idx = dd.IncrementalNearDupIndex(spark, str(tmp_path / "crash"),
+                                     buckets=4, banded_store=True)
+    idx.add_and_find(spark.createDataFrame(batch1,
+                                           "doc_id long, text string"))
+
+    real = ParquetTable.merge_upsert
+    calls = {"n": 0}
+
+    def crashing(self, df, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:            # store commit ok, sig commit dies
+            raise OSError("simulated crash between store and signatures")
+        return real(self, df, **kw)
+
+    monkeypatch.setattr(ParquetTable, "merge_upsert", crashing)
+    with pytest.raises(OSError, match="simulated crash"):
+        idx.add_and_find(spark.createDataFrame(
+            batch2, "doc_id long, text string"))
+    monkeypatch.undo()
+
+    got = {(r["doc_a"], r["doc_b"]) for r in idx.add_and_find(
+        spark.createDataFrame(batch2, "doc_id long, text string")).collect()}
+    assert got == want_pairs
+    assert {tuple(r) for r in idx.table.read().collect()} == want_sigs
+
+
 def test_simhash_arrow_impl_identical_to_sql(spark):
     """The numpy mapInPandas signature path must be integer-identical to
     the SQL fold — including groups that STRADDLE Arrow batches (forced

@@ -68,6 +68,25 @@ def main() -> None:
             mh = dd.IncrementalNearDupIndex(
                 spark, os.path.join(tmp, "mh"), buckets=32)
             mh.table.overwrite(dd._minhash_agg(docs, "doc_id", "text", mh.k))
+            # banded-store mode: seed the signature table AND bulk-build
+            # the bucket-membership store the same way a backfill would
+            mb = dd.IncrementalNearDupIndex(
+                spark, os.path.join(tmp, "mb"), buckets=32,
+                banded_store=True)
+            sigs = dd._minhash_agg(docs, "doc_id", "text", mb.k)
+            mb.table.overwrite(sigs)
+            banded = mb._bk(dd._banded_signatures(sigs, "doc_id", mb.k,
+                                                  mb.bands))
+            grouped = (banded.groupBy("bk")
+                       .agg(F.count(F.lit(1)).alias("n"),
+                            F.collect_list(
+                                F.struct("id", "pl")).alias("docs")))
+            cap = mb.max_bucket
+            mb.store.table.overwrite(grouped.select(
+                "bk",
+                F.when(F.col("n") > cap, F.lit(None).cast(
+                    "array<struct<id:bigint,pl:bigint>>"))
+                .otherwise(F.col("docs")).alias("docs"), "n"))
             sh = dd.IncrementalSimHashIndex(
                 spark, os.path.join(tmp, "sh"), buckets=32)
             sh.table.overwrite(dd.simhash_table(docs, "doc_id", "text",
@@ -78,6 +97,7 @@ def main() -> None:
 
             for name, idx, batch, stored in (
                     ("minhash", mh, doc_batch, n_docs),
+                    ("minhash_banded", mb, doc_batch, n_docs),
                     ("simhash", sh, doc_batch, n_docs),
                     ("embedding", em, vec_batch, n_vecs)):
                 t0 = time.perf_counter()

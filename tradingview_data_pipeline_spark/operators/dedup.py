@@ -19,6 +19,8 @@ across engines and runs — never engine-native ``hash()``.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -190,6 +192,133 @@ def _batch_vs_stored_pairs(new_banded: DataFrame, stored_banded: DataFrame,
 
     return _pairs(new_b, stored_t, strict=False) \
         .unionByName(_pairs(new_b, new_b, strict=True))
+
+
+class BandedBucketStore:
+    """Persisted bucket-membership cache for the incremental indexes —
+    the 1B-doc step past ``_batch_vs_stored_pairs``: that join shape
+    never SHUFFLES the stored signatures, but it still SCANS them per
+    trigger (~72 GB/trigger at 1B docs). This store keeps one row per
+    LSH bucket key — ``(bk, docs array<struct<id,pl>>, n)`` — in a
+    hash-bucketed ``ParquetTable`` keyed by ``bk``, so a micro-batch
+    READS only the bucket directories its band keys touch
+    (``read_matching``): per-trigger disk cost is
+    O(touched buckets / total buckets × store), independent of the
+    signature table.
+
+    Semantics vs the scan-based shape (pytest-pinned equivalent except
+    one corner): the degenerate-bucket cap is STICKY — once a bucket's
+    population crosses ``max_bucket`` its membership array is nulled
+    (only the count keeps growing) and it never pairs again, even if
+    re-adds would theoretically shrink it below the cap. The scan
+    shape re-counts from scratch each trigger and could re-admit such
+    a bucket; a >cap bucket shrinking below cap requires mass re-adds
+    with changed content, which the append-only contract makes
+    vanishingly rare, and capped buckets are junk by construction.
+
+    Crash protocol: callers commit this store BEFORE the signature
+    table. A crash between the two leaves the store ahead by one
+    batch; on replay, pairing against a store that already contains
+    the batch is harmless (self-pairs are excluded by the id order,
+    batch×batch pairs dedup against the new×new leg) and the
+    set-merge update is idempotent, so replay converges.
+
+    ``pl`` carries a per-doc payload BIGINT (SimHash signature;
+    0 where unused) so Hamming filters run on the pair set only.
+    """
+
+    def __init__(self, spark, path: str, *,
+                 max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
+                 buckets: int | None = None):
+        from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+        self.max_bucket = max_bucket
+        schema = T.StructType([
+            T.StructField("bk", T.StringType()),
+            T.StructField("docs", T.ArrayType(T.StructType([
+                T.StructField("id", T.LongType()),
+                T.StructField("pl", T.LongType())]))),
+            T.StructField("n", T.LongType()),
+        ])
+        self.table = ParquetTable(spark, path, schema, "bk",
+                                  buckets=buckets)
+
+    def add_and_pairs(self, new_banded: DataFrame,
+                      old_banded: DataFrame) -> DataFrame:
+        """Update the store with a batch and return its candidate
+        pairs, reading ONLY touched bucket directories.
+
+        ``new_banded``: (id, bk, pl) — one row per (batch doc, band).
+        ``old_banded``: (id, bk) — band keys of RE-ADDED docs' stored
+        signatures (their old memberships are removed; pass an empty
+        frame when the caller knows ids are fresh).
+
+        Returns NON-distinct (id_a < id_b, pl_a, pl_b) pairs with at
+        least one batch member; the caller dedups across bands. The
+        store upsert commits before returning (pairs are pinned
+        first).
+        """
+        new_b = new_banded.localCheckpoint(eager=True)
+        old_b = old_banded.localCheckpoint(eager=True)
+        touched = (new_b.select("bk").unionByName(old_b.select("bk"))
+                   .distinct())
+        stored = (self.table.read_matching(touched)
+                  .join(F.broadcast(touched), "bk", "left_semi")
+                  .localCheckpoint(eager=True))
+        new_ids = new_b.select("id").distinct()
+        # surviving stored membership: exploded arrays minus re-added
+        # docs (their refreshed entries come back via new_b)
+        surv = (stored.where(F.col("docs").isNotNull())
+                .select("bk", F.explode("docs").alias("d"))
+                .select("bk", F.col("d.id").alias("id"),
+                        F.col("d.pl").alias("pl"))
+                .join(F.broadcast(new_ids), "id", "left_anti")
+                .localCheckpoint(eager=True))
+
+        new_agg = (new_b.groupBy("bk")
+                   .agg(F.count(F.lit(1)).alias("n_new"),
+                        F.collect_list(F.struct(
+                            F.col("id"), F.col("pl"))).alias("new_docs")))
+        surv_agg = (surv.groupBy("bk")
+                    .agg(F.count(F.lit(1)).alias("n_surv"),
+                         F.collect_list(F.struct(
+                             F.col("id"), F.col("pl"))).alias("surv_docs")))
+        merged = (touched
+                  .join(stored.select("bk", "docs", "n"), "bk", "left")
+                  .join(surv_agg, "bk", "left")
+                  .join(new_agg, "bk", "left"))
+        was_capped = F.col("docs").isNull() & F.col("n").isNotNull()
+        pop = (F.coalesce(F.col("n_surv"), F.lit(0))
+               + F.coalesce(F.col("n_new"), F.lit(0)))
+        over = was_capped | (
+            F.lit(self.max_bucket is not None)
+            & (pop > F.lit(self.max_bucket or 0)))
+        upd = merged.select(
+            "bk",
+            F.when(over, F.lit(None).cast(
+                "array<struct<id:bigint,pl:bigint>>"))
+            .otherwise(F.concat(
+                F.coalesce(F.col("surv_docs"), F.expr(
+                    "CAST(array() AS array<struct<id:bigint,pl:bigint>>)")),
+                F.coalesce(F.col("new_docs"), F.expr(
+                    "CAST(array() AS array<struct<id:bigint,pl:bigint>>)"))
+            )).alias("docs"),
+            F.when(was_capped,
+                   F.col("n") + F.coalesce(F.col("n_new"), F.lit(0)))
+            .otherwise(pop).alias("n"))
+
+        over_bks = merged.where(over).select("bk")
+        new_ok = new_b.join(F.broadcast(over_bks), "bk", "left_anti")
+        surv_ok = surv.join(F.broadcast(over_bks), "bk", "left_anti")
+        pairs = _batch_vs_stored_pairs(
+            new_ok.select("id", "bk", "pl"),
+            surv_ok.select("id", "bk", "pl"),
+            ["bk"], "id", None, payload_cols=("pl",)
+        ).localCheckpoint(eager=True)     # pin before the store commit
+        self.table.merge_upsert(upd)
+        return pairs
+
+    def compact(self) -> None:
+        self.table.compact()
 
 
 def _banded_signatures(g: DataFrame, id_col: str, k: int,
@@ -638,7 +767,8 @@ class IncrementalNearDupIndex:
     def __init__(self, spark: SparkSession, path: str, *, k: int = 8,
                  bands: int = 4,
                  max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
-                 buckets: int | None = None):
+                 buckets: int | None = None,
+                 banded_store: bool = False):
         from tradingview_data_pipeline_spark.operators.merge import ParquetTable
         assert k % bands == 0
         self.k, self.bands, self.max_bucket = k, bands, max_bucket
@@ -647,6 +777,22 @@ class IncrementalNearDupIndex:
             + [T.StructField(f"m{j}", T.LongType()) for j in range(k)])
         self.table = ParquetTable(spark, path, schema, "doc_id",
                                   buckets=buckets)
+        # opt-in 1B-doc mode: per-trigger reads prune to touched bucket
+        # DIRECTORIES instead of streaming the whole signature table
+        # (see BandedBucketStore for semantics + crash protocol).
+        # SIBLING directory, not nested: the signature table's manifest
+        # GC removes directories it doesn't own from its own path
+        self.store = BandedBucketStore(
+            spark, path.rstrip("/") + "_banded",
+            max_bucket=max_bucket, buckets=buckets) if banded_store \
+            else None
+
+    def _bk(self, banded: DataFrame) -> DataFrame:
+        return banded.select(
+            F.col("doc_id").alias("id"),
+            F.concat_ws(":", F.col("band").cast("string"),
+                        F.col("bh")).alias("bk"),
+            F.lit(0).cast("long").alias("pl"))
 
     def add_and_find(self, df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
@@ -656,21 +802,32 @@ class IncrementalNearDupIndex:
             df.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(text_col)),
             "doc_id", text_col, self.k).localCheckpoint(eager=True)
-        stored = self.table.read()
         new_ids = new_sigs.select("doc_id")
-        stored_banded = _banded_signatures(
-            stored.join(F.broadcast(new_ids), "doc_id", "left_anti"),
-            "doc_id", self.k, self.bands)
         new_banded = _banded_signatures(new_sigs, "doc_id", self.k,
                                         self.bands)
-        # O(batch) plan: the stored side streams under broadcast joins
-        # (never shuffled); see _batch_vs_stored_pairs
-        pairs = (_batch_vs_stored_pairs(
-            new_banded, stored_banded, ["band", "bh"], "doc_id",
-            self.max_bucket)
-            .select(F.col("id_a").alias("doc_a"),
-                    F.col("id_b").alias("doc_b"))
-            .distinct())
+        if self.store is not None:
+            # re-added docs: their OLD band keys (bucket-pruned point
+            # reads on the batch ids) must leave the store's buckets
+            old_banded = self._bk(_banded_signatures(
+                self.table.read_matching(new_ids)
+                .join(F.broadcast(new_ids), "doc_id", "left_semi"),
+                "doc_id", self.k, self.bands)).select("id", "bk")
+            raw = self.store.add_and_pairs(self._bk(new_banded),
+                                           old_banded)
+        else:
+            stored = self.table.read()
+            stored_banded = _banded_signatures(
+                stored.join(F.broadcast(new_ids), "doc_id", "left_anti"),
+                "doc_id", self.k, self.bands)
+            # O(batch) plan: the stored side streams under broadcast
+            # joins (never shuffled); see _batch_vs_stored_pairs
+            raw = _batch_vs_stored_pairs(
+                new_banded, stored_banded, ["band", "bh"], "doc_id",
+                self.max_bucket)
+        pairs = (raw
+                 .select(F.col("id_a").alias("doc_a"),
+                         F.col("id_b").alias("doc_b"))
+                 .distinct())
         pairs = pairs.localCheckpoint(eager=True)   # pin before the upsert
         self.table.merge_upsert(new_sigs)
         return pairs
@@ -683,6 +840,8 @@ class IncrementalNearDupIndex:
         crash-safe via the same manifest commit as every maintenance
         op."""
         self.table.compact()
+        if self.store is not None:
+            self.store.compact()
 
 
 class IncrementalSimHashIndex:
