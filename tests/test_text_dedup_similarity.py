@@ -322,6 +322,64 @@ def test_incremental_neardup_banded_store_mode(spark, tmp_path):
     assert got_b == got_s and got_b
 
 
+def test_incremental_simhash_banded_store_mode(spark, tmp_path):
+    """SimHash banded_store: same (pair, hamming) sets as the scan
+    mode across batches — the signature rides the store's payload
+    slot so the radius filter runs on the pair set only."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    texts = [base, "completely different content about spark window "
+                   "aggregation internals", base + " small twist",
+             "yet another unrelated piece of writing entirely"]
+    batches = [[(1, texts[0]), (2, texts[1])],
+               [(3, texts[0]), (4, texts[2])],
+               [(5, texts[3]), (6, texts[2])]]
+    scan = dd.IncrementalSimHashIndex(spark, str(tmp_path / "s"), buckets=4)
+    band = dd.IncrementalSimHashIndex(spark, str(tmp_path / "b"),
+                                      buckets=4, banded_store=True)
+    for rows in batches:
+        got_s = {(r["doc_a"], r["doc_b"], r["hamming"])
+                 for r in scan.add_and_find(spark.createDataFrame(
+                     rows, "doc_id long, text string")).collect()}
+        got_b = {(r["doc_a"], r["doc_b"], r["hamming"])
+                 for r in band.add_and_find(spark.createDataFrame(
+                     rows, "doc_id long, text string")).collect()}
+        assert got_b == got_s
+    assert band.table.read().count() == 6
+
+
+def test_incremental_embedding_banded_store_mode(spark, tmp_path):
+    """Embedding banded_store: same candidate pair sets as the scan
+    mode across batches, including the planted near-identical
+    vectors."""
+    import random
+
+    import tradingview_data_pipeline_spark.operators.similarity as sim
+
+    def vec(seed):
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(8)]
+
+    rows_of = lambda ids_seeds: [(i, vec(s)) for i, s in ids_seeds]
+    batches = [rows_of([(1, 10), (2, 20)]),
+               rows_of([(3, 10), (4, 30)]),       # 3 ~ 1
+               rows_of([(5, 20), (6, 40)])]       # 5 ~ 2
+    mk = lambda p, **kw: sim.IncrementalEmbeddingIndex(
+        spark, p, bits=24, bands=4, dim=8, **kw)
+    scan, band = mk(str(tmp_path / "es")), mk(str(tmp_path / "eb"),
+                                              banded_store=True)
+    for rows in batches:
+        df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        df2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got_s = {(r["id_a"], r["id_b"])
+                 for r in scan.add_and_find(df1).collect()}
+        got_b = {(r["id_a"], r["id_b"])
+                 for r in band.add_and_find(df2).collect()}
+        assert got_b == got_s
+    # identical vectors share every band key: the cross-batch pair is
+    # guaranteed, proving the stored side was actually consulted
+    assert (2, 5) in got_b
+
+
 def test_incremental_neardup_banded_store_crash_replay(spark, tmp_path,
                                                        monkeypatch):
     """The store commits BEFORE the signature table; a crash in that

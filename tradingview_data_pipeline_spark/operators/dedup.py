@@ -859,7 +859,8 @@ class IncrementalSimHashIndex:
     def __init__(self, spark: SparkSession, path: str, *, bits: int = 60,
                  bands: int = 4, max_hamming: int = 3,
                  max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT,
-                 buckets: int | None = None):
+                 buckets: int | None = None,
+                 banded_store: bool = False):
         from tradingview_data_pipeline_spark.operators.merge import ParquetTable
         assert bits % bands == 0 and bits <= SIMHASH_MAX_BITS
         self.bits, self.bands = bits, bands
@@ -868,6 +869,19 @@ class IncrementalSimHashIndex:
                                T.StructField("simhash", T.LongType())])
         self.table = ParquetTable(spark, path, schema, "doc_id",
                                   buckets=buckets)
+        # same read-pruned mode as IncrementalNearDupIndex; the simhash
+        # rides in the store's payload slot so hamming runs on pairs
+        self.store = BandedBucketStore(
+            spark, path.rstrip("/") + "_banded",
+            max_bucket=max_bucket, buckets=buckets) if banded_store \
+            else None
+
+    def _bk(self, banded: DataFrame) -> DataFrame:
+        return banded.select(
+            F.col("doc_id").alias("id"),
+            F.concat_ws(":", F.col("band").cast("string"),
+                        F.col("chunk").cast("string")).alias("bk"),
+            F.col("simhash").alias("pl"))
 
     def _banded(self, sigs: DataFrame) -> DataFrame:
         chunk_bits = self.bits // self.bands
@@ -888,17 +902,26 @@ class IncrementalSimHashIndex:
             df.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(text_col)),
             "doc_id", text_col, bits=self.bits).localCheckpoint(eager=True)
-        stored = self.table.read()
-        stored_banded = self._banded(
-            stored.join(F.broadcast(new_sigs.select("doc_id")), "doc_id",
-                        "left_anti"))
-        # O(batch) plan — see _batch_vs_stored_pairs; simhash rides
-        # along so hamming is computed on the (small) pair set only
-        raw = _batch_vs_stored_pairs(
-            self._banded(new_sigs), stored_banded, ["band", "chunk"],
-            "doc_id", self.max_bucket, payload_cols=("simhash",))
-        ham = F.bit_count(
-            F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        new_ids = new_sigs.select("doc_id")
+        if self.store is not None:
+            old_banded = self._bk(self._banded(
+                self.table.read_matching(new_ids)
+                .join(F.broadcast(new_ids), "doc_id", "left_semi"))) \
+                .select("id", "bk")
+            raw = self.store.add_and_pairs(
+                self._bk(self._banded(new_sigs)), old_banded)
+            ham = F.bit_count(F.col("pl_a").bitwiseXOR(F.col("pl_b")))
+        else:
+            stored = self.table.read()
+            stored_banded = self._banded(
+                stored.join(F.broadcast(new_ids), "doc_id", "left_anti"))
+            # O(batch) plan — see _batch_vs_stored_pairs; simhash rides
+            # along so hamming is computed on the (small) pair set only
+            raw = _batch_vs_stored_pairs(
+                self._banded(new_sigs), stored_banded, ["band", "chunk"],
+                "doc_id", self.max_bucket, payload_cols=("simhash",))
+            ham = F.bit_count(
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
         pairs = (raw.where(ham <= self.max_hamming)
                  .select(F.col("id_a").alias("doc_a"),
                          F.col("id_b").alias("doc_b"),
@@ -912,6 +935,8 @@ class IncrementalSimHashIndex:
         """Same small-file maintenance as
         ``IncrementalNearDupIndex.compact`` — see there."""
         self.table.compact()
+        if self.store is not None:
+            self.store.compact()
 
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str,

@@ -603,7 +603,11 @@ class IncrementalEmbeddingIndex:
 
     def __init__(self, spark, path: str, *, bits: int = 96, bands: int = 8,
                  dim: int = 64, max_bucket: int | None = 1000,
-                 buckets: int | None = None):
+                 buckets: int | None = None,
+                 banded_store: bool = False):
+        from tradingview_data_pipeline_spark.operators.dedup import (
+            BandedBucketStore,
+        )
         from tradingview_data_pipeline_spark.operators.merge import ParquetTable
         assert bits % bands == 0
         self.bits, self.bands, self.dim = bits, bands, dim
@@ -613,6 +617,18 @@ class IncrementalEmbeddingIndex:
             + [T.StructField(f"p{j}", T.LongType()) for j in range(bands)])
         self.table = ParquetTable(spark, path, schema, "vec_id",
                                   buckets=buckets)
+        # same read-pruned mode as the text indexes (dedup.py)
+        self.store = BandedBucketStore(
+            spark, path.rstrip("/") + "_banded",
+            max_bucket=max_bucket, buckets=buckets) if banded_store \
+            else None
+
+    def _bk(self, melted: DataFrame) -> DataFrame:
+        return melted.select(
+            F.col("vec_id").alias("id"),
+            F.concat_ws(":", F.col("pos").cast("string"),
+                        F.col("key").cast("string")).alias("bk"),
+            F.lit(0).cast("long").alias("pl"))
 
     def _wide(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         # one row per id BEFORE banding: a duplicated id in the batch
@@ -647,16 +663,25 @@ class IncrementalEmbeddingIndex:
             _batch_vs_stored_pairs,
         )
         new_w = self._wide(df, id_col, vec_col).localCheckpoint(eager=True)
-        stored = self.table.read()
         new_ids = new_w.select("vec_id")
-        stored_melt = self._melt(
-            stored.join(F.broadcast(new_ids), "vec_id", "left_anti"))
-        # O(batch) plan: stored side streams under broadcast joins —
-        # never shuffled (see dedup._batch_vs_stored_pairs)
-        pairs = (_batch_vs_stored_pairs(
-            self._melt(new_w), stored_melt, ["pos", "key"], "vec_id",
-            self.max_bucket)
-            .distinct())
+        if self.store is not None:
+            old_melt = self._bk(self._melt(
+                self.table.read_matching(new_ids)
+                .join(F.broadcast(new_ids), "vec_id", "left_semi"))) \
+                .select("id", "bk")
+            pairs = (self.store.add_and_pairs(
+                self._bk(self._melt(new_w)), old_melt)
+                .select("id_a", "id_b").distinct())
+        else:
+            stored = self.table.read()
+            stored_melt = self._melt(
+                stored.join(F.broadcast(new_ids), "vec_id", "left_anti"))
+            # O(batch) plan: stored side streams under broadcast joins —
+            # never shuffled (see dedup._batch_vs_stored_pairs)
+            pairs = (_batch_vs_stored_pairs(
+                self._melt(new_w), stored_melt, ["pos", "key"], "vec_id",
+                self.max_bucket)
+                .distinct())
         pairs = pairs.localCheckpoint(eager=True)   # pin before the upsert
         self.table.merge_upsert(new_w)
         return pairs
@@ -665,3 +690,5 @@ class IncrementalEmbeddingIndex:
         """Maintenance: one file per live bucket, results unchanged;
         crash-safe via the manifest commit."""
         self.table.compact()
+        if self.store is not None:
+            self.store.compact()
