@@ -322,6 +322,27 @@ def test_incremental_neardup_banded_store_mode(spark, tmp_path):
     assert got_b == got_s and got_b
 
 
+def test_incremental_banded_store_migration(spark, tmp_path):
+    """Enabling banded_store on an index that already has signatures:
+    rebuild_store derives the membership store from the signature
+    table, after which pairs match a store maintained incrementally
+    from the start."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    path = str(tmp_path / "mig")
+    plain = dd.IncrementalNearDupIndex(spark, path, buckets=4)
+    plain.add_and_find(spark.createDataFrame(
+        [(i, f"{base} tail {i}") for i in range(6)],
+        "doc_id long, text string"))
+
+    up = dd.IncrementalNearDupIndex(spark, path, buckets=4,
+                                    banded_store=True)
+    up.rebuild_store()
+    got = {(r["doc_a"], r["doc_b"]) for r in up.add_and_find(
+        spark.createDataFrame([(100, base + " tail 0")],
+                              "doc_id long, text string")).collect()}
+    assert (0, 100) in got                       # stored side consulted
+
+
 def test_incremental_simhash_banded_store_mode(spark, tmp_path):
     """SimHash banded_store: same (pair, hamming) sets as the scan
     mode across batches — the signature rides the store's payload

@@ -68,25 +68,14 @@ def main() -> None:
             mh = dd.IncrementalNearDupIndex(
                 spark, os.path.join(tmp, "mh"), buckets=32)
             mh.table.overwrite(dd._minhash_agg(docs, "doc_id", "text", mh.k))
-            # banded-store mode: seed the signature table AND bulk-build
-            # the bucket-membership store the same way a backfill would
+            # banded-store mode: seed the signature table, then the
+            # public migration path builds the membership store
             mb = dd.IncrementalNearDupIndex(
                 spark, os.path.join(tmp, "mb"), buckets=32,
                 banded_store=True)
-            sigs = dd._minhash_agg(docs, "doc_id", "text", mb.k)
-            mb.table.overwrite(sigs)
-            banded = mb._bk(dd._banded_signatures(sigs, "doc_id", mb.k,
-                                                  mb.bands))
-            grouped = (banded.groupBy("bk")
-                       .agg(F.count(F.lit(1)).alias("n"),
-                            F.collect_list(
-                                F.struct("id", "pl")).alias("docs")))
-            cap = mb.max_bucket
-            mb.store.table.overwrite(grouped.select(
-                "bk",
-                F.when(F.col("n") > cap, F.lit(None).cast(
-                    "array<struct<id:bigint,pl:bigint>>"))
-                .otherwise(F.col("docs")).alias("docs"), "n"))
+            mb.table.overwrite(dd._minhash_agg(docs, "doc_id", "text",
+                                               mb.k))
+            mb.rebuild_store()
             sh = dd.IncrementalSimHashIndex(
                 spark, os.path.join(tmp, "sh"), buckets=32)
             sh.table.overwrite(dd.simhash_table(docs, "doc_id", "text",

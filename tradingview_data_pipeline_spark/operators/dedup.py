@@ -317,6 +317,25 @@ class BandedBucketStore:
         self.table.merge_upsert(upd)
         return pairs
 
+    def rebuild_from(self, banded: DataFrame) -> None:
+        """Bulk-(re)build the store from a full (id, bk, pl) banded
+        frame — the migration path when enabling ``banded_store`` on an
+        index that already has signatures, and the repair path if the
+        store is ever lost (it is a DERIVED cache; the signature table
+        stays authoritative). One shuffle on bk; cap semantics match
+        the incremental updates (over-cap buckets stored nulled)."""
+        grouped = (banded.groupBy("bk")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.collect_list(F.struct("id", "pl")).alias("docs")))
+        over = (F.lit(self.max_bucket is not None)
+                & (F.col("n") > F.lit(self.max_bucket or 0)))
+        self.table.overwrite(grouped.select(
+            "bk",
+            F.when(over, F.lit(None).cast(
+                "array<struct<id:bigint,pl:bigint>>"))
+            .otherwise(F.col("docs")).alias("docs"),
+            "n"))
+
     def compact(self) -> None:
         self.table.compact()
 
@@ -843,6 +862,14 @@ class IncrementalNearDupIndex:
         if self.store is not None:
             self.store.compact()
 
+    def rebuild_store(self) -> None:
+        """Backfill/repair the banded store from the (authoritative)
+        signature table — run once when enabling ``banded_store`` on a
+        pre-existing index."""
+        assert self.store is not None
+        self.store.rebuild_from(self._bk(_banded_signatures(
+            self.table.read(), "doc_id", self.k, self.bands)))
+
 
 class IncrementalSimHashIndex:
     """Hamming-radius retrieval for an append-only corpus: 60-bit SimHash
@@ -937,6 +964,12 @@ class IncrementalSimHashIndex:
         self.table.compact()
         if self.store is not None:
             self.store.compact()
+
+    def rebuild_store(self) -> None:
+        """Backfill/repair the banded store from the signature table —
+        see ``IncrementalNearDupIndex.rebuild_store``."""
+        assert self.store is not None
+        self.store.rebuild_from(self._bk(self._banded(self.table.read())))
 
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str,

@@ -692,3 +692,9 @@ class IncrementalEmbeddingIndex:
         self.table.compact()
         if self.store is not None:
             self.store.compact()
+
+    def rebuild_store(self) -> None:
+        """Backfill/repair the banded store from the band-key table —
+        see ``dedup.IncrementalNearDupIndex.rebuild_store``."""
+        assert self.store is not None
+        self.store.rebuild_from(self._bk(self._melt(self.table.read())))
