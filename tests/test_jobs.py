@@ -581,3 +581,56 @@ def test_incremental_builder_remove_spans_crash_converges(
                                       remove_spans=True)
         b2.add_batch(_corpus_batch(spark, batch2))
         assert state_of(b2) == want, f"window after commit {crash_after}"
+
+
+def test_incremental_builder_first_batch_crash_no_false_backfill(
+        spark, tmp_path, monkeypatch):
+    """Regression (r8 review): a crash inside the FIRST batch of a
+    fresh remove_spans state dir (seen committed, gram store and hash
+    gate not) must NOT be mistaken for a legacy dir on restart — the
+    legacy backfill would derive the gate from seen and permanently
+    skip the batch's gram commits. The gate table is now created empty
+    at first init, so replay re-processes the batch fully."""
+    import pytest
+
+    from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    batch1 = [(1, SPAN + " " + TAIL_A)]
+    batch2 = [(2, SPAN + " " + TAIL_B)]
+
+    ref = IncrementalCorpusBuilder(spark, str(tmp_path / "ref"),
+                                   quality_min=0.0, remove_spans=True)
+    ref.add_batch(_corpus_batch(spark, batch1))
+    m_ref = ref.add_batch(_corpus_batch(spark, batch2))
+    assert m_ref["span_cut_tokens"] == 8
+
+    state = str(tmp_path / "state")
+    b = IncrementalCorpusBuilder(spark, state, quality_min=0.0,
+                                 remove_spans=True)
+    real = ParquetTable.merge_upsert
+    calls = {"n": 0}
+
+    def crashing(self, df, **kw):
+        calls["n"] += 1
+        if calls["n"] > 3:          # index, corpus, seen ok; grams dies
+            raise OSError("simulated crash in first batch")
+        return real(self, df, **kw)
+
+    monkeypatch.setattr(ParquetTable, "merge_upsert", crashing)
+    with pytest.raises(OSError, match="simulated crash"):
+        b.add_batch(_corpus_batch(spark, batch1))
+    monkeypatch.undo()
+
+    # restart: must NOT backfill the gate from seen (batch 1 is not
+    # gated yet); full replay re-runs it, then batch 2 cuts the span
+    b2 = IncrementalCorpusBuilder(spark, state, quality_min=0.0,
+                                  remove_spans=True)
+    m1 = b2.add_batch(_corpus_batch(spark, batch1))
+    assert m1["appended"] == 1          # replay actually re-processed
+    m2 = b2.add_batch(_corpus_batch(spark, batch2))
+    assert m2["span_cut_tokens"] == 8   # gram store converged
+    assert m2["span_dropped_docs"] == 0
+    texts = {r["doc_id"]: r["text"] for r in b2.corpus.read().collect()}
+    assert SPAN not in texts[2] and texts[1].startswith("one two")

@@ -469,6 +469,24 @@ def test_bm25_log_idf_rank_agreement(spark):
     assert by_rank == expect
 
 
+def test_remove_dup_spans_leading_whitespace_alignment(spark):
+    """Regression (r8 review): text starting with a tab/newline must
+    not shift the cut window — tx.tokens used a space-only trim and
+    emitted a phantom leading "" token, off-by-one against the word
+    positions gram hashing uses, so the LAST word of each shared span
+    survived and an innocent word was cut instead."""
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, "\t" + shared + " tail1 tail2"),    # tab-leading
+         (2, "\nhead " + shared)],               # newline-leading
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cp.remove_dup_spans(docs, "doc_id", "text", n=8).collect()}
+    assert out[1]["text_clean"] == "tail1 tail2"
+    assert out[1]["n_words"] == 10 and out[1]["n_removed"] == 8
+    assert out[2]["text_clean"] == "head" and out[2]["n_removed"] == 8
+
+
 def test_remove_dup_spans_keep_min_doc(spark):
     """keep_min_doc=True protects shared-gram occurrences in the
     MIN-doc_id owner: exactly one document retains each shared span

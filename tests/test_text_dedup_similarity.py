@@ -401,6 +401,38 @@ def test_incremental_embedding_banded_store_mode(spark, tmp_path):
     assert (2, 5) in got_b
 
 
+def test_banded_store_cap_nulls_existing_membership(spark, tmp_path):
+    """Regression (r8 review): when a bucket CROSSES max_bucket its
+    membership array must actually be nulled in the persisted row —
+    merge_upsert's NULL-coalesce silently kept the stale array (so the
+    bucket could later re-admit with members missing); the store now
+    replaces matched rows verbatim, and the cap is sticky."""
+    base = "the quick brown fox jumps over the lazy dog runs far away today"
+    idx = dd.IncrementalNearDupIndex(spark, str(tmp_path / "cap"),
+                                     buckets=4, banded_store=True,
+                                     max_bucket=2)
+    idx.add_and_find(spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"))
+    rows = {r["bk"]: r for r in idx.store.table.read().collect()}
+    assert all(r["docs"] is not None and r["n"] == 2
+               for r in rows.values())
+
+    # third identical doc: pop 3 > 2 -> every bucket caps; the
+    # persisted rows must carry docs=NULL, not the stale 2-arrays
+    idx.add_and_find(spark.createDataFrame(
+        [(3, base)], "doc_id long, text string"))
+    rows = {r["bk"]: r for r in idx.store.table.read().collect()}
+    assert all(r["docs"] is None and r["n"] == 3 for r in rows.values())
+
+    # sticky: a fourth doc pairs with nothing through capped buckets
+    got = {(r["doc_a"], r["doc_b"]) for r in idx.add_and_find(
+        spark.createDataFrame([(4, base)],
+                              "doc_id long, text string")).collect()}
+    assert got == set()
+    rows = {r["bk"]: r for r in idx.store.table.read().collect()}
+    assert all(r["docs"] is None and r["n"] == 4 for r in rows.values())
+
+
 def test_incremental_neardup_banded_store_crash_replay(spark, tmp_path,
                                                        monkeypatch):
     """The store commits BEFORE the signature table; a crash in that
@@ -435,7 +467,10 @@ def test_incremental_neardup_banded_store_crash_replay(spark, tmp_path,
 
     def crashing(self, df, **kw):
         calls["n"] += 1
-        if calls["n"] == 2:            # store commit ok, sig commit dies
+        # the store commits first via merge_with; the FIRST
+        # merge_upsert of the batch is the signature commit — dying
+        # here leaves the store one batch ahead
+        if calls["n"] == 1:
             raise OSError("simulated crash between store and signatures")
         return real(self, df, **kw)
 

@@ -19,8 +19,6 @@ across engines and runs — never engine-native ``hash()``.
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -125,7 +123,8 @@ LSH_MAX_BUCKET_DEFAULT = 1000
 def _batch_vs_stored_pairs(new_banded: DataFrame, stored_banded: DataFrame,
                            key_cols: list[str], id_col: str,
                            max_bucket: int | None,
-                           payload_cols: tuple[str, ...] = ()) -> DataFrame:
+                           payload_cols: tuple[str, ...] = (),
+                           prepinned: bool = False) -> DataFrame:
     """Band-bucket pairing with at least one NEW member, with an
     O(batch)-sized PLAN — the shared join shape of the three incremental
     indexes (MinHash / SimHash / embedding LSH).
@@ -157,11 +156,17 @@ def _batch_vs_stored_pairs(new_banded: DataFrame, stored_banded: DataFrame,
     from functools import reduce
     from operator import and_
 
-    new_b = new_banded.localCheckpoint(eager=True)
-    touched = new_b.select(*key_cols).distinct()
-    stored_t = (stored_banded
-                .join(F.broadcast(touched), key_cols, "left_semi")
-                .localCheckpoint(eager=True))
+    if prepinned:
+        # caller already pinned both frames and pruned the stored side
+        # to touched buckets (BandedBucketStore) — skip the extra
+        # checkpoints + semi-join, pure per-trigger overhead there
+        new_b, stored_t = new_banded, stored_banded
+    else:
+        new_b = new_banded.localCheckpoint(eager=True)
+        touched = new_b.select(*key_cols).distinct()
+        stored_t = (stored_banded
+                    .join(F.broadcast(touched), key_cols, "left_semi")
+                    .localCheckpoint(eager=True))
     if max_bucket is not None:
         over = (stored_t.select(*key_cols)
                 .unionByName(new_b.select(*key_cols))
@@ -312,9 +317,15 @@ class BandedBucketStore:
         pairs = _batch_vs_stored_pairs(
             new_ok.select("id", "bk", "pl"),
             surv_ok.select("id", "bk", "pl"),
-            ["bk"], "id", None, payload_cols=("pl",)
+            ["bk"], "id", None, payload_cols=("pl",),
+            prepinned=True,
         ).localCheckpoint(eager=True)     # pin before the store commit
-        self.table.merge_upsert(upd)
+        # REPLACE matched rows verbatim — merge_upsert's NULL-coalesce
+        # would silently keep a stale membership array when a bucket
+        # crosses the cap and its docs are nulled (r8 review finding)
+        self.table.merge_with(
+            upd, lambda tgt, s: tgt.join(s.select("bk"), "bk",
+                                         "left_anti").unionByName(s))
         return pairs
 
     def rebuild_from(self, banded: DataFrame) -> None:

@@ -22,9 +22,17 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of trimmed text; empty text -> empty array."""
-    return F.when(F.trim(col) == "", F.array().cast("array<string>")) \
-            .otherwise(F.split(F.trim(col), "\\s+"))
+    """Whitespace tokens of trimmed text; empty text -> empty array.
+
+    Trims ALL leading/trailing whitespace (regexp, not ``F.trim`` —
+    which strips spaces only): text starting with a tab/newline would
+    otherwise emit a phantom leading "" token, shifting token indices
+    off the word positions ``word_shingles`` produces (it whitespace-
+    normalizes first) and skewing every token count. Mirrored by the
+    oracle token constants in plans/ (r8 review finding)."""
+    norm = F.regexp_replace(col, r"^\s+|\s+$", "")
+    return F.when(norm == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(norm, r"\s+"))
 
 
 def token_count(col: Column) -> Column:

@@ -245,6 +245,14 @@ class IncrementalCorpusBuilder:
         if self.seen.exists() and not self.hashes.exists():
             self.hashes.overwrite(
                 self.seen.read().select("content_hash").distinct())
+        elif not self.hashes.exists():
+            # FRESH state dir: create the gate empty NOW, so a crash
+            # inside the first batch (seen committed, gate not) can
+            # never be mistaken for a legacy dir — backfilling there
+            # would advance the gate past a batch whose grams/index
+            # effects were never committed (r8 review finding)
+            self.hashes.overwrite(spark.createDataFrame(
+                [], self.hashes.schema))
         self.index = dd.IncrementalNearDupIndex(
             spark, os.path.join(state_dir, "neardup"), buckets=buckets)
         self.remove_spans = remove_spans
@@ -321,14 +329,21 @@ class IncrementalCorpusBuilder:
 
         new_grams = None
         span_cut_tokens = 0
+        n_after_near = None
         if self.remove_spans:
+            n_after_near = keepers.count()
             gp = cp.gram_positions(keepers, "doc_id", "text") \
                 .localCheckpoint(eager=True)
             batch_ids2 = keepers.select("doc_id")
-            # store hits, bucket-pruned; hits owned by THIS batch are
-            # replay echoes of our own commit — ignore them so a
-            # replayed batch cuts exactly what the first run cut
-            hits = (self.grams.read_matching(gp.select("h"))
+            # ONE bucket-pruned read of the gram store per batch,
+            # pinned and shared by the hit lookup AND the novel-gram
+            # anti-join below (r8 review finding)
+            store_slice = (self.grams.read_matching(gp.select("h"))
+                           .localCheckpoint(eager=True))
+            # hits owned by THIS batch are replay echoes of our own
+            # commit — ignore them so a replayed batch cuts exactly
+            # what the first run cut
+            hits = (store_slice
                     .join(gp.select("h").distinct(), "h", "left_semi")
                     .join(batch_ids2.withColumnRenamed("doc_id", "owner"),
                           "owner", "left_anti"))
@@ -357,8 +372,7 @@ class IncrementalCorpusBuilder:
             # insert-only (first owner wins on replay)
             new_grams = (gp.groupBy("h")
                          .agg(F.min("doc_id").alias("owner"))
-                         .join(self.grams.read_matching(gp.select("h")),
-                               "h", "left_anti")
+                         .join(store_slice, "h", "left_anti")
                          .localCheckpoint(eager=True))
 
         final = sp.hash_split(
@@ -380,12 +394,16 @@ class IncrementalCorpusBuilder:
         out = {
             "batch_rows": n_batch,
             "after_quality_and_exact": n_exact,
-            "neardup_dropped": n_exact - n_appended,
+            "neardup_dropped": (n_exact - n_appended if n_after_near is None
+                                else n_exact - n_after_near),
             "appended": n_appended,
             "corpus_rows": self.corpus.row_count(),
         }
         if self.remove_spans:
+            # attribute doc drops to the right stage: docs emptied by
+            # the span cut are NOT near-dup drops (r8 review finding)
             out["span_cut_tokens"] = int(span_cut_tokens)
+            out["span_dropped_docs"] = n_after_near - n_appended
         return out
 
     def compact(self) -> None:

@@ -16,8 +16,12 @@ from tradingview_data_pipeline_spark.operators import corpus as cp
 from tradingview_data_pipeline_spark.operators import sampling as sp
 from tradingview_data_pipeline_spark.plans.analytics import register, _t
 
-_TOK_W = ("CASE WHEN trim(text) = '' THEN [] "
-          "ELSE regexp_split_to_array(trim(text), '\\s+') END")
+# full-whitespace trim ('g' flag: leading AND trailing), mirroring
+# tx.tokens — plain trim() strips spaces only in BOTH engines and
+# leaves a phantom "" token for tab/newline-leading text
+_TRIM_T = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+_TOK_W = (f"CASE WHEN {_TRIM_T} = '' THEN [] "
+          f"ELSE regexp_split_to_array({_TRIM_T}, '\\s+') END")
 
 
 def _grams_sql(n: int) -> str:
@@ -183,8 +187,7 @@ def q48_decontamination(spark, sf_dir):
 @register("q49_corpus_terms", oracle=f"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(CASE WHEN trim(text) = '' THEN []
-                     ELSE regexp_split_to_array(trim(text), '\\s+') END) AS term
+         unnest({_TOK_W}) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term

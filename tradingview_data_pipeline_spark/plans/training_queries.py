@@ -22,8 +22,10 @@ from tradingview_data_pipeline_spark.plans.analytics import register, _t
 
 # --- shared DuckDB fragments (mirror operators/text.py exactly) -----------
 
-_TOKS = ("CASE WHEN trim(text) = '' THEN [] "
-         "ELSE regexp_split_to_array(trim(text), '\\s+') END")
+# mirrors tx.tokens' FULL-whitespace trim (see corpus_queries._TRIM_T)
+_TOKS = ("CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+         "THEN [] ELSE regexp_split_to_array("
+         "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END")
 
 _SHINGLES = ("CASE WHEN len(w) >= 3 THEN "
              "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) "
