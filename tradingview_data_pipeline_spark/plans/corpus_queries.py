@@ -16,12 +16,10 @@ from tradingview_data_pipeline_spark.operators import corpus as cp
 from tradingview_data_pipeline_spark.operators import sampling as sp
 from tradingview_data_pipeline_spark.plans.analytics import register, _t
 
-# full-whitespace trim ('g' flag: leading AND trailing), mirroring
-# tx.tokens — plain trim() strips spaces only in BOTH engines and
-# leaves a phantom "" token for tab/newline-leading text
-_TRIM_T = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
-_TOK_W = (f"CASE WHEN {_TRIM_T} = '' THEN [] "
-          f"ELSE regexp_split_to_array({_TRIM_T}, '\\s+') END")
+# \S+ extraction, mirroring tx.tokens — trim()+split leaves a phantom
+# "" token for tab/newline-leading text in BOTH engines (trim strips
+# spaces only), shifting word positions (r8 review finding)
+_TOK_W = "regexp_extract_all(text, '\\S+')"
 
 
 def _grams_sql(n: int) -> str:

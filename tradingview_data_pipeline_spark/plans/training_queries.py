@@ -22,10 +22,8 @@ from tradingview_data_pipeline_spark.plans.analytics import register, _t
 
 # --- shared DuckDB fragments (mirror operators/text.py exactly) -----------
 
-# mirrors tx.tokens' FULL-whitespace trim (see corpus_queries._TRIM_T)
-_TOKS = ("CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
-         "THEN [] ELSE regexp_split_to_array("
-         "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END")
+# \S+ extraction, mirroring tx.tokens (see corpus_queries._TOK_W)
+_TOKS = "regexp_extract_all(text, '\\S+')"
 
 _SHINGLES = ("CASE WHEN len(w) >= 3 THEN "
              "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) "
