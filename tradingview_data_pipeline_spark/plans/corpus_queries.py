@@ -344,15 +344,39 @@ def q72_dup_spans(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q73 — duplicate-span REMOVAL (operators/corpus.remove_dup_spans): the
-# action half of q72 — every word position covered by a cross-document
-# shared 8-gram is excised and the text rebuilt from the survivors
-# (registered in the slot freed by the q7+q11 merge). The oracle
-# recomputes coverage positionally with the identical md5-60 gram hash,
-# then rebuilds via an anti-join on (doc, word position).
+# q73 — duplicate-span REMOVAL, tagged union over BOTH cut policies
+# (operators/corpus.remove_dup_spans): the action half of q72 — every
+# word position covered by a cross-document shared 8-gram is excised
+# and the text rebuilt from the survivors. 'cut' removes every copy;
+# 'keepone' protects occurrences in the min-doc_id owner (suffix-array
+# dedup's keep-one-copy rule with a deterministic owner). Registered in
+# the slot freed by the q7+q11 merge. The oracle recomputes coverage
+# positionally with the identical md5-60 gram hash, then rebuilds via
+# an anti-join on (doc, word position).
 # ---------------------------------------------------------------------------
 
 _Q73_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(1, 9))
+
+def _q73_leg(kind: str, owner_filter: str) -> str:
+    return f"""
+  SELECT '{kind}' AS kind, tok.doc_id,
+         COALESCE(reb.text_clean, '') AS text_clean,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+  FROM tok LEFT JOIN (
+    SELECT words.doc_id,
+           string_agg(word, ' ' ORDER BY pos) AS text_clean,
+           COUNT(*) AS n_kept
+    FROM words
+    ANTI JOIN (
+      SELECT DISTINCT grams.doc_id, pos + j AS p
+      FROM grams JOIN shared USING (h),
+           LATERAL (SELECT unnest(range(8)) AS j) u
+      {owner_filter}
+    ) covered ON covered.doc_id = words.doc_id
+             AND covered.p = words.pos
+    GROUP BY words.doc_id
+  ) reb ON reb.doc_id = tok.doc_id"""
 
 @register("q73_dup_span_removal", oracle=f"""
 WITH tok AS (
@@ -363,32 +387,24 @@ WITH tok AS (
   FROM tok, LATERAL (SELECT unnest(range(len(w) - 7)) AS i) t
   WHERE len(w) >= 8
 ), shared AS (
-  SELECT h FROM (
-    SELECT h, COUNT(*) AS nd
+  SELECT h, owner FROM (
+    SELECT h, COUNT(*) AS nd, MIN(doc_id) AS owner
     FROM (SELECT DISTINCT doc_id, h FROM grams) GROUP BY h)
   WHERE nd >= 2
-), covered AS (
-  SELECT DISTINCT grams.doc_id, pos + j AS p
-  FROM grams JOIN shared USING (h),
-       LATERAL (SELECT unnest(range(8)) AS j) u
 ), words AS (
   SELECT doc_id, i AS pos, w[i+1] AS word
   FROM tok, LATERAL (SELECT unnest(range(len(w))) AS i) t
-), reb AS (
-  SELECT words.doc_id,
-         string_agg(word, ' ' ORDER BY pos) AS text_clean,
-         COUNT(*) AS n_kept
-  FROM words
-  ANTI JOIN covered ON covered.doc_id = words.doc_id
-                   AND covered.p = words.pos
-  GROUP BY words.doc_id
 )
-SELECT tok.doc_id,
-       COALESCE(reb.text_clean, '') AS text_clean,
-       CAST(len(w) AS BIGINT) AS n_words,
-       CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
-FROM tok LEFT JOIN reb ON reb.doc_id = tok.doc_id
+{_q73_leg('cut', '')}
+UNION ALL
+{_q73_leg('keepone', 'WHERE grams.doc_id <> shared.owner')}
 """)
 def q73_dup_span_removal(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return cp.remove_dup_spans(d, "doc_id", "text", n=8)
+
+    def leg(kind, **kw):
+        return cp.remove_dup_spans(d, "doc_id", "text", n=8, **kw) \
+            .select(F.lit(kind).alias("kind"), "doc_id", "text_clean",
+                    "n_words", "n_removed")
+
+    return leg("cut").unionByName(leg("keepone", keep_min_doc=True))
