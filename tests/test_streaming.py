@@ -307,3 +307,47 @@ def test_stream_corpus_build_across_batches(spark, tmp_path):
     q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert builder.corpus.row_count() == 3
+
+
+def test_stream_corpus_build_with_span_dedup(spark, tmp_path):
+    """Streaming build composes with the span-dedup builder: a second
+    trigger carrying a span shipped in the FIRST trigger gets it
+    excised (keep-one-copy across micro-batches via the persisted gram
+    store), and a checkpointed restart changes nothing."""
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+    from tradingview_data_pipeline_spark.streaming.corpus_stream import (
+        stream_corpus_build)
+
+    span = "one two three four five six seven eight"
+    tail_a = ("completely separate material about alpha beta gamma "
+              "delta epsilon zeta eta theta iota kappa " * 2)
+    tail_b = ("unrelated second story covering painting sculpture "
+              "cinema architecture poetry dance opera theatre " * 2)
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    schema = "doc_id long, text string"
+    builder = IncrementalCorpusBuilder(spark, str(tmp_path / "state"),
+                                       quality_min=0.0, buckets=4,
+                                       remove_spans=True)
+
+    spark.createDataFrame([(1, span + " " + tail_a)], schema) \
+        .coalesce(1).write.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema).parquet(str(src_dir) + "/*")
+    q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    spark.createDataFrame([(2, span + " " + tail_b)], schema) \
+        .coalesce(1).write.parquet(str(src_dir / "b2"))
+    q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    texts = {r["doc_id"]: r["text"] for r in builder.corpus.read().collect()}
+    assert texts[1].startswith(span)          # first shipper keeps
+    assert span not in texts[2]               # second trigger excised
+    assert "unrelated second story" in texts[2]
+
+    # restart with the same checkpoint: nothing replays into the corpus
+    q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert builder.corpus.row_count() == 2
