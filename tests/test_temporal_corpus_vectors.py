@@ -658,3 +658,37 @@ def test_bm25_empty_terms_rejected(spark):
     import pytest
     with pytest.raises(ValueError, match="non-empty"):
         cp.bm25_scores(_bm25_docs(spark), "doc_id", "text", [])
+
+
+def test_repetition_profile(spark):
+    """Hand-computed line/n-gram repetition signals; empty docs report
+    zeros; <n-word docs have no n-gram signal (word_shingles' whole-text
+    fallback must NOT leak in as a phantom gram)."""
+    docs = spark.createDataFrame(
+        [(1, "a b\na b\nc"),            # dup line "a b"; modal 2-gram "a b" x2 of 4
+         (2, "x y z"),                  # no repetition at all
+         (3, ""),                       # empty -> all zeros
+         (4, "w\n\nw"),                 # blank line dropped; both lines dup
+         (5, "p q r s t p q r s t")],   # 5-gram "p q r s t" x2 of 6
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cp.repetition_profile(docs, "doc_id", "text").collect()}
+    assert out[1]["n_lines"] == 3
+    assert out[1]["dup_line_frac"] == 1 / 3
+    assert out[1]["dup_line_char_frac"] == 6 / 7      # "a b" twice of 7 chars
+    assert out[1]["top_2gram_frac"] == 2 / 4          # a b, b a, a b, b c
+    assert out[1]["dup_5gram_frac"] == 0.0            # single 5-gram
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["top_2gram_frac"] == 0.5
+    assert out[3]["n_lines"] == 0 and out[3]["top_2gram_frac"] == 0.0
+    assert out[4]["n_lines"] == 2 and out[4]["dup_line_char_frac"] == 1.0
+    assert out[5]["top_2gram_frac"] == 2 / 9
+    assert out[5]["dup_5gram_frac"] == 2 / 6
+
+
+def test_repetition_profile_single_word_no_phantom_gram(spark):
+    """A 1-word doc: word_shingles(n=2) falls back to the whole text as
+    one shingle — the operator's >=n guard must zero it out, not count
+    it as a 2-gram occurrence."""
+    docs = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    row = cp.repetition_profile(docs, "doc_id", "text").collect()[0]
+    assert row["top_2gram_frac"] == 0.0 and row["dup_5gram_frac"] == 0.0

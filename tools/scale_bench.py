@@ -32,7 +32,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = [
-    "q17_dedup_exact",
     "q23_text_profile",
     "q28_lsh_near_dup",
     "q42_dedup_clusters",

@@ -511,3 +511,100 @@ def cut_covered_positions(df: DataFrame, id_col: str, text_col: str,
                     F.size(toks).cast("bigint").alias("n_words"),
                     (F.size(toks) - F.size(kept)).cast("bigint")
                     .alias("n_removed")))
+
+
+def repetition_profile(df: DataFrame, id_col: str,
+                       text_col: str) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher/C4 filter
+    family): boilerplate, templates, and spam repeat LINES and n-grams
+    within a single document — repetition no cross-document dedup sees.
+
+    Returns one row per document:
+      ``n_lines``             non-empty (trimmed) lines
+      ``dup_line_frac``       line occurrences beyond each line's first
+                              / all line occurrences
+      ``dup_line_char_frac``  characters inside lines occurring >= 2
+                              times / all line characters (every
+                              occurrence counts — the Gopher definition)
+      ``top_2gram_frac``      occurrences of the modal word 2-gram /
+                              all 2-gram occurrences
+      ``dup_5gram_frac``      occurrences of word 5-grams appearing
+                              >= 2 times / all 5-gram occurrences
+    Occurrence fractions, not Gopher's character fractions, for the
+    n-gram signals — same signal, integer-exact, oracle-checkable.
+
+    Scale shape: ZERO shuffle — every signal is one projection over
+    per-document arrays (split / sort_array / filter / aggregate), so
+    the operator is embarrassingly parallel: its cost is exactly one
+    pass over the corpus bytes, and it composes with any scan. Equality
+    is tested on xxhash64 of lines/grams (a 64-bit collision shifts a
+    count with P ~ items^2/2^65 — noise for a quality signal; the
+    oracle compares the strings themselves). Each fraction is integer
+    counts + one terminal IEEE division: deterministic on any layout.
+    Higher-order functions are interpreted, not codegen'd (the
+    word_shingles lesson) — but the arrays here are per-document, and
+    the regex tokenize/shingle passes that dominate stay single-call.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.transform(F.split(txt, "\n"), F.trim),
+                     lambda x: x != F.lit(""))
+    hl = F.sort_array(F.transform(
+        lines, lambda x: F.struct(F.xxhash64(x).alias("h"),
+                                  F.length(x).cast("bigint").alias("len"))))
+
+    def gram_hashes(n: int) -> Column:
+        return F.when(
+            F.size(tx.tokens(txt)) >= n,
+            F.sort_array(F.transform(tx.word_shingles(txt, n=n),
+                                     lambda g: F.xxhash64(g)))
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    d = df.select(F.col(id_col), hl.alias("_hl"),
+                  gram_hashes(2).alias("_g2"), gram_hashes(5).alias("_g5"))
+
+    def dup_entries(name: str, key):
+        # elements of the SORTED array belonging to a >=2 run: equal to
+        # their predecessor or successor. when() guards keep element_at
+        # 1-based and never at 0 / past the end.
+        a = F.col(name)
+
+        def pred(x, i):
+            prev = F.when(i > F.lit(0), key(F.element_at(a, i)))
+            nxt = F.when(i < F.size(a) - 1, key(F.element_at(a, i + 2)))
+            return (key(x) == prev) | (key(x) == nxt)
+
+        return F.filter(a, pred)
+
+    zero = F.lit(0).cast("bigint")
+    n_lines = F.size("_hl").cast("bigint")
+    nd_lines = F.size(F.array_distinct(
+        F.transform(F.col("_hl"), lambda x: x["h"]))).cast("bigint")
+    tot_chars = F.aggregate(F.col("_hl"), zero, lambda a, x: a + x["len"])
+    dup_chars = F.aggregate(dup_entries("_hl", lambda x: x["h"]), zero,
+                            lambda a, x: a + x["len"])
+    one = F.lit(1).cast("bigint")
+    top2 = F.aggregate(
+        F.col("_g2"),
+        F.struct(F.lit(None).cast("bigint").alias("prev"),
+                 zero.alias("run"), zero.alias("best")),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(one).alias("run"),
+            F.greatest(a["best"],
+                       F.when(x == a["prev"], a["run"] + 1).otherwise(one))
+            .alias("best")),
+        lambda a: a["best"])
+    n2 = F.size("_g2").cast("bigint")
+    n5 = F.size("_g5").cast("bigint")
+    dup5 = F.size(dup_entries("_g5", lambda x: x)).cast("bigint")
+
+    def frac(num: Column, den: Column) -> Column:
+        return (F.when(den > 0, num.cast("double") / den.cast("double"))
+                .otherwise(F.lit(0.0)))
+
+    return d.select(
+        F.col(id_col), n_lines.alias("n_lines"),
+        frac(n_lines - nd_lines, n_lines).alias("dup_line_frac"),
+        frac(dup_chars, tot_chars).alias("dup_line_char_frac"),
+        frac(top2, n2).alias("top_2gram_frac"),
+        frac(dup5, n5).alias("dup_5gram_frac"))

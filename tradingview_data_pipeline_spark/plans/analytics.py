@@ -469,19 +469,11 @@ def q12_weighted_scores(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # q14 — min-max normalization per group with all-equal guard (A2/F9;
-# sectorscore.py:72-78). min/max are exact (no summation).
+# sectorscore.py:72-78). min/max are exact (no summation). Merged into
+# q35_grouped_aggregates as its 'minmax' leg (round-8 consolidation #12,
+# COVERAGE.md map); fx.minmax_normalize keeps its own pytest coverage.
 # ---------------------------------------------------------------------------
 
-@register("q14_minmax_norm", oracle="""
-SELECT o_orderkey, o_orderpriority, o_totalprice,
-       CASE WHEN mx = mn THEN 1.0 ELSE (o_totalprice - mn) / (mx - mn) END AS price_norm
-FROM (
-  SELECT o_orderkey, o_orderpriority, o_totalprice,
-         MIN(o_totalprice) OVER w AS mn, MAX(o_totalprice) OVER w AS mx
-  FROM orders
-  WINDOW w AS (PARTITION BY o_orderpriority)
-)
-""")
 def q14_minmax_norm(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority")
@@ -521,15 +513,11 @@ def q15_scalar_funcs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # q17 — exact deduplication by content hash (training-data op; scale path:
 # hash-groupBy shuffles only the 32-byte digest + key, not the payload).
+# Merged into q46_corpus_prep as its 'dedup' leg (round-8 consolidation
+# #11, COVERAGE.md map); the underlying operator keeps its own pytest
+# coverage via operators/dedup.exact_dedup.
 # ---------------------------------------------------------------------------
 
-@register("q17_dedup_exact", oracle="""
-SELECT md5(text) AS content_hash,
-       MIN(doc_id) AS keeper_doc_id,
-       COUNT(*) AS copies
-FROM documents
-GROUP BY md5(text)
-""")
 def q17_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (

@@ -79,7 +79,12 @@ FROM documents,
 
 
 @register("q46_corpus_prep", oracle=f"""
-WITH sp AS ({_Q46_SPLIT_SQL}), ch AS ({_Q47_CHUNK_SQL})
+WITH sp AS ({_Q46_SPLIT_SQL}), ch AS ({_Q47_CHUNK_SQL}),
+dd AS (
+  SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
+         COUNT(*) AS copies
+  FROM documents GROUP BY md5(text)
+)
 SELECT 'split' AS kind, doc_id, lang AS s1, split AS s2,
        split_bucket AS n1, CAST(NULL AS BIGINT) AS n2,
        in_sample AS flag, lang_sample_rank AS rank
@@ -89,13 +94,30 @@ SELECT 'chunk' AS kind, doc_id, chunk_text AS s1, CAST(NULL AS VARCHAR) AS s2,
        chunk_idx AS n1, chunk_start AS n2,
        CAST(NULL AS BOOLEAN) AS flag, chunk_len AS rank
 FROM ch
+UNION ALL
+SELECT 'dedup' AS kind, keeper_doc_id AS doc_id, content_hash AS s1,
+       CAST(NULL AS VARCHAR) AS s2, copies AS n1, CAST(NULL AS BIGINT) AS n2,
+       CAST(NULL AS BOOLEAN) AS flag, CAST(NULL AS BIGINT) AS rank
+FROM dd
 """)
 def q46_corpus_prep(spark, sf_dir):
-    """Tagged union (round-6 consolidation #7, COVERAGE.md map):
-    'split' — deterministic sampling suite in one pass (hash split,
-    Bernoulli flag, per-language 20-doc uniform sample rank); 'chunk' —
-    overlapping fixed-size chunking (200-char windows, 50 overlap;
-    map-side sequence + posexplode, no shuffle)."""
+    """Tagged union (round-6 consolidation #7 + round-8 #11,
+    COVERAGE.md map): 'split' — deterministic sampling suite in one
+    pass (hash split, Bernoulli flag, per-language 20-doc uniform
+    sample rank); 'chunk' — overlapping fixed-size chunking (200-char
+    windows, 50 overlap; map-side sequence + posexplode, no shuffle);
+    'dedup' — exact content-hash dedup groups (the old q17: digest
+    groupBy shuffles only the 32-byte hash + key, never the text)."""
+    from tradingview_data_pipeline_spark.plans.analytics import q17_dedup_exact
+    dedup = q17_dedup_exact(spark, sf_dir).select(
+        F.lit("dedup").alias("kind"),
+        F.col("keeper_doc_id").alias("doc_id"),
+        F.col("content_hash").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("copies").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("boolean").alias("flag"),
+        F.lit(None).cast("bigint").alias("rank"))
     split = _q46_split_sample(spark, sf_dir).select(
         F.lit("split").alias("kind"), "doc_id",
         F.col("lang").alias("s1"), F.col("split").alias("s2"),
@@ -110,7 +132,7 @@ def q46_corpus_prep(spark, sf_dir):
         F.col("chunk_idx").alias("n1"), F.col("chunk_start").alias("n2"),
         F.lit(None).cast("boolean").alias("flag"),
         F.col("chunk_len").alias("rank"))
-    return split.unionByName(chunk)
+    return split.unionByName(chunk).unionByName(dedup)
 
 
 def _q46_split_sample(spark, sf_dir):
@@ -408,3 +430,119 @@ def q73_dup_span_removal(spark, sf_dir):
                     "n_words", "n_removed")
 
     return leg("cut").unionByName(leg("keepone", keep_min_doc=True))
+
+
+# ---------------------------------------------------------------------------
+# q74 — token-rarity corpus-frequency profile
+# (operators/corpus.token_rarity_profile): the exact-arithmetic stand-in
+# for LM-perplexity filtering — occurrence-weighted mean token document
+# frequency + the fraction of occurrences whose token appears in no other
+# document. Registered in the slot freed by the q17+q46 merge (round-8
+# consolidation #11). The engine shuffles md5-60 token hashes (8 bytes,
+# never strings); the oracle groups by the token string itself — the two
+# agree except on a 60-bit collision (P ~ vocab^2/2^61, the q48/q72
+# acceptance). Fractions are integer sums + one terminal IEEE division:
+# deterministic on any layout / engine.
+# ---------------------------------------------------------------------------
+
+@register("q74_token_rarity", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_W}) AS w FROM documents
+), per_tok AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, COUNT(*) AS tdf FROM per_tok GROUP BY w
+), per AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(c * tdf) AS BIGINT) AS sum_df,
+         CAST(SUM(CASE WHEN tdf = 1 THEN c ELSE 0 END) AS BIGINT) AS n_rare
+  FROM per_tok JOIN dfreq USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       CASE WHEN COALESCE(per.n_tokens, 0) > 0
+            THEN CAST(per.sum_df AS DOUBLE) / CAST(per.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS mean_token_df,
+       CASE WHEN COALESCE(per.n_tokens, 0) > 0
+            THEN CAST(per.n_rare AS DOUBLE) / CAST(per.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS rare_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+""")
+def q74_token_rarity(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return cp.token_rarity_profile(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q75 — within-document repetition profile
+# (operators/corpus.repetition_profile): the Gopher/C4 repetition filter
+# family — duplicate lines (count + character mass), modal word 2-gram
+# share, duplicated 5-gram share. Registered in the slot freed by the
+# q14+q35 merge (round-8 consolidation #12). ZERO-shuffle engine plan
+# (per-doc array expressions only); the oracle recomputes every signal
+# relationally by grouping the actual line/gram strings — agreement rests
+# only on xxhash64 equality ≡ string equality (64-bit collision noise).
+# ---------------------------------------------------------------------------
+
+_Q75_G2 = "w[i+1] || ' ' || w[i+2]"
+_Q75_G5 = " || ' ' || ".join(f"w[i+{j}]" for j in range(1, 6))
+
+@register("q75_repetition_profile", oracle=f"""
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM documents, LATERAL (SELECT unnest(string_split(text, chr(10))) AS l) t
+  WHERE trim(l) <> ''
+), lc AS (
+  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+  FROM lines GROUP BY doc_id, line
+), ls AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(c * len) AS BIGINT) AS tot_chars,
+         CAST(SUM(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS BIGINT)
+           AS dup_chars
+  FROM lc GROUP BY doc_id
+), tok AS (
+  SELECT doc_id, {_TOK_W} AS w FROM documents
+), g2 AS (
+  SELECT doc_id, {_Q75_G2} AS g
+  FROM tok, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) t
+  WHERE len(w) >= 2
+), g2c AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g
+), g2s AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2, CAST(MAX(c) AS BIGINT) AS top2
+  FROM g2c GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id, {_Q75_G5} AS g
+  FROM tok, LATERAL (SELECT unnest(range(len(w) - 4)) AS i) t
+  WHERE len(w) >= 5
+), g5c AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g
+), g5s AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n5,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup5
+  FROM g5c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines,
+       CASE WHEN COALESCE(n_lines, 0) > 0
+            THEN CAST(n_lines - nd AS DOUBLE) / CAST(n_lines AS DOUBLE)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN COALESCE(tot_chars, 0) > 0
+            THEN CAST(dup_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)
+            ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN COALESCE(n2, 0) > 0
+            THEN CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+            ELSE 0.0 END AS top_2gram_frac,
+       CASE WHEN COALESCE(n5, 0) > 0
+            THEN CAST(dup5 AS DOUBLE) / CAST(n5 AS DOUBLE)
+            ELSE 0.0 END AS dup_5gram_frac
+FROM documents d
+LEFT JOIN ls USING (doc_id)
+LEFT JOIN g2s USING (doc_id)
+LEFT JOIN g5s USING (doc_id)
+""")
+def q75_repetition_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return cp.repetition_profile(d, "doc_id", "text")

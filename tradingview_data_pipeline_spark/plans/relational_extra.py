@@ -232,6 +232,17 @@ WITH roll AS (
          CAST(SUM(CAST(ROUND(c_acctbal * 1000, 0) AS BIGINT)) AS BIGINT) AS scaled_sum
   FROM customer
   GROUP BY c_mktsegment
+), mm AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+         CASE WHEN mx = mn THEN 1.0
+              ELSE (o_totalprice - mn) / (mx - mn) END AS price_norm
+  FROM (
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           MIN(o_totalprice) OVER w AS mn, MAX(o_totalprice) OVER w AS mx
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+  )
 )
 SELECT 'rollup' AS kind, r_name AS g1, n_name AS g2, n_customers AS n_rows,
        CAST(NULL AS BIGINT) AS n_distinct, total_acctbal,
@@ -242,6 +253,11 @@ SELECT 'distinct' AS kind, c_mktsegment AS g1, CAST(NULL AS VARCHAR) AS g2,
        n_customers AS n_rows, n_nations AS n_distinct, total_acctbal,
        scaled_sum
 FROM dist
+UNION ALL
+SELECT 'minmax' AS kind, o_orderpriority AS g1, CAST(NULL AS VARCHAR) AS g2,
+       o_orderkey AS n_rows, CAST(NULL AS BIGINT) AS n_distinct,
+       price_norm AS total_acctbal, price_cents AS scaled_sum
+FROM mm
 """)
 def q35_grouped_aggregates(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -274,7 +290,23 @@ def q35_grouped_aggregates(spark, sf_dir):
                 F.col("n_nations").alias("n_distinct"),
                 F.col("total_acctbal"), F.col("scaled_sum"))
     )
-    return roll.unionByName(dist)
+    # 'minmax' — the old q14 (round-8 consolidation #12): per-group
+    # min-max normalization with the all-equal guard (A2/F9). min/max
+    # are exact (no summation); the norm is one IEEE subtract+divide of
+    # exact 2-dp doubles, identical in both engines. o_totalprice rides
+    # along as exact cents so both raw and normalized values are
+    # hash-checked.
+    from tradingview_data_pipeline_spark.plans.analytics import q14_minmax_norm
+    mm = q14_minmax_norm(spark, sf_dir).select(
+        F.lit("minmax").alias("kind"),
+        F.col("o_orderpriority").alias("g1"),
+        F.lit(None).cast("string").alias("g2"),
+        F.col("o_orderkey").cast("bigint").alias("n_rows"),
+        F.lit(None).cast("bigint").alias("n_distinct"),
+        F.col("price_norm").alias("total_acctbal"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        .alias("scaled_sum"))
+    return roll.unionByName(dist).unionByName(mm)
 
 
 # ---------------------------------------------------------------------------
