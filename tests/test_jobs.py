@@ -634,3 +634,70 @@ def test_incremental_builder_first_batch_crash_no_false_backfill(
     assert m2["span_dropped_docs"] == 0
     texts = {r["doc_id"]: r["text"] for r in b2.corpus.read().collect()}
     assert SPAN not in texts[2] and texts[1].startswith("one two")
+
+
+# --- repetition gate (Gopher/C4 within-document filters) -------------------
+
+REPETITIVE = "spam spam spam spam spam spam spam spam spam spam spam spam"
+CLEAN_DOC = ("a genuinely varied document discussing many distinct topics "
+             "with no repeated lines or phrases whatsoever in its body "
+             "covering history science art music travel and cooking")
+
+
+def test_corpus_prep_repetition_gate_drops_spammy_docs(spark, tmp_path):
+    """repetition_limits cuts the all-one-word doc (top_2gram_frac = 1)
+    while the varied doc sails through; metrics count the cut at the
+    quality stage (same map-side gate)."""
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    docs = _corpus_batch(spark, [(1, CLEAN_DOC), (2, REPETITIVE)])
+    m = corpus_pipeline.run_corpus_prep(
+        spark, docs, str(tmp_path / "out"), quality_min=0.0,
+        repetition_limits={"top_2gram_frac": 0.5})
+    assert m["after_near_dedup_and_quality"] == 1
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_corpus_prep_repetition_gate_unknown_signal_raises(spark, tmp_path):
+    import pytest
+
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    docs = _corpus_batch(spark, [(1, CLEAN_DOC)])
+    with pytest.raises(ValueError, match="unknown repetition signals"):
+        corpus_pipeline.run_corpus_prep(
+            spark, docs, str(tmp_path / "out"),
+            repetition_limits={"dup_7gram_frac": 0.1})
+
+
+def test_incremental_builder_repetition_gate(spark, tmp_path):
+    """The builder applies the same map-side gate per batch: repetitive
+    docs never enter the corpus OR the hash-gate table (a later clean
+    near-dup of a gated doc is judged on its own merits)."""
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    b = IncrementalCorpusBuilder(spark, str(tmp_path / "state"),
+                                 quality_min=0.0,
+                                 repetition_limits={"top_2gram_frac": 0.5})
+    m1 = b.add_batch(_corpus_batch(spark, [(1, CLEAN_DOC), (2, REPETITIVE)]))
+    assert m1["after_quality_and_exact"] == 1 and m1["appended"] == 1
+    # replay idempotence with the gate active: nothing double-enters
+    m2 = b.add_batch(_corpus_batch(spark, [(1, CLEAN_DOC), (2, REPETITIVE)]))
+    assert m2["appended"] == 0
+    assert sorted(r["doc_id"] for r in b.corpus.read().collect()) == [1]
+
+
+def test_incremental_builder_repetition_gate_validates_at_init(tmp_path):
+    """Unknown signal names fail at construction, before any state
+    directory is created."""
+    import pytest
+
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    with pytest.raises(ValueError, match="unknown repetition signals"):
+        IncrementalCorpusBuilder(None, str(tmp_path / "state"),
+                                 repetition_limits={"nope": 0.1})
+    assert not (tmp_path / "state").exists()

@@ -692,3 +692,17 @@ def test_repetition_profile_single_word_no_phantom_gram(spark):
     docs = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
     row = cp.repetition_profile(docs, "doc_id", "text").collect()[0]
     assert row["top_2gram_frac"] == 0.0 and row["dup_5gram_frac"] == 0.0
+
+
+def test_with_repetition_signals_passthrough_and_collision(spark):
+    """The composable form keeps every input column (so it can gate a
+    scan in place) and refuses input columns that collide with a signal
+    name rather than silently overwriting them."""
+    docs = spark.createDataFrame([(1, "a b\na b\nc", "keep-me")],
+                                 "doc_id long, text string, extra string")
+    out = cp.with_repetition_signals(docs, "text").collect()[0]
+    assert out["extra"] == "keep-me" and out["text"] == "a b\na b\nc"
+    assert out["dup_line_frac"] == 1 / 3
+    clash = docs.withColumn("n_lines", F.lit(9))
+    with pytest.raises(ValueError, match="collide"):
+        cp.with_repetition_signals(clash, "text")

@@ -513,38 +513,22 @@ def cut_covered_positions(df: DataFrame, id_col: str, text_col: str,
                     .alias("n_removed")))
 
 
-def repetition_profile(df: DataFrame, id_col: str,
-                       text_col: str) -> DataFrame:
-    """Per-document repetition quality signals (the Gopher/C4 filter
-    family): boilerplate, templates, and spam repeat LINES and n-grams
-    within a single document — repetition no cross-document dedup sees.
+#: the five signal columns with_repetition_signals appends, in order
+REPETITION_SIGNALS = ("n_lines", "dup_line_frac", "dup_line_char_frac",
+                      "top_2gram_frac", "dup_5gram_frac")
 
-    Returns one row per document:
-      ``n_lines``             non-empty (trimmed) lines
-      ``dup_line_frac``       line occurrences beyond each line's first
-                              / all line occurrences
-      ``dup_line_char_frac``  characters inside lines occurring >= 2
-                              times / all line characters (every
-                              occurrence counts — the Gopher definition)
-      ``top_2gram_frac``      occurrences of the modal word 2-gram /
-                              all 2-gram occurrences
-      ``dup_5gram_frac``      occurrences of word 5-grams appearing
-                              >= 2 times / all 5-gram occurrences
-    Occurrence fractions, not Gopher's character fractions, for the
-    n-gram signals — same signal, integer-exact, oracle-checkable.
 
-    Scale shape: ZERO shuffle — every signal is one projection over
-    per-document arrays (split / sort_array / filter / aggregate), so
-    the operator is embarrassingly parallel: its cost is exactly one
-    pass over the corpus bytes, and it composes with any scan. Equality
-    is tested on xxhash64 of lines/grams (a 64-bit collision shifts a
-    count with P ~ items^2/2^65 — noise for a quality signal; the
-    oracle compares the strings themselves). Each fraction is integer
-    counts + one terminal IEEE division: deterministic on any layout.
-    Higher-order functions are interpreted, not codegen'd (the
-    word_shingles lesson) — but the arrays here are per-document, and
-    the regex tokenize/shingle passes that dominate stay single-call.
-    """
+def with_repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Append the five repetition signal columns (``REPETITION_SIGNALS``)
+    to ``df`` map-side, preserving every input column — the composable
+    form ``repetition_profile`` and the corpus-prep repetition gate both
+    build on. Zero shuffle: usable as a predicate input directly over a
+    scan. Input columns named like a signal would collide — rejected
+    loudly rather than silently overwritten."""
+    clash = set(df.columns) & set(REPETITION_SIGNALS)
+    if clash:
+        raise ValueError(f"input columns collide with repetition "
+                         f"signals: {sorted(clash)}")
     txt = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(F.transform(F.split(txt, "\n"), F.trim),
                      lambda x: x != F.lit(""))
@@ -559,7 +543,7 @@ def repetition_profile(df: DataFrame, id_col: str,
                                      lambda g: F.xxhash64(g)))
         ).otherwise(F.array().cast("array<bigint>"))
 
-    d = df.select(F.col(id_col), hl.alias("_hl"),
+    d = df.select("*", hl.alias("_hl"),
                   gram_hashes(2).alias("_g2"), gram_hashes(5).alias("_g5"))
 
     def dup_entries(name: str, key):
@@ -603,8 +587,45 @@ def repetition_profile(df: DataFrame, id_col: str,
                 .otherwise(F.lit(0.0)))
 
     return d.select(
-        F.col(id_col), n_lines.alias("n_lines"),
+        *df.columns, n_lines.alias("n_lines"),
         frac(n_lines - nd_lines, n_lines).alias("dup_line_frac"),
         frac(dup_chars, tot_chars).alias("dup_line_char_frac"),
         frac(top2, n2).alias("top_2gram_frac"),
         frac(dup5, n5).alias("dup_5gram_frac"))
+
+
+def repetition_profile(df: DataFrame, id_col: str,
+                       text_col: str) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher/C4 filter
+    family): boilerplate, templates, and spam repeat LINES and n-grams
+    within a single document — repetition no cross-document dedup sees.
+
+    Returns one row per document:
+      ``n_lines``             non-empty (trimmed) lines
+      ``dup_line_frac``       line occurrences beyond each line's first
+                              / all line occurrences
+      ``dup_line_char_frac``  characters inside lines occurring >= 2
+                              times / all line characters (every
+                              occurrence counts — the Gopher definition)
+      ``top_2gram_frac``      occurrences of the modal word 2-gram /
+                              all 2-gram occurrences
+      ``dup_5gram_frac``      occurrences of word 5-grams appearing
+                              >= 2 times / all 5-gram occurrences
+    Occurrence fractions, not Gopher's character fractions, for the
+    n-gram signals — same signal, integer-exact, oracle-checkable.
+
+    Scale shape: ZERO shuffle — every signal is one projection over
+    per-document arrays (split / sort_array / filter / aggregate), so
+    the operator is embarrassingly parallel: its cost is exactly one
+    pass over the corpus bytes, and it composes with any scan. Equality
+    is tested on xxhash64 of lines/grams (a 64-bit collision shifts a
+    count with P ~ items^2/2^65 — noise for a quality signal; the
+    oracle compares the strings themselves). Each fraction is integer
+    counts + one terminal IEEE division: deterministic on any layout.
+    Higher-order functions are interpreted, not codegen'd (the
+    word_shingles lesson) — but the arrays here are per-document, and
+    the regex tokenize/shingle passes that dominate stay single-call.
+    """
+    sig = with_repetition_signals(
+        df.select(F.col(id_col), F.col(text_col)), text_col)
+    return sig.select(F.col(id_col), *REPETITION_SIGNALS)

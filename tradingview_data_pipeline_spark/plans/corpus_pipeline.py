@@ -12,7 +12,10 @@ a production corpus build runs them:
       -> dup-span removal       (corpus.remove_dup_spans keep_min_doc;
                                  optional — substring-level cut of
                                  shared spans document dedup missed)
-      -> quality gate           (text.quality_score threshold)
+      -> quality gate           (text.quality_score threshold; optional
+                                 corpus.REPETITION_SIGNALS limits —
+                                 Gopher/C4 repetition filters, same
+                                 map-side pass)
       -> PII redaction          (text.redact_pii)
       -> leakage-safe split     (sampling.cluster_safe_split on the
                                  SAME clustering that drove dedup)
@@ -56,6 +59,7 @@ def run_corpus_prep(
     lsh_k: int = 8,
     lsh_bands: int = 4,
     remove_spans: bool = False,
+    repetition_limits: dict[str, float] | None = None,
 ) -> dict:
     """Run the full corpus-prep pipeline; returns a metrics dict (the
     per-stage row accounting a production corpus build logs).
@@ -69,7 +73,15 @@ def run_corpus_prep(
     of borderline-Jaccard candidate recall. Pipeline cost is
     CANDIDATE-PAIR-bound (exact Jaccard verification is Θ(pairs ×
     shingles/doc)); see the round-8 SCALING.md stage table for the
-    measured attribution."""
+    measured attribution.
+
+    ``repetition_limits`` optionally gates on within-document
+    repetition (the Gopher/C4 filters): a dict of
+    ``corpus.REPETITION_SIGNALS`` fraction names to MAX allowed values,
+    e.g. ``{"dup_line_frac": 0.3, "top_2gram_frac": 0.2}``. Applied
+    map-side in the same pass as the quality gate (the signals are
+    zero-shuffle column expressions) — the gate adds no stage, no
+    shuffle, and no second scan."""
     n_input = docs.count()
 
     # exact dedup is recomputed by the clustering build and the export
@@ -103,6 +115,9 @@ def run_corpus_prep(
     gated = kept.where(
         (tx.quality_score(F.col("text")) >= F.lit(quality_min))
         & (tx.token_count(F.col("text")) > 0))
+
+    if repetition_limits:
+        gated = _apply_repetition_limits(gated, repetition_limits)
 
     redacted = gated.withColumn("text", tx.redact_pii(F.col("text")))
 
@@ -140,6 +155,23 @@ def run_corpus_prep(
         "total_tokens": int(sum(r["tokens"] for r in per_split.values())),
         "n_shards": n_shards,
     }
+
+
+def _apply_repetition_limits(df: DataFrame,
+                             limits: dict[str, float]) -> DataFrame:
+    """Drop rows whose repetition signal exceeds its limit. The signals
+    are appended map-side (``corpus.with_repetition_signals`` — zero
+    shuffle) and projected away again, so the gate is a pure filter over
+    whatever scan feeds it. Unknown signal names fail loudly."""
+    unknown = set(limits) - set(cp.REPETITION_SIGNALS)
+    if unknown:
+        raise ValueError(f"unknown repetition signals: {sorted(unknown)}; "
+                         f"valid: {list(cp.REPETITION_SIGNALS)}")
+    sig = cp.with_repetition_signals(df, "text")
+    cond = F.lit(True)
+    for name, mx in limits.items():
+        cond = cond & (F.col(name) <= F.lit(float(mx)))
+    return sig.where(cond).select(*df.columns)
 
 
 class IncrementalCorpusBuilder:
@@ -209,7 +241,8 @@ class IncrementalCorpusBuilder:
                  quality_min: float = 25.0,
                  jaccard_threshold: float = 0.5,
                  buckets: int | None = None,
-                 remove_spans: bool = False):
+                 remove_spans: bool = False,
+                 repetition_limits: dict[str, float] | None = None):
         from pyspark.sql import types as T
 
         from tradingview_data_pipeline_spark.operators.merge import ParquetTable
@@ -217,6 +250,15 @@ class IncrementalCorpusBuilder:
         self.spark = spark
         self.quality_min = quality_min
         self.jaccard_threshold = jaccard_threshold
+        # validate limits at construction, not first batch (fail loudly
+        # before any state dir is touched)
+        if repetition_limits:
+            unknown = set(repetition_limits) - set(cp.REPETITION_SIGNALS)
+            if unknown:
+                raise ValueError(
+                    f"unknown repetition signals: {sorted(unknown)}; "
+                    f"valid: {list(cp.REPETITION_SIGNALS)}")
+        self.repetition_limits = repetition_limits
         corpus_schema = T.StructType([
             T.StructField("doc_id", T.LongType()),
             T.StructField("text", T.StringType()),
@@ -270,6 +312,11 @@ class IncrementalCorpusBuilder:
             F.col("doc_id").cast("long").alias("doc_id"), "text").where(
             (tx.quality_score(F.col("text")) >= F.lit(self.quality_min))
             & (tx.token_count(F.col("text")) > 0))
+        if self.repetition_limits:
+            # same map-side gate as run_corpus_prep: deterministic per
+            # document, so replays gate identically (replay-idempotence
+            # is preserved — a doc either never enters or always does)
+            gated = _apply_repetition_limits(gated, self.repetition_limits)
 
         # exact dedup: min doc_id per content within the batch, then
         # anti-join against the hash-gate table — read BUCKET-PRUNED to
