@@ -120,3 +120,24 @@ def test_single_partition_exchanges_carry_only_aggregates(spark):
             child = lines[i + 1] if i + 1 < len(lines) else ""
             assert any(a in child for a in _AGG_NODES), \
                 f"{name}: full-table SinglePartition exchange\n{ln}\n{child}"
+
+
+def test_repetition_gate_is_map_only(spark):
+    """The repetition signals + limit filter must compile to a pure
+    projection+filter over the scan — zero Exchange nodes — or the
+    'gate adds no shuffle to the pipeline' claim in corpus_pipeline is
+    broken."""
+    from tradingview_data_pipeline_spark.operators import corpus as cp
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        _apply_repetition_limits)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    gated = _apply_repetition_limits(docs, {"dup_line_frac": 0.3,
+                                            "top_2gram_frac": 0.5})
+    p = explain(gated)
+    assert "Exchange" not in p, p
+    # and the standalone profile stays zero-exchange after the
+    # with_repetition_signals refactor
+    p2 = explain(cp.repetition_profile(docs, "doc_id", "text"))
+    assert "Exchange" not in p2, p2

@@ -518,18 +518,12 @@ REPETITION_SIGNALS = ("n_lines", "dup_line_frac", "dup_line_char_frac",
                       "top_2gram_frac", "dup_5gram_frac")
 
 
-def with_repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
-    """Append the five repetition signal columns (``REPETITION_SIGNALS``)
-    to ``df`` map-side, preserving every input column — the composable
-    form ``repetition_profile`` and the corpus-prep repetition gate both
-    build on. Zero shuffle: usable as a predicate input directly over a
-    scan. Input columns named like a signal would collide — rejected
-    loudly rather than silently overwritten."""
-    clash = set(df.columns) & set(REPETITION_SIGNALS)
-    if clash:
-        raise ValueError(f"input columns collide with repetition "
-                         f"signals: {sorted(clash)}")
-    txt = F.coalesce(F.col(text_col), F.lit(""))
+def _rep_arrays(txt: Column) -> dict[str, Column]:
+    """The three per-document SORTED arrays every repetition signal is
+    computed from: ``hl`` = struct<h,len> per non-empty trimmed line,
+    ``g2``/``g5`` = xxhash64 per word 2-/5-gram. Pure expressions over
+    ``txt`` — the tokenize/split/shingle passes that dominate the
+    operator's cost all live here."""
     lines = F.filter(F.transform(F.split(txt, "\n"), F.trim),
                      lambda x: x != F.lit(""))
     hl = F.sort_array(F.transform(
@@ -543,15 +537,21 @@ def with_repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
                                      lambda g: F.xxhash64(g)))
         ).otherwise(F.array().cast("array<bigint>"))
 
-    d = df.select("*", hl.alias("_hl"),
-                  gram_hashes(2).alias("_g2"), gram_hashes(5).alias("_g5"))
+    return {"hl": hl, "g2": gram_hashes(2), "g5": gram_hashes(5)}
 
-    def dup_entries(name: str, key):
+
+def _rep_signal_exprs(hl: Column, g2: Column,
+                      g5: Column) -> dict[str, Column]:
+    """The five ``REPETITION_SIGNALS`` as pure expressions over the
+    three pre-sorted arrays. Callers choose the binding: projection
+    attributes (``with_repetition_signals`` — evaluated once per row by
+    the ProjectExec) or evaluate-once lambda variables
+    (``repetition_within_limits`` — immune to filter-pushdown
+    expression duplication)."""
+    def dup_entries(a: Column, key):
         # elements of the SORTED array belonging to a >=2 run: equal to
         # their predecessor or successor. when() guards keep element_at
         # 1-based and never at 0 / past the end.
-        a = F.col(name)
-
         def pred(x, i):
             prev = F.when(i > F.lit(0), key(F.element_at(a, i)))
             nxt = F.when(i < F.size(a) - 1, key(F.element_at(a, i + 2)))
@@ -560,15 +560,15 @@ def with_repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
         return F.filter(a, pred)
 
     zero = F.lit(0).cast("bigint")
-    n_lines = F.size("_hl").cast("bigint")
+    n_lines = F.size(hl).cast("bigint")
     nd_lines = F.size(F.array_distinct(
-        F.transform(F.col("_hl"), lambda x: x["h"]))).cast("bigint")
-    tot_chars = F.aggregate(F.col("_hl"), zero, lambda a, x: a + x["len"])
-    dup_chars = F.aggregate(dup_entries("_hl", lambda x: x["h"]), zero,
+        F.transform(hl, lambda x: x["h"]))).cast("bigint")
+    tot_chars = F.aggregate(hl, zero, lambda a, x: a + x["len"])
+    dup_chars = F.aggregate(dup_entries(hl, lambda x: x["h"]), zero,
                             lambda a, x: a + x["len"])
     one = F.lit(1).cast("bigint")
     top2 = F.aggregate(
-        F.col("_g2"),
+        g2,
         F.struct(F.lit(None).cast("bigint").alias("prev"),
                  zero.alias("run"), zero.alias("best")),
         lambda a, x: F.struct(
@@ -578,20 +578,102 @@ def with_repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
                        F.when(x == a["prev"], a["run"] + 1).otherwise(one))
             .alias("best")),
         lambda a: a["best"])
-    n2 = F.size("_g2").cast("bigint")
-    n5 = F.size("_g5").cast("bigint")
-    dup5 = F.size(dup_entries("_g5", lambda x: x)).cast("bigint")
+    n2 = F.size(g2).cast("bigint")
+    n5 = F.size(g5).cast("bigint")
+    dup5 = F.size(dup_entries(g5, lambda x: x)).cast("bigint")
 
     def frac(num: Column, den: Column) -> Column:
         return (F.when(den > 0, num.cast("double") / den.cast("double"))
                 .otherwise(F.lit(0.0)))
 
-    return d.select(
-        *df.columns, n_lines.alias("n_lines"),
-        frac(n_lines - nd_lines, n_lines).alias("dup_line_frac"),
-        frac(dup_chars, tot_chars).alias("dup_line_char_frac"),
-        frac(top2, n2).alias("top_2gram_frac"),
-        frac(dup5, n5).alias("dup_5gram_frac"))
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": frac(n_lines - nd_lines, n_lines),
+        "dup_line_char_frac": frac(dup_chars, tot_chars),
+        "top_2gram_frac": frac(top2, n2),
+        "dup_5gram_frac": frac(dup5, n5),
+    }
+
+
+def with_repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Append the five repetition signal columns (``REPETITION_SIGNALS``)
+    to ``df`` map-side, preserving every input column — the composable
+    PROJECTION form ``repetition_profile`` builds on. Zero shuffle.
+    Input columns named like a signal would collide — rejected loudly
+    rather than silently overwritten.
+
+    Do NOT filter on the appended columns in a hot path: Catalyst's
+    filter pushdown substitutes each referenced signal's FULL expression
+    tree (its own tokenize + shingle passes) into the pushed predicate —
+    a measured ~15x per-row blowup. Gate with
+    ``repetition_within_limits`` instead, which binds the arrays once.
+    """
+    clash = set(df.columns) & set(REPETITION_SIGNALS)
+    if clash:
+        raise ValueError(f"input columns collide with repetition "
+                         f"signals: {sorted(clash)}")
+    arrs = _rep_arrays(F.coalesce(F.col(text_col), F.lit("")))
+    d = df.select("*", arrs["hl"].alias("_hl"),
+                  arrs["g2"].alias("_g2"), arrs["g5"].alias("_g5"))
+    sig = _rep_signal_exprs(F.col("_hl"), F.col("_g2"), F.col("_g5"))
+    return d.select(*df.columns,
+                    *[sig[n].alias(n) for n in REPETITION_SIGNALS])
+
+
+#: empty-array literals matching _rep_arrays' element types, used to
+#: skip computing arrays no requested signal reads
+_REP_EMPTY = {
+    "hl": "array<struct<h:bigint,len:bigint>>",
+    "g2": "array<bigint>",
+    "g5": "array<bigint>",
+}
+
+#: which bound array each signal reads
+_REP_NEEDS = {
+    "n_lines": "hl", "dup_line_frac": "hl", "dup_line_char_frac": "hl",
+    "top_2gram_frac": "g2", "dup_5gram_frac": "g5",
+}
+
+
+def repetition_within_limits(text_col: Column,
+                             limits: dict[str, float]) -> Column:
+    """ONE boolean expression: every requested ``REPETITION_SIGNALS``
+    value is <= its limit — the gate form for ``.where(...)`` in a
+    corpus pipeline.
+
+    Why not filter on ``with_repetition_signals`` columns: Catalyst
+    pushes a Filter through a Project by substituting each referenced
+    alias's full expression tree into the condition (replaceAlias has
+    no cost model), so a 3-signal limit recomputes the tokenize +
+    shingle passes once per signal per row — measured +37 s on a 50k-doc
+    corpus-prep run vs ~2.4 s for one signal pass. Here the three
+    arrays are bound ONCE as fields of a single-element
+    ``transform(array(struct(...)), s -> cond)`` lambda: inside the
+    lambda every use of ``s["hl"]`` is a variable access, not a
+    recomputation, and the expression stays a self-contained
+    deterministic scalar Catalyst can push anywhere at no extra cost.
+    Arrays no requested signal reads are replaced by empty literals
+    (gating on lines alone skips both shingle passes)."""
+    unknown = set(limits) - set(REPETITION_SIGNALS)
+    if unknown:
+        raise ValueError(f"unknown repetition signals: {sorted(unknown)}; "
+                         f"valid: {list(REPETITION_SIGNALS)}")
+    if not limits:
+        return F.lit(True)
+    arrs = _rep_arrays(F.coalesce(text_col, F.lit("")))
+    needed = {_REP_NEEDS[name] for name in limits}
+    bound = F.array(F.struct(*[
+        (arrs[k] if k in needed else F.array().cast(_REP_EMPTY[k])).alias(k)
+        for k in ("hl", "g2", "g5")]))
+
+    def cond(s: Column) -> Column:
+        sig = _rep_signal_exprs(s["hl"], s["g2"], s["g5"])
+        c = F.lit(True)
+        for name in sorted(limits):
+            c = c & (sig[name] <= F.lit(float(limits[name])))
+        return c
+
+    return F.element_at(F.transform(bound, cond), 1)
 
 
 def repetition_profile(df: DataFrame, id_col: str,

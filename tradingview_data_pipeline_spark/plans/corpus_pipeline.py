@@ -159,19 +159,12 @@ def run_corpus_prep(
 
 def _apply_repetition_limits(df: DataFrame,
                              limits: dict[str, float]) -> DataFrame:
-    """Drop rows whose repetition signal exceeds its limit. The signals
-    are appended map-side (``corpus.with_repetition_signals`` — zero
-    shuffle) and projected away again, so the gate is a pure filter over
-    whatever scan feeds it. Unknown signal names fail loudly."""
-    unknown = set(limits) - set(cp.REPETITION_SIGNALS)
-    if unknown:
-        raise ValueError(f"unknown repetition signals: {sorted(unknown)}; "
-                         f"valid: {list(cp.REPETITION_SIGNALS)}")
-    sig = cp.with_repetition_signals(df, "text")
-    cond = F.lit(True)
-    for name, mx in limits.items():
-        cond = cond & (F.col(name) <= F.lit(float(mx)))
-    return sig.where(cond).select(*df.columns)
+    """Drop rows whose repetition signal exceeds its limit — one
+    deterministic boolean expression (``corpus.repetition_within_limits``
+    binds the signal arrays once, so filter pushdown cannot duplicate
+    the tokenize/shingle passes), zero shuffle, zero extra stage.
+    Unknown signal names fail loudly (in corpus.py)."""
+    return df.where(cp.repetition_within_limits(F.col("text"), limits))
 
 
 class IncrementalCorpusBuilder:
