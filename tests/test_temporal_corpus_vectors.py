@@ -706,3 +706,71 @@ def test_with_repetition_signals_passthrough_and_collision(spark):
     clash = docs.withColumn("n_lines", F.lit(9))
     with pytest.raises(ValueError, match="collide"):
         cp.with_repetition_signals(clash, "text")
+
+
+# --- domain-mixture resampling ---------------------------------------------
+
+def _mix_docs(spark):
+    rows = ([(i, "A") for i in range(1, 5)]          # 4 docs
+            + [(10 + i, "B") for i in range(2)]      # 2 docs
+            + [(20 + i, "C") for i in range(2)])     # 2 docs, unweighted
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mixture_sample_epochs_and_fractions(spark):
+    """weights {A:1, B:1}, total=12: A rate 12/(2*4)=1.5 -> 1 or 2
+    copies per doc; B rate 12/(2*2)=3.0 -> exactly 3 copies; C dropped.
+    copy_idx enumerates 1..n_copies; a rerun is bit-identical."""
+    docs = _mix_docs(spark)
+    out = sp.mixture_sample(docs, "doc_id", "source",
+                            {"A": 1, "B": 1}, 12).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], {}).setdefault(r["doc_id"], []) \
+            .append(r["copy_idx"])
+    assert set(by_src) == {"A", "B"}
+    for doc, idxs in by_src["A"].items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+        assert len(idxs) in (1, 2)
+    assert all(sorted(i) == [1, 2, 3] for i in by_src["B"].values())
+    # deterministic: rerun identical
+    again = sp.mixture_sample(docs, "doc_id", "source",
+                              {"A": 1, "B": 1}, 12).collect()
+    key = lambda r: (r["doc_id"], r["copy_idx"])
+    assert sorted(map(key, out)) == sorted(map(key, again))
+
+
+def test_mixture_sample_downsample_only(spark):
+    """total below the weighted pool: rates < 1, every kept doc has
+    exactly one copy and output size is near the budget."""
+    docs = spark.createDataFrame([(i, "A") for i in range(1000)],
+                                 "doc_id long, source string")
+    out = sp.mixture_sample(docs, "doc_id", "source", {"A": 1}, 100)
+    rows = out.collect()
+    assert all(r["n_copies"] == 1 and r["copy_idx"] == 1 for r in rows)
+    assert 60 <= len(rows) <= 140        # hash-grid binomial, ~100
+
+
+def test_mixture_sample_validation(spark):
+    docs = _mix_docs(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        sp.mixture_sample(docs, "doc_id", "source", {}, 10)
+    with pytest.raises(ValueError, match="positive ints"):
+        sp.mixture_sample(docs, "doc_id", "source", {"A": 0.5}, 10)
+    with pytest.raises(ValueError, match="positive ints"):
+        sp.mixture_sample(docs, "doc_id", "source", {"A": True}, 10)
+    with pytest.raises(ValueError, match="max_epochs"):
+        sp.mixture_sample(docs, "doc_id", "source", {"A": 1}, 10_000)
+    # weights naming only absent sources -> empty frame, right schema
+    empty = sp.mixture_sample(docs, "doc_id", "source", {"Z": 1}, 10)
+    assert empty.count() == 0
+    assert {"n_copies", "copy_idx"} <= set(empty.columns)
+
+
+def test_temperature_weights():
+    w1 = sp.temperature_weights({"a": 30, "b": 10}, 1.0, scale=100)
+    assert w1 == {"a": 75, "b": 25}
+    flat = sp.temperature_weights({"a": 30, "b": 10}, 1e9, scale=100)
+    assert flat == {"a": 50, "b": 50}
+    with pytest.raises(ValueError, match="temperature"):
+        sp.temperature_weights({"a": 1}, 0)

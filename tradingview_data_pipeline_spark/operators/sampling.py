@@ -151,3 +151,96 @@ def cluster_safe_split(
     j = j.withColumn(cluster_col,
                      F.coalesce(F.col(cluster_col), F.col(id_col)))
     return hash_split(j, cluster_col, boundaries, salt=salt)
+
+
+def mixture_sample(
+    df: DataFrame, id_col: str, source_col: str,
+    target_weights: dict[str, int], total_rows: int,
+    *, salt: str = "mix", max_epochs: int = 1000,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Resample a corpus to a target domain mixture — the data-mixture
+    operator every LLM pretraining build runs (Pile / LLaMA style):
+    given integer ``target_weights`` per source and an output budget of
+    ``total_rows``, each source's documents are kept ``rate =
+    (total_rows * w_s / sum_w) / n_s`` times — ``floor(rate)`` full
+    epochs plus one more copy for the hash-selected ``rate - floor``
+    fraction. Rates above 1 UPSAMPLE (repeat docs across epochs), below
+    1 downsample; sources absent from ``target_weights`` are dropped.
+
+    Output: input columns + ``n_copies`` + ``copy_idx`` (1-based; one
+    row per copy, so downstream packing/shuffling sees every epoch).
+    E[output rows] = ``total_rows`` up to hash-grid rounding, and the
+    selection is fully deterministic: same doc -> same copies on any
+    layout, rerun, or engine (integer weights keep every threshold a
+    pure bigint expression: ``epochs = T*w // (sum_w*n)``, remainder
+    threshold on a 1e6 hash grid — no float in the decision path).
+
+    Scale shape: ONE column-pruned count aggregate (shuffles #sources
+    rows), per-source params collected to the driver (bounded by source
+    CARDINALITY — domains, not documents; loud ``max_epochs`` guard),
+    then a broadcast join + map-side ``sequence`` explode. The corpus
+    itself is never shuffled. ``temperature_weights`` converts natural
+    counts + a sampling temperature into the integer weights."""
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    bad = {s: w for s, w in target_weights.items()
+           if isinstance(w, bool) or not isinstance(w, int) or w <= 0}
+    if bad:
+        raise ValueError(f"target_weights must be positive ints "
+                         f"(exact cross-engine arithmetic): {bad}")
+    if total_rows <= 0:
+        raise ValueError("total_rows must be positive")
+    sum_w = sum(target_weights.values())
+
+    counts = {r["s"]: r["n"] for r in
+              df.where(F.col(source_col).isin(*target_weights))
+                .groupBy(F.col(source_col).alias("s"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    params = []
+    for s, n in sorted(counts.items()):
+        num, den = total_rows * target_weights[s], sum_w * n
+        epochs, rem = divmod(num, den)
+        if epochs > max_epochs:
+            raise ValueError(
+                f"source {s!r}: rate {num / den:.1f} exceeds max_epochs="
+                f"{max_epochs} — raise it explicitly if a {epochs}-epoch "
+                f"repeat is intended")
+        params.append((s, epochs, grid * rem // den))
+    if not params:
+        return (df.withColumn("n_copies", F.lit(0).cast("bigint"))
+                  .withColumn("copy_idx", F.lit(0).cast("bigint"))
+                  .where(F.lit(False)))
+    pdf = df.sparkSession.createDataFrame(
+        params, f"{source_col} string, __epochs long, __thr long")
+
+    n_copies = (F.col("__epochs")
+                + (hash60(F.col(id_col), salt) % F.lit(grid)
+                   < F.col("__thr")).cast("long"))
+    return (df.join(F.broadcast(pdf), source_col)
+            .withColumn("n_copies", n_copies)
+            .drop("__epochs", "__thr")
+            .where(F.col("n_copies") >= 1)     # sequence(1,0) is [1,0]!
+            .withColumn("copy_idx",
+                        F.explode(F.sequence(F.lit(1).cast("bigint"),
+                                             F.col("n_copies")))))
+
+
+def temperature_weights(
+    counts: dict[str, int], temperature: float, *, scale: int = 1_000_000,
+) -> dict[str, int]:
+    """Integer mixture weights from natural source counts at a sampling
+    temperature: w_s ∝ (n_s / N)^(1/T), rationalized onto an integer
+    grid for ``mixture_sample``'s exact arithmetic. T=1 reproduces the
+    natural mixture; T>1 flattens it toward uniform (the common
+    low-resource-upweighting setting); T→0 approaches argmax. Driver-side
+    pure-Python over #sources entries — the pow lives HERE, outside the
+    cross-engine decision path."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    tot = float(sum(counts.values()))
+    raw = {s: (c / tot) ** (1.0 / temperature) for s, c in counts.items()}
+    z = sum(raw.values())
+    return {s: max(1, round(scale * v / z)) for s, v in raw.items()}

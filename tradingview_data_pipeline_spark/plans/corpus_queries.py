@@ -78,13 +78,44 @@ FROM documents,
 """
 
 
+#: q46 'mixture' leg constants — integer weights so every threshold is
+#: exact bigint arithmetic in BOTH engines (src5..src19 deliberately
+#: unweighted -> dropped; at sf0.01's 25 docs/source the rates span
+#: 3 full epochs, 1.5, 0.75, and 0.375)
+_MIX_WEIGHTS = {"src0": 8, "src1": 4, "src2": 2, "src3": 1, "src4": 1}
+_MIX_TOTAL = 150
+_MIX_SUMW = sum(_MIX_WEIGHTS.values())
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
+
+_Q46_MIXTURE_SQL = f"""
+WITH mxw(source, wgt) AS (VALUES {_MIX_VALUES}),
+mxc AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+mxp AS (
+  SELECT c.source,
+         ({_MIX_TOTAL}::BIGINT * wgt) // ({_MIX_SUMW}::BIGINT * n) AS epochs,
+         (1000000 * (({_MIX_TOTAL}::BIGINT * wgt) % ({_MIX_SUMW}::BIGINT * n)))
+           // ({_MIX_SUMW}::BIGINT * n) AS thr
+  FROM mxc c JOIN mxw USING (source)
+),
+mxd AS (
+  SELECT d.doc_id, d.source,
+         CAST(epochs + CASE WHEN {_H60S.format(salt='mix', col='doc_id')}
+              % 1000000 < thr THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM documents d JOIN mxp USING (source)
+)
+SELECT doc_id, source, n_copies, CAST(ci AS BIGINT) AS copy_idx
+FROM mxd, LATERAL (SELECT unnest(generate_series(1, CAST(n_copies AS INT))) AS ci) t
+WHERE n_copies >= 1
+"""
+
+
 @register("q46_corpus_prep", oracle=f"""
 WITH sp AS ({_Q46_SPLIT_SQL}), ch AS ({_Q47_CHUNK_SQL}),
 dd AS (
   SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
          COUNT(*) AS copies
   FROM documents GROUP BY md5(text)
-)
+), mx AS ({_Q46_MIXTURE_SQL})
 SELECT 'split' AS kind, doc_id, lang AS s1, split AS s2,
        split_bucket AS n1, CAST(NULL AS BIGINT) AS n2,
        in_sample AS flag, lang_sample_rank AS rank
@@ -99,6 +130,11 @@ SELECT 'dedup' AS kind, keeper_doc_id AS doc_id, content_hash AS s1,
        CAST(NULL AS VARCHAR) AS s2, copies AS n1, CAST(NULL AS BIGINT) AS n2,
        CAST(NULL AS BOOLEAN) AS flag, CAST(NULL AS BIGINT) AS rank
 FROM dd
+UNION ALL
+SELECT 'mixture' AS kind, doc_id, source AS s1, CAST(NULL AS VARCHAR) AS s2,
+       n_copies AS n1, copy_idx AS n2,
+       CAST(NULL AS BOOLEAN) AS flag, CAST(NULL AS BIGINT) AS rank
+FROM mx
 """)
 def q46_corpus_prep(spark, sf_dir):
     """Tagged union (round-6 consolidation #7 + round-8 #11,
@@ -107,7 +143,10 @@ def q46_corpus_prep(spark, sf_dir):
     sample rank); 'chunk' — overlapping fixed-size chunking (200-char
     windows, 50 overlap; map-side sequence + posexplode, no shuffle);
     'dedup' — exact content-hash dedup groups (the old q17: digest
-    groupBy shuffles only the 32-byte hash + key, never the text)."""
+    groupBy shuffles only the 32-byte hash + key, never the text);
+    'mixture' — domain-mixture resampling (sampling.mixture_sample:
+    exact-bigint epoch/threshold arithmetic, broadcast params join +
+    map-side sequence explode — the corpus is never shuffled)."""
     from tradingview_data_pipeline_spark.plans.analytics import q17_dedup_exact
     dedup = q17_dedup_exact(spark, sf_dir).select(
         F.lit("dedup").alias("kind"),
@@ -132,7 +171,16 @@ def q46_corpus_prep(spark, sf_dir):
         F.col("chunk_idx").alias("n1"), F.col("chunk_start").alias("n2"),
         F.lit(None).cast("boolean").alias("flag"),
         F.col("chunk_len").alias("rank"))
-    return split.unionByName(chunk).unionByName(dedup)
+    mixture = sp.mixture_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "source",
+        _MIX_WEIGHTS, _MIX_TOTAL).select(
+        F.lit("mixture").alias("kind"), "doc_id",
+        F.col("source").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("n_copies").alias("n1"), F.col("copy_idx").alias("n2"),
+        F.lit(None).cast("boolean").alias("flag"),
+        F.lit(None).cast("bigint").alias("rank"))
+    return split.unionByName(chunk).unionByName(dedup).unionByName(mixture)
 
 
 def _q46_split_sample(spark, sf_dir):
