@@ -701,3 +701,17 @@ def test_incremental_builder_repetition_gate_validates_at_init(tmp_path):
         IncrementalCorpusBuilder(None, str(tmp_path / "state"),
                                  repetition_limits={"nope": 0.1})
     assert not (tmp_path / "state").exists()
+
+
+def test_parse_repetition_limits():
+    import pytest
+
+    assert jobs.parse_repetition_limits(None) is None
+    assert jobs.parse_repetition_limits("") is None
+    assert jobs.parse_repetition_limits(
+        "dup_line_frac=0.3,top_2gram_frac=0.2") == {
+        "dup_line_frac": 0.3, "top_2gram_frac": 0.2}
+    with pytest.raises(ValueError, match="malformed"):
+        jobs.parse_repetition_limits("dup_line_frac")
+    with pytest.raises(ValueError, match="non-numeric"):
+        jobs.parse_repetition_limits("dup_line_frac=x")

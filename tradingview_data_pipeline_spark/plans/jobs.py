@@ -130,6 +130,24 @@ def run_segment_job(spark: SparkSession, tables: dict[str, ParquetTable],
     return table.read().count()
 
 
+def parse_repetition_limits(spec: str | None) -> dict[str, float] | None:
+    """'name=max,name=max' CLI spec -> repetition_limits dict; malformed
+    entries fail loudly here, unknown signal names fail in corpus.py."""
+    if not spec:
+        return None
+    limits: dict[str, float] = {}
+    for part in spec.split(","):
+        name, sep, val = part.partition("=")
+        if not sep or not name.strip():
+            raise ValueError(f"malformed repetition limit {part!r}; "
+                             f"expected name=max")
+        try:
+            limits[name.strip()] = float(val)
+        except ValueError:
+            raise ValueError(f"non-numeric repetition limit {part!r}")
+    return limits
+
+
 def main(argv: list[str] | None = None) -> None:
     import argparse
 
@@ -145,6 +163,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="corpus-prep: documents parquet path")
     ap.add_argument("--out-dir", default="./corpus_out",
                     help="corpus-prep: output directory for the shards")
+    ap.add_argument("--remove-spans", action="store_true",
+                    help="corpus-prep: also excise cross-document "
+                         "duplicate 8-gram spans (keep one copy in the "
+                         "min-doc owner)")
+    ap.add_argument("--repetition-limits", default=None,
+                    help="corpus-prep: within-document repetition gate, "
+                         "e.g. 'dup_line_frac=0.3,top_2gram_frac=0.2' "
+                         "(signals: corpus.REPETITION_SIGNALS)")
     ap.add_argument("--downloads-dir", default="./downloads")
     ap.add_argument("--warehouse", default="./warehouse")
     ap.add_argument("--against", default=None,
@@ -209,7 +235,10 @@ def main(argv: list[str] | None = None) -> None:
         def corpus_body(t):
             docs = spark.read.parquet(args.docs_parquet)
             t.metrics.update(corpus_pipeline.run_corpus_prep(
-                spark, docs, args.out_dir))
+                spark, docs, args.out_dir,
+                remove_spans=args.remove_spans,
+                repetition_limits=parse_repetition_limits(
+                    args.repetition_limits)))
         reported("Corpus Prep", corpus_body)
     if args.job == "reconcile":
         # cross-copy verification: bucketed content checksums per table,
