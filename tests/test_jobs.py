@@ -715,3 +715,53 @@ def test_parse_repetition_limits():
         jobs.parse_repetition_limits("dup_line_frac")
     with pytest.raises(ValueError, match="non-numeric"):
         jobs.parse_repetition_limits("dup_line_frac=x")
+
+
+def test_corpus_prep_train_mixture(spark, tmp_path):
+    """train_mixture resamples ONLY the train split: upweighted source
+    docs appear once per epoch (copy_idx enumerates), unweighted train
+    sources drop, val/test pass through single-copy, and the on-disk
+    metrics count copies (the actual training budget)."""
+    import random
+
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    rng = random.Random(7)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = [(i, " ".join(rng.sample(words, 15)) + f" uniq{i}",
+             "s1" if i % 3 else "s2") for i in range(1, 25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    m = corpus_pipeline.run_corpus_prep(
+        spark, docs, str(tmp_path / "out"), quality_min=0.0,
+        train_mixture=({"s1": 1}, 40))
+    out = spark.read.parquet(str(tmp_path / "out"))
+    train = out.where("split = 'train'").collect()
+    others = out.where("split != 'train'").collect()
+    assert train, "fixture produced no train rows"
+    assert all(r["source"] == "s1" for r in train)          # s2 dropped
+    assert all(r["copy_idx"] == 1 and r["n_copies"] == 1 for r in others)
+    # epochs: every doc repeated n_copies times, contiguous copy_idx
+    by_doc = {}
+    for r in train:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    for doc, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+    assert 25 <= len(train) <= 55                # budget 40 +- grid noise
+    assert max(len(i) for i in by_doc.values()) >= 2        # upsampled
+    assert m["train_rows"] == len(train)         # metrics count copies
+    # per-copy ids are unique -> shard hashing spreads epochs
+    assert len({(r["doc_id"], r["copy_idx"]) for r in train}) == len(train)
+
+
+def test_corpus_prep_train_mixture_needs_source_col(spark, tmp_path):
+    import pytest
+
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    docs = _corpus_batch(spark, [(1, CLEAN_DOC)])
+    with pytest.raises(ValueError, match="train_mixture needs column"):
+        corpus_pipeline.run_corpus_prep(
+            spark, docs, str(tmp_path / "out"),
+            train_mixture=({"a": 1}, 10))

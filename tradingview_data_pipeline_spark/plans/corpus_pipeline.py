@@ -20,6 +20,8 @@ a production corpus build runs them:
       -> leakage-safe split     (sampling.cluster_safe_split on the
                                  SAME clustering that drove dedup)
       -> token accounting       (text.token_count)
+      -> train-mixture resample (sampling.mixture_sample; optional —
+                                 target domain weights, epoch upsampling)
       -> sharded export         (export.write_training_shards per split)
 
 Scale shape: two corpus-sized shuffles (content-hash dedup, LSH band
@@ -60,6 +62,8 @@ def run_corpus_prep(
     lsh_bands: int = 4,
     remove_spans: bool = False,
     repetition_limits: dict[str, float] | None = None,
+    train_mixture: tuple[dict[str, int], int] | None = None,
+    mixture_source_col: str = "source",
 ) -> dict:
     """Run the full corpus-prep pipeline; returns a metrics dict (the
     per-stage row accounting a production corpus build logs).
@@ -81,7 +85,19 @@ def run_corpus_prep(
     e.g. ``{"dup_line_frac": 0.3, "top_2gram_frac": 0.2}``. Applied
     map-side in the same pass as the quality gate (the signals are
     zero-shuffle column expressions) — the gate adds no stage, no
-    shuffle, and no second scan."""
+    shuffle, and no second scan.
+
+    ``train_mixture=(weights, total_rows)`` resamples the TRAIN split to
+    a target domain mixture (``sampling.mixture_sample`` over
+    ``mixture_source_col``) as the final stage: train rows gain
+    ``n_copies``/``copy_idx`` (upsampled docs appear once per epoch;
+    train sources absent from ``weights`` are DROPPED — the mixture
+    defines the training distribution), val/test pass through with one
+    copy, and shards key on (doc, copy) so epochs spread across shards.
+    ``total_tokens``/``train_rows`` then count COPIES — i.e. the actual
+    training budget. The pre-mixture frame is lazily localCheckpointed
+    so the mixture's per-source count job doesn't recompute the
+    dedup->gate chain."""
     n_input = docs.count()
 
     # exact dedup is recomputed by the clustering build and the export
@@ -128,11 +144,34 @@ def run_corpus_prep(
         .drop("split_bucket")
         .withColumn("n_tokens", tx.token_count(F.col("text"))))
 
+    shard_id = "doc_id"
+    if train_mixture is not None:
+        if mixture_source_col not in final.columns:
+            raise ValueError(
+                f"train_mixture needs column {mixture_source_col!r} "
+                f"(have: {final.columns})")
+        weights, mix_total = train_mixture
+        # lazy checkpoint: the mixture's per-source count action below
+        # would otherwise re-run the whole dedup->gate chain
+        final = final.localCheckpoint(eager=False)
+        one = F.lit(1).cast("bigint")
+        mixed = sp.mixture_sample(
+            final.where(F.col("split") == "train"), "doc_id",
+            mixture_source_col, weights, mix_total)
+        final = mixed.unionByName(
+            final.where(F.col("split") != "train")
+            .withColumn("n_copies", one).withColumn("copy_idx", one))
+        # shards hash (doc, copy) so an upsampled doc's epochs spread
+        # across shards instead of stacking in one file
+        shard_id = "mix_id"
+        final = final.withColumn(
+            "mix_id", F.concat_ws("#", F.col("doc_id"), F.col("copy_idx")))
+
     # ONE pass writes every split (hive split=/shard= layout); output
     # metrics are then read from what actually landed on disk — the
     # "verify what you shipped" accounting, and it spares a second
     # computation of the dedup->quality->split chain
-    ex.write_training_shards(final, out_dir, "doc_id", n_shards,
+    ex.write_training_shards(final, out_dir, shard_id, n_shards,
                              partition_cols=["split"])
     # an all-filtered corpus writes only _SUCCESS; reading that back
     # raises UNABLE_TO_INFER_SCHEMA — report zero-row metrics instead
