@@ -765,3 +765,33 @@ def test_corpus_prep_train_mixture_needs_source_col(spark, tmp_path):
         corpus_pipeline.run_corpus_prep(
             spark, docs, str(tmp_path / "out"),
             train_mixture=({"a": 1}, 10))
+
+
+def test_corpus_prep_all_stages_compose(spark, tmp_path):
+    """Every optional stage on at once (span cut + repetition gate +
+    train mixture): stages must compose without column collisions and
+    the metrics arithmetic must match the shipped shards."""
+    import random
+
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    rng = random.Random(13)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = [(i, " ".join(rng.sample(words, 15)) + f" uniq{i}",
+             "s1" if i % 2 else "s2") for i in range(1, 31)]
+    rows.append((99, REPETITIVE, "s1"))          # repetition-gated out
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    m = corpus_pipeline.run_corpus_prep(
+        spark, docs, str(tmp_path / "out"), quality_min=0.0,
+        remove_spans=True,
+        repetition_limits={"top_2gram_frac": 0.5},
+        train_mixture=({"s1": 2, "s2": 1}, 30))
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.where("doc_id = 99").count() == 0
+    got = out.groupBy("split").count().collect()
+    assert m["after_near_dedup_and_quality"] == sum(r["count"] for r in got)
+    train = out.where("split = 'train'").collect()
+    assert {r["source"] for r in train} <= {"s1", "s2"}
+    assert all(r["copy_idx"] >= 1 for r in train)
