@@ -774,3 +774,25 @@ def test_temperature_weights():
     assert flat == {"a": 50, "b": 50}
     with pytest.raises(ValueError, match="temperature"):
         sp.temperature_weights({"a": 1}, 0)
+
+
+def test_dedupe_lines(spark):
+    """Exact repeats drop keep-first; blank lines always survive;
+    leading whitespace distinguishes; single-line and empty docs pass
+    through; out_col composes without clobbering."""
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"),        # repeats of a and b dropped
+         (2, "x\n\n\nx\n  x"),        # blanks kept; "  x" != "x"
+         (3, "solo"),
+         (4, ""),
+         (5, "d\nd\nd\nd")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["clean"] for r in
+           cp.dedupe_lines(docs, "text", out_col="clean").collect()}
+    assert out[1] == "a\nb\nc"
+    assert out[2] == "x\n\n\n  x"
+    assert out[3] == "solo" and out[4] == ""
+    assert out[5] == "d"
+    # in-place form replaces the column
+    rep = cp.dedupe_lines(docs, "text").where("doc_id = 1").collect()[0]
+    assert rep["text"] == "a\nb\nc"

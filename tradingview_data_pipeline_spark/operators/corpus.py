@@ -711,3 +711,32 @@ def repetition_profile(df: DataFrame, id_col: str,
     sig = with_repetition_signals(
         df.select(F.col(id_col), F.col(text_col)), text_col)
     return sig.select(F.col(id_col), *REPETITION_SIGNALS)
+
+
+def dedupe_lines(df: DataFrame, text_col: str, *,
+                 out_col: str | None = None) -> DataFrame:
+    """C4-style within-document line dedup — the ACTION sibling of the
+    repetition gate: drop every repeat of an exact non-blank line,
+    keeping the first occurrence. Whitespace-only lines always pass
+    (they carry paragraph structure; deduping them would collapse
+    formatting). Matching is exact — lines differing in leading
+    whitespace are distinct (code blocks survive).
+
+    Map-only, zero shuffle. The line array is bound once via the
+    evaluate-once transform lambda (the ``repetition_within_limits``
+    pushdown lesson), so the first-occurrence scan
+    (``array_position`` — O(lines) per line, O(lines²) per doc, fine
+    for the hundreds-of-lines documents this targets) runs on the
+    bound variable, never on a recomputed split."""
+    out = out_col or text_col
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    def body(ls: Column) -> Column:
+        keep = F.filter(
+            ls, lambda x, i: (F.trim(x) == "")
+            | (F.array_position(ls, x) == i + F.lit(1)))
+        return F.array_join(keep, "\n")
+
+    cleaned = F.element_at(
+        F.transform(F.array(F.split(txt, "\n")), body), 1)
+    return df.withColumn(out, cleaned)

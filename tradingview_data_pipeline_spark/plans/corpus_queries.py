@@ -571,6 +571,25 @@ WITH lines AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n5,
          CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup5
   FROM g5c GROUP BY doc_id
+), rawl AS (
+  -- every raw line with its 1-based position (NO trim filter: the
+  -- line-dedup action keeps blank lines and matches lines exactly)
+  SELECT doc_id, i + 1 AS pos, string_split(text, chr(10))[i + 1] AS l
+  FROM documents,
+       LATERAL (SELECT unnest(range(len(string_split(text, chr(10))))) AS i) t
+), keepl AS (
+  SELECT doc_id, pos, l,
+         (trim(l) = '' OR pos = MIN(pos) OVER (PARTITION BY doc_id, l))
+           AS keep
+  FROM rawl
+), dl AS (
+  SELECT doc_id,
+         md5(COALESCE(string_agg(CASE WHEN keep THEN l END, chr(10)
+                                 ORDER BY pos) FILTER (WHERE keep), ''))
+           AS dedup_lines_hash,
+         CAST(COUNT(*) - COUNT(CASE WHEN keep THEN 1 END) AS BIGINT)
+           AS n_dup_lines
+  FROM keepl GROUP BY doc_id
 )
 SELECT d.doc_id,
        CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines,
@@ -585,12 +604,26 @@ SELECT d.doc_id,
             ELSE 0.0 END AS top_2gram_frac,
        CASE WHEN COALESCE(n5, 0) > 0
             THEN CAST(dup5 AS DOUBLE) / CAST(n5 AS DOUBLE)
-            ELSE 0.0 END AS dup_5gram_frac
+            ELSE 0.0 END AS dup_5gram_frac,
+       dl.dedup_lines_hash, dl.n_dup_lines
 FROM documents d
 LEFT JOIN ls USING (doc_id)
 LEFT JOIN g2s USING (doc_id)
 LEFT JOIN g5s USING (doc_id)
+JOIN dl USING (doc_id)
 """)
 def q75_repetition_profile(spark, sf_dir):
+    """Per-document repetition signals (corpus.repetition_profile) plus
+    the line-dedup ACTION's verified output: md5 of the C4-style
+    line-deduped text (corpus.dedupe_lines — exact cleaned TEXT is
+    oracle-checked through the hash) and how many lines it removed."""
     d = _t(spark, sf_dir, "documents")
-    return cp.repetition_profile(d, "doc_id", "text")
+    prof = cp.repetition_profile(d, "doc_id", "text")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    clean = cp.dedupe_lines(d, "text", out_col="__clean").select(
+        "doc_id",
+        F.md5(F.col("__clean")).alias("dedup_lines_hash"),
+        (F.size(F.split(txt, "\n"))
+         - F.size(F.split(F.col("__clean"), "\n"))).cast("bigint")
+        .alias("n_dup_lines"))
+    return prof.join(clean, "doc_id")
