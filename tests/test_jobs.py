@@ -795,3 +795,42 @@ def test_corpus_prep_all_stages_compose(spark, tmp_path):
     train = out.where("split = 'train'").collect()
     assert {r["source"] for r in train} <= {"s1", "s2"}
     assert all(r["copy_idx"] >= 1 for r in train)
+
+
+def test_corpus_prep_dedupe_repeated_lines(spark, tmp_path):
+    """dedupe_repeated_lines cleans shipped text (repeated non-blank
+    lines keep-first) and the gates score the CLEANED text — a doc
+    whose repetition comes only from dup lines passes a repetition
+    limit that would have rejected the raw text."""
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    body = "unique line one\nunique line two\nunique line three"
+    spammy = body + ("\nunique line one" * 6)    # dup_line_frac 6/9
+    docs = _corpus_batch(spark, [(1, spammy), (2, CLEAN_DOC)])
+    m = corpus_pipeline.run_corpus_prep(
+        spark, docs, str(tmp_path / "out"), quality_min=0.0,
+        dedupe_repeated_lines=True,
+        repetition_limits={"dup_line_frac": 0.1})
+    assert m["after_near_dedup_and_quality"] == 2    # doc 1 survives
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert texts[1] == body                          # cleaned on disk
+
+
+def test_incremental_builder_dedupe_lines_replay(spark, tmp_path):
+    """Builder line dedup: cleaned text is what lands in the corpus AND
+    what the hash gate keys, so a replay of the same raw batch appends
+    nothing."""
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    b = IncrementalCorpusBuilder(spark, str(tmp_path / "state"),
+                                 quality_min=0.0,
+                                 dedupe_repeated_lines=True)
+    raw = CLEAN_DOC + "\n" + CLEAN_DOC.split("\n")[0]  # whole doc is 1 line; dup it
+    m1 = b.add_batch(_corpus_batch(spark, [(1, raw)]))
+    assert m1["appended"] == 1
+    stored = b.corpus.read().collect()[0]["text"]
+    assert stored == CLEAN_DOC                       # dup line removed
+    m2 = b.add_batch(_corpus_batch(spark, [(1, raw)]))
+    assert m2["appended"] == 0                       # replay no-op

@@ -9,6 +9,8 @@ a production corpus build runs them:
     documents
       -> exact dedup            (dedup.drop_exact_duplicates)
       -> near-dup clustering    (dedup.dedup_clusters; keepers only)
+      -> line dedup             (corpus.dedupe_lines; optional — C4
+                                 repeated-line cleaning, map-only)
       -> dup-span removal       (corpus.remove_dup_spans keep_min_doc;
                                  optional — substring-level cut of
                                  shared spans document dedup missed)
@@ -61,6 +63,7 @@ def run_corpus_prep(
     lsh_k: int = 8,
     lsh_bands: int = 4,
     remove_spans: bool = False,
+    dedupe_repeated_lines: bool = False,
     repetition_limits: dict[str, float] | None = None,
     train_mixture: tuple[dict[str, int], int] | None = None,
     mixture_source_col: str = "source",
@@ -78,6 +81,10 @@ def run_corpus_prep(
     CANDIDATE-PAIR-bound (exact Jaccard verification is Θ(pairs ×
     shingles/doc)); see the round-8 SCALING.md stage table for the
     measured attribution.
+
+    ``dedupe_repeated_lines`` applies C4-style within-document line
+    dedup (``corpus.dedupe_lines``) FIRST in the text-rewrite cascade,
+    so the span pass and every gate below score the cleaned text.
 
     ``repetition_limits`` optionally gates on within-document
     repetition (the Gopher/C4 filters): a dict of
@@ -115,6 +122,12 @@ def run_corpus_prep(
     kept = exact.join(
         clusters.where(F.col("is_keeper")).select("doc_id"),
         "doc_id", "left_semi")
+
+    if dedupe_repeated_lines:
+        # C4 line-level cleaning first in the text-rewrite cascade
+        # (doc dedup -> LINE dedup -> span dedup -> gates), so the span
+        # pass and every gate below see the cleaned text; map-only
+        kept = cp.dedupe_lines(kept, "text")
 
     if remove_spans:
         # substring-level pass AFTER document-level dedup: cut shared
@@ -274,6 +287,7 @@ class IncrementalCorpusBuilder:
                  jaccard_threshold: float = 0.5,
                  buckets: int | None = None,
                  remove_spans: bool = False,
+                 dedupe_repeated_lines: bool = False,
                  repetition_limits: dict[str, float] | None = None):
         from pyspark.sql import types as T
 
@@ -291,6 +305,7 @@ class IncrementalCorpusBuilder:
                     f"unknown repetition signals: {sorted(unknown)}; "
                     f"valid: {list(cp.REPETITION_SIGNALS)}")
         self.repetition_limits = repetition_limits
+        self.dedupe_repeated_lines = dedupe_repeated_lines
         corpus_schema = T.StructType([
             T.StructField("doc_id", T.LongType()),
             T.StructField("text", T.StringType()),
@@ -340,8 +355,14 @@ class IncrementalCorpusBuilder:
         """Process one batch of (doc_id, text); returns stage metrics."""
         n_batch = docs.count()
 
-        gated = docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"), "text").where(
+        cleaned = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        if self.dedupe_repeated_lines:
+            # BEFORE the gates and the content hash: the hash-gate,
+            # signatures, and grams then all key the cleaned text —
+            # deterministic per document, so replays converge identically
+            cleaned = cp.dedupe_lines(cleaned, "text")
+        gated = cleaned.where(
             (tx.quality_score(F.col("text")) >= F.lit(self.quality_min))
             & (tx.token_count(F.col("text")) > 0))
         if self.repetition_limits:

@@ -167,6 +167,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="corpus-prep: also excise cross-document "
                          "duplicate 8-gram spans (keep one copy in the "
                          "min-doc owner)")
+    ap.add_argument("--dedupe-lines", action="store_true",
+                    help="corpus-prep: drop repeated non-blank lines "
+                         "within each document (C4-style), keep-first")
     ap.add_argument("--repetition-limits", default=None,
                     help="corpus-prep: within-document repetition gate, "
                          "e.g. 'dup_line_frac=0.3,top_2gram_frac=0.2' "
@@ -237,6 +240,7 @@ def main(argv: list[str] | None = None) -> None:
             t.metrics.update(corpus_pipeline.run_corpus_prep(
                 spark, docs, args.out_dir,
                 remove_spans=args.remove_spans,
+                dedupe_repeated_lines=args.dedupe_lines,
                 repetition_limits=parse_repetition_limits(
                     args.repetition_limits)))
         reported("Corpus Prep", corpus_body)
