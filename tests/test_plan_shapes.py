@@ -141,3 +141,7 @@ def test_repetition_gate_is_map_only(spark):
     # with_repetition_signals refactor
     p2 = explain(cp.repetition_profile(docs, "doc_id", "text"))
     assert "Exchange" not in p2, p2
+    # the REGISTERED q75 (signals + line-dedup hash) must stay one
+    # projection over the scan too — no doc_id self-join creep
+    p3 = explain(analytics.QUERIES["q75_repetition_profile"](spark, SF))
+    assert "Exchange" not in p3, p3

@@ -613,17 +613,20 @@ LEFT JOIN g5s USING (doc_id)
 JOIN dl USING (doc_id)
 """)
 def q75_repetition_profile(spark, sf_dir):
-    """Per-document repetition signals (corpus.repetition_profile) plus
-    the line-dedup ACTION's verified output: md5 of the C4-style
+    """Per-document repetition signals (corpus.with_repetition_signals)
+    plus the line-dedup ACTION's verified output: md5 of the C4-style
     line-deduped text (corpus.dedupe_lines — exact cleaned TEXT is
-    oracle-checked through the hash) and how many lines it removed."""
-    d = _t(spark, sf_dir, "documents")
-    prof = cp.repetition_profile(d, "doc_id", "text")
+    oracle-checked through the hash) and how many lines it removed.
+    Both are map-side over the SAME scan, composed as projections —
+    the whole query stays zero-exchange (a doc_id self-join here would
+    shuffle the corpus twice for columns one pass computes)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = cp.dedupe_lines(cp.with_repetition_signals(d, "text"),
+                          "text", out_col="__clean")
     txt = F.coalesce(F.col("text"), F.lit(""))
-    clean = cp.dedupe_lines(d, "text", out_col="__clean").select(
-        "doc_id",
+    return sig.select(
+        "doc_id", *cp.REPETITION_SIGNALS,
         F.md5(F.col("__clean")).alias("dedup_lines_hash"),
         (F.size(F.split(txt, "\n"))
          - F.size(F.split(F.col("__clean"), "\n"))).cast("bigint")
         .alias("n_dup_lines"))
-    return prof.join(clean, "doc_id")
