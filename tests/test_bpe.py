@@ -146,3 +146,26 @@ def test_bpe_leading_whitespace_no_phantom_empty_word(spark):
     assert wf == {"ab": 5}
     merges = bpe.bpe_train(df, "text", n_merges=3, min_pair_count=2)
     assert merges == _ref_train(["ab ab ab", "ab ab"], 3)
+
+
+def test_save_load_merges_round_trip(spark, tmp_path):
+    """The persisted tokenizer artifact restores the exact merge order,
+    and encoding with the loaded list is identical; empty vocabularies
+    round-trip too."""
+    from tradingview_data_pipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string")
+    merges = bpe.bpe_train(docs, "text", n_merges=8, min_pair_count=2)
+    assert merges
+    bpe.save_merges(spark, merges, str(tmp_path / "vocab"))
+    loaded = bpe.load_merges(spark, str(tmp_path / "vocab"))
+    assert loaded == merges
+    a = bpe.bpe_encode(docs, "doc_id", "text", merges).collect()
+    b = bpe.bpe_encode(docs, "doc_id", "text", loaded).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+    bpe.save_merges(spark, [], str(tmp_path / "empty"))
+    assert bpe.load_merges(spark, str(tmp_path / "empty")) == []

@@ -256,3 +256,22 @@ def bpe_encode(
 
     return (df.select(id_col, text_col)
             .mapInPandas(encode_batches, schema=spark_schema))
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge list as a (rank, a, b) parquet — the
+    tokenizer ARTIFACT: a corpus build trains once, every later encode
+    job loads. Merge ORDER is the tokenizer (BPE applies merges by
+    rank), so rank is stored explicitly rather than trusting file
+    order. One tiny file (coalesce(1)): tens of thousands of rows."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    schema = "rank long, a string, b string"
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge list saved by ``save_merges``, rank order restored
+    (bounded driver collect: the vocabulary, not the corpus)."""
+    return [(r["a"], r["b"]) for r in
+            spark.read.parquet(path).orderBy("rank").collect()]
