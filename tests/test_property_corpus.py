@@ -1,0 +1,119 @@
+"""Property-based tests for the round-8 text operators: random
+multi-line documents must produce identical results from the Spark
+expressions and a direct pure-Python transcription of the documented
+semantics.
+
+The repetition signals compare on xxhash64 of lines/grams while the
+reference compares the strings themselves — hash-collision probability
+is ~items²/2⁶⁵ per doc, zero over this test's lifetime.  Alphabet stays
+ASCII so Java ``\\s``/``trim`` and Python ``\\S``/``strip`` agree (the
+engine's Unicode-whitespace behavior is pinned separately in the BPE
+NBSP regression test).
+
+One Spark round trip per hypothesis example (a batch of documents per
+job), following the test_property_cleaning pattern.
+"""
+
+import re
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.operators import corpus as cp
+
+WORDS = ["aa", "bb", "cc", "dd", "spam", "x"]
+
+line = st.one_of(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=5).map(" ".join),
+    st.sampled_from(["", " ", "\t", "  aa", "aa  ", " aa bb "]),
+)
+doc = st.lists(line, min_size=0, max_size=10).map("\n".join)
+
+
+_WS = set(" \t\f\r\x0b")      # the operator's explicit blank char set
+
+
+def ref_dedupe_lines(text):
+    out, seen = [], set()
+    for l in text.split("\n"):
+        if set(l) <= _WS:
+            out.append(l)
+        elif l not in seen:
+            seen.add(l)
+            out.append(l)
+    return "\n".join(out)
+
+
+def ref_signals(text):
+    # the signals use SQL trim = SPACES only (oracle-mirrored); a
+    # tab-only line counts as content there — deliberate asymmetry
+    # with dedupe_lines' whitespace-set blank, documented in corpus.py
+    lines = [x.strip(" ") for x in text.split("\n")]
+    lines = [x for x in lines if x != ""]
+    lc = Counter(lines)
+    n_lines = len(lines)
+    nd = len(lc)
+    tot_chars = sum(len(x) for x in lines)
+    dup_chars = sum(len(x) for x in lines if lc[x] >= 2)
+    toks = re.findall(r"\S+", text)
+
+    def grams(n):
+        return ([" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+                if len(toks) >= n else [])
+
+    g2, g5 = Counter(grams(2)), Counter(grams(5))
+    n2, n5 = sum(g2.values()), sum(g5.values())
+    top2 = max(g2.values()) if g2 else 0
+    dup5 = sum(c for c in g5.values() if c >= 2)
+
+    def frac(a, b):
+        return a / b if b else 0.0
+
+    return (n_lines, frac(n_lines - nd, n_lines), frac(dup_chars, tot_chars),
+            frac(top2, n2), frac(dup5, n5))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=30))
+def test_dedupe_lines_matches_reference(spark, docs):
+    sdf = spark.createDataFrame(list(enumerate(docs)), "i long, text string")
+    got = {r["i"]: r["clean"] for r in
+           cp.dedupe_lines(sdf, "text", out_col="clean").collect()}
+    for i, d in enumerate(docs):
+        assert got[i] == ref_dedupe_lines(d), (d, got[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=30))
+def test_repetition_signals_match_reference(spark, docs):
+    sdf = spark.createDataFrame(list(enumerate(docs)), "i long, text string")
+    got = {r["i"]: r for r in
+           cp.repetition_profile(sdf, "i", "text").collect()}
+    for i, d in enumerate(docs):
+        exp = ref_signals(d)
+        r = got[i]
+        vals = (r["n_lines"], r["dup_line_frac"], r["dup_line_char_frac"],
+                r["top_2gram_frac"], r["dup_5gram_frac"])
+        assert vals[0] == exp[0], (d, vals, exp)
+        for v, e in zip(vals[1:], exp[1:]):
+            assert v == pytest.approx(e, abs=0.0), (d, vals, exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=20),
+       st.dictionaries(st.sampled_from(list(cp.REPETITION_SIGNALS)),
+                       st.floats(min_value=0.0, max_value=1.0),
+                       min_size=1, max_size=3))
+def test_repetition_gate_agrees_with_signals(spark, docs, limits):
+    """The pushdown-safe gate expression and the projected signals must
+    make the same keep/drop decision for every doc and limit set."""
+    sdf = spark.createDataFrame(list(enumerate(docs)), "i long, text string")
+    kept = {r["i"] for r in sdf.where(
+        cp.repetition_within_limits(F.col("text"), limits)).collect()}
+    sig = {r["i"]: r for r in
+           cp.repetition_profile(sdf, "i", "text").collect()}
+    for i in range(len(docs)):
+        expect = all(sig[i][name] <= mx for name, mx in limits.items())
+        assert (i in kept) == expect, (docs[i], limits, sig[i])

@@ -524,7 +524,12 @@ def _rep_arrays(txt: Column) -> dict[str, Column]:
     ``g2``/``g5`` = xxhash64 per word 2-/5-gram. Pure expressions over
     ``txt`` — the tokenize/split/shingle passes that dominate the
     operator's cost all live here."""
-    lines = F.filter(F.transform(F.split(txt, "\n"), F.trim),
+    # explicit one-arg lambda, NEVER the bare function: F.trim grew an
+    # optional second param (trimStr) in Spark 4, and transform()
+    # passes the element INDEX to any callable accepting two args — so
+    # `F.transform(arr, F.trim)` trims each line by its index digits,
+    # not by spaces (hypothesis-found, test_property_corpus)
+    lines = F.filter(F.transform(F.split(txt, "\n"), lambda x: F.trim(x)),
                      lambda x: x != F.lit(""))
     hl = F.sort_array(F.transform(
         lines, lambda x: F.struct(F.xxhash64(x).alias("h"),
@@ -600,7 +605,11 @@ def with_repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
     to ``df`` map-side, preserving every input column — the composable
     PROJECTION form ``repetition_profile`` builds on. Zero shuffle.
     Input columns named like a signal would collide — rejected loudly
-    rather than silently overwritten.
+    rather than silently overwritten. Line semantics: SQL ``trim`` =
+    SPACES only, so a tab-only line counts as (1-char) content — the
+    oracle mirrors ``trim()`` exactly; ``dedupe_lines`` deliberately
+    uses a wider whitespace-set blank instead (it rewrites text, where
+    structural whitespace must survive).
 
     Do NOT filter on the appended columns in a hot path: Catalyst's
     filter pushdown substitutes each referenced signal's FULL expression
@@ -732,8 +741,14 @@ def dedupe_lines(df: DataFrame, text_col: str, *,
     txt = F.coalesce(F.col(text_col), F.lit(""))
 
     def body(ls: Column) -> Column:
+        # blank = every char in the explicit whitespace SET (translate
+        # erases them all): F.trim strips SPACES only, so a tab-only
+        # line would be deduped as content — a hypothesis-found bug
+        # (test_property_corpus). A literal char set, not a regex
+        # class: Java \s and RE2 \s disagree on vertical tab, the
+        # translate set is engine-exact.
         keep = F.filter(
-            ls, lambda x, i: (F.trim(x) == "")
+            ls, lambda x, i: (F.translate(x, " \t\f\r\x0b", "") == "")
             | (F.array_position(ls, x) == i + F.lit(1)))
         return F.array_join(keep, "\n")
 

@@ -578,9 +578,14 @@ WITH lines AS (
   FROM documents,
        LATERAL (SELECT unnest(range(len(string_split(text, chr(10))))) AS i) t
 ), keepl AS (
+  -- blank = translate-erases-to-empty over the explicit whitespace SET
+  -- (mirrors corpus.dedupe_lines: trim() strips spaces only, and Java
+  -- \\s vs RE2 \\s disagree on vertical tab — the literal set is
+  -- engine-exact)
   SELECT doc_id, pos, l,
-         (trim(l) = '' OR pos = MIN(pos) OVER (PARTITION BY doc_id, l))
-           AS keep
+         (translate(l, ' ' || chr(9) || chr(12) || chr(13) || chr(11),
+                    '') = ''
+          OR pos = MIN(pos) OVER (PARTITION BY doc_id, l)) AS keep
   FROM rawl
 ), dl AS (
   SELECT doc_id,
