@@ -117,3 +117,74 @@ def test_repetition_gate_agrees_with_signals(spark, docs, limits):
     for i in range(len(docs)):
         expect = all(sig[i][name] <= mx for name, mx in limits.items())
         assert (i in kept) == expect, (docs[i], limits, sig[i])
+
+
+word = st.sampled_from(["a", "b", "c", "d"])
+word_doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+
+def ref_remove_spans(docs, n, min_docs, keep_min_doc):
+    words = {i: re.findall(r"\S+", t) for i, t in docs.items()}
+    gram_docs = {}
+    for i, ws in words.items():
+        for p in range(len(ws) - n + 1):
+            gram_docs.setdefault(" ".join(ws[p:p + n]), set()).add(i)
+    owner = {g: min(ds) for g, ds in gram_docs.items()}
+    out = {}
+    for i, ws in words.items():
+        covered = set()
+        for p in range(len(ws) - n + 1):
+            g = " ".join(ws[p:p + n])
+            if len(gram_docs[g]) >= min_docs and \
+                    not (keep_min_doc and owner[g] == i):
+                covered.update(range(p, p + n))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        out[i] = (" ".join(kept), len(ws), len(ws) - len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(word_doc, min_size=1, max_size=12), st.booleans())
+def test_remove_dup_spans_matches_reference(spark, texts, keep_min_doc):
+    """Positional coverage, overlap merging, per-occurrence owner
+    protection, and short-doc passthrough all follow from one reference
+    model: cover every position under a >= min_docs-shared n-gram
+    (except the min-doc owner's own occurrences in keep-one mode)."""
+    docs = dict(enumerate(texts))
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_words"], r["n_removed"])
+           for r in cp.remove_dup_spans(sdf, "doc_id", "text", n=3,
+                                        min_docs=2,
+                                        keep_min_doc=keep_min_doc).collect()}
+    exp = ref_remove_spans(docs, 3, 2, keep_min_doc)
+    assert got == exp, (texts, keep_min_doc)
+
+
+def ref_rarity(docs):
+    words = {i: re.findall(r"\S+", t) for i, t in docs.items()}
+    dfc = Counter()
+    for ws in words.values():
+        for w in set(ws):
+            dfc[w] += 1
+    out = {}
+    for i, ws in words.items():
+        n = len(ws)
+        if n == 0:
+            out[i] = (0, 0.0, 0.0)
+            continue
+        out[i] = (n, sum(dfc[w] for w in ws) / n,
+                  sum(1 for w in ws if dfc[w] == 1) / n)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(word_doc, min_size=1, max_size=15))
+def test_token_rarity_matches_reference(spark, texts):
+    """Occurrence-weighted mean document frequency and rare fraction —
+    both integer sums + one terminal IEEE division, so equality is
+    exact, not approximate."""
+    docs = dict(enumerate(texts))
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_token_df"], r["rare_frac"])
+           for r in cp.token_rarity_profile(sdf, "doc_id", "text").collect()}
+    assert got == ref_rarity(docs), texts
