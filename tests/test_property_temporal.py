@@ -72,3 +72,63 @@ def test_chunk_text_matches_slicing(spark, texts, size, overlap):
         starts = list(range(0, max(len(t), 1), stride))
         exp = [(j, s + 1, t[s:s + size]) for j, s in enumerate(starts)]
         assert sorted(got[i]) == exp, (t, size, overlap, got[i])
+
+
+def ref_sessionize(events, gap):
+    """events: list of (row_id, key, t); returns {row_id: session_seq}
+    — sort per key by (t, row_id), increment when the gap STRICTLY
+    exceeds ``gap`` (exactly prev + gap continues)."""
+    out = {}
+    by_key = {}
+    for rid, k, t in events:
+        by_key.setdefault(k, []).append((t, rid))
+    for k, rows in by_key.items():
+        rows.sort()
+        seq, prev = 0, None
+        for t, rid in rows:
+            if prev is None or t - prev > gap:
+                seq += 1
+            out[rid] = seq
+            prev = t
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(key, st.integers(0, 1000)),
+                min_size=1, max_size=30))
+def test_sessionize_matches_reference(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    events = [(i, k, s) for i, (k, s) in enumerate(rows)]
+    sdf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, k, s in events],
+        "row_id long, k long, ts timestamp")
+    got = {r["row_id"]: r["session_seq"] for r in
+           aj.sessionize(sdf, "k", "ts", gap="60 seconds",
+                         tiebreak="row_id").collect()}
+    assert got == ref_sessionize(events, 60), rows
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.one_of(st.integers(-10**6, 10**6),
+                          st.text(alphabet="abc XY0", max_size=8)),
+                min_size=1, max_size=30),
+       st.sampled_from(["", "split", "mix", "gk"]))
+def test_hash60_matches_hashlib(spark, values, salt):
+    """The repo-wide cross-engine hash, pinned by a THIRD independent
+    implementation (Python hashlib): top 15 md5 hex chars of
+    salt || CAST(v AS STRING), parsed base-16."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tradingview_data_pipeline_spark.operators import sampling as sp
+
+    sdf = spark.createDataFrame([(i, str(v)) for i, v in enumerate(values)],
+                                "i long, v string")
+    got = {r["i"]: r["h"] for r in sdf.select(
+        "i", sp.hash60(F.col("v"), salt).alias("h")).collect()}
+    for i, v in enumerate(values):
+        exp = int(hashlib.md5((salt + str(v)).encode()).hexdigest()[:15], 16)
+        assert got[i] == exp, (v, salt)
