@@ -169,3 +169,37 @@ def test_save_load_merges_round_trip(spark, tmp_path):
 
     bpe.save_merges(spark, [], str(tmp_path / "empty"))
     assert bpe.load_merges(spark, str(tmp_path / "empty")) == []
+
+
+def test_build_vocab_layout_and_collisions():
+    merges = [("a", "b"), ("ab", "c"), ("a", "bc")]  # 'abc' twice
+    vocab = bpe.build_vocab(merges, ["a", "b", "c", EOW])
+    assert vocab[bpe.UNK_TOKEN] == 0
+    assert [vocab[t] for t in ("a", "b", "c", EOW)] == [1, 2, 3, 4]
+    assert vocab["ab"] == 5 and vocab["abc"] == 6   # first path wins
+    assert len(vocab) == 7                           # no duplicate entry
+
+
+def test_corpus_base_tokens_sorted_distinct(spark):
+    df = _df(spark, ["ba ab", "\tca  a"])
+    assert bpe.corpus_base_tokens(df, "text") == ["a", "b", "c", EOW]
+
+
+def test_bpe_encode_ids_round_trip(spark):
+    df = _df(spark)
+    merges = bpe.bpe_train(df, "text", n_merges=20)
+    vocab = bpe.build_vocab(merges, bpe.corpus_base_tokens(df, "text"))
+    out = {r["doc_id"]: r for r in
+           bpe.bpe_encode(df, "doc_id", "text", merges,
+                          vocab=vocab).collect()}
+    inv = {i: t for t, i in vocab.items()}
+    for i, t in enumerate(TEXTS):
+        # ids invert exactly to the string tokens; no UNK on the
+        # training corpus itself
+        assert [inv[x] for x in out[i]["input_ids"]] == out[i]["bpe_tokens"]
+        assert 0 not in out[i]["input_ids"]
+    # out-of-vocabulary characters map to UNK, not a crash
+    oov = bpe.bpe_encode(_df(spark, ["zzz@@@"]), "doc_id", "text",
+                         merges, vocab=vocab).collect()[0]
+    assert set(oov["input_ids"]) <= {0} | set(vocab.values())
+    assert 0 in oov["input_ids"]

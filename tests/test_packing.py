@@ -71,3 +71,88 @@ def test_pack_first_fit_invariants_random(spark):
         total = sum(t for _, gg, t in rows if gg == g)
         nbins = len({b for (gg, b) in fills if gg == g})
         assert nbins <= 2 * (total // 512 + 1)
+
+
+# --- pack_token_sequences (concat-and-chunk sequence assembly) -----------
+
+
+def _ref_pack(docs, seq_len):
+    """Reference model: concatenate ids in doc order, chunk every
+    seq_len; track (start, n, doc) spans per chunk."""
+    seqs, spans, cur, cur_spans = [], [], [], []
+    for did, ids in docs:
+        for tok in ids:
+            if not cur_spans or cur_spans[-1][2] != did:
+                cur_spans.append([len(cur), 0, did])
+            cur.append(tok)
+            cur_spans[-1][1] += 1
+            if len(cur) == seq_len:
+                seqs.append(cur)
+                spans.append([tuple(s) for s in cur_spans])
+                cur, cur_spans = [], []
+    return seqs, spans, (cur, [tuple(s) for s in cur_spans])
+
+
+def _ids_df(spark, docs, grp="g"):
+    return spark.createDataFrame(
+        [(d, grp, ids) for d, ids in docs],
+        "doc_id long, grp string, ids array<long>")
+
+
+def test_pack_token_sequences_matches_reference(spark):
+    import random
+    rng = random.Random(7)
+    docs = [(i, [rng.randint(0, 99) for _ in range(rng.randint(0, 23))])
+            for i in range(40)]
+    out = pk.pack_token_sequences(
+        _ids_df(spark, docs), "doc_id", "ids", 16, ["grp"]).collect()
+    exp_seqs, exp_spans, (tail, _) = _ref_pack(docs, 16)
+    got = {r["seq_id"]: r for r in out}
+    assert sorted(got) == list(range(len(exp_seqs)))   # tail dropped
+    for i, (seq, spn) in enumerate(zip(exp_seqs, exp_spans)):
+        assert got[i]["input_ids"] == seq
+        assert got[i]["n_real"] == 16
+        assert [(s["start"], s["n"], s["doc"])
+                for s in got[i]["doc_spans"]] == spn
+
+
+def test_pack_token_sequences_pad_tail(spark):
+    docs = [(1, [1, 2, 3]), (2, [4, 5]), (3, [6, 7, 8, 9])]
+    out = pk.pack_token_sequences(
+        _ids_df(spark, docs), "doc_id", "ids", 4, ["grp"],
+        pad_id=-1).collect()
+    got = {r["seq_id"]: r for r in out}
+    assert got[0]["input_ids"] == [1, 2, 3, 4] and got[0]["n_real"] == 4
+    assert got[1]["input_ids"] == [5, 6, 7, 8] and got[1]["n_real"] == 4
+    assert got[2]["input_ids"] == [9, -1, -1, -1] and got[2]["n_real"] == 1
+    # spans cover exactly the real ids, in offset order
+    assert [(s["start"], s["n"], s["doc"]) for s in got[0]["doc_spans"]] \
+        == [(0, 3, 1), (3, 1, 2)]
+    assert [(s["start"], s["n"], s["doc"]) for s in got[1]["doc_spans"]] \
+        == [(0, 1, 2), (1, 3, 3)]
+    assert [(s["start"], s["n"], s["doc"]) for s in got[2]["doc_spans"]] \
+        == [(0, 1, 3)]
+
+
+def test_pack_token_sequences_doc_straddles_many_seqs(spark):
+    # one doc spans 3+ sequences; empty docs contribute nothing
+    docs = [(1, []), (2, list(range(100, 135))), (3, [])]
+    out = pk.pack_token_sequences(
+        _ids_df(spark, docs), "doc_id", "ids", 10, ["grp"]).collect()
+    got = {r["seq_id"]: r["input_ids"] for r in out}
+    assert got == {i: list(range(100 + 10 * i, 110 + 10 * i))
+                   for i in range(3)}                  # 35 % 10 tail dropped
+
+
+def test_pack_token_sequences_groups_independent(spark):
+    rows = [(1, "a", [1, 2, 3]), (2, "b", [4, 5, 6]), (3, "a", [7])]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, ids array<long>")
+    out = pk.pack_token_sequences(df, "doc_id", "ids", 4, ["grp"]).collect()
+    by_grp = {(r["grp"], r["seq_id"]): r["input_ids"] for r in out}
+    assert by_grp == {("a", 0): [1, 2, 3, 7]}          # b's tail (3<4) dropped
+
+
+def test_pack_token_sequences_rejects_bad_seq_len(spark):
+    with pytest.raises(ValueError, match="seq_len"):
+        pk.pack_token_sequences(_ids_df(spark, [(1, [1])]),
+                                "doc_id", "ids", 0, ["grp"])

@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 from tradingview_data_pipeline_spark.operators import text as tx
 
 END_OF_WORD = "</w>"
+UNK_TOKEN = "<unk>"
 
 
 def word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
@@ -212,19 +213,30 @@ def bpe_encode(
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    *,
+    vocab: dict[str, int] | None = None,
 ) -> DataFrame:
     """Encode each document with a learned merge list: returns
-    ``(id_col, bpe_tokens array<string>, n_bpe_tokens)``.
+    ``(id_col, bpe_tokens array<string>, n_bpe_tokens)``, plus
+    ``input_ids array<bigint>`` when a ``vocab`` (token -> id, see
+    ``build_vocab``) is given — tokens outside the vocabulary map to
+    ``vocab[UNK_TOKEN]`` (impossible when encoding the training corpus
+    itself: every produced token is a base symbol or a merge product).
 
     One Arrow-batched ``mapInPandas`` pass; within a batch each
     distinct word is encoded once (memoized) — web corpora repeat
     words heavily, so the per-row cost is a dict lookup.
     """
-    spark_schema = T.StructType([
+    fields = [
         df.schema[id_col],
         T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
         T.StructField("n_bpe_tokens", T.LongType()),
-    ])
+    ]
+    if vocab is not None:
+        fields.append(T.StructField("input_ids",
+                                    T.ArrayType(T.LongType())))
+        unk = vocab[UNK_TOKEN]
+    spark_schema = T.StructType(fields)
 
     def encode_batches(batches):
         import re
@@ -248,14 +260,47 @@ def bpe_encode(
 
         for pdf in batches:
             encoded = pdf[text_col].map(enc)
-            yield pd.DataFrame({
+            out = {
                 id_col: pdf[id_col],
                 "bpe_tokens": encoded,
                 "n_bpe_tokens": encoded.map(len).astype("int64"),
-            })
+            }
+            if vocab is not None:
+                out["input_ids"] = encoded.map(
+                    lambda ts: [vocab.get(t, unk) for t in ts])
+            yield pd.DataFrame(out)
 
     return (df.select(id_col, text_col)
             .mapInPandas(encode_batches, schema=spark_schema))
+
+
+def corpus_base_tokens(df: DataFrame, text_col: str) -> list[str]:
+    """The base symbol alphabet of a corpus: sorted distinct characters
+    of its words plus the end-of-word marker. One corpus pass; the
+    collect is the alphabet (bounded by the script inventory, not the
+    corpus)."""
+    rows = (df.select(F.explode(tx.tokens(F.col(text_col))).alias("w"))
+            .where(F.col("w") != "")
+            .select(F.explode(F.split(F.col("w"), "")).alias("c"))
+            .where(F.col("c") != "")
+            .distinct().collect())
+    return sorted(r["c"] for r in rows) + [END_OF_WORD]
+
+
+def build_vocab(merges: list[tuple[str, str]],
+                base_tokens: list[str]) -> dict[str, int]:
+    """token -> id map: ``UNK_TOKEN`` = 0, then the base alphabet in
+    its given (sorted) order, then one token per merge in RANK order —
+    the standard BPE vocabulary layout, deterministic given (merges,
+    alphabet). First occurrence wins when two merge paths produce the
+    same string (('a','bc') and ('ab','c') both make 'abc'), matching
+    what ``_encode_word`` can actually emit."""
+    vocab = {UNK_TOKEN: 0}
+    for t in base_tokens:
+        vocab.setdefault(t, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
 
 
 def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:

@@ -82,3 +82,101 @@ def pack_first_fit(df: DataFrame, id_col: str, tokens_col: str,
 
     return (df.select(*keys, id_col, tokens_col)
             .groupBy(*keys).applyInPandas(pack, out_schema))
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    id_col: str,
+    ids_col: str,
+    seq_len: int,
+    group_keys: Sequence[str] = (),
+    *,
+    pad_id: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence assembly — the step that turns per-doc
+    token-id arrays into the fixed-length training sequences an LLM
+    data pipeline actually ships (GPT-style packing: concatenate every
+    document in ``id_col`` order within each group, cut every
+    ``seq_len`` tokens; documents straddle sequence boundaries).
+
+    Output, one row per sequence:
+      * group keys, ``seq_id`` (0-based, contiguous per group)
+      * ``input_ids`` — exactly ``seq_len`` ids for every interior
+        sequence; the final partial sequence per group is DROPPED when
+        ``pad_id`` is None (the usual training contract — a partial
+        tail is a rounding error at corpus scale) or right-padded with
+        ``pad_id`` when given (``n_real`` keeps the unpadded length).
+      * ``n_real`` — ids before padding.
+      * ``doc_spans`` — array<struct<start, n, doc>> in offset order:
+        which slice of the sequence came from which document, i.e. the
+        boundary metadata attention masking / loss masking needs.
+
+    Spark shape (NOT a token-per-row explode): one prefix-sum window
+    per group gives each doc its global token offset; each doc then
+    emits one row per sequence it overlaps (``sequence(first, last)``
+    explode — ~1 row/doc plus one per boundary crossing), the id array
+    is sliced map-side, and one groupBy(seq) reassembles pieces with an
+    ``array_sort``/``flatten`` (pieces can't tie: one piece per doc per
+    seq, distinct offsets). Shuffle payload is the token arrays twice
+    (window + reassembly) — the floor for any distributed
+    concatenation whose sequences cross document boundaries. Like
+    ``pack_contiguous``, the per-group window makes GROUPS the
+    parallelism unit: pack per shard/domain, not one global group.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    keys = list(group_keys)
+    L = F.lit(seq_len).cast("bigint")
+    n = F.size(F.col(ids_col)).cast("bigint")
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
+        .orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offs = (df.where(n > 0)
+            .select(*keys, id_col, ids_col,
+                    (F.sum(n).over(w) - n).alias("_off")))
+    first = F.floor(F.col("_off") / L)
+    last = F.floor((F.col("_off") + n - 1) / L)
+    pieces = (offs
+              .select(*keys, id_col, ids_col, "_off",
+                      F.explode(F.sequence(first, last)).alias("seq_id"))
+              .select(
+                  *keys, "seq_id", id_col, ids_col, "_off",
+                  F.greatest(F.lit(0).cast("bigint"),
+                             F.col("seq_id") * L - F.col("_off"))
+                  .alias("_s"),
+                  F.least(n, (F.col("seq_id") + 1) * L - F.col("_off"))
+                  .alias("_e"))
+              .select(
+                  *keys, "seq_id",
+                  F.col(id_col).alias("_doc"),
+                  (F.col("_off") + F.col("_s") - F.col("seq_id") * L)
+                  .alias("_pos"),
+                  F.expr(f"slice({ids_col}, cast(_s + 1 as int), "
+                         f"cast(_e - _s as int))").alias("_piece")))
+    assembled = (pieces
+                 .groupBy(*keys, "seq_id")
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct(
+                         F.col("_pos").alias("start"),
+                         F.size("_piece").cast("bigint").alias("n"),
+                         F.col("_doc").alias("doc"),
+                         F.col("_piece").alias("piece")))).alias("_parts"))
+                 .select(
+                     *keys, "seq_id",
+                     F.flatten(F.expr(
+                         "transform(_parts, x -> x.piece)"))
+                     .alias("input_ids"),
+                     F.expr("transform(_parts, x -> "
+                            "struct(x.start AS start, x.n AS n, "
+                            "x.doc AS doc))").alias("doc_spans")))
+    n_real = F.size("input_ids").cast("bigint")
+    if pad_id is None:
+        return (assembled.where(n_real == F.lit(seq_len))
+                .withColumn("n_real", n_real))
+    pad = F.array_repeat(F.lit(pad_id).cast(
+        df.schema[ids_col].dataType.elementType.simpleString()),
+        (L - n_real).cast("int"))
+    return assembled.select(
+        *keys, "seq_id",
+        F.concat("input_ids", pad).alias("input_ids"),
+        "doc_spans", n_real.alias("n_real"))
