@@ -834,3 +834,70 @@ def test_incremental_builder_dedupe_lines_replay(spark, tmp_path):
     assert stored == CLEAN_DOC                       # dup line removed
     m2 = b.add_batch(_corpus_batch(spark, [(1, raw)]))
     assert m2["appended"] == 0                       # replay no-op
+
+
+def test_corpus_prep_tokenize_pack_stage(spark, tmp_path):
+    """tokenize_pack ships the last mile: a tokenizer artifact, and
+    fixed-length id sequences assembled from the SHIPPED train shards —
+    decoding the sequences must reproduce the on-disk train text's
+    BPE tokens exactly, in shard-and-id order."""
+    import random
+
+    from tradingview_data_pipeline_spark.operators import bpe
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    rng = random.Random(5)
+    words = ("alpha beta gamma delta epsilon zeta eta theta "
+             "iota kappa lambda mu").split()
+    rows = [(i, " ".join(rng.choices(words, k=30)) + f" uniq{i}")
+            for i in range(1, 41)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "out")
+
+    m = corpus_pipeline.run_corpus_prep(
+        spark, docs, out, quality_min=0.0, n_shards=2,
+        tokenize_pack=(25, 32))
+    assert m["tokenizer_merges"] == 25
+    assert m["seq_len"] == 32 and m["vocab_size"] > 25
+
+    merges = bpe.load_merges(spark, out + "_tokenizer")
+    assert len(merges) == 25
+    train = spark.read.parquet(out).where("split = 'train'").collect()
+    vocab = bpe.build_vocab(
+        merges,
+        bpe.corpus_base_tokens(
+            spark.read.parquet(out).where("split = 'train'"), "text"))
+    inv = {i: t for t, i in vocab.items()}
+
+    seqs = spark.read.parquet(out + "_sequences").collect()
+    assert m["train_sequences"] == len(seqs) > 0
+    assert all(len(r["input_ids"]) == 32 for r in seqs)
+
+    # reference: per shard, concat BPE tokens in doc_id order, chunk 32
+    by_shard = {}
+    for r in sorted(train, key=lambda r: (r["shard"], r["doc_id"])):
+        toks = [s for w in r["text"].split()
+                for s in bpe._encode_word(w, merges)]
+        by_shard.setdefault(r["shard"], []).extend(toks)
+    for shard, toks in by_shard.items():
+        exp = [toks[i:i + 32] for i in range(0, len(toks) - 31, 32)]
+        got = sorted((r for r in seqs if r["shard"] == shard),
+                     key=lambda r: r["seq_id"])
+        assert [[inv[x] for x in r["input_ids"]] for r in got] == exp
+
+    # pre-learned merges path: same sequences without retraining
+    m2 = corpus_pipeline.run_corpus_prep(
+        spark, docs, str(tmp_path / "out2"), quality_min=0.0,
+        n_shards=2, tokenize_pack=(merges, 32))
+    assert m2["train_sequences"] == m["train_sequences"]
+
+
+def test_corpus_prep_tokenize_pack_empty_train(spark, tmp_path):
+    """An all-filtered corpus yields zero sequences, not a crash."""
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    docs = _corpus_batch(spark, [(1, "x")])      # fails quality gate
+    m = corpus_pipeline.run_corpus_prep(
+        spark, docs, str(tmp_path / "out"), quality_min=99.0,
+        tokenize_pack=(5, 16))
+    assert m["train_sequences"] == 0 and m["vocab_size"] == 0

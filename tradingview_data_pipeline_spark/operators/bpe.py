@@ -215,20 +215,25 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     *,
     vocab: dict[str, int] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode each document with a learned merge list: returns
-    ``(id_col, bpe_tokens array<string>, n_bpe_tokens)``, plus
-    ``input_ids array<bigint>`` when a ``vocab`` (token -> id, see
+    ``(id_col, *keep_cols, bpe_tokens array<string>, n_bpe_tokens)``,
+    plus ``input_ids array<bigint>`` when a ``vocab`` (token -> id, see
     ``build_vocab``) is given — tokens outside the vocabulary map to
     ``vocab[UNK_TOKEN]`` (impossible when encoding the training corpus
     itself: every produced token is a base symbol or a merge product).
+    ``keep_cols`` ride through the same map pass (e.g. the shard key a
+    downstream packer groups on) — no re-join needed.
 
     One Arrow-batched ``mapInPandas`` pass; within a batch each
     distinct word is encoded once (memoized) — web corpora repeat
     words heavily, so the per-row cost is a dict lookup.
     """
+    keep = list(keep_cols or [])
     fields = [
         df.schema[id_col],
+        *[df.schema[c] for c in keep],
         T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
         T.StructField("n_bpe_tokens", T.LongType()),
     ]
@@ -262,6 +267,7 @@ def bpe_encode(
             encoded = pdf[text_col].map(enc)
             out = {
                 id_col: pdf[id_col],
+                **{c: pdf[c] for c in keep},
                 "bpe_tokens": encoded,
                 "n_bpe_tokens": encoded.map(len).astype("int64"),
             }
@@ -270,7 +276,7 @@ def bpe_encode(
                     lambda ts: [vocab.get(t, unk) for t in ts])
             yield pd.DataFrame(out)
 
-    return (df.select(id_col, text_col)
+    return (df.select(id_col, *keep, text_col)
             .mapInPandas(encode_batches, schema=spark_schema))
 
 

@@ -67,6 +67,8 @@ def run_corpus_prep(
     repetition_limits: dict[str, float] | None = None,
     train_mixture: tuple[dict[str, int], int] | None = None,
     mixture_source_col: str = "source",
+    tokenize_pack: tuple[int | list[tuple[str, str]], int] | None = None,
+    pack_pad_id: int | None = None,
 ) -> dict:
     """Run the full corpus-prep pipeline; returns a metrics dict (the
     per-stage row accounting a production corpus build logs).
@@ -104,7 +106,20 @@ def run_corpus_prep(
     ``total_tokens``/``train_rows`` then count COPIES — i.e. the actual
     training budget. The pre-mixture frame is lazily localCheckpointed
     so the mixture's per-source count job doesn't recompute the
-    dedup->gate chain."""
+    dedup->gate chain.
+
+    ``tokenize_pack=(spec, seq_len)`` adds the LAST mile of an LLM data
+    pipeline after the shards land: BPE-tokenize the TRAIN split and
+    assemble fixed-length training sequences. ``spec`` is either an int
+    (train that many merges on the shipped train split, ``bpe_train``
+    pair-batched) or a pre-learned merge list (``bpe.load_merges`` — the
+    train-once / encode-anywhere path). The merge list is persisted as
+    the rank-explicit artifact at ``<out_dir>_tokenizer``; sequences
+    land at ``<out_dir>_sequences`` partitioned by shard (the packer's
+    group key, so epochs of an upsampled doc interleave and groups are
+    the parallelism unit). Input is read back FROM the shipped shards —
+    the sequences provably tokenize what landed on disk. The per-group
+    tail is dropped when ``pack_pad_id`` is None, else padded."""
     n_input = docs.count()
 
     # exact dedup is recomputed by the clustering build and the export
@@ -197,7 +212,7 @@ def run_corpus_prep(
             F.count(F.lit(1)).alias("rows"),
             F.sum("n_tokens").alias("tokens")).collect()}
 
-    return {
+    metrics = {
         "input_rows": n_input,
         "after_exact_dedup": n_exact,
         "after_near_dedup_and_quality": sum(
@@ -207,6 +222,48 @@ def run_corpus_prep(
         "total_tokens": int(sum(r["tokens"] for r in per_split.values())),
         "n_shards": n_shards,
     }
+    if tokenize_pack is not None:
+        metrics.update(_tokenize_and_pack(
+            spark, out_dir, shard_id, tokenize_pack, pack_pad_id,
+            has_train=metrics["train_rows"] > 0))
+    return metrics
+
+
+def _tokenize_and_pack(spark, out_dir: str, shard_id: str,
+                       tokenize_pack, pad_id: int | None,
+                       *, has_train: bool) -> dict:
+    """The tokenize -> pack stage of ``run_corpus_prep`` (see its
+    docstring): shipped train shards -> BPE ids -> fixed-length
+    sequences at ``<out_dir>_sequences``, tokenizer artifact at
+    ``<out_dir>_tokenizer``."""
+    from tradingview_data_pipeline_spark.operators import bpe
+    from tradingview_data_pipeline_spark.operators import packing as pk
+
+    spec, seq_len = tokenize_pack
+    if not has_train:
+        return {"train_sequences": 0, "seq_len": seq_len,
+                "vocab_size": 0, "tokenizer_merges": 0}
+    train = (spark.read.parquet(out_dir)
+             .where(F.col("split") == "train")
+             .select(shard_id, "shard", "text"))
+    merges = (bpe.bpe_train(train, "text", n_merges=spec, pair_batch=8)
+              if isinstance(spec, int) else list(spec))
+    vocab = bpe.build_vocab(merges,
+                            bpe.corpus_base_tokens(train, "text"))
+    bpe.save_merges(spark, merges, out_dir + "_tokenizer")
+    enc = bpe.bpe_encode(train, shard_id, "text", merges, vocab=vocab,
+                         keep_cols=["shard"])
+    seqs = pk.pack_token_sequences(enc, shard_id, "input_ids", seq_len,
+                                   ["shard"], pad_id=pad_id)
+    seq_dir = out_dir + "_sequences"
+    seqs.write.mode("overwrite").partitionBy("shard").parquet(seq_dir)
+    # a tiny corpus can drop every per-group tail -> zero-row write
+    # (only _SUCCESS on disk); reading that back can't infer a schema
+    has_seq = any(f.endswith(".parquet")
+                  for _, _, files in os.walk(seq_dir) for f in files)
+    n_seq = spark.read.parquet(seq_dir).count() if has_seq else 0
+    return {"train_sequences": n_seq, "seq_len": seq_len,
+            "vocab_size": len(vocab), "tokenizer_merges": len(merges)}
 
 
 def _apply_repetition_limits(df: DataFrame,

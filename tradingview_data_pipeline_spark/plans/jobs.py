@@ -174,6 +174,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="corpus-prep: within-document repetition gate, "
                          "e.g. 'dup_line_frac=0.3,top_2gram_frac=0.2' "
                          "(signals: corpus.REPETITION_SIGNALS)")
+    ap.add_argument("--tokenize-pack", default=None,
+                    help="corpus-prep: 'N_MERGES,SEQ_LEN' — train an "
+                         "N-merge BPE tokenizer on the shipped train "
+                         "split and assemble SEQ_LEN-token training "
+                         "sequences at <out-dir>_sequences (tokenizer "
+                         "artifact at <out-dir>_tokenizer)")
     ap.add_argument("--downloads-dir", default="./downloads")
     ap.add_argument("--warehouse", default="./warehouse")
     ap.add_argument("--against", default=None,
@@ -235,6 +241,15 @@ def main(argv: list[str] | None = None) -> None:
         if not args.docs_parquet:
             ap.error("corpus-prep requires --docs-parquet <documents.parquet>")
 
+        tok_pack = None
+        if args.tokenize_pack:
+            try:
+                n_m, s_l = args.tokenize_pack.split(",")
+                tok_pack = (int(n_m), int(s_l))
+            except ValueError:
+                ap.error("--tokenize-pack expects 'N_MERGES,SEQ_LEN' "
+                         f"(got {args.tokenize_pack!r})")
+
         def corpus_body(t):
             docs = spark.read.parquet(args.docs_parquet)
             t.metrics.update(corpus_pipeline.run_corpus_prep(
@@ -242,7 +257,8 @@ def main(argv: list[str] | None = None) -> None:
                 remove_spans=args.remove_spans,
                 dedupe_repeated_lines=args.dedupe_lines,
                 repetition_limits=parse_repetition_limits(
-                    args.repetition_limits)))
+                    args.repetition_limits),
+                tokenize_pack=tok_pack))
         reported("Corpus Prep", corpus_body)
     if args.job == "reconcile":
         # cross-copy verification: bucketed content checksums per table,
