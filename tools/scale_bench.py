@@ -34,8 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 QUERIES = [
     "q23_text_profile",
     "q28_lsh_near_dup",
-    "q42_dedup_clusters",
-    "q59_neardup_graph_stats",
+    "q42_dedup_graph",   # merged cluster+graph legs (r8 merge #13)
     "q29_simhash",
     "q30_cosine_topk",
     "q31_ann_bucketed",

@@ -140,6 +140,7 @@ def bpe_train(
     min_pair_count: int = 2,
     checkpoint_every: int = 5,
     pair_batch: int = 1,
+    stats_out: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list (the tokenizer). Stops early when no adjacent
@@ -161,12 +162,17 @@ def bpe_train(
     Merge-heavy regimes where consecutive best pairs share symbols
     (early character-level rounds) batch poorly by construction;
     plateau regimes (the long tail of a big vocabulary) batch well.
+
+    ``stats_out`` (optional dict) records ``n_actions`` (Spark actions
+    run) and ``merges_per_action`` — the measured batching efficiency.
     """
     words = word_freq_table(df, text_col).withColumn(
         "symbols", _initial_symbols(F.col("word"))).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     since_ckpt = 0
+    n_actions = 0
     while len(merges) < n_merges:
+        n_actions += 1
         pairs = words.select(
             F.col("freq"),
             F.explode(F.expr(
@@ -190,6 +196,10 @@ def bpe_train(
         if since_ckpt >= checkpoint_every:
             words = words.localCheckpoint(eager=True)
             since_ckpt = 0
+    if stats_out is not None:
+        stats_out["n_actions"] = n_actions
+        stats_out["merges_per_action"] = (
+            len(merges) / n_actions if n_actions else 0.0)
     return merges
 
 

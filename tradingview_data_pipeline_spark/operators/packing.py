@@ -134,8 +134,10 @@ def pack_token_sequences(
     offs = (df.where(n > 0)
             .select(*keys, id_col, ids_col,
                     (F.sum(n).over(w) - n).alias("_off")))
-    first = F.floor(F.col("_off") / L)
-    last = F.floor((F.col("_off") + n - 1) / L)
+    # exact integral division (`div`), not floor(double/) — token offsets
+    # at corpus scale exceed double's 2^53 exact-integer range
+    first = F.expr(f"_off div {seq_len}")
+    last = F.expr(f"(_off + size({ids_col}) - 1) div {seq_len}")
     pieces = (offs
               .select(*keys, id_col, ids_col, "_off",
                       F.explode(F.sequence(first, last)).alias("seq_id"))

@@ -492,66 +492,60 @@ def q41_token_prep(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q42 — near-duplicate CLUSTERS: LSH candidates -> Jaccard verify ->
-# connected components -> deterministic keeper per cluster. The Spark side
-# is an iterative fixpoint (union-find / label propagation); the oracle
-# expresses the SAME semantics — cluster_id = min doc id reachable through
-# the verified-pair graph — as a DuckDB recursive CTE computing the
-# transitive closure (near-dup components are tiny, so closure depth and
-# size are bounded in practice).
+# q42 — dedup graph, tagged union (round-8 consolidation of q42+q59;
+# COVERAGE.md headroom map #13 — both legs consume the SHARED scored
+# LSH pair frame, so the merge adds no second LSH pass).
+#   'cluster' leg: LSH candidates -> Jaccard verify -> connected
+#     components -> deterministic keeper (v1=cluster_id, v2=is_keeper).
+#     Spark is an iterative pointer-jumping fixpoint; the oracle states
+#     the same semantics (cluster_id = min reachable doc id) as a
+#     recursive transitive closure (components are tiny).
+#   'graph' leg: per-document degree and triangle membership over the
+#     verified pair graph (v1=degree, v2=n_triangles) — dedup-threshold
+#     diagnostics. Triangles via an ordered two-hop join (a<b<c
+#     canonical form, each triangle counted once).
 # ---------------------------------------------------------------------------
 
-@register("q42_dedup_clusters", oracle=f"""
+@register("q42_dedup_graph", oracle=f"""
 WITH RECURSIVE {_PAIRS_CTE},
-{_COMP_CTE}
-SELECT d.doc_id,
-       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper
-FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-""")
-def q42_dedup_clusters(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return dd.dedup_clusters(d, "doc_id", "text", jaccard_threshold=0.5,
-                             scored_pairs=_scored_pairs(spark, sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# q59 — near-dup graph statistics: per-document degree and triangle
-# membership over the verified LSH pair graph (quality diagnostics for
-# dedup thresholds: high-degree nodes are template/boilerplate docs,
-# triangles indicate dense duplicate clusters).  Degrees via one
-# explode+aggregate over the symmetric edge list; triangles via an
-# ordered two-hop join (a<b<c canonical form — each triangle counted
-# once, never 6 times).  Edge lists are tiny relative to the corpus
-# (pairs passed Jaccard >= 0.2), so the joins are broadcast-scale.
-# ---------------------------------------------------------------------------
-
-@register("q59_neardup_graph_stats", oracle=f"""
-WITH {_PAIRS_CTE},
-edges AS (
+{_COMP_CTE},
+g_edges AS (
   SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.2
-), sym AS (
-  SELECT doc_a AS d, doc_b AS o FROM edges
-  UNION ALL SELECT doc_b, doc_a FROM edges
-), deg AS (
-  SELECT d AS doc_id, COUNT(*) AS degree FROM sym GROUP BY d
-), tri AS (
+), g_sym AS (
+  SELECT doc_a AS d, doc_b AS o FROM g_edges
+  UNION ALL SELECT doc_b, doc_a FROM g_edges
+), g_deg AS (
+  SELECT d AS doc_id, COUNT(*) AS degree FROM g_sym GROUP BY d
+), g_tri AS (
   SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
-  FROM edges e1
-  JOIN edges e2 ON e2.doc_a = e1.doc_b
-  JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
-), tcnt AS (
+  FROM g_edges e1
+  JOIN g_edges e2 ON e2.doc_a = e1.doc_b
+  JOIN g_edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+), g_tcnt AS (
   SELECT doc_id, COUNT(*) AS n_triangles FROM (
-    SELECT a AS doc_id FROM tri
-    UNION ALL SELECT b FROM tri
-    UNION ALL SELECT c FROM tri
+    SELECT a AS doc_id FROM g_tri
+    UNION ALL SELECT b FROM g_tri
+    UNION ALL SELECT c FROM g_tri
   ) GROUP BY doc_id
 )
-SELECT deg.doc_id, deg.degree,
-       COALESCE(tcnt.n_triangles, 0) AS n_triangles
-FROM deg LEFT JOIN tcnt USING (doc_id)
+SELECT 'cluster' AS kind, d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS v1,
+       CAST(d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS v2
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+UNION ALL
+SELECT 'graph' AS kind, g_deg.doc_id, g_deg.degree AS v1,
+       COALESCE(g_tcnt.n_triangles, 0) AS v2
+FROM g_deg LEFT JOIN g_tcnt USING (doc_id)
 """)
-def q59_neardup_graph_stats(spark, sf_dir):
+def q42_dedup_graph(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(
+        d, "doc_id", "text", jaccard_threshold=0.5,
+        scored_pairs=_scored_pairs(spark, sf_dir)).select(
+        F.lit("cluster").alias("kind"), "doc_id",
+        F.col("cluster_id").alias("v1"),
+        F.col("is_keeper").cast("bigint").alias("v2"))
+
     edges = _scored_pairs(spark, sf_dir).where(F.col("jaccard") >= 0.2) \
               .select("doc_a", "doc_b")
     sym = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
@@ -565,9 +559,11 @@ def q59_neardup_graph_stats(spark, sf_dir):
             .unionAll(tri.select(F.col("b").alias("doc_id")))
             .unionAll(tri.select(F.col("c").alias("doc_id")))
             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles")))
-    return (deg.join(tcnt, "doc_id", "left")
-            .select("doc_id", "degree",
-                    F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")))
+    graph = (deg.join(tcnt, "doc_id", "left")
+             .select(F.lit("graph").alias("kind"), "doc_id",
+                     F.col("degree").alias("v1"),
+                     F.coalesce("n_triangles", F.lit(0)).alias("v2")))
+    return clusters.unionByName(graph)
 
 
 # ---------------------------------------------------------------------------
@@ -610,3 +606,64 @@ def q70_leakage_safe_split(spark, sf_dir):
     out = sp.cluster_safe_split(d.select("doc_id"), "doc_id", clusters)
     return out.select("doc_id", "cluster_id", "split",
                       F.col("split_bucket").cast("bigint").alias("split_bucket"))
+
+
+# ---------------------------------------------------------------------------
+# q76 — fixed-length training-sequence assembly (slot freed by the
+# q42+q59 merge): operators/packing.pack_token_sequences — GPT-style
+# concat-and-chunk. Per-token ids are the cross-engine md5-60 hash of
+# each whitespace token (triple-pinned in test_property_temporal), the
+# "shard" group is doc_id % 4, seq_len 128. The oracle recomputes the
+# identical prefix-sum offsets (exact integral division), per-overlap
+# slices, and reassembly in DuckDB; sequences compare by md5 of the
+# comma-joined id list (order-sensitive within the sequence), plus the
+# contributing-document count from the span metadata.
+# ---------------------------------------------------------------------------
+
+@register("q76_token_sequences", oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 4 AS grp,
+         list_transform({_TOKS}, tk -> {_H60.format(expr='tk')}) AS ids
+  FROM documents
+),
+offs AS (
+  SELECT grp, doc_id, ids, len(ids) AS n,
+         CAST(SUM(len(ids)) OVER (PARTITION BY grp ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - len(ids)
+              AS BIGINT) AS off
+  FROM t WHERE len(ids) > 0
+),
+pieces AS (
+  SELECT grp, s.seq_id,
+         off + greatest(0, s.seq_id * 128 - off) - s.seq_id * 128 AS pos,
+         list_slice(ids, CAST(greatest(0, s.seq_id * 128 - off) + 1 AS BIGINT),
+                    CAST(least(n, (s.seq_id + 1) * 128 - off) AS BIGINT)) AS piece
+  FROM offs,
+       LATERAL (SELECT unnest(generate_series(off // 128,
+                                              (off + n - 1) // 128)) AS seq_id) s
+),
+seqs AS (
+  SELECT grp, seq_id,
+         flatten(list(piece ORDER BY pos)) AS input_ids,
+         COUNT(*) AS n_docs
+  FROM pieces GROUP BY grp, seq_id
+)
+SELECT grp, seq_id,
+       md5(array_to_string(input_ids, ',')) AS ids_hash,
+       CAST(len(input_ids) AS BIGINT) AS n_real,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM seqs WHERE len(input_ids) = 128
+""")
+def q76_token_sequences(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ids = F.transform(tx.tokens(F.col("text")), lambda tk: tx.md5_hash60(tk))
+    base = d.select("doc_id", (F.col("doc_id") % 4).alias("grp"),
+                    ids.alias("ids"))
+    seqs = pk.pack_token_sequences(base, "doc_id", "ids", 128, ["grp"])
+    return seqs.select(
+        "grp", "seq_id",
+        F.md5(F.array_join(
+            F.transform("input_ids", lambda x: x.cast("string")), ","))
+        .alias("ids_hash"),
+        F.col("n_real"),
+        F.size("doc_spans").cast("bigint").alias("n_docs"))
