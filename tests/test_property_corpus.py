@@ -188,3 +188,58 @@ def test_token_rarity_matches_reference(spark, texts):
     got = {r["doc_id"]: (r["n_tokens"], r["mean_token_df"], r["rare_frac"])
            for r in cp.token_rarity_profile(sdf, "doc_id", "text").collect()}
     assert got == ref_rarity(docs), texts
+
+
+# --- pack_token_sequences vs a direct concat-and-chunk model -------------
+
+
+def ref_pack_sequences(docs, seq_len, pad_id=None):
+    """(grp, seq_id) -> (ids, spans): concatenate per group in doc-id
+    order, chunk every seq_len; drop or pad the tail."""
+    out = {}
+    by_grp = {}
+    for did, grp, ids in sorted(docs):
+        if ids:
+            by_grp.setdefault(grp, []).append((did, ids))
+    for grp, ds in by_grp.items():
+        cur, spans, cur_spans, seq_id = [], [], [], 0
+        for did, ids in ds:
+            for tok in ids:
+                if not cur_spans or cur_spans[-1][2] != did:
+                    cur_spans.append([len(cur), 0, did])
+                cur.append(tok)
+                cur_spans[-1][1] += 1
+                if len(cur) == seq_len:
+                    out[(grp, seq_id)] = (cur, [tuple(s) for s in cur_spans])
+                    cur, cur_spans = [], []
+                    seq_id += 1
+        if cur and pad_id is not None:
+            out[(grp, seq_id)] = (
+                cur + [pad_id] * (seq_len - len(cur)),
+                [tuple(s) for s in cur_spans])
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 3),
+              st.lists(st.integers(0, 9), min_size=0, max_size=13)),
+    min_size=1, max_size=25),
+    st.sampled_from([3, 7, 16]), st.booleans())
+def test_pack_token_sequences_matches_model(spark, rows, seq_len, pad):
+    from tradingview_data_pipeline_spark.operators import packing as pk
+
+    docs = [(i, grp, ids) for i, (grp, ids) in enumerate(rows)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, grp long, ids array<long>")
+    got = pk.pack_token_sequences(
+        df, "doc_id", "ids", seq_len, ["grp"],
+        pad_id=-1 if pad else None).collect()
+    exp = ref_pack_sequences(docs, seq_len, pad_id=-1 if pad else None)
+    assert {(r["grp"], r["seq_id"]) for r in got} == set(exp)
+    for r in got:
+        ids, spans = exp[(r["grp"], r["seq_id"])]
+        assert r["input_ids"] == ids
+        assert [(s["start"], s["n"], s["doc"])
+                for s in r["doc_spans"]] == spans
+        assert r["n_real"] == sum(s[1] for s in spans)
