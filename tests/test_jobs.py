@@ -901,3 +901,132 @@ def test_corpus_prep_tokenize_pack_empty_train(spark, tmp_path):
         spark, docs, str(tmp_path / "out"), quality_min=99.0,
         tokenize_pack=(5, 16))
     assert m["train_sequences"] == 0 and m["vocab_size"] == 0
+
+
+def _mini_tokenizer(spark, texts):
+    from tradingview_data_pipeline_spark.operators import bpe
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    merges = bpe.bpe_train(df, "text", n_merges=10, min_pair_count=2)
+    vocab = bpe.build_vocab(merges, bpe.corpus_base_tokens(df, "text"))
+    return merges, vocab
+
+
+def test_incremental_builder_sequences_feed(spark, tmp_path):
+    """tokenizer+seq_len makes the builder a streaming training feed:
+    each batch's kept train docs become padded fixed-length sequences;
+    replaying a batch appends nothing new; a fresh batch extends the
+    table under distinct content-derived keys."""
+    from tradingview_data_pipeline_spark.operators import bpe
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    texts = [BASE_WORDS,
+             "completely different words entirely here about other "
+             "topics with many extra tokens to make shingles " * 2,
+             "a fresh unrelated document with plenty of novel words "
+             "covering totally new material and nothing shared " * 2]
+    merges, vocab = _mini_tokenizer(spark, texts)
+    mk = lambda state: IncrementalCorpusBuilder(
+        spark, str(tmp_path / state), quality_min=0.0,
+        tokenizer=(merges, vocab), seq_len=16, seq_pad_id=0)
+
+    b = mk("s")
+    m1 = b.add_batch(_corpus_batch(spark, [(1, texts[0]), (2, texts[1])]))
+    rows1 = b.sequences.read().collect()
+    assert m1["train_sequences"] == len(rows1)
+    assert all(len(r["input_ids"]) == 16 for r in rows1)
+    # sequences decode to exactly the batch's kept train docs' ids,
+    # concatenated in doc order (tail padded with 0)
+    kept_train = sorted(
+        (r["doc_id"], r["text"]) for r in b.corpus.read()
+        .where("split = 'train'").collect() if r["doc_id"] in (1, 2))
+    flat = [i for _, t in kept_train
+            for i in _encode_ids(t, merges, vocab)]
+    got = [i for r in sorted(rows1, key=lambda r: r["seq_id"])
+           for i in r["input_ids"]]
+    assert got[:len(flat)] == flat
+    assert set(got[len(flat):]) <= {0}                 # only padding
+
+    # replay: nothing new
+    m2 = b.add_batch(_corpus_batch(spark, [(1, texts[0]), (2, texts[1])]))
+    assert m2["train_sequences"] == 0
+    assert sorted(map(tuple, b.sequences.read().collect())) == \
+        sorted(map(tuple, rows1))
+
+    # a new batch extends under new keys
+    b.add_batch(_corpus_batch(spark, [(7, texts[2])]))
+    keys = {r["seq_key"] for r in b.sequences.read().collect()}
+    assert {r["seq_key"] for r in rows1} < keys
+
+
+def _encode_ids(text, merges, vocab):
+    from tradingview_data_pipeline_spark.operators import bpe
+
+    return [vocab.get(s, 0) for w in text.split()
+            for s in bpe._encode_word(w, merges)]
+
+
+def test_incremental_builder_sequences_crash_converges(
+        spark, tmp_path, monkeypatch):
+    """The sequences commit sits before the hash gate: a crash right
+    after it (gate un-advanced) must replay to the same state."""
+    import pytest
+
+    from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    texts = [BASE_WORDS,
+             "a fresh unrelated document with plenty of novel words "
+             "covering totally new material and nothing shared " * 2]
+    merges, vocab = _mini_tokenizer(spark, texts)
+    mk = lambda state: IncrementalCorpusBuilder(
+        spark, str(tmp_path / state), quality_min=0.0,
+        tokenizer=(merges, vocab), seq_len=16, seq_pad_id=0)
+
+    ref = mk("ref")
+    ref.add_batch(_corpus_batch(spark, [(1, texts[0])]))
+    ref.add_batch(_corpus_batch(spark, [(5, texts[1])]))
+    want = sorted(map(tuple, ref.sequences.read().collect()))
+
+    real = ParquetTable.merge_upsert
+    # batch 2 commits: index sigs(1), corpus(2), seen(3), sequences(4),
+    # hash gate(5) — crash both right BEFORE the sequences commit and
+    # right AFTER it (gate still un-advanced in both windows)
+    for crash_after in (3, 4):
+        state = f"s{crash_after}"
+        b = mk(state)
+        b.add_batch(_corpus_batch(spark, [(1, texts[0])]))
+        calls = {"n": 0}
+
+        def crashing(self, df, **kw):
+            calls["n"] += 1
+            if calls["n"] > crash_after:
+                raise OSError("simulated crash before gate commit")
+            return real(self, df, **kw)
+
+        monkeypatch.setattr(ParquetTable, "merge_upsert", crashing)
+        with pytest.raises(OSError, match="simulated crash"):
+            b.add_batch(_corpus_batch(spark, [(5, texts[1])]))
+        monkeypatch.undo()
+
+        b2 = mk(state)
+        b2.add_batch(_corpus_batch(spark, [(5, texts[1])]))  # plain replay
+        assert sorted(map(tuple, b2.sequences.read().collect())) == want, \
+            f"window after commit {crash_after}"
+
+
+def test_incremental_builder_tokenizer_validation(spark, tmp_path):
+    import pytest
+
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    with pytest.raises(ValueError, match="together"):
+        IncrementalCorpusBuilder(spark, str(tmp_path / "a"),
+                                 tokenizer=([], {"<unk>": 0}))
+    with pytest.raises(ValueError, match="positive"):
+        IncrementalCorpusBuilder(spark, str(tmp_path / "b"),
+                                 tokenizer=([], {"<unk>": 0}), seq_len=0)

@@ -156,3 +156,10 @@ def test_pack_token_sequences_rejects_bad_seq_len(spark):
     with pytest.raises(ValueError, match="seq_len"):
         pk.pack_token_sequences(_ids_df(spark, [(1, [1])]),
                                 "doc_id", "ids", 0, ["grp"])
+
+
+def test_pack_token_sequences_rejects_colliding_columns(spark):
+    df = spark.createDataFrame([(1, "g", [1], 0)],
+                               "doc_id long, grp string, ids array<long>, seq_id long")
+    with pytest.raises(ValueError, match="collide"):
+        pk.pack_token_sequences(df, "doc_id", "ids", 4, ["grp"])

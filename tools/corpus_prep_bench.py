@@ -39,6 +39,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     lsh_k = int(os.environ.get("CORPUS_PREP_LSH_K", "8"))
+    # 'N,SEQ' -> also run the tokenize-and-pack stage (N merges, SEQ-id
+    # sequences); its wall time is reported separately so the stage's
+    # own decade ratio is visible next to the dedup-bound pipeline's
+    tok_spec = os.environ.get("CORPUS_PREP_TOKENIZE")
+    tok_pack = tuple(int(x) for x in tok_spec.split(",")) if tok_spec \
+        else None
     for sf_dir in sf_dirs:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         t0 = time.perf_counter()
@@ -50,10 +56,22 @@ def main() -> None:
             t0 = time.perf_counter()
             metrics = run_corpus_prep(spark, docs, out, lsh_k=lsh_k)
             secs = round(time.perf_counter() - t0, 3)
+            tok_secs = None
+            if tok_pack:
+                from tradingview_data_pipeline_spark.plans.corpus_pipeline \
+                    import _tokenize_and_pack
+                t0 = time.perf_counter()
+                metrics.update(_tokenize_and_pack(
+                    spark, out, "doc_id", tok_pack, None,
+                    has_train=metrics["train_rows"] > 0))
+                tok_secs = round(time.perf_counter() - t0, 3)
         finally:
             shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(out + "_sequences", ignore_errors=True)
+            shutil.rmtree(out + "_tokenizer", ignore_errors=True)
         print(json.dumps({"sf_dir": sf_dir, "lsh_k": lsh_k,
                           "pipeline_sec": secs,
+                          "tokenize_pack_sec": tok_secs,
                           "calibration_sec": calibration, **metrics}),
               flush=True)
     spark.stop()

@@ -35,6 +35,7 @@ QUERIES = [
     "q23_text_profile",
     "q28_lsh_near_dup",
     "q42_dedup_graph",   # merged cluster+graph legs (r8 merge #13)
+    "q76_token_sequences",
     "q29_simhash",
     "q30_cosine_topk",
     "q31_ann_bucketed",

@@ -125,6 +125,13 @@ def pack_token_sequences(
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    reserved = {"seq_id", "input_ids", "doc_spans", "n_real",
+                "_off", "_s", "_e", "_doc", "_pos", "_piece", "_parts"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with pack_token_sequences "
+            f"internals/outputs: {sorted(clash)}; rename them first")
     keys = list(group_keys)
     L = F.lit(seq_len).cast("bigint")
     n = F.size(F.col(ids_col)).cast("bigint")

@@ -337,6 +337,21 @@ class IncrementalCorpusBuilder:
 
     Replay-idempotent: re-adding a batch finds every content hash
     already seen and appends nothing.
+
+    ``tokenizer=(merges, vocab)`` + ``seq_len`` turn the builder into a
+    streaming-cadence TRAINING-DATA FEED: each batch's kept train-split
+    docs are BPE-encoded (``bpe.bpe_encode``) and packed into
+    fixed-length sequences (``packing.pack_token_sequences``) appended
+    to a ``sequences`` state table. Packing is PER BATCH (the streaming
+    contract — a batch's sequences never depend on later batches), so
+    each batch's tail is padded with ``seq_pad_id`` (or dropped when
+    None); sequence keys are ``<batch min kept doc_id>#<seq_id>`` —
+    deterministic from batch CONTENT, so a replayed batch upserts the
+    identical rows and every crash window converges (the sequences
+    commit sits before the hash gate). The tokenizer is fixed at
+    construction (train it once with ``bpe_train``/``build_vocab`` or
+    load the artifact) — evolving the vocabulary mid-stream would
+    silently re-tokenize nothing that already shipped.
     """
 
     def __init__(self, spark: SparkSession, state_dir: str, *,
@@ -345,7 +360,11 @@ class IncrementalCorpusBuilder:
                  buckets: int | None = None,
                  remove_spans: bool = False,
                  dedupe_repeated_lines: bool = False,
-                 repetition_limits: dict[str, float] | None = None):
+                 repetition_limits: dict[str, float] | None = None,
+                 tokenizer: tuple[list[tuple[str, str]],
+                                  dict[str, int]] | None = None,
+                 seq_len: int | None = None,
+                 seq_pad_id: int | None = None):
         from pyspark.sql import types as T
 
         from tradingview_data_pipeline_spark.operators.merge import ParquetTable
@@ -407,6 +426,25 @@ class IncrementalCorpusBuilder:
             T.StructType([T.StructField("h", T.LongType()),
                           T.StructField("owner", T.LongType())]),
             "h", buckets=buckets)
+        if (tokenizer is None) != (seq_len is None):
+            raise ValueError("tokenizer and seq_len must be given together")
+        if seq_len is not None and seq_len <= 0:
+            raise ValueError(f"seq_len must be positive, got {seq_len}")
+        self.tokenizer = tokenizer
+        self.seq_len = seq_len
+        self.seq_pad_id = seq_pad_id
+        self.sequences = ParquetTable(
+            spark, os.path.join(state_dir, "sequences"),
+            T.StructType([
+                T.StructField("seq_key", T.StringType()),
+                T.StructField("seq_id", T.LongType()),
+                T.StructField("input_ids", T.ArrayType(T.LongType())),
+                T.StructField("doc_spans", T.ArrayType(T.StructType([
+                    T.StructField("start", T.LongType()),
+                    T.StructField("n", T.LongType()),
+                    T.StructField("doc", T.LongType())]))),
+                T.StructField("n_real", T.LongType()),
+            ]), "seq_key", buckets=buckets)
 
     def add_batch(self, docs: DataFrame) -> dict:
         """Process one batch of (doc_id, text); returns stage metrics."""
@@ -539,6 +577,13 @@ class IncrementalCorpusBuilder:
             "n_tokens", tx.token_count(F.col("text")).cast("long"))
 
         n_appended = final.count()
+
+        new_seqs, n_new_seqs = None, 0
+        if self.tokenizer is not None:
+            new_seqs = self._batch_sequences(final)
+            if new_seqs is not None:
+                n_new_seqs = new_seqs.count()
+
         # commit order matters for crash convergence: the hash GATE goes
         # last, so a crash between any two commits leaves the batch
         # un-gated and a full replay re-runs every (idempotent) upsert
@@ -547,6 +592,8 @@ class IncrementalCorpusBuilder:
                                               "content_hash"))
         if new_grams is not None:
             self.grams.merge_upsert(new_grams)
+        if new_seqs is not None:
+            self.sequences.merge_upsert(new_seqs)
         self.hashes.merge_upsert(batch_e.select("content_hash"))
         out = {
             "batch_rows": n_batch,
@@ -561,7 +608,33 @@ class IncrementalCorpusBuilder:
             # the span cut are NOT near-dup drops (r8 review finding)
             out["span_cut_tokens"] = int(span_cut_tokens)
             out["span_dropped_docs"] = n_after_near - n_appended
+        if self.tokenizer is not None:
+            out["train_sequences"] = n_new_seqs
         return out
+
+    def _batch_sequences(self, final: DataFrame) -> DataFrame | None:
+        """Encode + pack THIS batch's kept train docs (see class
+        docstring: per-batch packing, content-derived sequence keys)."""
+        from tradingview_data_pipeline_spark.operators import bpe
+        from tradingview_data_pipeline_spark.operators import packing as pk
+
+        merges, vocab = self.tokenizer
+        train_keep = final.where(F.col("split") == "train")
+        # content-derived namespace (min kept train doc id): a replayed
+        # batch regenerates the SAME keys, so the upsert converges
+        ns = train_keep.agg(F.min("doc_id")).collect()[0][0]
+        if ns is None:
+            return None
+        ids = (bpe.bpe_encode(train_keep, "doc_id", "text", merges,
+                              vocab=vocab)
+               .select("doc_id", F.col("input_ids").alias("ids")))
+        seqs = pk.pack_token_sequences(ids, "doc_id", "ids",
+                                       self.seq_len, [],
+                                       pad_id=self.seq_pad_id)
+        return seqs.select(
+            F.concat_ws("#", F.lit(str(ns)),
+                        F.col("seq_id").cast("string")).alias("seq_key"),
+            "seq_id", "input_ids", "doc_spans", "n_real")
 
     def compact(self) -> None:
         """Bound file counts after many small batches (manifest-committed,
@@ -571,4 +644,6 @@ class IncrementalCorpusBuilder:
         self.hashes.compact()
         if self.grams.exists():
             self.grams.compact()
+        if self.sequences.exists():
+            self.sequences.compact()
         self.index.compact()
