@@ -251,9 +251,10 @@ def _tokenize_and_pack(spark, out_dir: str, shard_id: str,
     vocab = bpe.build_vocab(merges,
                             bpe.corpus_base_tokens(train, "text"))
     bpe.save_merges(spark, merges, out_dir + "_tokenizer")
-    enc = bpe.bpe_encode(train, shard_id, "text", merges, vocab=vocab,
-                         keep_cols=["shard"])
-    seqs = pk.pack_token_sequences(enc, shard_id, "input_ids", seq_len,
+    enc = (bpe.bpe_encode(train, shard_id, "text", merges, vocab=vocab,
+                          keep_cols=["shard"])
+           .select(shard_id, "shard", F.col("input_ids").alias("ids")))
+    seqs = pk.pack_token_sequences(enc, shard_id, "ids", seq_len,
                                    ["shard"], pad_id=pad_id)
     seq_dir = out_dir + "_sequences"
     seqs.write.mode("overwrite").partitionBy("shard").parquet(seq_dir)
