@@ -203,3 +203,10 @@ def test_bpe_encode_ids_round_trip(spark):
                          merges, vocab=vocab).collect()[0]
     assert set(oov["input_ids"]) <= {0} | set(vocab.values())
     assert 0 in oov["input_ids"]
+
+
+def test_save_load_vocab_round_trip(spark, tmp_path):
+    vocab = bpe.build_vocab([("a", "b")], ["a", "b", EOW])
+    path = str(tmp_path / "vocab")
+    bpe.save_vocab(spark, vocab, path)
+    assert bpe.load_vocab(spark, path) == vocab

@@ -336,3 +336,19 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
     (bounded driver collect: the vocabulary, not the corpus)."""
     return [(r["a"], r["b"]) for r in
             spark.read.parquet(path).orderBy("rank").collect()]
+
+
+def save_vocab(spark, vocab: dict[str, int], path: str) -> None:
+    """Persist a token->id map (``build_vocab`` output) as (token, id)
+    parquet. The id layout depends on the TRAINING corpus's base
+    alphabet, which a later encode job elsewhere cannot re-derive —
+    ship this artifact next to the merge list."""
+    schema = "token string, id long"
+    spark.createDataFrame(list(vocab.items()), schema).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+
+def load_vocab(spark, path: str) -> dict[str, int]:
+    """Load a vocabulary saved by ``save_vocab``."""
+    return {r["token"]: r["id"] for r in
+            spark.read.parquet(path).collect()}

@@ -242,7 +242,8 @@ def _tokenize_and_pack(spark, out_dir: str, shard_id: str,
     spec, seq_len = tokenize_pack
     if not has_train:
         return {"train_sequences": 0, "seq_len": seq_len,
-                "vocab_size": 0, "tokenizer_merges": 0}
+                "packed_tokens": 0, "vocab_size": 0,
+                "tokenizer_merges": 0}
     train = (spark.read.parquet(out_dir)
              .where(F.col("split") == "train")
              .select(shard_id, "shard", "text"))
@@ -251,6 +252,9 @@ def _tokenize_and_pack(spark, out_dir: str, shard_id: str,
     vocab = bpe.build_vocab(merges,
                             bpe.corpus_base_tokens(train, "text"))
     bpe.save_merges(spark, merges, out_dir + "_tokenizer")
+    # the id layout depends on the train corpus's base alphabet — ship
+    # it as an artifact too, or a later encode job can't reproduce ids
+    bpe.save_vocab(spark, vocab, out_dir + "_tokenizer_vocab")
     enc = (bpe.bpe_encode(train, shard_id, "text", merges, vocab=vocab,
                           keep_cols=["shard"])
            .select(shard_id, "shard", F.col("input_ids").alias("ids")))
@@ -262,8 +266,15 @@ def _tokenize_and_pack(spark, out_dir: str, shard_id: str,
     # (only _SUCCESS on disk); reading that back can't infer a schema
     has_seq = any(f.endswith(".parquet")
                   for _, _, files in os.walk(seq_dir) for f in files)
-    n_seq = spark.read.parquet(seq_dir).count() if has_seq else 0
+    # shipped-token accounting FROM the landed sequences (n_real counts
+    # ids before padding, so this is exact under either tail policy)
+    n_seq, packed = 0, 0
+    if has_seq:
+        row = (spark.read.parquet(seq_dir)
+               .agg(F.count(F.lit(1)), F.sum("n_real")).collect()[0])
+        n_seq, packed = row[0], int(row[1] or 0)
     return {"train_sequences": n_seq, "seq_len": seq_len,
+            "packed_tokens": packed,
             "vocab_size": len(vocab), "tokenizer_merges": len(merges)}
 
 
