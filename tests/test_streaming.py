@@ -351,3 +351,56 @@ def test_stream_corpus_build_with_span_dedup(spark, tmp_path):
     q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert builder.corpus.row_count() == 2
+
+
+def test_stream_corpus_build_with_sequences_feed(spark, tmp_path):
+    """The streaming build composes with the tokenizer feed: each
+    trigger's kept train docs land as fixed-length sequences, and the
+    stream's final sequences table equals the same batches fed
+    directly (stream ≡ batch), including across a checkpointed
+    restart."""
+    from tradingview_data_pipeline_spark.operators import bpe
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+    from tradingview_data_pipeline_spark.streaming.corpus_stream import (
+        stream_corpus_build)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    other = ("entirely different material discussing spark adaptive "
+             "execution and shuffle partition coalescing at length "
+             "with many words")
+    texts = [base, other]
+    tdf = spark.createDataFrame(list(enumerate(texts)),
+                                "doc_id long, text string")
+    merges = bpe.bpe_train(tdf, "text", n_merges=8, min_pair_count=2)
+    vocab = bpe.build_vocab(merges, bpe.corpus_base_tokens(tdf, "text"))
+    mk = lambda sub: IncrementalCorpusBuilder(
+        spark, str(tmp_path / sub), quality_min=0.0, buckets=4,
+        tokenizer=(merges, vocab), seq_len=16, seq_pad_id=0)
+
+    schema = "doc_id long, text string"
+    batches = [[(1, base)], [(2, other)]]
+
+    # direct batch feed -> reference sequences
+    ref = mk("ref")
+    for b in batches:
+        ref.add_batch(spark.createDataFrame(b, schema))
+    want = sorted(map(tuple, ref.sequences.read().collect()))
+    assert want                                   # feed actually fired
+
+    # streaming feed, one trigger per file drop + a restart
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    builder = mk("state")
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema).parquet(str(src_dir) + "/*")
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.parquet(str(src_dir / f"b{i}"))
+        q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+    q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)                       # restart: no-op
+    assert sorted(map(tuple, builder.sequences.read().collect())) == want
