@@ -27,8 +27,9 @@ from tradingview_data_pipeline_spark.plans import timeseries_queries  # noqa: E4
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (q1 pricing summary) on /root/testdata/sf0.001."""
-    return analytics.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query (q1 grouped aggregates: pricing summary + dimension
+    enrich, tagged union) on /root/testdata/sf0.001."""
+    return analytics.QUERIES["q1_grouped_aggs"](spark, "/root/testdata/sf0.001")
 
 
 # The driver's correctness gate verifies at most the first 50 registered

@@ -134,7 +134,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM/JIT + parquet footer caches, not counted
-    analytics.QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    analytics.QUERIES["q1_grouped_aggs"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # fixed-work calibration job: lets readers normalize per-round numbers
     # for machine drift (observed up to ~18% between rounds on identical

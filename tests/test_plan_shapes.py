@@ -28,7 +28,7 @@ def test_scan_filter_pushdown_and_pruning(spark):
 
 
 def test_dim_joins_are_broadcast(spark):
-    p = explain(analytics.QUERIES["q4_join_enrich"](spark, SF))
+    p = explain(analytics._q4_join_enrich(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
 
@@ -39,7 +39,7 @@ def test_topk_is_take_ordered(spark):
 
 
 def test_aggregate_is_partial_then_final(spark):
-    p = explain(analytics.QUERIES["q1_pricing_summary"](spark, SF))
+    p = explain(analytics._q1_pricing_summary(spark, SF))
     # map-side combine: at least two HashAggregate levels around the exchange
     assert p.count("HashAggregate") >= 2
     assert "Exchange" in p

@@ -238,6 +238,144 @@ def test_one_lloyd_iteration_reduces_inertia(spark, tmp_path):
     assert inertia1 <= inertia0 + 1e-9
 
 
+def test_with_nearest_centroid_matches_windowed(spark):
+    import random
+    random.seed(11)
+    rows = [(i, i % 3, [random.gauss(3.0 * (i % 3), 1.0) for _ in range(6)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    cent = sim.group_centroids_quantized(df, "label", "embedding")
+    a_win = {r["vec_id"]: (r["assigned"], r["dist"]) for r in
+             sim.assign_nearest_centroid(df.select("vec_id", "embedding"),
+                                         "vec_id", "embedding", cent, "label").collect()}
+    a_fold = {r["vec_id"]: (r["assigned"], r["dist"]) for r in
+              sim.with_nearest_centroid(df.select("vec_id", "embedding"),
+                                        "embedding", cent, "label").collect()}
+    assert a_win == a_fold  # bit-equal dist, same assignment + tie rule
+
+
+def _semdedup_reference(rows, threshold, keep_policy="farthest"):
+    """Pure-Python SemDeDup: quantized centroids, argmin assign (low
+    label ties), within-cluster cosine pairs, union-find, one keeper."""
+    import math
+    from collections import defaultdict
+    by_label = defaultdict(list)
+    for _id, lbl, v in rows:
+        by_label[lbl].append(v)
+    dims = len(rows[0][2])
+    cents = {}
+    for lbl, vecs in by_label.items():
+        cents[lbl] = [sum(math.floor(v[d] * 1e6) for v in vecs)
+                      / (len(vecs) * 1e6) for d in range(dims)]
+    assigned, dist = {}, {}
+    for _id, _lbl, v in rows:
+        best = min(sorted(cents),
+                   key=lambda c: (sum((x - y) ** 2 for x, y in zip(v, cents[c])), c))
+        assigned[_id] = best
+        dist[_id] = sum((x - y) ** 2 for x, y in zip(v, cents[best]))
+    vec = {r[0]: r[2] for r in rows}
+    parent = {r[0]: r[0] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(vec)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if assigned[a] != assigned[b]:
+                continue
+            va, vb = vec[a], vec[b]
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(x * x for x in vb))
+            cos = sum(x * y for x, y in zip(va, vb)) / (na * nb)
+            if cos >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    groups = defaultdict(list)
+    for x in ids:
+        groups[find(x)].append(x)
+    keep = set()
+    for members in groups.values():
+        if keep_policy == "farthest":
+            keep.add(min(members, key=lambda m: (-dist[m], m)))
+        elif keep_policy == "nearest":
+            keep.add(min(members, key=lambda m: (dist[m], m)))
+        else:
+            keep.add(min(members))
+    return {x: find(x) for x in ids}, keep
+
+
+def test_semantic_dedup_matches_reference(spark):
+    # 3 gaussian clusters + planted near-dup pairs (base + tiny noise)
+    import random
+    random.seed(23)
+    rows = []
+    for i in range(60):
+        lbl = i % 3
+        rows.append((i, lbl, [random.gauss(4.0 * lbl + 1.0, 1.0) for _ in range(8)]))
+    for j in range(6):  # plant dups of rows 0..5 with ~0.999 cosine
+        base = rows[j][2]
+        rows.append((100 + j, rows[j][1],
+                     [x * 1.01 + random.gauss(0, 0.001) for x in base]))
+    # float32 storage truncates; mirror by round-tripping through float32
+    import struct
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    rows = [(i, l, [f32(x) for x in v]) for i, l, v in rows]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    cent = sim.group_centroids_quantized(df, "label", "embedding")
+    got = sim.semantic_dedup(df, "vec_id", "embedding", cent, "label",
+                             threshold=0.9).collect()
+    ref_groups, ref_keep = _semdedup_reference(
+        [(i, l, [float(x) for x in v]) for i, l, v in rows], 0.9)
+    assert {r["vec_id"]: r["sd_group"] for r in got} == ref_groups
+    assert {r["vec_id"] for r in got if r["keep"]} == ref_keep
+    # every planted dup collapsed into its base's group, exactly one kept
+    for j in range(6):
+        assert ref_groups[100 + j] == ref_groups[j]
+
+
+def test_semantic_dedup_keep_policies(spark):
+    # one cluster, one dup pair: id 1 nearer the centroid than id 2
+    rows = [(1, 0, [1.0, 0.0]), (2, 0, [0.98, 0.21]), (3, 0, [-1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    cent = sim.group_centroids_quantized(df, "label", "embedding")
+
+    def keeps(policy):
+        out = sim.semantic_dedup(df, "vec_id", "embedding", cent, "label",
+                                 threshold=0.95, keep_policy=policy).collect()
+        return {r["vec_id"] for r in out if r["keep"]}, \
+               {r["vec_id"]: r["sd_group"] for r in out}
+
+    k_far, groups = keeps("farthest")
+    assert groups[1] == groups[2] == 1 and groups[3] == 3  # 3 is a singleton
+    k_near, _ = keeps("nearest")
+    k_min, _ = keeps("min_id")
+    assert 3 in k_far and 3 in k_near and 3 in k_min  # singleton always kept
+    assert k_min == {1, 3}
+    # dup pair: exactly one of {1,2} kept under every policy
+    assert len(k_far & {1, 2}) == 1 and len(k_near & {1, 2}) == 1
+    assert (k_far & {1, 2}) != (k_near & {1, 2})  # policies pick opposite ends
+    with pytest.raises(ValueError):
+        sim.semantic_dedup(df, "vec_id", "embedding", cent, "label",
+                           keep_policy="nope")
+
+
+def test_semantic_dedup_max_bucket_guard(spark):
+    # cluster over the cap contributes no pairs -> everything kept
+    rows = [(i, 0, [1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    cent = sim.group_centroids_quantized(df, "label", "embedding")
+    out = sim.semantic_dedup(df, "vec_id", "embedding", cent, "label",
+                             threshold=0.5, max_bucket=3).collect()
+    assert all(r["keep"] for r in out)
+    assert {r["sd_group"] for r in out} == set(range(6))
+
+
 def test_sessionize_gap_semantics(spark):
     # inclusive convention (= Structured Streaming session_window): an
     # event at exactly prev + gap CONTINUES the session

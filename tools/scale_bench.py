@@ -81,7 +81,7 @@ def main() -> None:
             except Exception:
                 pass
         tq._DEDUP_CACHE.clear()
-        qmap["q1_pricing_summary"](spark, sf_dir) \
+        qmap["q1_grouped_aggs"](spark, sf_dir) \
             .write.format("noop").mode("overwrite").save()    # warm-up
         t0 = time.perf_counter()
         spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()

@@ -315,6 +315,102 @@ def assign_nearest_centroid(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def with_nearest_centroid(df: DataFrame, vec_col: str,
+                          centroids_long: DataFrame, group_col: str, *,
+                          out_assigned: str = "assigned",
+                          out_dist: str = "dist") -> DataFrame:
+    """Append (``assigned``, ``dist``) nearest-centroid columns with NO
+    shuffle and no per-vector window.
+
+    Same distance semantics and tie-break (smaller centroid id) as
+    ``assign_nearest_centroid``, different plan shape: the k centroids
+    collapse into ONE broadcast row of (label, cvec) structs, and each
+    vector scans them map-side — ``transform`` to (dist, label) structs,
+    ``array_sort`` (lexicographic: dist then label, i.e. exactly the
+    window's ORDER BY dist ASC, label ASC), take element 0.  Unlike
+    ``assign_nearest_centroid`` every input column is preserved in
+    place, so downstream per-cluster work (``semantic_dedup``'s pairwise
+    pass) starts with the vectors un-moved.  Per-centroid distance is
+    the identical left-to-right fold, so assignments and distances are
+    bit-equal to the windowed form (pinned in tests)."""
+    carr = _centroid_arrays(centroids_long, group_col)
+    cents = carr.agg(F.collect_list(F.struct("c_label", "cvec")).alias("__cents"))
+
+    def _dist_to(c):
+        sq = F.zip_with(F.col(vec_col), c["cvec"],
+                        lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc))
+        return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+
+    scored = F.array_sort(F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(_dist_to(c).alias("dist"), c["c_label"].alias("lbl"))))
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn("__best", scored[0])
+        .withColumn(out_assigned, F.col("__best")["lbl"])
+        .withColumn(out_dist, F.col("__best")["dist"])
+        .drop("__cents", "__best")
+    )
+
+
+def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
+                   centroids_long: DataFrame, group_col: str, *,
+                   threshold: float = 0.95, max_bucket: int | None = 10_000,
+                   keep_policy: str = "farthest") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
+    semantic deduplication over an embedding column.
+
+    Pipeline: (1) assign every vector to its nearest centroid —
+    map-side broadcast scan, zero shuffle (``with_nearest_centroid``);
+    (2) within each cluster only, cosine pairs >= ``threshold``
+    (``embedding_near_dups`` — the one corpus-sized shuffle, keyed by
+    cluster id, with the ``max_bucket`` degenerate-cluster guard);
+    (3) connected components over the duplicate pairs (tiny — the
+    pair set, not the corpus); (4) keep exactly one member per
+    duplicate group.
+
+    ``keep_policy``:
+      * ``"farthest"`` (paper §3: keep the example with LOW similarity
+        to the cluster centroid — retains outliers / hard examples):
+        max squared-L2 ``dist`` to the assigned centroid, which for
+        normalized embeddings is exactly the lowest cosine; ties break
+        on the smaller id.
+      * ``"nearest"``: the prototypical member (min dist).
+      * ``"min_id"``: deterministic id-based keeper (the exact-dedup
+        convention elsewhere in this repo).
+
+    Returns (id, assigned, dist, sd_group, keep): every corpus row
+    annotated — singletons (no near-dup within their cluster) are their
+    own ``sd_group`` and always kept.  Only small rows (no vectors)
+    reach the keeper window, and components never span clusters by
+    construction, so the group shuffle is bounded by the pair set.
+    """
+    from tradingview_data_pipeline_spark.operators.dedup import connected_components
+
+    if keep_policy not in ("farthest", "nearest", "min_id"):
+        raise ValueError(f"unknown keep_policy {keep_policy!r}")
+    ac = with_nearest_centroid(corpus.select(id_col, vec_col), vec_col,
+                               centroids_long, group_col)
+    pairs = embedding_near_dups(ac, id_col, vec_col, "assigned",
+                                threshold=threshold, max_bucket=max_bucket)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")))
+    out = (
+        ac.drop(vec_col)
+        .join(comp.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn("sd_group", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .drop("cluster_id")
+    )
+    order = {"farthest": [F.col("dist").desc(), F.col(id_col).asc()],
+             "nearest": [F.col("dist").asc(), F.col(id_col).asc()],
+             "min_id": [F.col(id_col).asc()]}[keep_policy]
+    w = Window.partitionBy("sd_group").orderBy(*order)
+    return (
+        out.withColumn("keep", F.row_number().over(w) == F.lit(1))
+        .select(id_col, "assigned", "dist", "sd_group", "keep")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Int8 quantized similarity — the memory/bandwidth scale path: symmetric
 # per-vector quantization q_i = floor(x_i * 127 / max|x|) shrinks the

@@ -68,26 +68,66 @@ def _dec(c, scale="12,2"):
 
 
 # ---------------------------------------------------------------------------
-# q1 — pricing summary (flagship; SURVEY A1/A5/F15 shapes — grouped
-# multi-aggregate over the fact table, the reference's per-group
-# mean/count pattern at calcompositescore.py:246-270).
+# q1 — grouped aggregates, tagged union (round-8 consolidation #14, the
+# COVERAGE.md-predocumented q1+q4 merge; frees a driver slot for
+# q77_semantic_dedup while keeping both operator families verified):
+#   'pricing' — the flagship grouped multi-aggregate over the fact table
+#               (A1/A5/F15; reference per-group mean/count pattern at
+#               calcompositescore.py:246-270; formerly standalone q1).
+#   'enrich'  — broadcast dimension-enrich joins + grouped agg (J2;
+#               calcompositescore.py:357-368 stock⟕sector⟕industry
+#               analog; formerly standalone q4).
+# Shared schema (kind, k1, k2, n, v1..v6): pricing maps n=count_order,
+# v1..v6 = sum_qty, sum_base_price, sum_disc_price, sum_charge,
+# avg_qty, avg_price; enrich maps n=num_customers, v1=total_acctbal.
+# Each leg keeps its own scan subtree (pushdown intact).
 # ---------------------------------------------------------------------------
 
-@register("q1_pricing_summary", oracle="""
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+@register("q1_grouped_aggs", oracle="""
+SELECT 'pricing' AS kind, l_returnflag AS k1, l_linestatus AS k2,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS v1,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS v2,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS v3,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-       COUNT(*) AS count_order,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS v4,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS v5,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS v6
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
 GROUP BY l_returnflag, l_linestatus
+UNION ALL
+SELECT 'enrich' AS kind, r_name AS k1, n_name AS k2,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS v1,
+       CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3,
+       CAST(NULL AS DOUBLE) AS v4, CAST(NULL AS DOUBLE) AS v5,
+       CAST(NULL AS DOUBLE) AS v6
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
 """)
-def q1_pricing_summary(spark, sf_dir):
+def q1_grouped_aggs(spark, sf_dir):
+    nd = F.lit(None).cast("double")
+    pricing = _q1_pricing_summary(spark, sf_dir).select(
+        F.lit("pricing").alias("kind"),
+        F.col("l_returnflag").alias("k1"), F.col("l_linestatus").alias("k2"),
+        F.col("count_order").alias("n"),
+        F.col("sum_qty").alias("v1"), F.col("sum_base_price").alias("v2"),
+        F.col("sum_disc_price").alias("v3"), F.col("sum_charge").alias("v4"),
+        F.col("avg_qty").alias("v5"), F.col("avg_price").alias("v6"))
+    enrich = _q4_join_enrich(spark, sf_dir).select(
+        F.lit("enrich").alias("kind"),
+        F.col("r_name").alias("k1"), F.col("n_name").alias("k2"),
+        F.col("num_customers").alias("n"),
+        F.col("total_acctbal").alias("v1"),
+        nd.alias("v2"), nd.alias("v3"), nd.alias("v4"),
+        nd.alias("v5"), nd.alias("v6"))
+    return pricing.unionByName(enrich)
+
+
+def _q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(3,2)")
     disc = _dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"), "4,2"))
@@ -169,20 +209,11 @@ def _q3_topk_orders(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q4 — dimension-enrich broadcast joins + grouped agg (J2;
-# calcompositescore.py:357-368 stock⟕sector⟕industry analog).
+# q4 — dimension-enrich broadcast joins + grouped agg (J2): the 'enrich'
+# leg of q1_grouped_aggs since the round-8 consolidation.
 # ---------------------------------------------------------------------------
 
-@register("q4_join_enrich", oracle="""
-SELECT r_name, n_name,
-       COUNT(*) AS num_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal
-FROM customer
-LEFT JOIN nation ON c_nationkey = n_nationkey
-LEFT JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name, n_name
-""")
-def q4_join_enrich(spark, sf_dir):
+def _q4_join_enrich(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
