@@ -52,7 +52,7 @@ def test_no_cartesian_products_anywhere(spark):
 
 
 def test_region_pick_joins_are_broadcast(spark):
-    for q in ("q33_relational_shapes",):
+    for q in ("q10_rank_relational",):
         p = explain(analytics.QUERIES[q](spark, SF))
         assert "BroadcastHashJoin" in p, q
 
@@ -105,7 +105,7 @@ def test_fundamental_scores_with_hint_runs_no_action(spark):
 
 
 _AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
-_SINGLE_PARTITION_EXCEPTIONS = {"q10_rank_bucket"}
+_SINGLE_PARTITION_EXCEPTIONS = {"q10_rank_relational"}
 
 
 def test_single_partition_exchanges_carry_only_aggregates(spark):

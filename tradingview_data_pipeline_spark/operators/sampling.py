@@ -84,7 +84,8 @@ def sample_k_per_group(
 
 def weighted_sample_k(
     df: DataFrame, id_col: str, weight_col: str, k: int,
-    *, group_cols: list[str] | None = None, salt: str = "wk"
+    *, group_cols: list[str] | None = None, salt: str = "wk",
+    log_weights: bool = False
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis A-ES): each row draws a hash-derived uniform u in (0, 1) and
@@ -100,11 +101,22 @@ def weighted_sample_k(
     ln/pow are not correctly-rounded, so the tie-free ORDERING is stable
     within one engine but the raw keys are not bit-reproducible across
     engines — the repo-wide criterion for oracle vs pytest verification.
+
+    ``log_weights=True`` reads ``weight_col`` as ln(w) — any real value
+    is a valid weight and nothing is excluded — and orders by the
+    monotone-equivalent ``ln(-ln u) − ln w`` so the selection matches
+    exponentiating first WITHOUT ever calling exp (DSIR importance
+    weights are sums of hundreds of log-ratios; their exp over/underflows
+    doubles long before the ordering degrades).
     """
     u = (hash60(F.col(id_col), salt) + F.lit(1.0)) / F.lit(2.0 ** 60 + 2.0)
     w = F.col(weight_col).cast("double")
-    skey = -F.log(u) / w
-    keyed = df.where(w.isNotNull() & (w > 0)).withColumn("__sk", skey)
+    if log_weights:
+        skey = F.log(-F.log(u)) - w
+        keyed = df.where(w.isNotNull()).withColumn("__sk", skey)
+    else:
+        skey = -F.log(u) / w
+        keyed = df.where(w.isNotNull() & (w > 0)).withColumn("__sk", skey)
     if group_cols:
         win = Window.partitionBy(*group_cols).orderBy(
             F.col("__sk").asc(), F.col(id_col).asc())

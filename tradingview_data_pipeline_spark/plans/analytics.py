@@ -413,23 +413,12 @@ def q9_hier_fallback(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # q10 — global ordinal rank bucketing (W1; calcompositescore.py:206-218
-# market-cap categories). Parity mode: single window at test scale.
+# market-cap categories; parity mode: single window at test scale): the
+# 'bucket' leg of q10_rank_relational (plans/relational_extra.py) since
+# the round-8 consolidation.
 # ---------------------------------------------------------------------------
 
-@register("q10_rank_bucket", oracle="""
-SELECT o_orderkey, o_totalprice,
-       CASE WHEN o_totalprice IS NULL THEN NULL
-            WHEN rn <= 100 THEN 'Large Cap'
-            WHEN rn <= 250 THEN 'Mid Cap'
-            WHEN rn <= 500 THEN 'Small Cap'
-            ELSE 'Micro Cap' END AS price_category
-FROM (
-  SELECT o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC) AS rn
-  FROM orders
-)
-""")
-def q10_rank_bucket(spark, sf_dir):
+def _q10_rank_bucket(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     out = ops.bucket_by_global_rank(
         o, "o_totalprice", out_col="price_category", tie_break="o_orderkey")

@@ -635,3 +635,75 @@ def q75_repetition_profile(spark, sf_dir):
         (F.size(F.split(txt, "\n"))
          - F.size(F.split(F.col("__clean"), "\n"))).cast("bigint")
         .alias("n_dup_lines"))
+
+
+# ---------------------------------------------------------------------------
+# q78 — learned quality classifier (slot freed by the q10+q33 merge):
+# classify.token_class_weights + nb_score — the CCNet / GPT-3 pattern
+# (train a linear token model on a labeled reference set, score every
+# document).  Here the label is lang='en' (the synthetic corpus has no
+# curated/raw split, but the MODEL PATH is identical: one training
+# hash-aggregate, broadcast weight table, per-doc BIGINT sum).  The
+# oracle pins the exactness-contract score: per-token Laplace ratio
+# ((n_pos+1)(tot_neg+V)) / ((n_neg+1)(tot_pos+V)) — exact-integer
+# casts, one multiply per side, one divide, ×1e6, floor — summed as
+# BIGINT (associative); min_df=2 exercises the vocabulary pruning and
+# the unseen-token fallback.  The production ln(ratio) variant is
+# pytest-pinned instead (ln is not correctly rounded — the q49 rule).
+# ---------------------------------------------------------------------------
+
+@register("q78_quality_classifier", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_W}) AS token FROM documents
+), lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+), cnt AS (
+  SELECT token,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM tok JOIN lab USING (doc_id)
+  GROUP BY token
+  HAVING COUNT(*) >= 2
+), tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+         CAST(SUM(n_neg) AS BIGINT) AS tn,
+         COUNT(*) AS v
+  FROM cnt
+), w AS (
+  SELECT token,
+         CAST(floor(
+           (CAST(n_pos + 1 AS DOUBLE) * CAST(tn + v AS DOUBLE))
+           / (CAST(n_neg + 1 AS DOUBLE) * CAST(tp + v AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS wq
+  FROM cnt, tot
+), unk AS (
+  SELECT CAST(floor(
+           (CAST(0 + 1 AS DOUBLE) * CAST(tn + v AS DOUBLE))
+           / (CAST(0 + 1 AS DOUBLE) * CAST(tp + v AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS uq
+  FROM tot
+), sc AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         COUNT(w.token) AS n_known,
+         CAST(SUM(COALESCE(w.wq, unk.uq)) AS BIGINT) AS score
+  FROM tok t LEFT JOIN w USING (token), unk
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, CAST(d.lang = 'en' AS BIGINT) AS y,
+       COALESCE(sc.n_tokens, 0) AS n_tokens,
+       COALESCE(sc.n_known, 0) AS n_known,
+       COALESCE(sc.score, 0) AS score
+FROM documents d LEFT JOIN sc USING (doc_id)
+""")
+def q78_quality_classifier(spark, sf_dir):
+    from tradingview_data_pipeline_spark.operators import classify as cl
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.withColumn("__y", F.col("lang") == F.lit("en"))
+    weights = cl.token_class_weights(labeled, "text", "__y", min_df=2)
+    scored = cl.nb_score(d, "doc_id", "text", weights)
+    return (d.select("doc_id",
+                     (F.col("lang") == F.lit("en")).cast("bigint").alias("y"))
+            .join(scored, "doc_id")
+            .select("doc_id", "y", "n_tokens", "n_known", "score"))

@@ -93,21 +93,37 @@ def q32_embedding_near_dup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q33 — relational shapes, tagged union (round-6 consolidation #1 of the
-# COVERAGE.md headroom map; frees a driver slot while keeping both
-# operator families driver-verified):
+# q10 — rank + relational shapes, tagged union (round-6 consolidation #1
+# extended by the round-8 q10+q33 merge, COVERAGE.md #15; frees a driver
+# slot for q78 while keeping all three operator families verified):
+#   'bucket'       — global ordinal rank bucketing (W1; market-cap
+#                    categories; parity mode: one window at test scale;
+#                    formerly standalone q10).
 #   'shipping'     — shipping-priority multi-join + agg + top-k (TPC-H Q3
 #                    shape): selective dim filter -> two fact joins ->
 #                    grouped revenue -> TakeOrdered.
 #   'local_volume' — local-supplier volume (TPC-H Q5 shape): 6-table join
 #                    with the co-nation condition, grouped revenue/nation.
 # Shared schema (kind, key, revenue, detail, n): key is the group key as
-# a string, detail carries the Q3 date|priority payload, n the Q5
+# a string, revenue doubles as the bucket leg's o_totalprice, detail
+# carries the Q3 date|priority payload or the bucket label, n the Q5
 # lineitem count.
 # ---------------------------------------------------------------------------
 
-@register("q33_relational_shapes", oracle="""
-WITH shipping AS (
+@register("q10_rank_relational", oracle="""
+WITH bucketed AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_totalprice IS NULL THEN NULL
+              WHEN rn <= 100 THEN 'Large Cap'
+              WHEN rn <= 250 THEN 'Mid Cap'
+              WHEN rn <= 500 THEN 'Small Cap'
+              ELSE 'Micro Cap' END AS price_category
+  FROM (
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC) AS rn
+    FROM orders
+  )
+), shipping AS (
   SELECT l_orderkey,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
@@ -135,6 +151,11 @@ WITH shipping AS (
   WHERE r_name = (SELECT min(r_name) FROM region)
   GROUP BY n_name
 )
+SELECT 'bucket' AS kind, CAST(o_orderkey AS VARCHAR) AS key,
+       o_totalprice AS revenue, price_category AS detail,
+       CAST(NULL AS BIGINT) AS n
+FROM bucketed
+UNION ALL
 SELECT 'shipping' AS kind, CAST(l_orderkey AS VARCHAR) AS key, revenue,
        strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority AS detail,
        CAST(NULL AS BIGINT) AS n
@@ -144,7 +165,14 @@ SELECT 'local_volume' AS kind, n_name AS key, revenue,
        CAST(NULL AS VARCHAR) AS detail, n_lineitems AS n
 FROM local_volume
 """)
-def q33_relational_shapes(spark, sf_dir):
+def q10_rank_relational(spark, sf_dir):
+    from tradingview_data_pipeline_spark.plans.analytics import _q10_rank_bucket
+    bucket = _q10_rank_bucket(spark, sf_dir).select(
+        F.lit("bucket").alias("kind"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("o_totalprice").alias("revenue"),
+        F.col("price_category").alias("detail"),
+        F.lit(None).cast("bigint").alias("n"))
     ship = _q33_shipping_priority(spark, sf_dir).select(
         F.lit("shipping").alias("kind"),
         F.col("l_orderkey").cast("string").alias("key"),
@@ -158,7 +186,7 @@ def q33_relational_shapes(spark, sf_dir):
         F.col("revenue"),
         F.lit(None).cast("string").alias("detail"),
         F.col("n_lineitems").alias("n"))
-    return ship.unionByName(vol)
+    return bucket.unionByName(ship).unionByName(vol)
 
 
 def _q33_shipping_priority(spark, sf_dir):
