@@ -365,6 +365,36 @@ def test_semantic_dedup_keep_policies(spark):
                            keep_policy="nope")
 
 
+def test_semantic_dedup_multi_probe_finds_straddling_pair(spark):
+    # two centroids at (1,0) and (0.94, 0.34); the dup pair sits near the
+    # boundary so its members assign to DIFFERENT top-1 centroids
+    import math
+    a = [math.cos(0.16), math.sin(0.16)]   # nearer c0
+    b = [math.cos(0.19), math.sin(0.19)]   # nearer c1 (boundary ~0.175)
+    rows = [(1, a), (2, b), (3, [1.0, 0.0]), (4, [0.94, 0.342])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 0.0), (1, 0, 0.94), (1, 1, 0.342)],
+        "label int, dim long, centroid double")
+    one = sim.semantic_dedup(df, "vec_id", "embedding", cents, "label",
+                             threshold=0.999).collect()
+    assigned = {r["vec_id"]: r["assigned"] for r in one}
+    assert assigned[1] != assigned[2]            # genuinely straddling
+    groups1 = {r["vec_id"]: r["sd_group"] for r in one}
+    assert groups1[1] != groups1[2]              # probes=1 misses it
+    two = sim.semantic_dedup(df, "vec_id", "embedding", cents, "label",
+                             threshold=0.999, probes=2).collect()
+    groups2 = {r["vec_id"]: r["sd_group"] for r in two}
+    assert groups2[1] == groups2[2]              # multi-probe finds it
+    assert sum(1 for r in two if r["keep"] and r["vec_id"] in (1, 2)) == 1
+    # keeper dist is still the top-1 centroid distance under probes=2
+    d1 = {r["vec_id"]: r["dist"] for r in one}
+    d2 = {r["vec_id"]: r["dist"] for r in two}
+    assert d1 == d2
+    with pytest.raises(ValueError):
+        sim.semantic_dedup(df, "vec_id", "embedding", cents, "label", probes=0)
+
+
 def test_semantic_dedup_max_bucket_guard(spark):
     # cluster over the cap contributes no pairs -> everything kept
     rows = [(i, 0, [1.0, 0.0]) for i in range(6)]

@@ -318,7 +318,8 @@ def assign_nearest_centroid(df: DataFrame, id_col: str, vec_col: str,
 def with_nearest_centroid(df: DataFrame, vec_col: str,
                           centroids_long: DataFrame, group_col: str, *,
                           out_assigned: str = "assigned",
-                          out_dist: str = "dist") -> DataFrame:
+                          out_dist: str = "dist",
+                          keep_ranked: str | None = None) -> DataFrame:
     """Append (``assigned``, ``dist``) nearest-centroid columns with NO
     shuffle and no per-vector window.
 
@@ -332,7 +333,11 @@ def with_nearest_centroid(df: DataFrame, vec_col: str,
     place, so downstream per-cluster work (``semantic_dedup``'s pairwise
     pass) starts with the vectors un-moved.  Per-centroid distance is
     the identical left-to-right fold, so assignments and distances are
-    bit-equal to the windowed form (pinned in tests)."""
+    bit-equal to the windowed form (pinned in tests).
+
+    ``keep_ranked``: when set, also retain the FULL distance-sorted
+    (dist, lbl) struct array under that name — multi-probe consumers
+    (``semantic_dedup(probes=...)``) read the top-p labels from it."""
     carr = _centroid_arrays(centroids_long, group_col)
     cents = carr.agg(F.collect_list(F.struct("c_label", "cvec")).alias("__cents"))
 
@@ -344,19 +349,22 @@ def with_nearest_centroid(df: DataFrame, vec_col: str,
     scored = F.array_sort(F.transform(
         F.col("__cents"),
         lambda c: F.struct(_dist_to(c).alias("dist"), c["c_label"].alias("lbl"))))
-    return (
+    out = (
         df.crossJoin(F.broadcast(cents))
-        .withColumn("__best", scored[0])
-        .withColumn(out_assigned, F.col("__best")["lbl"])
-        .withColumn(out_dist, F.col("__best")["dist"])
-        .drop("__cents", "__best")
+        .withColumn("__ranked", scored)
+        .withColumn(out_assigned, F.col("__ranked")[0]["lbl"])
+        .withColumn(out_dist, F.col("__ranked")[0]["dist"])
+        .drop("__cents")
     )
+    if keep_ranked is not None:
+        return out.withColumnRenamed("__ranked", keep_ranked)
+    return out.drop("__ranked")
 
 
 def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
                    centroids_long: DataFrame, group_col: str, *,
                    threshold: float = 0.95, max_bucket: int | None = 10_000,
-                   keep_policy: str = "farthest") -> DataFrame:
+                   keep_policy: str = "farthest", probes: int = 1) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
     semantic deduplication over an embedding column.
 
@@ -379,20 +387,47 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
       * ``"min_id"``: deterministic id-based keeper (the exact-dedup
         convention elsewhere in this repo).
 
+    ``probes``: number of nearest centroids each vector is paired
+    under.  At production k (clusters sized to keep the pairwise
+    bounded) a near-dup pair can straddle a Voronoi boundary and be
+    missed at probes=1 — the measured recall on planted cos≈0.98 pairs
+    fell 92% → 80% between decades as k grew (tools/semdedup_bench.py).
+    probes=2 is the standard IVF multi-probe remedy: each vector is
+    candidate-paired under its top-2 centroids, so a straddling pair
+    meets in the shared neighbor cell.  Cost: the pairing input
+    replicates ×probes (the assignment itself is one pass either way);
+    duplicate candidate edges are harmless to the component step.
+    Assignment, ``dist`` and the keeper window always use the TOP-1
+    centroid, so probes changes recall only, not keeper semantics.
+
     Returns (id, assigned, dist, sd_group, keep): every corpus row
     annotated — singletons (no near-dup within their cluster) are their
     own ``sd_group`` and always kept.  Only small rows (no vectors)
     reach the keeper window, and components never span clusters by
-    construction, so the group shuffle is bounded by the pair set.
+    construction (probes=1; multi-probe lets them bridge via shared
+    cells), so the group shuffle is bounded by the pair set.
     """
     from tradingview_data_pipeline_spark.operators.dedup import connected_components
 
     if keep_policy not in ("farthest", "nearest", "min_id"):
         raise ValueError(f"unknown keep_policy {keep_policy!r}")
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
     ac = with_nearest_centroid(corpus.select(id_col, vec_col), vec_col,
-                               centroids_long, group_col)
-    pairs = embedding_near_dups(ac, id_col, vec_col, "assigned",
-                                threshold=threshold, max_bucket=max_bucket)
+                               centroids_long, group_col,
+                               keep_ranked="__ranked" if probes > 1 else None)
+    if probes > 1:
+        probed = ac.select(
+            id_col, vec_col,
+            F.explode(F.slice(
+                F.transform(F.col("__ranked"), lambda s: s["lbl"]),
+                1, probes)).alias("__probe"))
+        ac = ac.drop("__ranked")
+        pairs = embedding_near_dups(probed, id_col, vec_col, "__probe",
+                                    threshold=threshold, max_bucket=max_bucket)
+    else:
+        pairs = embedding_near_dups(ac, id_col, vec_col, "assigned",
+                                    threshold=threshold, max_bucket=max_bucket)
     comp = connected_components(
         pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")))
     out = (

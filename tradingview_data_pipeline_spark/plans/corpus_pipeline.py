@@ -65,6 +65,7 @@ def run_corpus_prep(
     remove_spans: bool = False,
     dedupe_repeated_lines: bool = False,
     repetition_limits: dict[str, float] | None = None,
+    quality_model: tuple[DataFrame, float] | None = None,
     train_mixture: tuple[dict[str, int], int] | None = None,
     mixture_source_col: str = "source",
     tokenize_pack: tuple[int | list[tuple[str, str]], int] | None = None,
@@ -95,6 +96,16 @@ def run_corpus_prep(
     map-side in the same pass as the quality gate (the signals are
     zero-shuffle column expressions) — the gate adds no stage, no
     shuffle, and no second scan.
+
+    ``quality_model=(weights, min_log_odds)`` adds the LEARNED half of
+    the quality gate (the CCNet/GPT-3 classifier filter): ``weights``
+    is a trained ``classify.token_class_weights`` table, and docs whose
+    ``classify.nb_score(use_log=True)`` falls below ``min_log_odds``
+    are dropped AFTER the heuristic gates (cheap filters first, so the
+    model scores fewer docs).  Cost: one corpus-sized explode →
+    broadcast-join → per-doc sum (map-side partial aggregation; only
+    (doc_id, score) rows shuffle) plus one doc-id-keyed semi-join back
+    — the only stage-level join this gate adds.
 
     ``train_mixture=(weights, total_rows)`` resamples the TRAIN split to
     a target domain mixture (``sampling.mixture_sample`` over
@@ -162,6 +173,15 @@ def run_corpus_prep(
 
     if repetition_limits:
         gated = _apply_repetition_limits(gated, repetition_limits)
+
+    if quality_model is not None:
+        from tradingview_data_pipeline_spark.operators import classify as cl
+        weights, min_log_odds = quality_model
+        passing = (cl.nb_score(gated, "doc_id", "text", weights,
+                               use_log=True)
+                   .where(F.col("score") >= F.lit(float(min_log_odds)))
+                   .select("doc_id"))
+        gated = gated.join(passing, "doc_id", "left_semi")
 
     redacted = gated.withColumn("text", tx.redact_pii(F.col("text")))
 

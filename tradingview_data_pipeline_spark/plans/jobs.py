@@ -174,6 +174,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="corpus-prep: within-document repetition gate, "
                          "e.g. 'dup_line_frac=0.3,top_2gram_frac=0.2' "
                          "(signals: corpus.REPETITION_SIGNALS)")
+    ap.add_argument("--quality-model", default=None,
+                    help="corpus-prep: 'WEIGHTS_PARQUET,MIN_LOG_ODDS' — "
+                         "gate docs below the learned classifier score "
+                         "(classify.token_class_weights table trained "
+                         "offline; see classify.nb_score)")
     ap.add_argument("--tokenize-pack", default=None,
                     help="corpus-prep: 'N_MERGES,SEQ_LEN' — train an "
                          "N-merge BPE tokenizer on the shipped train "
@@ -250,6 +255,16 @@ def main(argv: list[str] | None = None) -> None:
                 ap.error("--tokenize-pack expects 'N_MERGES,SEQ_LEN' "
                          f"(got {args.tokenize_pack!r})")
 
+        qual_model = None
+        if args.quality_model:
+            try:
+                w_path, thr = args.quality_model.rsplit(",", 1)
+                qual_model = (spark.read.parquet(w_path), float(thr))
+            except ValueError:
+                ap.error("--quality-model expects "
+                         "'WEIGHTS_PARQUET,MIN_LOG_ODDS' "
+                         f"(got {args.quality_model!r})")
+
         def corpus_body(t):
             docs = spark.read.parquet(args.docs_parquet)
             t.metrics.update(corpus_pipeline.run_corpus_prep(
@@ -258,6 +273,7 @@ def main(argv: list[str] | None = None) -> None:
                 dedupe_repeated_lines=args.dedupe_lines,
                 repetition_limits=parse_repetition_limits(
                     args.repetition_limits),
+                quality_model=qual_model,
                 tokenize_pack=tok_pack))
         reported("Corpus Prep", corpus_body)
     if args.job == "reconcile":
