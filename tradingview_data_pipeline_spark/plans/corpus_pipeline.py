@@ -393,6 +393,7 @@ class IncrementalCorpusBuilder:
                  remove_spans: bool = False,
                  dedupe_repeated_lines: bool = False,
                  repetition_limits: dict[str, float] | None = None,
+                 quality_model: tuple[DataFrame, float] | None = None,
                  tokenizer: tuple[list[tuple[str, str]],
                                   dict[str, int]] | None = None,
                  seq_len: int | None = None,
@@ -413,6 +414,12 @@ class IncrementalCorpusBuilder:
                     f"unknown repetition signals: {sorted(unknown)}; "
                     f"valid: {list(cp.REPETITION_SIGNALS)}")
         self.repetition_limits = repetition_limits
+        # the learned gate (run_corpus_prep's quality_model, same
+        # semantics): the weight table is a training-time artifact, so
+        # the gate is deterministic per document text — replays gate
+        # identically as long as callers pass the SAME trained model
+        # (reload it from its parquet artifact, never retrain mid-stream)
+        self.quality_model = quality_model
         self.dedupe_repeated_lines = dedupe_repeated_lines
         corpus_schema = T.StructType([
             T.StructField("doc_id", T.LongType()),
@@ -497,6 +504,17 @@ class IncrementalCorpusBuilder:
             # document, so replays gate identically (replay-idempotence
             # is preserved — a doc either never enters or always does)
             gated = _apply_repetition_limits(gated, self.repetition_limits)
+
+        if self.quality_model is not None:
+            from tradingview_data_pipeline_spark.operators import (
+                classify as cl,
+            )
+            weights, min_log_odds = self.quality_model
+            passing = (cl.nb_score(gated, "doc_id", "text", weights,
+                                   use_log=True)
+                       .where(F.col("score") >= F.lit(float(min_log_odds)))
+                       .select("doc_id"))
+            gated = gated.join(passing, "doc_id", "left_semi")
 
         # exact dedup: min doc_id per content within the batch, then
         # anti-join against the hash-gate table — read BUCKET-PRUNED to
