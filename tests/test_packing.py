@@ -163,3 +163,83 @@ def test_pack_token_sequences_rejects_colliding_columns(spark):
                                "doc_id long, grp string, ids array<long>, seq_id long")
     with pytest.raises(ValueError, match="collide"):
         pk.pack_token_sequences(df, "doc_id", "ids", 4, ["grp"])
+
+
+# --- training targets (causal shift / deterministic MLM) -------------------
+
+def _seqs(spark):
+    rows = [
+        ("a", 0, [1, 2, 3, 4, 5, 6, 7, 8], 8),
+        ("a", 1, [9, 10, 11, 12, 0, 0, 0, 0], 4),   # padded tail
+        ("b", 0, [5, 4, 3, 2, 1, 6, 7, 8], 8),
+    ]
+    return spark.createDataFrame(
+        rows, "grp string, seq_id long, input_ids array<bigint>, n_real long")
+
+
+def test_causal_lm_labels_shift_and_pad_mask(spark):
+    out = {(r["grp"], r["seq_id"]): r["labels"]
+           for r in pk.causal_lm_labels(_seqs(spark)).collect()}
+    assert out[("a", 0)] == [2, 3, 4, 5, 6, 7, 8, -100]
+    # padded: only positions with a REAL successor carry a label
+    assert out[("a", 1)] == [10, 11, 12, -100, -100, -100, -100, -100]
+
+
+def test_mlm_mask_deterministic_and_consistent(spark):
+    seqs = _seqs(spark)
+    m1 = pk.mlm_mask(seqs, 999, key_cols=("grp", "seq_id"),
+                     mask_prob=0.4).collect()
+    m2 = pk.mlm_mask(seqs.repartition(3), 999, key_cols=("grp", "seq_id"),
+                     mask_prob=0.4).collect()
+    k1 = {(r["grp"], r["seq_id"]): (r["masked_ids"], r["labels"]) for r in m1}
+    k2 = {(r["grp"], r["seq_id"]): (r["masked_ids"], r["labels"]) for r in m2}
+    assert k1 == k2  # layout-independent
+    for r in m1:
+        ids, masked, labels, nr = (r["input_ids"], r["masked_ids"],
+                                   r["labels"], r["n_real"])
+        for i in range(len(ids)):
+            if i >= nr:                       # padding never selected
+                assert masked[i] == ids[i] and labels[i] == -100
+            elif labels[i] == -100:           # unselected: id untouched
+                assert masked[i] == ids[i]
+            else:                             # selected: label = original
+                assert labels[i] == ids[i] and masked[i] == 999
+    # different groups, same seq_id -> different masks (key includes grp)
+    sel_a = [i for i, v in enumerate(k1[("a", 0)][1]) if v != -100]
+    sel_b = [i for i, v in enumerate(k1[("b", 0)][1]) if v != -100]
+    assert sel_a or sel_b
+
+
+def test_mlm_mask_fraction_and_rates(spark):
+    import random
+    random.seed(5)
+    rows = [("g", i, [random.randrange(100, 200) for _ in range(64)], 64)
+            for i in range(60)]
+    seqs = spark.createDataFrame(
+        rows, "grp string, seq_id long, input_ids array<bigint>, n_real long")
+    out = pk.mlm_mask(seqs, 999, key_cols=("grp", "seq_id"),
+                      mask_prob=0.15, vocab_size=100).collect()
+    n_tok = 60 * 64
+    selected = sum(1 for r in out for v in r["labels"] if v != -100)
+    assert 0.10 * n_tok < selected < 0.20 * n_tok  # ~15%
+    # 80/10/10: all three outcomes occur among selected positions
+    n_mask = n_rand = n_keep = 0
+    for r in out:
+        for i, v in enumerate(r["labels"]):
+            if v == -100:
+                continue
+            mi = r["masked_ids"][i]
+            if mi == 999:
+                n_mask += 1
+            elif mi == r["input_ids"][i]:
+                n_keep += 1
+            else:
+                n_rand += 1
+                assert 0 <= mi < 100
+    assert n_mask > n_rand > 0 and n_keep > 0
+    assert n_mask / selected > 0.6
+
+
+def test_mlm_mask_rejects_bad_prob(spark):
+    with pytest.raises(ValueError, match="mask_prob"):
+        pk.mlm_mask(_seqs(spark), 999, mask_prob=1.5)

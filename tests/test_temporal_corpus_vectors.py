@@ -365,6 +365,62 @@ def test_semantic_dedup_keep_policies(spark):
                            keep_policy="nope")
 
 
+def test_with_nearest_centroid_blas_matches_fold(spark):
+    import random
+    random.seed(31)
+    # well-separated clusters: BLAS last-ulp reassociation can't flip
+    # any assignment
+    rows = [(i, i % 4, [random.gauss(10.0 * (i % 4), 1.0) for _ in range(6)])
+            for i in range(160)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    cent = sim.group_centroids_quantized(df, "label", "embedding")
+    fold = {r["vec_id"]: r["assigned"] for r in
+            sim.with_nearest_centroid(df.select("vec_id", "embedding"),
+                                      "embedding", cent, "label").collect()}
+    blas = {r["vec_id"]: (r["assigned"], r["dist"]) for r in
+            sim.with_nearest_centroid_blas(df.select("vec_id", "embedding"),
+                                           "embedding", cent, "label").collect()}
+    assert {k: v[0] for k, v in blas.items()} == fold
+    # dist agrees to float tolerance (different summation order)
+    fold_d = {r["vec_id"]: r["dist"] for r in
+              sim.with_nearest_centroid(df.select("vec_id", "embedding"),
+                                        "embedding", cent, "label").collect()}
+    for k in fold_d:
+        assert blas[k][1] == pytest.approx(fold_d[k], rel=1e-9)
+    # probes: top-p labels are distance-ordered and start with assigned
+    pr = sim.with_nearest_centroid_blas(
+        df.select("vec_id", "embedding"), "embedding", cent, "label",
+        probes_col="pp", probes=3).collect()
+    for r in pr:
+        assert r["pp"][0] == r["assigned"] and len(r["pp"]) == 3
+
+
+def test_semantic_dedup_blas_matches_fold(spark):
+    import random
+    random.seed(37)
+    rows = []
+    for i in range(80):
+        lbl = i % 4
+        rows.append((i, lbl, [random.gauss(8.0 * lbl, 1.0) for _ in range(8)]))
+    for j in range(4):
+        rows.append((200 + j, rows[j][1],
+                     [x * 1.01 for x in rows[j][2]]))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    cent = sim.group_centroids_quantized(df, "label", "embedding")
+    for probes in (1, 2):
+        a = sim.semantic_dedup(df, "vec_id", "embedding", cent, "label",
+                               threshold=0.9, probes=probes)
+        b = sim.semantic_dedup(df, "vec_id", "embedding", cent, "label",
+                               threshold=0.9, probes=probes,
+                               assign_method="blas")
+        ka = {(r["vec_id"], r["sd_group"], r["keep"]) for r in a.collect()}
+        kb = {(r["vec_id"], r["sd_group"], r["keep"]) for r in b.collect()}
+        assert ka == kb
+    with pytest.raises(ValueError):
+        sim.semantic_dedup(df, "vec_id", "embedding", cent, "label",
+                           assign_method="gpu")
+
+
 def test_semantic_dedup_multi_probe_finds_straddling_pair(spark):
     # two centroids at (1,0) and (0.94, 0.34); the dup pair sits near the
     # boundary so its members assign to DIFFERENT top-1 centroids

@@ -16,8 +16,18 @@ measures that production path: per scale it
    cos≈0.98 near-dup every 40th vector, so the expected drop count is
    ~n/40 — a visible recall signal, not just a timing).
 
+Also times the two assignment backends head-to-head per scale: the
+expression-fold (`with_nearest_centroid`, oracle path) is O(k·d)
+INTERPRETED work per row and became the pipeline bottleneck as k grew
+with the corpus (at k=800 the decade-3 fold run had not finished after
+35 min and was killed); `with_nearest_centroid_blas` replaces it with
+one numpy matmul per Arrow batch.  The dedup runs use the BLAS path —
+the production configuration.
+
 Usage:  python tools/semdedup_bench.py [sf_dir ...]
 Appends one JSON line per scale; default dirs are the .scale decades.
+Set SEMDD_SKIP_FOLD=1 to skip the fold-assignment timing at scales
+where it is already known to be prohibitive.
 """
 
 from __future__ import annotations
@@ -52,7 +62,7 @@ def main() -> None:
         seeded = e.withColumn("__b", F.pmod(F.hash("vec_id"), F.lit(k)))
         c0 = sim.group_centroids_quantized(seeded, "__b", "embedding") \
                 .localCheckpoint()
-        a1 = sim.with_nearest_centroid(e, "embedding", c0, "__b")
+        a1 = sim.with_nearest_centroid_blas(e, "embedding", c0, "__b")
         c1 = sim.group_centroids_quantized(a1, "assigned", "embedding") \
                 .localCheckpoint()
         cluster_sec = time.perf_counter() - t0
@@ -60,11 +70,23 @@ def main() -> None:
         rec = {"sf_dir": os.path.basename(sf_dir), "n_vecs": n, "k": k,
                "cluster_sec": round(cluster_sec, 2),
                "planted_expected": n // 40}
+
+        # assignment backends head-to-head (one noop write each)
+        t0 = time.perf_counter()
+        sim.with_nearest_centroid_blas(e, "embedding", c1, "assigned") \
+            .write.format("noop").mode("overwrite").save()
+        rec["assign_blas_sec"] = round(time.perf_counter() - t0, 2)
+        if not os.environ.get("SEMDD_SKIP_FOLD"):
+            t0 = time.perf_counter()
+            sim.with_nearest_centroid(e, "embedding", c1, "assigned") \
+                .write.format("noop").mode("overwrite").save()
+            rec["assign_fold_sec"] = round(time.perf_counter() - t0, 2)
+
         for probes in (1, 2):
             t0 = time.perf_counter()
             out = sim.semantic_dedup(e, "vec_id", "embedding", c1,
                                      "assigned", threshold=THRESHOLD,
-                                     probes=probes)
+                                     probes=probes, assign_method="blas")
             out.write.format("noop").mode("overwrite").save()
             sec = time.perf_counter() - t0
             agg = out.agg(

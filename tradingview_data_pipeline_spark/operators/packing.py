@@ -189,3 +189,87 @@ def pack_token_sequences(
         *keys, "seq_id",
         F.concat("input_ids", pad).alias("input_ids"),
         "doc_spans", n_real.alias("n_real"))
+
+
+# ---------------------------------------------------------------------------
+# Training targets over packed sequences — the (input, label) shapes a
+# trainer consumes.  Both are map-only column expressions (no shuffle,
+# no UDF) and deterministic: masking decisions hash (salt, sequence
+# key, position), never an RNG, so a resumed or re-partitioned job
+# produces bit-identical targets.
+# ---------------------------------------------------------------------------
+
+def causal_lm_labels(seqs: DataFrame, *, ids_col: str = "input_ids",
+                     n_real_col: str = "n_real",
+                     out_col: str = "labels",
+                     ignore_index: int = -100) -> DataFrame:
+    """Next-token-prediction labels: ``labels[i] = ids[i+1]`` while
+    ``i+1`` is a real (unpadded) position, else ``ignore_index`` — the
+    standard causal-LM shift, including the final real position and
+    every pad slot masked out of the loss."""
+    ids = F.col(ids_col)
+    nr = F.col(n_real_col)
+    lbl = F.transform(
+        ids, lambda x, i: F.when(i + 1 < nr, F.element_at(ids, i + 2))
+                           .otherwise(F.lit(ignore_index).cast("bigint")))
+    return seqs.withColumn(out_col, lbl)
+
+
+def mlm_mask(seqs: DataFrame, mask_id: int, *,
+             ids_col: str = "input_ids", n_real_col: str = "n_real",
+             key_cols: Sequence[str] = ("seq_id",),
+             mask_prob: float = 0.15, vocab_size: int | None = None,
+             salt: str = "mlm", out_ids: str = "masked_ids",
+             out_labels: str = "labels",
+             ignore_index: int = -100) -> DataFrame:
+    """Deterministic BERT-style masked-LM corruption.
+
+    Position ``i`` of a sequence is selected iff
+    ``md5(salt : key : i) < mask_prob · 2^60`` — the repo's md5-60
+    uniform (the split/sampling primitive), so the SAME sequence always
+    masks identically across runs, partitionings, and resumes, and no
+    RNG state ships with the job.  ``key_cols`` must identify a
+    sequence uniquely (``("seq_id",)`` alone only if ungrouped — pass
+    the group keys too, or masks repeat across groups).
+
+    Selected positions: with ``vocab_size`` given, the full 80/10/10
+    recipe via an independent second hash — 80% → ``mask_id``, 10% → a
+    hash-derived random id in ``[0, vocab_size)`` (third independent
+    hash), 10% → kept unchanged; without it, 100% → ``mask_id``.
+    ``out_labels`` carries the original id at selected positions and
+    ``ignore_index`` elsewhere; padding (``i >= n_real``) is never
+    selected.  Map-only: two/three md5 evaluations per token, all
+    JVM-side — no shuffle, no Python.
+    """
+    if not 0.0 < mask_prob < 1.0:
+        raise ValueError(f"mask_prob must be in (0, 1), got {mask_prob}")
+    from tradingview_data_pipeline_spark.operators.text import md5_hash60
+
+    key = F.concat_ws("#", *[F.col(c).cast("string") for c in key_cols])
+    thresh = F.lit(int(mask_prob * float(2 ** 60))).cast("bigint")
+    ids, nr = F.col(ids_col), F.col(n_real_col)
+
+    def _h(i, tag):
+        return md5_hash60(F.concat_ws(":", key, i.cast("string")),
+                          f"{salt}-{tag}")
+
+    def masked(x, i):
+        selected = (i < nr) & (_h(i, "sel") < thresh)
+        if vocab_size is None:
+            return F.when(selected, F.lit(mask_id).cast("bigint")) \
+                    .otherwise(x)
+        bucket = _h(i, "bkt") % F.lit(10)
+        rand_id = (_h(i, "rid") % F.lit(vocab_size)).cast("bigint")
+        return F.when(~selected, x) \
+                .when(bucket < 8, F.lit(mask_id).cast("bigint")) \
+                .when(bucket == 8, rand_id) \
+                .otherwise(x)
+
+    def label(x, i):
+        selected = (i < nr) & (_h(i, "sel") < thresh)
+        return F.when(selected, x) \
+                .otherwise(F.lit(ignore_index).cast("bigint"))
+
+    return (seqs
+            .withColumn(out_ids, F.transform(ids, masked))
+            .withColumn(out_labels, F.transform(ids, label)))

@@ -361,10 +361,79 @@ def with_nearest_centroid(df: DataFrame, vec_col: str,
     return out.drop("__ranked")
 
 
+def with_nearest_centroid_blas(df: DataFrame, vec_col: str,
+                               centroids_long: DataFrame, group_col: str, *,
+                               out_assigned: str = "assigned",
+                               out_dist: str = "dist",
+                               probes_col: str | None = None,
+                               probes: int = 1) -> DataFrame:
+    """BLAS nearest-centroid assignment — the large-k scale path.
+
+    ``with_nearest_centroid``'s expression fold is O(k·d) INTERPRETED
+    work per row: measured on the SemDeDup decade bench, the k=800
+    assignment dominates the whole pipeline (tools/semdedup_bench.py,
+    SCALING.md).  Here the centroid matrix (k×d doubles — driver-side,
+    bounded by the model not the corpus) ships in the Arrow-batch
+    closure and each batch computes ‖x‖² − 2XCᵀ + ‖c‖² with one numpy
+    matmul, then argmin — the ``brute_force_topk_blas`` pattern.
+
+    Semantics match the fold on everything except last-ulp distance
+    rounding (BLAS reassociates the dot-product sum), so assignments
+    can differ only for vectors within float-epsilon of a Voronoi
+    boundary — pytest-pinned equal on separated data; use the fold
+    variant where cross-engine bit-stability matters (q53/q77 oracles).
+    Ties break to the smaller label (label-sorted centroid matrix,
+    argmin-first).  ``probes_col``: also emit the top-``probes`` labels
+    (distance-ordered) for multi-probe consumers.
+    """
+    import numpy as np
+
+    carr = _centroid_arrays(centroids_long, group_col).orderBy("c_label")
+    rows = carr.collect()
+    if not rows:
+        raise ValueError("centroids_long is empty")
+    labels = [r["c_label"] for r in rows]
+    cmat = np.asarray([r["cvec"] for r in rows], dtype=np.float64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    p = min(probes, len(labels))
+    label_arr = np.asarray(labels)
+
+    label_field = [f for f in centroids_long.schema
+                   if f.name == group_col][0]
+    fields = list(df.schema.fields) + [
+        T.StructField(out_assigned, label_field.dataType),
+        T.StructField(out_dist, T.DoubleType()),
+    ]
+    if probes_col is not None:
+        fields.append(T.StructField(probes_col,
+                                    T.ArrayType(label_field.dataType)))
+    out_schema = T.StructType(fields)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            d2 = ((x * x).sum(axis=1)[:, None]
+                  - 2.0 * (x @ cmat.T) + cnorm[None, :])
+            idx = d2.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf[out_assigned] = label_arr[idx]
+            pdf[out_dist] = d2[np.arange(len(pdf)), idx]
+            if probes_col is not None:
+                top = np.argsort(d2, axis=1, kind="stable")[:, :p]
+                pdf[probes_col] = [label_arr[t].tolist() for t in top]
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
                    centroids_long: DataFrame, group_col: str, *,
                    threshold: float = 0.95, max_bucket: int | None = 10_000,
-                   keep_policy: str = "farthest", probes: int = 1) -> DataFrame:
+                   keep_policy: str = "farthest", probes: int = 1,
+                   assign_method: str = "fold") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
     semantic deduplication over an embedding column.
 
@@ -413,16 +482,28 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
         raise ValueError(f"unknown keep_policy {keep_policy!r}")
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
-    ac = with_nearest_centroid(corpus.select(id_col, vec_col), vec_col,
-                               centroids_long, group_col,
-                               keep_ranked="__ranked" if probes > 1 else None)
+    if assign_method not in ("fold", "blas"):
+        raise ValueError(f"unknown assign_method {assign_method!r}")
+    src = corpus.select(id_col, vec_col)
+    if assign_method == "blas":
+        # large-k scale path (see with_nearest_centroid_blas): not
+        # bit-stable cross-engine, so oracle-pinned callers keep "fold"
+        ac = with_nearest_centroid_blas(
+            src, vec_col, centroids_long, group_col,
+            probes_col="__probes" if probes > 1 else None, probes=probes)
+    else:
+        ac = with_nearest_centroid(
+            src, vec_col, centroids_long, group_col,
+            keep_ranked="__ranked" if probes > 1 else None)
+        if probes > 1:
+            ac = ac.withColumn(
+                "__probes", F.slice(
+                    F.transform(F.col("__ranked"), lambda s: s["lbl"]),
+                    1, probes)).drop("__ranked")
     if probes > 1:
-        probed = ac.select(
-            id_col, vec_col,
-            F.explode(F.slice(
-                F.transform(F.col("__ranked"), lambda s: s["lbl"]),
-                1, probes)).alias("__probe"))
-        ac = ac.drop("__ranked")
+        probed = ac.select(id_col, vec_col,
+                           F.explode(F.col("__probes")).alias("__probe"))
+        ac = ac.drop("__probes")
         pairs = embedding_near_dups(probed, id_col, vec_col, "__probe",
                                     threshold=threshold, max_bucket=max_bucket)
     else:
