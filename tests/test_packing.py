@@ -243,3 +243,61 @@ def test_mlm_mask_fraction_and_rates(spark):
 def test_mlm_mask_rejects_bad_prob(spark):
     with pytest.raises(ValueError, match="mask_prob"):
         pk.mlm_mask(_seqs(spark), 999, mask_prob=1.5)
+
+
+def test_span_corruption_lossless_and_deterministic(spark):
+    import random
+    random.seed(9)
+    rows = [("g", i, [random.randrange(1, 500) for _ in range(48)], 48)
+            for i in range(20)]
+    # one padded row: only the real prefix participates
+    rows.append(("g", 99, [7, 8, 9, 10, 11, 12, 0, 0], 6))
+    seqs = spark.createDataFrame(
+        rows, "grp string, seq_id long, input_ids array<bigint>, n_real long")
+    SENT, EOS = 10_000, 9_999
+    out = pk.span_corruption(seqs, SENT, key_cols=("grp", "seq_id"),
+                             noise_density=0.2, eos_id=EOS)
+    got = {r["seq_id"]: r for r in out.collect()}
+    re_got = {r["seq_id"]: r for r in
+              pk.span_corruption(seqs.repartition(5), SENT,
+                                 key_cols=("grp", "seq_id"),
+                                 noise_density=0.2, eos_id=EOS).collect()}
+    for sid, r in got.items():
+        assert re_got[sid]["corrupted_ids"] == r["corrupted_ids"]  # determinism
+        orig = list(r["input_ids"])[: r["n_real"]]
+        inp, tgt = list(r["corrupted_ids"]), list(r["target_ids"])
+        assert tgt[-1] == EOS
+        # spans from the target, keyed by sentinel
+        spans, cur = {}, None
+        for t in tgt[:-1]:
+            if t >= SENT:
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        # reconstruct: sentinel -> its span
+        rebuilt = []
+        for t in inp:
+            rebuilt.extend(spans[t] if t >= SENT else [t])
+        assert rebuilt == orig                       # lossless
+        sents = [t for t in inp if t >= SENT]
+        assert sents == sorted(sents)                # ascending sentinels
+        assert sents == [t for t in tgt if t >= SENT and t != EOS]
+        n_noise = sum(len(s) for s in spans.values())
+        assert 1 <= n_noise <= max(1, int(0.35 * len(orig)))  # ~density
+        assert all(s for s in spans.values())        # every span non-empty
+
+
+def test_span_corruption_short_and_invalid(spark):
+    seqs = spark.createDataFrame(
+        [("g", 0, [42], 1), ("g", 1, [1, 2], 2)],
+        "grp string, seq_id long, input_ids array<bigint>, n_real long")
+    out = {r["seq_id"]: r for r in
+           pk.span_corruption(seqs, 100, key_cols=("grp", "seq_id"),
+                              eos_id=99).collect()}
+    assert out[0]["corrupted_ids"] == [42] and out[0]["target_ids"] == [99]
+    assert out[1]["corrupted_ids"] in ([1, 100], [100, 2])
+    with pytest.raises(ValueError, match="noise_density"):
+        pk.span_corruption(seqs, 100, noise_density=0.0)
+    with pytest.raises(ValueError, match="mean_span_len"):
+        pk.span_corruption(seqs, 100, mean_span_len=0.5)

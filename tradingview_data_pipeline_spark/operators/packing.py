@@ -28,6 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pack_contiguous(df: DataFrame, id_col: str, tokens_col: str,
@@ -273,3 +274,101 @@ def mlm_mask(seqs: DataFrame, mask_id: int, *,
     return (seqs
             .withColumn(out_ids, F.transform(ids, masked))
             .withColumn(out_labels, F.transform(ids, label)))
+
+
+def span_corruption(seqs: DataFrame, sentinel_start: int, *,
+                    ids_col: str = "input_ids", n_real_col: str = "n_real",
+                    key_cols: Sequence[str] = ("seq_id",),
+                    noise_density: float = 0.15,
+                    mean_span_len: float = 3.0,
+                    eos_id: int | None = None, salt: str = "t5",
+                    out_inputs: str = "corrupted_ids",
+                    out_targets: str = "target_ids") -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4): replace
+    random token spans with ascending sentinel ids, emit the excised
+    spans (each prefixed by its sentinel, optionally EOS-terminated) as
+    the denoising target.
+
+    Span sampling follows the T5 recipe — ``round(L·density)`` noise
+    tokens (clamped to [1, L-1]) split uniformly into
+    ``round(noise/mean_span_len)`` spans, interleaved with equally many
+    non-noise segments (every segment ≥ 1 token, sequence starts with
+    text and ends with a noise span).  Randomness is a numpy generator
+    seeded from md5(salt : sequence key), so targets are deterministic
+    per sequence and layout-independent; sequences shorter than 2 real
+    tokens pass through uncorrupted (empty target).  Padding beyond
+    ``n_real`` never participates.
+
+    Variable-length outputs force a real row rewrite, so this is the
+    one training-target op that runs as an Arrow-batched ``mapInPandas``
+    (the repo's UDF policy) rather than a column expression — still
+    map-only, no shuffle.  Sentinel ids ascend from ``sentinel_start``
+    per sequence (T5 counts DOWN from vocab end; pass the highest
+    sentinel as ``sentinel_start`` and think of ids as offsets if
+    matching that layout matters).
+    """
+    import hashlib
+
+    import numpy as np
+
+    if not 0.0 < noise_density < 1.0:
+        raise ValueError(
+            f"noise_density must be in (0, 1), got {noise_density}")
+    if mean_span_len < 1.0:
+        raise ValueError(
+            f"mean_span_len must be >= 1, got {mean_span_len}")
+    keys = list(key_cols)
+    fields = list(seqs.schema.fields) + [
+        T.StructField(out_inputs, T.ArrayType(T.LongType())),
+        T.StructField(out_targets, T.ArrayType(T.LongType())),
+    ]
+    out_schema = T.StructType(fields)
+
+    def _segment(rng, n, k):
+        """Uniform split of n items into k ordered parts, each >= 1."""
+        if k <= 1:
+            return [n]
+        cuts = np.sort(rng.choice(n - 1, size=k - 1, replace=False)) + 1
+        edges = np.concatenate(([0], cuts, [n]))
+        return np.diff(edges).tolist()
+
+    def corrupt(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            inputs, targets = [], []
+            for _, row in pdf.iterrows():
+                ids = list(row[ids_col])[: int(row[n_real_col])]
+                n = len(ids)
+                if n < 2:
+                    inputs.append([int(x) for x in ids])
+                    targets.append([] if eos_id is None else [int(eos_id)])
+                    continue
+                seed_key = ":".join(
+                    [salt] + [str(row[c]) for c in keys])
+                seed = int.from_bytes(
+                    hashlib.md5(seed_key.encode()).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                n_noise = min(max(int(round(n * noise_density)), 1), n - 1)
+                n_spans = max(int(round(n_noise / mean_span_len)), 1)
+                n_spans = min(n_spans, n_noise, n - n_noise)
+                noise_lens = _segment(rng, n_noise, n_spans)
+                keep_lens = _segment(rng, n - n_noise, n_spans)
+                inp, tgt, pos = [], [], 0
+                for j in range(n_spans):
+                    inp.extend(ids[pos:pos + keep_lens[j]])
+                    pos += keep_lens[j]
+                    inp.append(sentinel_start + j)
+                    tgt.append(sentinel_start + j)
+                    tgt.extend(ids[pos:pos + noise_lens[j]])
+                    pos += noise_lens[j]
+                if eos_id is not None:
+                    tgt.append(int(eos_id))
+                inputs.append([int(x) for x in inp])
+                targets.append([int(x) for x in tgt])
+            pdf = pdf.copy()
+            pdf[out_inputs] = inputs
+            pdf[out_targets] = targets
+            yield pdf
+
+    return seqs.mapInPandas(corrupt, out_schema)
