@@ -944,6 +944,37 @@ def test_corpus_prep_tokenize_pack_stage(spark, tmp_path):
     assert m2["train_sequences"] == m["train_sequences"]
 
 
+def test_corpus_prep_sequence_targets_causal(spark, tmp_path):
+    """sequence_targets='causal' ships trainer-ready labels: next-token
+    shift of input_ids with pad/final positions loss-masked."""
+    import random
+
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    rng = random.Random(11)
+    words = "alpha beta gamma delta epsilon zeta".split()
+    rows = [(i, " ".join(rng.choices(words, k=30)) + f" uniq{i}")
+            for i in range(1, 21)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "out")
+    corpus_pipeline.run_corpus_prep(
+        spark, docs, out, quality_min=0.0, n_shards=2,
+        tokenize_pack=(10, 16), sequence_targets="causal")
+    seqs = spark.read.parquet(out + "_sequences").collect()
+    assert seqs
+    for r in seqs:
+        ids, labels, nr = r["input_ids"], r["labels"], r["n_real"]
+        exp = [ids[i + 1] if i + 1 < nr else -100 for i in range(len(ids))]
+        assert labels == exp
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sequence_targets"):
+        corpus_pipeline.run_corpus_prep(
+            spark, docs, str(tmp_path / "out2"), quality_min=0.0,
+            tokenize_pack=(5, 16), sequence_targets="mlm")
+
+
 def test_corpus_prep_tokenize_pack_empty_train(spark, tmp_path):
     """An all-filtered corpus yields zero sequences, not a crash."""
     from tradingview_data_pipeline_spark.plans import corpus_pipeline

@@ -70,6 +70,7 @@ def run_corpus_prep(
     mixture_source_col: str = "source",
     tokenize_pack: tuple[int | list[tuple[str, str]], int] | None = None,
     pack_pad_id: int | None = None,
+    sequence_targets: str | None = None,
 ) -> dict:
     """Run the full corpus-prep pipeline; returns a metrics dict (the
     per-stage row accounting a production corpus build logs).
@@ -130,7 +131,11 @@ def run_corpus_prep(
     group key, so epochs of an upsampled doc interleave and groups are
     the parallelism unit). Input is read back FROM the shipped shards —
     the sequences provably tokenize what landed on disk. The per-group
-    tail is dropped when ``pack_pad_id`` is None, else padded."""
+    tail is dropped when ``pack_pad_id`` is None, else padded.
+    ``sequence_targets="causal"`` additionally writes the next-token
+    ``labels`` column (``packing.causal_lm_labels`` — pad positions
+    loss-masked) into the shipped sequences, so the output is
+    directly trainer-consumable."""
     n_input = docs.count()
 
     # exact dedup is recomputed by the clustering build and the export
@@ -245,13 +250,15 @@ def run_corpus_prep(
     if tokenize_pack is not None:
         metrics.update(_tokenize_and_pack(
             spark, out_dir, shard_id, tokenize_pack, pack_pad_id,
-            has_train=metrics["train_rows"] > 0))
+            has_train=metrics["train_rows"] > 0,
+            sequence_targets=sequence_targets))
     return metrics
 
 
 def _tokenize_and_pack(spark, out_dir: str, shard_id: str,
                        tokenize_pack, pad_id: int | None,
-                       *, has_train: bool) -> dict:
+                       *, has_train: bool,
+                       sequence_targets: str | None = None) -> dict:
     """The tokenize -> pack stage of ``run_corpus_prep`` (see its
     docstring): shipped train shards -> BPE ids -> fixed-length
     sequences at ``<out_dir>_sequences``, tokenizer artifact at
@@ -280,6 +287,13 @@ def _tokenize_and_pack(spark, out_dir: str, shard_id: str,
            .select(shard_id, "shard", F.col("input_ids").alias("ids")))
     seqs = pk.pack_token_sequences(enc, shard_id, "ids", seq_len,
                                    ["shard"], pad_id=pad_id)
+    if sequence_targets is not None:
+        if sequence_targets != "causal":
+            raise ValueError(
+                f"unknown sequence_targets {sequence_targets!r}; "
+                f"supported: 'causal' (mlm_mask / span_corruption "
+                f"run as post-ops on the shipped sequences)")
+        seqs = pk.causal_lm_labels(seqs)
     seq_dir = out_dir + "_sequences"
     seqs.write.mode("overwrite").partitionBy("shard").parquet(seq_dir)
     # a tiny corpus can drop every per-group tail -> zero-row write
