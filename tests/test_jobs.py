@@ -944,6 +944,40 @@ def test_corpus_prep_tokenize_pack_stage(spark, tmp_path):
     assert m2["train_sequences"] == m["train_sequences"]
 
 
+def test_cli_train_classifier_then_gate(spark, tmp_path, capsys, monkeypatch):
+    """train-classifier writes the weights artifact; corpus-prep
+    --quality-model consumes it — the train-once / gate-anywhere CLI
+    round trip."""
+    import os
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    w_dir = tmp_path / "weights"
+    jobs.main(["train-classifier",
+               "--docs-parquet", "/root/testdata/sf0.001/documents.parquet",
+               "--label-expr", "lang = 'en'",
+               "--out-dir", str(w_dir)])
+    report = capsys.readouterr().out
+    assert "Train Classifier Success" in report and "vocab_size" in report
+    assert any(f.endswith(".parquet") for f in os.listdir(w_dir))
+
+    out = tmp_path / "corpus"
+    jobs.main(["corpus-prep",
+               "--docs-parquet", "/root/testdata/sf0.001/documents.parquet",
+               "--out-dir", str(out),
+               "--quality-model", f"{w_dir},-1000000"])   # permissive gate
+    report = capsys.readouterr().out
+    assert "Corpus Prep Success" in report
+
+    # a prohibitive threshold filters everything (the gate is live)
+    out2 = tmp_path / "corpus2"
+    jobs.main(["corpus-prep",
+               "--docs-parquet", "/root/testdata/sf0.001/documents.parquet",
+               "--out-dir", str(out2),
+               "--quality-model", f"{w_dir},1000000"])
+    report = capsys.readouterr().out
+    assert "after_near_dedup_and_quality: 0" in report
+
+
 def test_corpus_prep_sequence_targets_causal(spark, tmp_path):
     """sequence_targets='causal' ships trainer-ready labels: next-token
     shift of input_ids with pad/final positions loss-masked."""

@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark import schemas
 from tradingview_data_pipeline_spark.operators.merge import ParquetTable
@@ -158,7 +159,8 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="tradingview-data-pipeline-spark jobs")
     ap.add_argument("job", choices=["technical", "fundamental", "composite",
                                     "fundamental-score", "all", "backfill",
-                                    "status", "reconcile", "corpus-prep"])
+                                    "status", "reconcile", "corpus-prep",
+                                    "train-classifier"])
     ap.add_argument("--docs-parquet", default=None,
                     help="corpus-prep: documents parquet path")
     ap.add_argument("--out-dir", default="./corpus_out",
@@ -174,6 +176,13 @@ def main(argv: list[str] | None = None) -> None:
                     help="corpus-prep: within-document repetition gate, "
                          "e.g. 'dup_line_frac=0.3,top_2gram_frac=0.2' "
                          "(signals: corpus.REPETITION_SIGNALS)")
+    ap.add_argument("--label-expr", default=None,
+                    help="train-classifier: SQL boolean over the docs "
+                         "marking the positive class, e.g. "
+                         "\"lang = 'en'\" or \"source = 'curated'\"")
+    ap.add_argument("--min-df", type=int, default=2,
+                    help="train-classifier: drop tokens with fewer "
+                         "total occurrences (model stays broadcastable)")
     ap.add_argument("--quality-model", default=None,
                     help="corpus-prep: 'WEIGHTS_PARQUET,MIN_LOG_ODDS' — "
                          "gate docs below the learned classifier score "
@@ -276,6 +285,32 @@ def main(argv: list[str] | None = None) -> None:
                 quality_model=qual_model,
                 tokenize_pack=tok_pack))
         reported("Corpus Prep", corpus_body)
+    if args.job == "train-classifier":
+        # train the learned quality filter once, offline; the weights
+        # parquet is the artifact --quality-model consumes (and the
+        # incremental builder reloads across restarts) — train-once /
+        # gate-anywhere, mirroring the tokenizer artifact contract
+        from tradingview_data_pipeline_spark.operators import (
+            classify as _cl,
+        )
+        if not args.docs_parquet or not args.label_expr:
+            ap.error("train-classifier requires --docs-parquet and "
+                     "--label-expr")
+
+        def classifier_body(t):
+            docs = spark.read.parquet(args.docs_parquet)
+            labeled = docs.withColumn(
+                "__y", F.expr(args.label_expr).cast("boolean"))
+            w = _cl.token_class_weights(labeled, "text", "__y",
+                                        min_df=args.min_df)
+            w.write.mode("overwrite").parquet(args.out_dir)
+            back = spark.read.parquet(args.out_dir)
+            t.metrics["vocab_size"] = back.count()
+            t.metrics["pos_tokens"] = int(
+                back.agg(F.sum("n_pos")).collect()[0][0] or 0)
+            t.metrics["neg_tokens"] = int(
+                back.agg(F.sum("n_neg")).collect()[0][0] or 0)
+        reported("Train Classifier", classifier_body)
     if args.job == "reconcile":
         # cross-copy verification: bucketed content checksums per table,
         # diff is a 64-row join per table; exit 1 on any divergence so
