@@ -869,6 +869,31 @@ def test_corpus_prep_dedupe_repeated_lines(spark, tmp_path):
     assert texts[1] == body                          # cleaned on disk
 
 
+def test_corpus_prep_dedupe_global_lines(spark, tmp_path):
+    """dedupe_global_lines drops cross-document boilerplate lines from
+    every shipped doc (no keeper), leaves unique lines alone, and
+    composes with within-doc line dedup (both knobs on: the global pass
+    sees the within-doc-cleaned text)."""
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    footer = "COPYRIGHT FOOTER ALL RIGHTS RESERVED"
+    a_body = "alpha document body about parquet shuffles and windows"
+    b_body = "beta document entirely different words for the cluster"
+    docs = _corpus_batch(spark, [
+        (1, a_body + "\n" + footer),
+        (2, footer + "\n" + b_body + "\n" + footer),   # within-doc repeat too
+        (3, CLEAN_DOC)])
+    m = corpus_pipeline.run_corpus_prep(
+        spark, docs, str(tmp_path / "out"), quality_min=0.0,
+        dedupe_repeated_lines=True, dedupe_global_lines=2)
+    assert m["after_near_dedup_and_quality"] == 3
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert texts[1] == a_body
+    assert texts[2] == b_body                       # every copy gone
+    assert texts[3] == CLEAN_DOC
+
+
 def test_incremental_builder_dedupe_lines_replay(spark, tmp_path):
     """Builder line dedup: cleaned text is what lands in the corpus AND
     what the hash gate keys, so a replay of the same raw batch appends

@@ -301,3 +301,52 @@ def test_span_corruption_short_and_invalid(spark):
         pk.span_corruption(seqs, 100, noise_density=0.0)
     with pytest.raises(ValueError, match="mean_span_len"):
         pk.span_corruption(seqs, 100, mean_span_len=0.5)
+
+
+def test_length_bucketed_batches(spark):
+    """Padded lengths round UP to bucket_width (len 0 pads to one
+    width); batch_size = budget DIV padded_len (singleton for
+    over-budget rows); batch assignment is dense, (len, id)-ordered,
+    and every batch's padded token mass fits the budget."""
+    from collections import Counter
+
+    rows = list(enumerate([5, 7, 8, 3, 13, 16, 40, 0, 9]))
+    df = spark.createDataFrame(rows, "sid long, n long")
+    out = pk.length_bucketed_batches(df, "sid", "n",
+                                     token_budget=32, bucket_width=8)
+    got = {r["sid"]: r for r in out.collect()}
+    assert got[0]["padded_len"] == 8 and got[7]["padded_len"] == 8
+    assert got[8]["padded_len"] == 16            # 9 rounds up
+    assert got[6]["padded_len"] == 40 and got[6]["batch_size"] == 1
+    # bucket 8 holds lens (0,3,5,7,8) -> batch_size 4 -> [0,0,0,0,1]
+    b8 = sorted((r["n"], r["sid"]) for r in got.values()
+                if r["padded_len"] == 8)
+    assert [got[s]["batch_id"] for _, s in b8] == [0, 0, 0, 0, 1]
+    # bucket 16 holds lens (9,13,16) -> batch_size 2 -> [0,0,1]
+    b16 = sorted((r["n"], r["sid"]) for r in got.values()
+                 if r["padded_len"] == 16)
+    assert [got[s]["batch_id"] for _, s in b16] == [0, 0, 1]
+    # budget invariant: count * padded_len <= budget unless singleton
+    mass = Counter((r["padded_len"], r["batch_id"]) for r in got.values())
+    assert all(c * pl <= 32 or c == 1 for (pl, b), c in mass.items())
+    # input columns preserved
+    assert set(out.columns) == {"sid", "n", "padded_len", "batch_size",
+                                "batch_id"}
+
+
+def test_length_bucketed_batches_groups_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 4), ("a", 2, 4), ("b", 3, 4), ("b", 4, 4)],
+        "g string, sid long, n long")
+    out = pk.length_bucketed_batches(df, "sid", "n", token_budget=8,
+                                     bucket_width=4, group_keys=["g"])
+    # each group batches independently: 2 rows of padded 4 fit one batch
+    per = {(r["g"], r["sid"]): r["batch_id"] for r in out.collect()}
+    assert per[("a", 1)] == 0 and per[("a", 2)] == 0
+    assert per[("b", 3)] == 0 and per[("b", 4)] == 0
+    with pytest.raises(ValueError, match="> 0"):
+        pk.length_bucketed_batches(df, "sid", "n",
+                                   token_budget=0, bucket_width=4)
+    with pytest.raises(ValueError, match="> 0"):
+        pk.length_bucketed_batches(df, "sid", "n",
+                                   token_budget=8, bucket_width=-1)

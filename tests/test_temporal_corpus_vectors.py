@@ -1020,3 +1020,43 @@ def test_dedupe_lines(spark):
     # in-place form replaces the column
     rep = cp.dedupe_lines(docs, "text").where("doc_id = 1").collect()[0]
     assert rep["text"] == "a\nb\nc"
+
+
+def test_dedupe_lines_global(spark):
+    """Cross-document boilerplate lines drop EVERYWHERE (no keeper);
+    within-document repeats alone never trigger (distinct-doc
+    prevalence); blank lines always pass; min_docs thresholds; the
+    operator is idempotent on its own output."""
+    docs = spark.createDataFrame(
+        [(1, "BANNER\nown 1\nFOOTER"),
+         (2, "BANNER\nown 2\nFOOTER\nFOOTER"),
+         (3, "own 3\nown 3\n\t\nBANNER"),
+         (4, None),
+         (5, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cp.dedupe_lines_global(
+        docs, "doc_id", "text", out_col="clean",
+        hot_count_col="n_hot").collect()}
+    assert out[1]["clean"] == "own 1"
+    assert out[2]["clean"] == "own 2"      # every FOOTER occurrence gone
+    # within-doc repeat survives; tab-only line survives
+    assert out[3]["clean"] == "own 3\nown 3\n\t"
+    assert out[4]["clean"] == "" and out[5]["clean"] == ""
+    assert out[1]["n_hot"] == 2 and out[3]["n_hot"] == 1
+    assert out[4]["n_hot"] == 0
+    # input columns preserved, out_col added
+    assert set(cp.dedupe_lines_global(
+        docs, "doc_id", "text", out_col="c").columns) == {
+            "doc_id", "text", "c"}
+
+    # FOOTER is in only 2 docs: min_docs=3 keeps it, drops BANNER (3)
+    out3 = {r["doc_id"]: r["text"] for r in cp.dedupe_lines_global(
+        docs, "doc_id", "text", min_docs=3).collect()}
+    assert out3[1] == "own 1\nFOOTER"
+    assert out3[2] == "own 2\nFOOTER\nFOOTER"
+
+    # idempotent: a second pass over the cleaned corpus finds nothing
+    clean = cp.dedupe_lines_global(docs, "doc_id", "text")
+    again = cp.dedupe_lines_global(clean, "doc_id", "text",
+                                   hot_count_col="h")
+    assert again.where(F.col("h") > 0).count() == 0

@@ -37,8 +37,7 @@ QUERIES = [
     "q42_dedup_graph",   # merged cluster+graph legs (r8 merge #13)
     "q76_token_sequences",
     "q29_simhash",
-    "q30_cosine_topk",
-    "q31_ann_bucketed",
+    "q30_ann_topk",      # merged fold+blas+ivf legs (r8 merge #16)
     "q32_embedding_near_dup",
     "q53_kmeans_assign",
     "q62_quantized_ann",

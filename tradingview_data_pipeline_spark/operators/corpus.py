@@ -755,3 +755,89 @@ def dedupe_lines(df: DataFrame, text_col: str, *,
     cleaned = F.element_at(
         F.transform(F.array(F.split(txt, "\n")), body), 1)
     return df.withColumn(out, cleaned)
+
+
+# the explicit whitespace SET shared by the line-dedup family: F.trim
+# strips spaces only, and Java \s vs RE2 \s disagree on vertical tab,
+# so blank-line detection is a literal translate set (engine-exact;
+# see dedupe_lines and the hypothesis-found tab-only-line bug)
+_BLANK_WS = " \t\f\r\x0b"
+
+
+def _blank_line(x: Column) -> Column:
+    return F.translate(x, _BLANK_WS, "") == ""
+
+
+def dedupe_lines_global(df: DataFrame, id_col: str, text_col: str, *,
+                        min_docs: int = 2,
+                        out_col: str | None = None,
+                        hot_count_col: str | None = None) -> DataFrame:
+    """Corpus-GLOBAL line dedup — the cross-document half of the C4 /
+    RefinedWeb / MassiveText line-cleaning rule that ``dedupe_lines``
+    (within-document) can't express: drop EVERY occurrence of any exact
+    non-blank line that appears in >= ``min_docs`` DISTINCT documents.
+    Such lines are boilerplate (nav menus, footers, cookie banners,
+    license headers) — there is no canonical owner, so no copy is kept
+    (unlike span dedup's keep-one-in-min-doc: a shared SPAN is content,
+    a corpus-hot LINE is chrome). Whitespace-only lines always pass
+    (paragraph structure); within-document repeats alone never trigger
+    (prevalence counts distinct docs, not occurrences — that rule is
+    ``dedupe_lines``' job). Matching is exact, like the rest of the
+    line family.
+
+    ``hot_count_col`` optionally emits how many DISTINCT hot lines each
+    document contained (its boilerplate exposure — a useful per-source
+    diagnostic).
+
+    Scale shape (the reason this isn't "explode, join, re-group"):
+      1. one pass explodes (doc, xxhash64(line)) DISTINCT pairs —
+         16-byte rows, one shuffle;
+      2. line prevalence is a count window over the SAME pair frame
+         (partitionBy line-hash): no self-join, no second scan of the
+         corpus text;
+      3. pairs surviving ``>= min_docs`` group back to one small
+         per-doc hot-hash ARRAY (docs with no hot lines vanish here);
+      4. the corpus joins that per-doc frame on the id ONCE (AQE
+         broadcasts it when small — the common case: boilerplate is
+         concentrated) and the rewrite is a map-side array filter with
+         the hot set bound per row.
+    So the full text column crosses the wire at most once (step 4), and
+    the only corpus-sized shuffles carry 16-byte hash pairs. An
+    explode→anti-join→re-group plan would instead shuffle every LINE
+    string twice. Hash matching means a 64-bit collision could drop an
+    innocent line (P ~ lines²/2⁶⁵ — noise; the oracle that checks this
+    operator matches the strings themselves)."""
+    out = out_col or text_col
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(txt, "\n")).alias("__l"))
+    pairs = (lines.where(~_blank_line(F.col("__l")))
+             .select("__doc", F.xxhash64("__l").alias("__lh"))
+             .distinct())
+    doc_hot = (pairs
+               .withColumn("__n", F.count(F.lit(1)).over(
+                   Window.partitionBy("__lh")))
+               .where(F.col("__n") >= F.lit(int(min_docs)))
+               .groupBy("__doc")
+               .agg(F.collect_set("__lh").alias("__hot")))
+
+    joined = df.join(doc_hot, F.col(id_col) == F.col("__doc"), "left")
+    hot = F.coalesce(F.col("__hot"),
+                     F.array().cast("array<bigint>"))
+
+    def body(ls: Column) -> Column:
+        # hot set bound via the outer column; blank lines always kept
+        keep = F.filter(
+            ls, lambda x: _blank_line(x)
+            | ~F.array_contains(hot, F.xxhash64(x)))
+        return F.array_join(keep, "\n")
+
+    cleaned = F.element_at(
+        F.transform(F.array(F.split(txt, "\n")), body), 1)
+    res = joined.withColumn(out, cleaned)
+    if hot_count_col is not None:
+        res = res.withColumn(hot_count_col,
+                             F.size(hot).cast("bigint"))
+    return res.drop("__doc", "__hot")

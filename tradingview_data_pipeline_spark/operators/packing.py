@@ -43,6 +43,59 @@ def pack_contiguous(df: DataFrame, id_col: str, tokens_col: str,
                          F.floor(cum_before / F.lit(budget)).cast("bigint"))
 
 
+def length_bucketed_batches(df: DataFrame, id_col: str, len_col: str, *,
+                            token_budget: int, bucket_width: int,
+                            group_keys: Sequence[str] = ()) -> DataFrame:
+    """Length-bucketed dynamic batching — the padding-aware batch
+    assignment a trainer runs over VARIABLE-length sequences (the
+    fairseq / HF ``group_by_length`` strategy): sequences are bucketed
+    by padded length (``ceil(len / bucket_width) * bucket_width``), and
+    each bucket packs ``floor(token_budget / padded_len)`` sequences
+    per batch, so every batch's padded token count stays <= the budget
+    and padding waste per row is < ``bucket_width``. This is the
+    complement of ``pack_token_sequences`` (concat-and-chunk destroys
+    sequence boundaries; batching preserves them and pays padding) —
+    fine-tuning and contrastive workloads need this one.
+
+    Appends three columns:
+      ``padded_len``  the bucket's padded length (len rounds UP to the
+                      next bucket_width multiple; len 0 pads to one
+                      width)
+      ``batch_size``  sequences per full batch in this bucket (>= 1 —
+                      over-budget sequences get singleton batches)
+      ``batch_id``    0-based within (group, bucket), dense; ordering
+                      inside a bucket is (len, id) so the assignment is
+                      deterministic on any layout
+
+    Exact window arithmetic end to end (row_number + integer div) —
+    cross-engine checkable, unlike greedy first-fit whose sequential
+    bin state needs ``applyInPandas`` (``pack_first_fit``). Scale
+    shape: ONE hash-partitioned window; parallelism is the number of
+    (group, bucket) partitions, so at corpus scale pass the shard id
+    in ``group_keys`` — per-shard batches are what a data loader
+    consumes anyway, and no partition then exceeds a shard's rows."""
+    if token_budget <= 0 or bucket_width <= 0:
+        raise ValueError("token_budget and bucket_width must be > 0")
+    ln = F.col(len_col).cast("bigint")
+    # integral DIV end to end (the q76 lesson: floor(double/) drifts
+    # past 2^53; DIV is exact in both engines)
+    padded = (F.greatest(
+        F.expr(f"(CAST({len_col} AS BIGINT) + {bucket_width - 1}) "
+               f"DIV {bucket_width}"), F.lit(1))
+        * F.lit(bucket_width)).cast("bigint")
+    step = df.withColumn("padded_len", padded).withColumn(
+        "batch_size",
+        F.greatest(F.expr(f"{token_budget} DIV padded_len"),
+                   F.lit(1)).cast("bigint"))
+    w = (Window.partitionBy(*group_keys, "padded_len")
+         .orderBy(ln.asc(), F.col(id_col).asc()))
+    return (step
+            .withColumn("__rn", F.row_number().over(w).cast("bigint"))
+            .withColumn("batch_id",
+                        F.expr("(__rn - 1) DIV batch_size"))
+            .drop("__rn"))
+
+
 def pack_first_fit(df: DataFrame, id_col: str, tokens_col: str,
                    budget: int, group_keys: Sequence[str]) -> DataFrame:
     """Greedy first-fit in doc-id order within each group.

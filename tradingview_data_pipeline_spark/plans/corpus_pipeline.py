@@ -11,6 +11,9 @@ a production corpus build runs them:
       -> near-dup clustering    (dedup.dedup_clusters; keepers only)
       -> line dedup             (corpus.dedupe_lines; optional — C4
                                  repeated-line cleaning, map-only)
+      -> global line dedup      (corpus.dedupe_lines_global; optional —
+                                 cross-document boilerplate lines drop
+                                 everywhere, RefinedWeb-style)
       -> dup-span removal       (corpus.remove_dup_spans keep_min_doc;
                                  optional — substring-level cut of
                                  shared spans document dedup missed)
@@ -64,6 +67,7 @@ def run_corpus_prep(
     lsh_bands: int = 4,
     remove_spans: bool = False,
     dedupe_repeated_lines: bool = False,
+    dedupe_global_lines: int | None = None,
     repetition_limits: dict[str, float] | None = None,
     quality_model: tuple[DataFrame, float] | None = None,
     train_mixture: tuple[dict[str, int], int] | None = None,
@@ -89,6 +93,12 @@ def run_corpus_prep(
     ``dedupe_repeated_lines`` applies C4-style within-document line
     dedup (``corpus.dedupe_lines``) FIRST in the text-rewrite cascade,
     so the span pass and every gate below score the cleaned text.
+
+    ``dedupe_global_lines=min_docs`` additionally drops every
+    occurrence of any non-blank line present in >= ``min_docs``
+    distinct documents (``corpus.dedupe_lines_global`` — the
+    RefinedWeb/MassiveText cross-document boilerplate rule), between
+    the within-document line pass and the span pass.
 
     ``repetition_limits`` optionally gates on within-document
     repetition (the Gopher/C4 filters): a dict of
@@ -159,6 +169,16 @@ def run_corpus_prep(
         # (doc dedup -> LINE dedup -> span dedup -> gates), so the span
         # pass and every gate below see the cleaned text; map-only
         kept = cp.dedupe_lines(kept, "text")
+
+    if dedupe_global_lines is not None:
+        # cross-document boilerplate lines (nav/footer/banner chrome in
+        # >= min_docs distinct docs) drop EVERYWHERE before the span
+        # pass — a hot line is chrome, not content, so unlike spans no
+        # copy survives; runs on the within-doc-cleaned text when both
+        # knobs are on. Cost: two 16-byte pair shuffles + one corpus
+        # join (see corpus.dedupe_lines_global)
+        kept = cp.dedupe_lines_global(kept, "doc_id", "text",
+                                      min_docs=dedupe_global_lines)
 
     if remove_spans:
         # substring-level pass AFTER document-level dedup: cut shared

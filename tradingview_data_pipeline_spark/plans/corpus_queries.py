@@ -707,3 +707,67 @@ def q78_quality_classifier(spark, sf_dir):
                      (F.col("lang") == F.lit("en")).cast("bigint").alias("y"))
             .join(scored, "doc_id")
             .select("doc_id", "y", "n_tokens", "n_known", "score"))
+
+
+# ---------------------------------------------------------------------------
+# q79 — corpus-global line dedup (slot freed by the q30+q31 merge):
+# corpus.dedupe_lines_global — the CROSS-document half of the C4 /
+# RefinedWeb line-cleaning rule (q75's dedupe_lines is within-document):
+# every occurrence of a non-blank line present in >= 2 distinct
+# documents is boilerplate and drops everywhere, blank lines pass. The
+# engine matches lines by xxhash64 and rewrites map-side from a per-doc
+# hot-hash array (one corpus-text shuffle, 16-byte pair shuffles
+# elsewhere); the oracle recomputes prevalence on the STRINGS themselves
+# — agreement rests on 64-bit hash equality ≡ string equality, like
+# q75. The cleaned TEXT is verified through md5; n_removed and the
+# per-doc distinct-hot-line count pin the arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q79_WS = "' ' || chr(9) || chr(12) || chr(13) || chr(11)"
+
+@register("q79_global_line_dedup", oracle=f"""
+WITH rawl AS (
+  SELECT doc_id, i + 1 AS pos,
+         string_split(COALESCE(text, ''), chr(10))[i + 1] AS l
+  FROM documents,
+       LATERAL (SELECT unnest(range(len(string_split(COALESCE(text, ''),
+                                                     chr(10))))) AS i) t
+), nb AS (
+  SELECT DISTINCT doc_id, l FROM rawl
+  WHERE translate(l, {_Q79_WS}, '') <> ''
+), hot AS (
+  SELECT l FROM nb GROUP BY l HAVING COUNT(*) >= 2
+), keepl AS (
+  SELECT r.doc_id, r.pos, r.l,
+         (translate(r.l, {_Q79_WS}, '') = '' OR h.l IS NULL) AS keep
+  FROM rawl r LEFT JOIN hot h ON r.l = h.l
+), agg AS (
+  SELECT doc_id,
+         md5(COALESCE(string_agg(CASE WHEN keep THEN l END, chr(10)
+                                 ORDER BY pos) FILTER (WHERE keep), ''))
+           AS clean_hash,
+         CAST(COUNT(*) - COUNT(CASE WHEN keep THEN 1 END) AS BIGINT)
+           AS n_removed
+  FROM keepl GROUP BY doc_id
+), nhot AS (
+  SELECT nb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hot_lines
+  FROM nb JOIN hot USING (l) GROUP BY nb.doc_id
+)
+SELECT d.doc_id, a.clean_hash, a.n_removed,
+       COALESCE(nh.n_hot_lines, 0) AS n_hot_lines
+FROM documents d
+JOIN agg a USING (doc_id)
+LEFT JOIN nhot nh USING (doc_id)
+""")
+def q79_global_line_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = cp.dedupe_lines_global(d, "doc_id", "text", out_col="__clean",
+                                 hot_count_col="n_hot_lines")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    return out.select(
+        "doc_id",
+        F.md5(F.col("__clean")).alias("clean_hash"),
+        (F.size(F.split(txt, "\n"))
+         - F.size(F.split(F.col("__clean"), "\n"))).cast("bigint")
+        .alias("n_removed"),
+        "n_hot_lines")

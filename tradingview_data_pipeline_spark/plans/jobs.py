@@ -172,6 +172,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--dedupe-lines", action="store_true",
                     help="corpus-prep: drop repeated non-blank lines "
                          "within each document (C4-style), keep-first")
+    ap.add_argument("--dedupe-global-lines", type=int, default=None,
+                    metavar="MIN_DOCS",
+                    help="corpus-prep: drop every occurrence of any "
+                         "non-blank line present in >= MIN_DOCS distinct "
+                         "documents (cross-document boilerplate removal, "
+                         "RefinedWeb/MassiveText-style)")
     ap.add_argument("--repetition-limits", default=None,
                     help="corpus-prep: within-document repetition gate, "
                          "e.g. 'dup_line_frac=0.3,top_2gram_frac=0.2' "
@@ -280,6 +286,7 @@ def main(argv: list[str] | None = None) -> None:
                 spark, docs, args.out_dir,
                 remove_spans=args.remove_spans,
                 dedupe_repeated_lines=args.dedupe_lines,
+                dedupe_global_lines=args.dedupe_global_lines,
                 repetition_limits=parse_repetition_limits(
                     args.repetition_limits),
                 quality_model=qual_model,

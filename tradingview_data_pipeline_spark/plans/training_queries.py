@@ -334,8 +334,22 @@ def q29_simhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q30 — brute-force cosine top-k (ANN baseline): 5 query vectors against
-# the corpus, top-5 each.
+# q30 — ANN top-k, tagged union (round-8 consolidation of q30+q31; see
+# COVERAGE.md headroom map). Three physical strategies for approximate /
+# exact nearest-neighbor search in ONE row set:
+#   'fold' — brute-force cosine top-5 (exact left-to-right IEEE fold);
+#   'blas' — the same logical top-k via numpy matmul (rank-only: BLAS
+#            reassociates the sum, so cos is NULL while the RANKING must
+#            be identical);
+#   'ivf'  — multi-probe IVF top-3: quantized-exact per-label centroids
+#            rank the coarse cells per query, the nprobe=2 nearest cells
+#            are searched via equi-join (bk = probed bucket). Centroid
+#            CTE mirrors vector_queries._CENT_SQL; the probe-distance
+#            fold is the q53 pattern (list_reduce ≡ F.aggregate with
+#            exact-neutral 0.0 init).
+# The brute legs carry bk NULL — the unified (method, query_id, bk,
+# neighbor_id, cos, rk) schema lets the driver gate assert fold ≡ BLAS ≡
+# IVF-SQL in one hash.
 # ---------------------------------------------------------------------------
 
 _DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
@@ -343,7 +357,7 @@ _DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
 _NSQ = ("list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
         "(x, y) -> x + y)")
 
-@register("q30_cosine_topk", oracle=f"""
+@register("q30_ann_topk", oracle=f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 scored AS (
@@ -359,42 +373,8 @@ top AS (
                                  ORDER BY cos DESC, neighbor_id ASC) AS rk
     FROM scored
   ) WHERE rk <= 5
-)
-SELECT query_id, neighbor_id, 'fold' AS method, cos, rk FROM top
-UNION ALL
-SELECT query_id, neighbor_id, 'blas' AS method, NULL::DOUBLE AS cos, rk FROM top
-""")
-def q30_cosine_topk(spark, sf_dir):
-    """Both physical strategies for the same logical top-k, tagged and
-    unioned so the driver gate asserts fold ≡ BLAS ≡ SQL in one row set.
-    The fold path carries exact cosines (left-to-right IEEE fold); the
-    BLAS path is rank-only because numpy matmul reassociates the sum —
-    cos can differ in the last ulp while the RANKING is identical."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 5)
-    fold = sim.brute_force_topk(e, q, "vec_id", "embedding", k=5)
-    blas = sim.brute_force_topk_blas(e, q, "vec_id", "embedding", k=5)
-    return (
-        fold.select("query_id", "neighbor_id",
-                    F.lit("fold").alias("method"), "cos", "rk")
-        .unionByName(
-            blas.select("query_id", "neighbor_id",
-                        F.lit("blas").alias("method"),
-                        F.lit(None).cast("double").alias("cos"), "rk"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# q31 — multi-probe IVF approximate top-k: quantized-exact per-label
-# centroids rank the coarse cells per query, the nprobe=2 nearest cells
-# are searched via equi-join (the IVF recall lever over the former
-# own-cell-only search). Centroid CTE mirrors vector_queries._CENT_SQL;
-# the probe-distance fold is the q53 pattern (list_reduce ≡ F.aggregate
-# with exact-neutral 0.0 init).
-# ---------------------------------------------------------------------------
-
-@register("q31_ann_bucketed", oracle=f"""
-WITH cent AS (
+),
+cent AS (
   SELECT label, i - 1 AS dim,
          CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))
               AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid
@@ -404,8 +384,6 @@ WITH cent AS (
 ),
 cvecs AS (SELECT label AS c_label, list(centroid ORDER BY dim) AS cvec
           FROM cent GROUP BY label),
-q AS (SELECT vec_id AS query_id, embedding AS qv
-      FROM embeddings WHERE vec_id < 5),
 pd AS (
   SELECT query_id, qv, c_label,
          list_reduce(
@@ -421,25 +399,49 @@ probes AS (
                                  ORDER BY cd ASC, c_label ASC) AS pr
     FROM pd) WHERE pr <= 2
 ),
-scored AS (
+iscored AS (
   SELECT p.query_id, c.label AS bk, c.vec_id AS neighbor_id,
          {_DOT.format(a="p.qv", b="c.embedding")}
          / (sqrt({_NSQ.format(a="p.qv")})
             * sqrt({_NSQ.format(a="c.embedding")})) AS cos
   FROM embeddings c JOIN probes p ON c.label = p.bk
   WHERE c.vec_id != p.query_id
+),
+itop AS (
+  SELECT query_id, bk, neighbor_id, cos, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM iscored
+  ) WHERE rk <= 3
 )
-SELECT query_id, bk, neighbor_id, cos, rk FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, neighbor_id ASC) AS rk
-  FROM scored
-) WHERE rk <= 3
+SELECT 'fold' AS method, query_id, NULL::INTEGER AS bk, neighbor_id, cos, rk
+FROM top
+UNION ALL
+SELECT 'blas' AS method, query_id, NULL::INTEGER AS bk, neighbor_id,
+       NULL::DOUBLE AS cos, rk
+FROM top
+UNION ALL
+SELECT 'ivf' AS method, query_id, bk, neighbor_id, cos, rk FROM itop
 """)
-def q31_ann_bucketed(spark, sf_dir):
+def q30_ann_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    fold = sim.brute_force_topk(e, q, "vec_id", "embedding", k=5)
+    blas = sim.brute_force_topk_blas(e, q, "vec_id", "embedding", k=5)
     cent = sim.group_centroids_quantized(e, "label", "embedding")
-    return sim.ivf_topk(e, e.where(F.col("vec_id") < 5), "vec_id",
-                        "embedding", "label", cent, nprobe=2, k=3)
+    ivf = sim.ivf_topk(e, q, "vec_id", "embedding", "label", cent,
+                       nprobe=2, k=3)
+    nbk = F.lit(None).cast("int").alias("bk")
+    return (
+        fold.select(F.lit("fold").alias("method"), "query_id", nbk,
+                    "neighbor_id", "cos", "rk")
+        .unionByName(
+            blas.select(F.lit("blas").alias("method"), "query_id", nbk,
+                        "neighbor_id",
+                        F.lit(None).cast("double").alias("cos"), "rk"))
+        .unionByName(
+            ivf.select(F.lit("ivf").alias("method"), "query_id", "bk",
+                       "neighbor_id", "cos", "rk")))
 
 
 # ---------------------------------------------------------------------------
@@ -451,6 +453,10 @@ def q31_ann_bucketed(spark, sf_dir):
 # contiguous sequence packing: per-language bins of <=512 tokens by
 # exclusive running sum over doc id (operators/packing.pack_contiguous;
 # the strict-budget first-fit variant keeps its pandas-oracle pytest).
+# Round 8 adds the 'batch' leg: length-bucketed dynamic batching
+# (packing.length_bucketed_batches, the HF/fairseq group_by_length
+# strategy) — padded_len rides in n_chars, the in-bucket batch id in v;
+# integral DIV end to end so both engines agree bit-exactly.
 # ---------------------------------------------------------------------------
 
 @register("q41_token_prep", oracle=f"""
@@ -467,6 +473,16 @@ SELECT 'packing' AS kind, doc_id, lang, CAST(NULL AS BIGINT) AS n_chars,
                                         ROWS UNBOUNDED PRECEDING)
                    - len(toks)) / 512.0) AS BIGINT) AS v
 FROM t
+UNION ALL
+SELECT 'batch' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       padded AS n_chars, ln AS ws_tokens,
+       (ROW_NUMBER() OVER (PARTITION BY padded ORDER BY ln, doc_id) - 1)
+         // GREATEST(512 // padded, 1) AS v
+FROM (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS ln,
+         GREATEST((CAST(len(toks) AS BIGINT) + 63) // 64, 1) * 64 AS padded
+  FROM t
+)
 """)
 def q41_token_prep(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -488,7 +504,14 @@ def q41_token_prep(spark, sf_dir):
         F.lit("packing").alias("kind"), "doc_id", "lang",
         F.lit(None).cast("bigint").alias("n_chars"),
         "ws_tokens", F.col("bin_id").alias("v"))
-    return budget.unionByName(packing)
+    batch = pk.length_bucketed_batches(
+        counts.drop("lang"), "doc_id", "ws_tokens",
+        token_budget=512, bucket_width=64).select(
+        F.lit("batch").alias("kind"), "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.col("padded_len").alias("n_chars"),
+        "ws_tokens", F.col("batch_id").alias("v"))
+    return budget.unionByName(packing).unionByName(batch)
 
 
 # ---------------------------------------------------------------------------
