@@ -760,14 +760,24 @@ JOIN agg a USING (doc_id)
 LEFT JOIN nhot nh USING (doc_id)
 """)
 def q79_global_line_dedup(spark, sf_dir):
+    """Both verification columns (md5 of the cleaned text, kept-line
+    count) come out of ONE evaluation of the rewrite expression via the
+    single-element transform-lambda binding — md5 applied directly to
+    the interpreted-HOF column measured 5x slower at the 500k-doc
+    decade (9.3 s vs 1.8 s; the repetition-gate lesson, SCALING.md
+    addendum 3, applies to projections too)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = cp.dedupe_lines_global(d, "doc_id", "text", out_col="__clean",
                                  hot_count_col="n_hot_lines")
     txt = F.coalesce(F.col("text"), F.lit(""))
+    packed = F.element_at(
+        F.transform(F.array(F.col("__clean")),
+                    lambda c: F.struct(
+                        F.md5(c).alias("h"),
+                        F.size(F.split(c, "\n")).alias("nl"))), 1)
     return out.select(
         "doc_id",
-        F.md5(F.col("__clean")).alias("clean_hash"),
-        (F.size(F.split(txt, "\n"))
-         - F.size(F.split(F.col("__clean"), "\n"))).cast("bigint")
+        packed["h"].alias("clean_hash"),
+        (F.size(F.split(txt, "\n")) - packed["nl"]).cast("bigint")
         .alias("n_removed"),
         "n_hot_lines")
