@@ -1172,3 +1172,118 @@ def test_incremental_builder_tokenizer_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="positive"):
         IncrementalCorpusBuilder(spark, str(tmp_path / "b"),
                                  tokenizer=([], {"<unk>": 0}), seq_len=0)
+
+
+FOOTER = "copyright footer all rights reserved worldwide"
+
+
+def test_incremental_builder_global_lines_across_batches(spark, tmp_path):
+    """dedupe_global_lines: a line is stripped once >= min_docs distinct
+    shipped docs have carried it — forward-only (the first shipper keeps
+    its copy), within-batch prevalence counts too, and a doc emptied by
+    the strip drops with its own attribution metric."""
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    b = IncrementalCorpusBuilder(spark, str(tmp_path / "state"),
+                                 quality_min=0.0, dedupe_global_lines=2)
+    m1 = b.add_batch(_corpus_batch(spark, [(1, FOOTER + "\n" + TAIL_A)]))
+    assert m1["appended"] == 1 and m1["global_hot_lines"] == 0
+
+    # prior prevalence 1 (doc 1) + this batch = 2 -> hot; doc 2 ships
+    # stripped, doc 1's shipped copy is NOT rewritten (forward-only)
+    batch2 = _corpus_batch(spark, [(2, FOOTER + "\n" + TAIL_B)])
+    m2 = b.add_batch(batch2)
+    assert m2["appended"] == 1 and m2["global_hot_lines"] == 1
+    texts = {r["doc_id"]: r["text"] for r in b.corpus.read().collect()}
+    assert texts[1] == FOOTER + "\n" + TAIL_A
+    assert texts[2] == TAIL_B
+
+    # within-batch: a NEW line shared by two batch docs is hot already
+    banner = "subscribe to our newsletter today please"
+    m3 = b.add_batch(_corpus_batch(spark, [
+        (10, banner + "\n" + TAIL_C),
+        (11, banner + "\nentirely different closing material "
+             "about astronomy physics chemistry biology geology")]))
+    assert m3["appended"] == 2 and m3["global_hot_lines"] == 1
+    texts = {r["doc_id"]: r["text"] for r in b.corpus.read().collect()}
+    assert banner not in texts[10] and banner not in texts[11]
+
+    # a doc that is ONLY boilerplate empties and drops at the line
+    # stage (not counted as a near-dup drop)
+    m4 = b.add_batch(_corpus_batch(spark, [(20, FOOTER)]))
+    assert m4["appended"] == 0
+    assert m4["line_dropped_docs"] == 1 and m4["neardup_dropped"] == 0
+
+    # replay: the hash gate blocks re-processing entirely
+    m2r = b.add_batch(batch2)
+    assert m2r["appended"] == 0 and m2r["global_hot_lines"] == 0
+
+
+def test_incremental_builder_global_lines_crash_converges(
+        spark, tmp_path, monkeypatch):
+    """With dedupe_global_lines the per-batch chain is index -> corpus
+    -> seen -> LINES (merge_with) -> hash gate. A crash in any window
+    must replay to the no-crash state — the lines window is the
+    interesting one: the replayed batch sees its OWN committed pairs
+    and must ignore them (doc-in-batch exclusion) instead of counting
+    itself toward prevalence twice."""
+    import pytest
+
+    from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    batch1 = [(1, FOOTER + "\n" + TAIL_A)]
+    batch2 = [(2, FOOTER + "\n" + TAIL_B),
+              (3, "wholly new content with no shared lines at all "
+                  "covering gardening cooking carpentry plumbing")]
+
+    def state_of(b):
+        return (sorted(tuple(r) for r in b.corpus.read().collect()),
+                sorted(tuple(r) for r in b.seen.read().collect()),
+                sorted(tuple(r) for r in b.hashes.read().collect()),
+                sorted(tuple(r) for r in b.lines.read().collect()))
+
+    ref = IncrementalCorpusBuilder(spark, str(tmp_path / "ref"),
+                                   quality_min=0.0, dedupe_global_lines=2)
+    ref.add_batch(_corpus_batch(spark, batch1))
+    ref.add_batch(_corpus_batch(spark, batch2))
+    want = state_of(ref)
+    # sanity: the reference run stripped the footer from doc 2 only
+    t = {r["doc_id"]: r["text"] for r in ref.corpus.read().collect()}
+    assert t[2] == TAIL_B and t[1].startswith(FOOTER)
+
+    real_upsert = ParquetTable.merge_upsert
+    real_with = ParquetTable.merge_with
+    for crash_after in (1, 2, 3, 4):
+        state = str(tmp_path / f"s{crash_after}")
+        b = IncrementalCorpusBuilder(spark, state, quality_min=0.0,
+                                     dedupe_global_lines=2)
+        b.add_batch(_corpus_batch(spark, batch1))
+
+        calls = {"n": 0}
+
+        def bump():
+            calls["n"] += 1
+            if calls["n"] > crash_after:
+                raise OSError("simulated crash between batch commits")
+
+        def crashing_upsert(self, df, **kw):
+            bump()
+            return real_upsert(self, df, **kw)
+
+        def crashing_with(self, df, combine, **kw):
+            bump()
+            return real_with(self, df, combine, **kw)
+
+        monkeypatch.setattr(ParquetTable, "merge_upsert", crashing_upsert)
+        monkeypatch.setattr(ParquetTable, "merge_with", crashing_with)
+        with pytest.raises(OSError, match="simulated crash"):
+            b.add_batch(_corpus_batch(spark, batch2))
+        monkeypatch.undo()
+
+        b2 = IncrementalCorpusBuilder(spark, state, quality_min=0.0,
+                                      dedupe_global_lines=2)
+        b2.add_batch(_corpus_batch(spark, batch2))
+        assert state_of(b2) == want, f"window after commit {crash_after}"

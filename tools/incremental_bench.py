@@ -98,6 +98,45 @@ def main() -> None:
                     "batch_rows": BATCH_DOCS, "pairs": n_pairs,
                     "add_and_find_sec": secs,
                     "calibration_sec": calibration}), flush=True)
+
+            # the builder's line-prevalence store: seed (lh, doc) pairs
+            # from the whole corpus, then time ONE _global_line_stage +
+            # pair commit on the fixed batch — the same flat-at-10x/100x
+            # bar as the indexes (read is bucket-pruned on the batch's
+            # line hashes, so cost must track the batch, not the store)
+            from pyspark.sql import types as T
+
+            from tradingview_data_pipeline_spark.operators.merge import (
+                ParquetTable)
+            from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+                IncrementalCorpusBuilder)
+
+            lines_t = ParquetTable(
+                spark, os.path.join(tmp, "lines"),
+                T.StructType([T.StructField("lh", T.LongType()),
+                              T.StructField("doc", T.LongType())]),
+                "lh", buckets=32)
+            txt = F.coalesce(F.col("text"), F.lit(""))
+            lines_t.overwrite(
+                docs.select(F.col("doc_id").alias("doc"),
+                            F.explode(F.split(txt, "\n")).alias("l"))
+                .where(F.translate(F.col("l"), " \t\f\r\x0b", "") != "")
+                .select("doc", F.xxhash64("l").alias("lh")).distinct())
+            stub = type("S", (), {})()
+            stub.dedupe_global_lines, stub.lines = 2, lines_t
+            t0 = time.perf_counter()
+            cleaned, new_pairs, n_hot = \
+                IncrementalCorpusBuilder._global_line_stage(stub, doc_batch)
+            cleaned.write.format("noop").mode("overwrite").save()
+            lines_t.merge_with(
+                new_pairs, lambda tgt, src: tgt.unionByName(
+                    src.join(tgt, ["lh", "doc"], "left_anti")))
+            print(json.dumps({
+                "index": "lines_store", "sf_dir": sf_dir,
+                "stored_rows": n_docs, "batch_rows": BATCH_DOCS,
+                "hot_lines": n_hot,
+                "add_and_find_sec": round(time.perf_counter() - t0, 3),
+                "calibration_sec": calibration}), flush=True)
     spark.stop()
 
 

@@ -826,18 +826,24 @@ def dedupe_lines_global(df: DataFrame, id_col: str, text_col: str, *,
     joined = df.join(doc_hot, F.col(id_col) == F.col("__doc"), "left")
     hot = F.coalesce(F.col("__hot"),
                      F.array().cast("array<bigint>"))
+    res = joined.withColumn(out, strip_hot_lines(txt, hot))
+    if hot_count_col is not None:
+        res = res.withColumn(hot_count_col,
+                             F.size(hot).cast("bigint"))
+    return res.drop("__doc", "__hot")
+
+
+def strip_hot_lines(txt: Column, hot: Column) -> Column:
+    """Map-side line rewrite shared by ``dedupe_lines_global`` and the
+    incremental builder's line stage: drop every non-blank line whose
+    xxhash64 is in ``hot`` (an ``array<bigint>`` column — typically a
+    per-doc hot set from a join); whitespace-only lines always pass.
+    The line array binds once via the evaluate-once transform lambda."""
 
     def body(ls: Column) -> Column:
-        # hot set bound via the outer column; blank lines always kept
         keep = F.filter(
             ls, lambda x: _blank_line(x)
             | ~F.array_contains(hot, F.xxhash64(x)))
         return F.array_join(keep, "\n")
 
-    cleaned = F.element_at(
-        F.transform(F.array(F.split(txt, "\n")), body), 1)
-    res = joined.withColumn(out, cleaned)
-    if hot_count_col is not None:
-        res = res.withColumn(hot_count_col,
-                             F.size(hot).cast("bigint"))
-    return res.drop("__doc", "__hot")
+    return F.element_at(F.transform(F.array(F.split(txt, "\n")), body), 1)

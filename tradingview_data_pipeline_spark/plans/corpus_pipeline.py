@@ -377,6 +377,11 @@ class IncrementalCorpusBuilder:
         first owner is never overwritten); read bucket-pruned per
         batch. ~16 bytes of state per shipped gram.
 
+      * ``lines``   — present only with ``dedupe_global_lines``: one
+        row per distinct (line-hash, shipping doc) pair, keyed by line
+        hash; the incremental prevalence store behind the cross-
+        document boilerplate-line strip (see ``_global_line_stage``).
+
     ``remove_spans=True`` adds incremental SUBSTRING-level dedup after
     the document-level stages: batch keepers get every word position
     covered by a gram already in the ``grams`` store excised (the
@@ -426,6 +431,7 @@ class IncrementalCorpusBuilder:
                  buckets: int | None = None,
                  remove_spans: bool = False,
                  dedupe_repeated_lines: bool = False,
+                 dedupe_global_lines: int | None = None,
                  repetition_limits: dict[str, float] | None = None,
                  quality_model: tuple[DataFrame, float] | None = None,
                  tokenizer: tuple[list[tuple[str, str]],
@@ -499,6 +505,16 @@ class IncrementalCorpusBuilder:
             T.StructType([T.StructField("h", T.LongType()),
                           T.StructField("owner", T.LongType())]),
             "h", buckets=buckets)
+        # cross-document line-prevalence store: one row per distinct
+        # (line-hash, shipping doc) pair, keyed (and bucket-pruned) by
+        # line hash — ~16 bytes per distinct shipped line-doc; the
+        # per-batch read touches only the batch's line-hash buckets
+        self.dedupe_global_lines = dedupe_global_lines
+        self.lines = ParquetTable(
+            spark, os.path.join(state_dir, "lines"),
+            T.StructType([T.StructField("lh", T.LongType()),
+                          T.StructField("doc", T.LongType())]),
+            "lh", buckets=buckets)
         if (tokenizer is None) != (seq_len is None):
             raise ValueError("tokenizer and seq_len must be given together")
         if seq_len is not None and seq_len <= 0:
@@ -606,11 +622,21 @@ class IncrementalCorpusBuilder:
         keepers = batch_e if dropped_ids is None else \
             batch_e.join(dropped_ids, "doc_id", "left_anti")
 
+        n_after_near = None
+        if self.remove_spans or self.dedupe_global_lines is not None:
+            n_after_near = keepers.count()
+
+        new_lines = None
+        n_hot_lines = 0
+        n_after_lines = n_after_near
+        if self.dedupe_global_lines is not None:
+            keepers, new_lines, n_hot_lines = \
+                self._global_line_stage(keepers)
+            n_after_lines = keepers.count()
+
         new_grams = None
         span_cut_tokens = 0
-        n_after_near = None
         if self.remove_spans:
-            n_after_near = keepers.count()
             gp = cp.gram_positions(keepers, "doc_id", "text") \
                 .localCheckpoint(eager=True)
             batch_ids2 = keepers.select("doc_id")
@@ -676,6 +702,14 @@ class IncrementalCorpusBuilder:
                                               "content_hash"))
         if new_grams is not None:
             self.grams.merge_upsert(new_grams)
+        if new_lines is not None:
+            # insert-only on the (lh, doc) composite identity (the key
+            # column lh is non-unique by design): idempotent, so every
+            # crash window before the hash gate converges on replay
+            self.lines.merge_with(
+                new_lines,
+                lambda tgt, src: tgt.unionByName(
+                    src.join(tgt, ["lh", "doc"], "left_anti")))
         if new_seqs is not None:
             self.sequences.merge_upsert(new_seqs)
         self.hashes.merge_upsert(batch_e.select("content_hash"))
@@ -687,14 +721,80 @@ class IncrementalCorpusBuilder:
             "appended": n_appended,
             "corpus_rows": self.corpus.row_count(),
         }
+        if self.dedupe_global_lines is not None:
+            # same stage-attribution rule as spans: docs emptied by the
+            # line strip are line drops, not near-dup drops
+            out["global_hot_lines"] = n_hot_lines
+            out["line_dropped_docs"] = n_after_near - n_after_lines
         if self.remove_spans:
             # attribute doc drops to the right stage: docs emptied by
             # the span cut are NOT near-dup drops (r8 review finding)
             out["span_cut_tokens"] = int(span_cut_tokens)
-            out["span_dropped_docs"] = n_after_near - n_appended
+            out["span_dropped_docs"] = n_after_lines - n_appended
         if self.tokenizer is not None:
             out["train_sequences"] = n_new_seqs
         return out
+
+    def _global_line_stage(self, keepers: DataFrame):
+        """Incremental cross-document line dedup — the streaming-cadence
+        form of ``corpus.dedupe_lines_global``: a non-blank line is HOT
+        once stored prevalence (distinct docs that already shipped it,
+        excluding this batch's own replay echoes) plus this batch's
+        keeper count reaches ``dedupe_global_lines``; every occurrence
+        in the batch is then stripped before shipping. FORWARD-ONLY:
+        docs shipped before a line crossed the threshold keep it (an
+        append-only corpus never retro-rewrites) — so unlike the batch
+        operator, early copies of late-blooming boilerplate survive;
+        that asymmetry is the streaming contract, not a bug.
+
+        Per-batch plan cost: one BUCKET-PRUNED read of the line store
+        on the batch's line-hash buckets (O(batch lines × bucket
+        width), never O(store)), pair-width aggregations, and a
+        map-side rewrite with the per-doc hot set joined in. Replay
+        safety mirrors the gram store: stored pairs whose doc is IN the
+        current batch are ignored when counting prior prevalence, so a
+        replayed batch strips exactly what the first run stripped even
+        though its own pairs are already committed.
+
+        Returns (cleaned keepers — empties dropped, new (lh, doc)
+        pairs to record, hot-line count)."""
+        min_docs = int(self.dedupe_global_lines)
+        txt = F.coalesce(F.col("text"), F.lit(""))
+        pairs_b = (keepers.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.split(txt, "\n")).alias("__l"))
+            .where(F.translate(F.col("__l"), cp._BLANK_WS, "") != "")
+            .select("doc", F.xxhash64("__l").alias("lh"))
+            .distinct().localCheckpoint(eager=True))
+        store_slice = (self.lines.read_matching(pairs_b, key_col="lh")
+                       .localCheckpoint(eager=True))
+        batch_docs = pairs_b.select("doc").distinct()
+        prior = (store_slice
+                 .join(pairs_b.select("lh").distinct(), "lh", "left_semi")
+                 .join(batch_docs, "doc", "left_anti"))
+        prior_c = prior.groupBy("lh").agg(F.count(F.lit(1)).alias("__np"))
+        batch_c = pairs_b.groupBy("lh").agg(F.count(F.lit(1)).alias("__nb"))
+        hot = (batch_c.join(prior_c, "lh", "left")
+               .where(F.col("__nb") + F.coalesce(F.col("__np"), F.lit(0))
+                      >= F.lit(min_docs))
+               .select("lh").localCheckpoint(eager=True))
+        n_hot = hot.count()
+        doc_hot = (pairs_b.join(hot, "lh")
+                   .groupBy("doc")
+                   .agg(F.collect_set("lh").alias("__hot")))
+        cleaned = (keepers
+                   .join(doc_hot, F.col("doc_id") == F.col("doc"), "left")
+                   .withColumn("text", cp.strip_hot_lines(
+                       txt, F.coalesce(F.col("__hot"),
+                                       F.array().cast("array<bigint>"))))
+                   .drop("doc", "__hot")
+                   .where(tx.token_count(F.col("text")) > 0))
+        # record every keeper pair (pre-strip — prevalence counts the
+        # docs a line ARRIVED in); anti-joined here AND in the commit's
+        # combine, so the insert is idempotent under any crash window
+        new_pairs = (pairs_b.join(store_slice, ["lh", "doc"], "left_anti")
+                     .localCheckpoint(eager=True))
+        return cleaned, new_pairs, n_hot
 
     def _batch_sequences(self, final: DataFrame) -> DataFrame | None:
         """Encode + pack THIS batch's kept train docs (see class
