@@ -85,6 +85,33 @@ def test_dedupe_lines_matches_reference(spark, docs):
         assert got[i] == ref_dedupe_lines(d), (d, got[i])
 
 
+def ref_bigram_lm(docs, scale=1_000_000):
+    import math
+
+    bg, c1, per_doc = Counter(), Counter(), []
+    for d in docs:
+        ws = re.findall(r"\S+", d)
+        pairs = list(zip(ws, ws[1:]))
+        per_doc.append(pairs)
+        for p in pairs:
+            bg[p] += 1
+            c1[p[0]] += 1
+    return [(len(ps), sum(math.floor(float(scale) * bg[p] / c1[p[0]])
+                          for p in ps))
+            for ps in per_doc]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=30))
+def test_bigram_lm_profile_matches_reference(spark, docs):
+    sdf = spark.createDataFrame(list(enumerate(docs)), "i long, text string")
+    got = {r["i"]: (r["n_bigrams"], r["bigram_score"]) for r in
+           cp.bigram_lm_profile(sdf, "i", "text").collect()}
+    exp = ref_bigram_lm(docs)
+    for i, d in enumerate(docs):
+        assert got[i] == exp[i], (d, got[i], exp[i])
+
+
 def ref_dedupe_lines_global(docs, min_docs=2):
     prevalence = Counter()
     for d in docs:

@@ -471,6 +471,64 @@ def token_rarity_profile(df: DataFrame, id_col: str,
                     .otherwise(F.lit(0.0)).alias("rare_frac")))
 
 
+def bigram_lm_profile(df: DataFrame, id_col: str,
+                      text_col: str, *, scale: int = 1_000_000) -> DataFrame:
+    """Bigram language-model fluency profile — the exact-arithmetic
+    stand-in for the CCNet perplexity filter's LM scoring (its sibling
+    ``token_rarity_profile`` covers unigram rarity): score each
+    document by how PREDICTABLE its word transitions are under the
+    corpus's own bigram statistics. Per bigram occurrence the
+    quantized conditional probability
+    ``floor(scale * count(w1 w2) / count(w1 ·))`` (count(w1 ·) = w1's
+    occurrences as a bigram prefix) is summed as BIGINT — high =
+    fluent/common phrasing, low = rare or garbled transitions. Exact
+    integers + one correctly-rounded IEEE multiply/divide per distinct
+    (doc, bigram), so the score is bit-identical on any layout and
+    cross-engine checkable (the q78 quantized-ratio contract; a real
+    log-space KenLM would not be — the q49 rule).
+
+    Output: (id, n_bigrams, bigram_score); docs with < 2 tokens score
+    (0, 0). Scale shape: one pass builds per-(doc, bigram) counts with
+    map-side combine (adjacent-pair structs from ONE bound token
+    array — no token-per-row explode of unigrams), the corpus bigram
+    and prefix tables are two re-aggregations of that same frame, and
+    everything joins on 8-byte xxhash64 keys (the q72 lesson), never
+    strings."""
+    toks = tx.tokens(F.coalesce(F.col(text_col), F.lit("")))
+
+    def bigram_structs(t: Column) -> Column:
+        empty = F.expr(
+            "CAST(array() AS ARRAY<STRUCT<h1: BIGINT, h12: BIGINT>>)")
+        return F.when(F.size(t) >= 2, F.transform(
+            F.slice(t, F.lit(1), F.size(t) - 1),
+            lambda w, i: F.struct(
+                F.xxhash64(w).alias("h1"),
+                F.xxhash64(F.concat_ws(" ", w, F.element_at(t, i + F.lit(2))))
+                .alias("h12")))).otherwise(empty)
+
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.element_at(
+            F.transform(F.array(toks), bigram_structs), 1)).alias("__p"))
+    per = (pairs.select(id_col, F.col("__p.h1").alias("h1"),
+                        F.col("__p.h12").alias("h12"))
+           .groupBy(id_col, "h1", "h12")
+           .agg(F.count(F.lit(1)).alias("__c")))
+    c12 = per.groupBy("h12").agg(F.sum("__c").alias("__c12"))
+    c1 = per.groupBy("h1").agg(F.sum("__c").alias("__c1"))
+    quant = F.floor(F.lit(float(scale)) * F.col("__c12") / F.col("__c1")) \
+        .cast("bigint")
+    agg = (per.join(c12, "h12").join(c1, "h1")
+           .groupBy(id_col)
+           .agg(F.sum("__c").alias("__n"),
+                F.sum(quant * F.col("__c")).alias("__s")))
+    zero = F.lit(0).cast("bigint")
+    return (df.select(id_col).join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("__n"), zero).alias("n_bigrams"),
+                    F.coalesce(F.col("__s"), zero).alias("bigram_score")))
+
+
 def gram_positions(df: DataFrame, id_col: str, text_col: str,
                    *, n: int = 8) -> DataFrame:
     """(id, pos, h): md5-60 hash of the word ``n``-gram starting at

@@ -490,7 +490,12 @@ def q73_dup_span_removal(spark, sf_dir):
 # never strings); the oracle groups by the token string itself — the two
 # agree except on a 60-bit collision (P ~ vocab^2/2^61, the q48/q72
 # acceptance). Fractions are integer sums + one terminal IEEE division:
-# deterministic on any layout / engine.
+# deterministic on any layout / engine. Round 8 adds the BIGRAM-LM
+# columns (corpus.bigram_lm_profile — the conditional-probability half
+# of the perplexity stand-in): per bigram occurrence the quantized
+# floor(1e6 * count(w1 w2) / count(w1 ·)) summed as BIGINT — the q78
+# quantized-ratio exactness contract, so the oracle recomputes it
+# bit-identically on the strings.
 # ---------------------------------------------------------------------------
 
 @register("q74_token_rarity", oracle=f"""
@@ -505,6 +510,21 @@ WITH tok AS (
          CAST(SUM(c * tdf) AS BIGINT) AS sum_df,
          CAST(SUM(CASE WHEN tdf = 1 THEN c ELSE 0 END) AS BIGINT) AS n_rare
   FROM per_tok JOIN dfreq USING (w) GROUP BY doc_id
+), ta AS (
+  SELECT doc_id, {_TOK_W} AS wa FROM documents
+), bg AS (
+  SELECT doc_id, wa[i+1] AS w1, wa[i+1] || ' ' || wa[i+2] AS g
+  FROM ta, LATERAL (SELECT unnest(range(len(wa) - 1)) AS i) t
+  WHERE len(wa) >= 2
+), bgc AS (
+  SELECT doc_id, w1, g, COUNT(*) AS c FROM bg GROUP BY doc_id, w1, g
+), c12 AS (SELECT g, CAST(SUM(c) AS BIGINT) AS c12 FROM bgc GROUP BY g),
+c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+bs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(floor(1000000.0 * c12 / c1) AS BIGINT) * c)
+              AS BIGINT) AS bigram_score
+  FROM bgc JOIN c12 USING (g) JOIN c1 USING (w1) GROUP BY doc_id
 )
 SELECT d.doc_id,
        COALESCE(per.n_tokens, 0) AS n_tokens,
@@ -513,12 +533,17 @@ SELECT d.doc_id,
             ELSE 0.0 END AS mean_token_df,
        CASE WHEN COALESCE(per.n_tokens, 0) > 0
             THEN CAST(per.n_rare AS DOUBLE) / CAST(per.n_tokens AS DOUBLE)
-            ELSE 0.0 END AS rare_frac
-FROM documents d LEFT JOIN per USING (doc_id)
+            ELSE 0.0 END AS rare_frac,
+       COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+       COALESCE(bs.bigram_score, 0) AS bigram_score
+FROM documents d
+LEFT JOIN per USING (doc_id)
+LEFT JOIN bs USING (doc_id)
 """)
 def q74_token_rarity(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return cp.token_rarity_profile(d, "doc_id", "text")
+    return (cp.token_rarity_profile(d, "doc_id", "text")
+            .join(cp.bigram_lm_profile(d, "doc_id", "text"), "doc_id"))
 
 
 # ---------------------------------------------------------------------------
