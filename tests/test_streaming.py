@@ -404,3 +404,48 @@ def test_stream_corpus_build_with_sequences_feed(spark, tmp_path):
     q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
     q.awaitTermination(120)                       # restart: no-op
     assert sorted(map(tuple, builder.sequences.read().collect())) == want
+
+
+def test_stream_corpus_build_with_global_line_dedup(spark, tmp_path):
+    """Streaming build composes with the line-prevalence builder: a
+    second trigger carrying a line shipped in the FIRST trigger crosses
+    the min_docs=2 threshold and ships stripped (the first shipper's
+    copy stays — forward-only), and a checkpointed restart changes
+    nothing."""
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+    from tradingview_data_pipeline_spark.streaming.corpus_stream import (
+        stream_corpus_build)
+
+    footer = "copyright footer all rights reserved worldwide"
+    body_a = ("completely separate material about alpha beta gamma "
+              "delta epsilon zeta eta theta iota kappa")
+    body_b = ("unrelated second story covering painting sculpture "
+              "cinema architecture poetry dance opera theatre")
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    schema = "doc_id long, text string"
+    builder = IncrementalCorpusBuilder(spark, str(tmp_path / "state"),
+                                       quality_min=0.0, buckets=4,
+                                       dedupe_global_lines=2)
+
+    spark.createDataFrame([(1, footer + "\n" + body_a)], schema) \
+        .coalesce(1).write.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema).parquet(str(src_dir) + "/*")
+    q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    spark.createDataFrame([(2, footer + "\n" + body_b)], schema) \
+        .coalesce(1).write.parquet(str(src_dir / "b2"))
+    q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    texts = {r["doc_id"]: r["text"] for r in builder.corpus.read().collect()}
+    assert texts[1] == footer + "\n" + body_a       # first shipper keeps
+    assert texts[2] == body_b                       # stripped at trigger 2
+
+    # restart with the same checkpoint: no new files -> nothing changes
+    q = stream_corpus_build(stream, builder, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert sorted(texts.items()) == sorted(
+        (r["doc_id"], r["text"]) for r in builder.corpus.read().collect())

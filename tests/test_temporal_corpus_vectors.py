@@ -1060,3 +1060,36 @@ def test_dedupe_lines_global(spark):
     again = cp.dedupe_lines_global(clean, "doc_id", "text",
                                    hot_count_col="h")
     assert again.where(F.col("h") > 0).count() == 0
+
+
+def test_quality_buckets(spark):
+    """CCNet head/middle/tail: descending-score tertiles; scale mode
+    matches parity on tie-free data; deterministic id tie-break;
+    validation errors fire before any job."""
+    import pytest
+
+    df = spark.createDataFrame([(i, float(100 - i)) for i in range(9)],
+                               "doc_id long, s double")
+    got = {r["doc_id"]: r["quality_bucket"] for r in
+           sp.quality_buckets(df, "doc_id", "s").collect()}
+    assert got == {0: "head", 1: "head", 2: "head",
+                   3: "middle", 4: "middle", 5: "middle",
+                   6: "tail", 7: "tail", 8: "tail"}
+    par = {r["doc_id"]: r["quality_bucket"] for r in
+           sp.quality_buckets(df, "doc_id", "s", mode="parity").collect()}
+    assert par == got
+    # ties break by id: equal scores -> lower ids take the head slots
+    tied = spark.createDataFrame([(i, 1.0) for i in range(6)],
+                                 "doc_id long, s double")
+    tb = {r["doc_id"]: r["quality_bucket"] for r in
+          sp.quality_buckets(tied, "doc_id", "s",
+                             fractions=(0.5,), labels=("head", "tail"),
+                             mode="parity").collect()}
+    assert tb == {0: "head", 1: "head", 2: "head",
+                  3: "tail", 4: "tail", 5: "tail"}
+    with pytest.raises(ValueError, match="labels"):
+        sp.quality_buckets(df, "doc_id", "s", fractions=(0.5,),
+                           labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="ascending"):
+        sp.quality_buckets(df, "doc_id", "s", fractions=(0.9, 0.1),
+                           labels=("a", "b", "c"))

@@ -866,6 +866,11 @@ def dedupe_lines_global(df: DataFrame, id_col: str, text_col: str, *,
     innocent line (P ~ lines²/2⁶⁵ — noise; the oracle that checks this
     operator matches the strings themselves)."""
     out = out_col or text_col
+    clash = {"__doc", "__hot"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"dedupe_lines_global reserves columns {sorted(clash)}; "
+            f"rename them in the input")
     txt = F.coalesce(F.col(text_col), F.lit(""))
 
     lines = df.select(

@@ -256,3 +256,38 @@ def temperature_weights(
     raw = {s: (c / tot) ** (1.0 / temperature) for s, c in counts.items()}
     z = sum(raw.values())
     return {s: max(1, round(scale * v / z)) for s, v in raw.items()}
+
+
+def quality_buckets(df: DataFrame, id_col: str, score_col: str, *,
+                    fractions: tuple[float, ...] = (1 / 3, 2 / 3),
+                    labels: tuple[str, ...] = ("head", "middle", "tail"),
+                    out_col: str = "quality_bucket",
+                    mode: str = "scale") -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 §4.3: the
+    perplexity head/middle/tail split): rank documents by ``score_col``
+    DESCENDING (higher = more fluent — e.g. ``bigram_lm_profile``'s
+    score or a negated perplexity) and cut at the given cumulative
+    fractions. One tiny count job converts fractions into rank
+    boundaries; ``scoring.bucket_by_global_rank`` then assigns labels —
+    ``mode='scale'`` (default) computes the boundary order statistics
+    with a small two-phase aggregate and buckets with a map-only range
+    comparison (NO single-partition window; boundary-rank ties may land
+    one row differently than parity, the documented W1 deviation), so
+    the operator survives corpus scale. Ties inside the ranking break
+    on ``id_col`` — deterministic on any layout."""
+    from tradingview_data_pipeline_spark.operators import scoring as sc
+
+    if len(labels) != len(fractions) + 1:
+        raise ValueError(
+            f"need len(labels) == len(fractions) + 1, got "
+            f"{len(labels)} labels / {len(fractions)} fractions")
+    if list(fractions) != sorted(fractions) or not all(
+            0 < f < 1 for f in fractions):
+        raise ValueError(f"fractions must be ascending in (0, 1): "
+                         f"{fractions}")
+    n = df.count()
+    bounds = [(max(1, int(f * n)), lab)
+              for f, lab in zip(fractions, labels)]
+    return sc.bucket_by_global_rank(
+        df, score_col, out_col=out_col, boundaries=bounds,
+        default_label=labels[-1], tie_break=id_col, mode=mode)
