@@ -513,15 +513,29 @@ def bigram_lm_profile(df: DataFrame, id_col: str,
     per = (pairs.select(id_col, F.col("__p.h1").alias("h1"),
                         F.col("__p.h12").alias("h12"))
            .groupBy(id_col, "h1", "h12")
-           .agg(F.count(F.lit(1)).alias("__c")))
-    c12 = per.groupBy("h12").agg(F.sum("__c").alias("__c12"))
-    c1 = per.groupBy("h1").agg(F.sum("__c").alias("__c1"))
-    quant = F.floor(F.lit(float(scale)) * F.col("__c12") / F.col("__c1")) \
-        .cast("bigint")
-    agg = (per.join(c12, "h12").join(c1, "h1")
+           .agg(F.count(F.lit(1)).alias("__c"))
+           # lazily pinned: per feeds THREE consumers (cg -> c1 -> w and
+           # the final join), and each branch acquires a DIFFERENT
+           # isnotnull filter from its join side, so canonical-plan
+           # exchange reuse never fires — without the pin the explode +
+           # 3-key shuffle re-runs three times (measured 52.6 s at the
+           # 500k-doc decade; pinned: one pass). Lazy, so no extra
+           # action; the materialized frame is the PRE-AGGREGATED
+           # (doc, bigram) table, far smaller than the token stream.
+           .localCheckpoint(eager=False))
+    # corpus statistics as ONE re-aggregation chain: cg is the bigram
+    # table, c1 re-aggregates CG (vocab-bounded), not the per-doc frame;
+    # the weight join is vocab-sized and AQE broadcasts it when small
+    cg = per.groupBy("h1", "h12").agg(F.sum("__c").alias("__c12"))
+    c1 = cg.groupBy("h1").agg(F.sum("__c12").alias("__c1"))
+    w = (cg.join(c1, "h1")
+         .select("h12",
+                 F.floor(F.lit(float(scale)) * F.col("__c12")
+                         / F.col("__c1")).cast("bigint").alias("__q")))
+    agg = (per.join(w, "h12")
            .groupBy(id_col)
            .agg(F.sum("__c").alias("__n"),
-                F.sum(quant * F.col("__c")).alias("__s")))
+                F.sum(F.col("__q") * F.col("__c")).alias("__s")))
     zero = F.lit(0).cast("bigint")
     return (df.select(id_col).join(agg, id_col, "left")
             .select(id_col,

@@ -76,6 +76,12 @@ def length_bucketed_batches(df: DataFrame, id_col: str, len_col: str, *,
     consumes anyway, and no partition then exceeds a shard's rows."""
     if token_budget <= 0 or bucket_width <= 0:
         raise ValueError("token_budget and bucket_width must be > 0")
+    clash = {"padded_len", "batch_size", "batch_id", "__rn"} \
+        & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"length_bucketed_batches reserves columns {sorted(clash)}; "
+            f"rename them in the input")
     ln = F.col(len_col).cast("bigint")
     # integral DIV end to end (the q76 lesson: floor(double/) drifts
     # past 2^53; DIV is exact in both engines)
