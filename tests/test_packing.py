@@ -350,3 +350,38 @@ def test_length_bucketed_batches_groups_and_validation(spark):
     with pytest.raises(ValueError, match="> 0"):
         pk.length_bucketed_batches(df, "sid", "n",
                                    token_budget=8, bucket_width=-1)
+
+
+def test_length_bucketed_batches_matches_reference(spark):
+    """Random lengths (incl. 0 and over-budget) against a direct Python
+    transcription of the documented semantics."""
+    import random
+
+    rng = random.Random(29)
+    budget, width = 48, 8
+    rows = [(i, rng.choice([0, 1, 3, 7, 8, 9, 15, 16, 40, 100]))
+            for i in range(200)]
+
+    def ref():
+        padded = {i: max(1, -(-ln // width)) * width for i, ln in rows}
+        out = {}
+        buckets = {}
+        for i, ln in rows:
+            buckets.setdefault(padded[i], []).append((ln, i))
+        for p, members in buckets.items():
+            bs = max(budget // p, 1)
+            for rank, (ln, i) in enumerate(sorted(members)):
+                out[i] = (p, bs, rank // bs)
+        return out
+
+    df = spark.createDataFrame(rows, "sid long, n long")
+    got = {r["sid"]: (r["padded_len"], r["batch_size"], r["batch_id"])
+           for r in pk.length_bucketed_batches(
+               df, "sid", "n", token_budget=budget,
+               bucket_width=width).collect()}
+    assert got == ref()
+    # reserved-column guard
+    bad = df.withColumn("batch_id", df["n"])
+    with pytest.raises(ValueError, match="reserves"):
+        pk.length_bucketed_batches(bad, "sid", "n",
+                                   token_budget=budget, bucket_width=width)

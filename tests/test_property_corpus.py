@@ -112,27 +112,32 @@ def test_bigram_lm_profile_matches_reference(spark, docs):
         assert got[i] == exp[i], (d, got[i], exp[i])
 
 
-def ref_dedupe_lines_global(docs, min_docs=2):
-    prevalence = Counter()
-    for d in docs:
+def ref_dedupe_lines_global(docs, min_docs=2, keep="none"):
+    prevalence, owner = Counter(), {}
+    for i, d in enumerate(docs):
         for l in {l for l in d.split("\n") if not set(l) <= _WS}:
             prevalence[l] += 1
+            owner.setdefault(l, i)          # docs scanned in id order
     hot = {l for l, c in prevalence.items() if c >= min_docs}
-    return ["\n".join(l for l in d.split("\n")
-                      if set(l) <= _WS or l not in hot)
-            for d in docs]
+    return ["\n".join(
+        l for l in d.split("\n")
+        if set(l) <= _WS or l not in hot
+        or (keep == "min_doc" and owner[l] == i))
+        for i, d in enumerate(docs)]
 
 
 @settings(max_examples=10, deadline=None)
 @given(st.lists(doc, min_size=1, max_size=30),
-       st.sampled_from([2, 3]))
-def test_dedupe_lines_global_matches_reference(spark, docs, min_docs):
+       st.sampled_from([2, 3]),
+       st.sampled_from(["none", "min_doc"]))
+def test_dedupe_lines_global_matches_reference(spark, docs, min_docs, keep):
     sdf = spark.createDataFrame(list(enumerate(docs)), "i long, text string")
     got = {r["i"]: r["clean"] for r in cp.dedupe_lines_global(
-        sdf, "i", "text", min_docs=min_docs, out_col="clean").collect()}
-    exp = ref_dedupe_lines_global(docs, min_docs)
+        sdf, "i", "text", min_docs=min_docs, keep=keep,
+        out_col="clean").collect()}
+    exp = ref_dedupe_lines_global(docs, min_docs, keep)
     for i, d in enumerate(docs):
-        assert got[i] == exp[i], (min_docs, d, got[i], exp[i])
+        assert got[i] == exp[i], (min_docs, keep, d, got[i], exp[i])
 
 
 @settings(max_examples=10, deadline=None)

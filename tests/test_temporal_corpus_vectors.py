@@ -1061,6 +1061,19 @@ def test_dedupe_lines_global(spark):
                                    hot_count_col="h")
     assert again.where(F.col("h") > 0).count() == 0
 
+    # keep='min_doc': the smallest doc carrying the line retains its
+    # copies; everyone else drops theirs
+    ko = {r["doc_id"]: r for r in cp.dedupe_lines_global(
+        docs, "doc_id", "text", keep="min_doc", out_col="clean",
+        hot_count_col="n_hot").collect()}
+    assert ko[1]["clean"] == "BANNER\nown 1\nFOOTER"   # owner of both
+    assert ko[2]["clean"] == "own 2"
+    assert ko[3]["clean"] == "own 3\nown 3\n\t"
+    assert ko[1]["n_hot"] == 0 and ko[2]["n_hot"] == 2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="keep"):
+        cp.dedupe_lines_global(docs, "doc_id", "text", keep="first")
+
 
 def test_quality_buckets(spark):
     """CCNet head/middle/tail: descending-score tertiles; scale mode

@@ -842,6 +842,7 @@ def _blank_line(x: Column) -> Column:
 
 def dedupe_lines_global(df: DataFrame, id_col: str, text_col: str, *,
                         min_docs: int = 2,
+                        keep: str = "none",
                         out_col: str | None = None,
                         hot_count_col: str | None = None) -> DataFrame:
     """Corpus-GLOBAL line dedup — the cross-document half of the C4 /
@@ -857,9 +858,17 @@ def dedupe_lines_global(df: DataFrame, id_col: str, text_col: str, *,
     ``dedupe_lines``' job). Matching is exact, like the rest of the
     line family.
 
+    ``keep='min_doc'`` switches to the keep-one-copy rule (the C4
+    span-dedup flavor): the document with the SMALLEST id among those
+    carrying a hot line retains its copies, every other document drops
+    all of theirs — use it when corpus-hot lines may still be content
+    (quotes, stock phrases) rather than chrome. The default
+    ``keep='none'`` drops every copy (boilerplate has no owner).
+
     ``hot_count_col`` optionally emits how many DISTINCT hot lines each
-    document contained (its boilerplate exposure — a useful per-source
-    diagnostic).
+    document DROPS (its boilerplate exposure — a useful per-source
+    diagnostic; under ``keep='min_doc'`` the owner's retained lines
+    don't count).
 
     Scale shape (the reason this isn't "explode, join, re-group"):
       1. one pass explodes (doc, xxhash64(line)) DISTINCT pairs —
@@ -890,14 +899,21 @@ def dedupe_lines_global(df: DataFrame, id_col: str, text_col: str, *,
     lines = df.select(
         F.col(id_col).alias("__doc"),
         F.explode(F.split(txt, "\n")).alias("__l"))
+    if keep not in ("none", "min_doc"):
+        raise ValueError(f"keep must be 'none' or 'min_doc', got {keep!r}")
     pairs = (lines.where(~_blank_line(F.col("__l")))
              .select("__doc", F.xxhash64("__l").alias("__lh"))
              .distinct())
-    doc_hot = (pairs
-               .withColumn("__n", F.count(F.lit(1)).over(
-                   Window.partitionBy("__lh")))
-               .where(F.col("__n") >= F.lit(int(min_docs)))
-               .groupBy("__doc")
+    w = Window.partitionBy("__lh")
+    # prevalence and (for keep='min_doc') the owning doc come out of the
+    # SAME window partition — one sort, two frame functions
+    hot_pairs = (pairs
+                 .withColumn("__n", F.count(F.lit(1)).over(w))
+                 .withColumn("__owner", F.min("__doc").over(w))
+                 .where(F.col("__n") >= F.lit(int(min_docs))))
+    if keep == "min_doc":
+        hot_pairs = hot_pairs.where(F.col("__doc") != F.col("__owner"))
+    doc_hot = (hot_pairs.groupBy("__doc")
                .agg(F.collect_set("__lh").alias("__hot")))
 
     joined = df.join(doc_hot, F.col(id_col) == F.col("__doc"), "left")
