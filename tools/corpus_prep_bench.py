@@ -45,6 +45,10 @@ def main() -> None:
     tok_spec = os.environ.get("CORPUS_PREP_TOKENIZE")
     tok_pack = tuple(int(x) for x in tok_spec.split(",")) if tok_spec \
         else None
+    # CORPUS_PREP_LINES=1 -> also run the line-cleaning stages
+    # (within-doc dedupe_lines + corpus-global dedupe_lines_global at
+    # min_docs=2), so the full text-rewrite cascade is measured
+    lines_on = os.environ.get("CORPUS_PREP_LINES") == "1"
     for sf_dir in sf_dirs:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         t0 = time.perf_counter()
@@ -54,7 +58,10 @@ def main() -> None:
         out = tempfile.mkdtemp(prefix="corpus_prep_bench_")
         try:
             t0 = time.perf_counter()
-            metrics = run_corpus_prep(spark, docs, out, lsh_k=lsh_k)
+            metrics = run_corpus_prep(
+                spark, docs, out, lsh_k=lsh_k,
+                dedupe_repeated_lines=lines_on,
+                dedupe_global_lines=2 if lines_on else None)
             secs = round(time.perf_counter() - t0, 3)
             tok_secs = None
             if tok_pack:
@@ -70,6 +77,7 @@ def main() -> None:
             shutil.rmtree(out + "_sequences", ignore_errors=True)
             shutil.rmtree(out + "_tokenizer", ignore_errors=True)
         print(json.dumps({"sf_dir": sf_dir, "lsh_k": lsh_k,
+                          "lines": lines_on,
                           "pipeline_sec": secs,
                           "tokenize_pack_sec": tok_secs,
                           "calibration_sec": calibration, **metrics}),
