@@ -1061,6 +1061,16 @@ def test_dedupe_lines_global(spark):
                                    hot_count_col="h")
     assert again.where(F.col("h") > 0).count() == 0
 
+    # regression (gen_sf1 sweep): a FULLY-stripped doc cleans to "" —
+    # indistinguishable from a one-blank-line doc by string inspection,
+    # so removed_count_col must come from inside the rewrite
+    only = spark.createDataFrame(
+        [(1, "SAME"), (2, "SAME"), (3, "")],
+        "doc_id long, text string")
+    rc = {r["doc_id"]: (r["text"], r["nr"]) for r in cp.dedupe_lines_global(
+        only, "doc_id", "text", removed_count_col="nr").collect()}
+    assert rc[1] == ("", 1) and rc[2] == ("", 1) and rc[3] == ("", 0)
+
     # keep='min_doc': the smallest doc carrying the line retains its
     # copies; everyone else drops theirs
     ko = {r["doc_id"]: r for r in cp.dedupe_lines_global(

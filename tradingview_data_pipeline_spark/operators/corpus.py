@@ -844,7 +844,8 @@ def dedupe_lines_global(df: DataFrame, id_col: str, text_col: str, *,
                         min_docs: int = 2,
                         keep: str = "none",
                         out_col: str | None = None,
-                        hot_count_col: str | None = None) -> DataFrame:
+                        hot_count_col: str | None = None,
+                        removed_count_col: str | None = None) -> DataFrame:
     """Corpus-GLOBAL line dedup — the cross-document half of the C4 /
     RefinedWeb / MassiveText line-cleaning rule that ``dedupe_lines``
     (within-document) can't express: drop EVERY occurrence of any exact
@@ -868,7 +869,10 @@ def dedupe_lines_global(df: DataFrame, id_col: str, text_col: str, *,
     ``hot_count_col`` optionally emits how many DISTINCT hot lines each
     document DROPS (its boilerplate exposure — a useful per-source
     diagnostic; under ``keep='min_doc'`` the owner's retained lines
-    don't count).
+    don't count). ``removed_count_col`` optionally emits the exact
+    number of line OCCURRENCES removed (computed inside the rewrite —
+    see ``strip_hot_lines_counted`` for why it can't be derived from
+    the cleaned string).
 
     Scale shape (the reason this isn't "explode, join, re-group"):
       1. one pass explodes (doc, xxhash64(line)) DISTINCT pairs —
@@ -919,11 +923,16 @@ def dedupe_lines_global(df: DataFrame, id_col: str, text_col: str, *,
     joined = df.join(doc_hot, F.col(id_col) == F.col("__doc"), "left")
     hot = F.coalesce(F.col("__hot"),
                      F.array().cast("array<bigint>"))
-    res = joined.withColumn(out, strip_hot_lines(txt, hot))
+    st = strip_hot_lines_counted(txt, hot)
+    # one simultaneous projection: with out_col == text_col (in-place),
+    # a second sequential withColumn would re-evaluate the strip on the
+    # ALREADY-cleaned text and report 0 removals
+    new_cols = {out: st["clean"]}
+    if removed_count_col is not None:
+        new_cols[removed_count_col] = st["n_removed"]
     if hot_count_col is not None:
-        res = res.withColumn(hot_count_col,
-                             F.size(hot).cast("bigint"))
-    return res.drop("__doc", "__hot")
+        new_cols[hot_count_col] = F.size(hot).cast("bigint")
+    return joined.withColumns(new_cols).drop("__doc", "__hot")
 
 
 def strip_hot_lines(txt: Column, hot: Column) -> Column:
@@ -932,11 +941,25 @@ def strip_hot_lines(txt: Column, hot: Column) -> Column:
     xxhash64 is in ``hot`` (an ``array<bigint>`` column — typically a
     per-doc hot set from a join); whitespace-only lines always pass.
     The line array binds once via the evaluate-once transform lambda."""
+    return strip_hot_lines_counted(txt, hot)["clean"]
+
+
+def strip_hot_lines_counted(txt: Column, hot: Column) -> Column:
+    """``strip_hot_lines`` plus an EXACT removed-line count, as one
+    struct (clean string, n_removed bigint) from one bound evaluation.
+    The count can NOT be recovered from the cleaned string afterwards:
+    ``array_join([], "\\n") == array_join([""], "\\n") == ""``, so a
+    fully-stripped doc and a one-blank-line doc are indistinguishable —
+    the size(split) difference undercounts exactly there (a real bug
+    the gen_sf1 oracle sweep caught: single-line exact-dup docs strip
+    to empty and reported n_removed = 0)."""
 
     def body(ls: Column) -> Column:
         keep = F.filter(
             ls, lambda x: _blank_line(x)
             | ~F.array_contains(hot, F.xxhash64(x)))
-        return F.array_join(keep, "\n")
+        return F.struct(
+            F.array_join(keep, "\n").alias("clean"),
+            (F.size(ls) - F.size(keep)).cast("bigint").alias("n_removed"))
 
     return F.element_at(F.transform(F.array(F.split(txt, "\n")), body), 1)

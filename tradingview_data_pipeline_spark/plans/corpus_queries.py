@@ -792,17 +792,19 @@ def q79_global_line_dedup(spark, sf_dir):
     decade (9.3 s vs 1.8 s; the repetition-gate lesson, SCALING.md
     addendum 3, applies to projections too)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # n_removed comes from INSIDE the rewrite (strip_hot_lines_counted):
+    # a fully-stripped doc and a blank doc both clean to "", so the
+    # size(split) difference undercounts exactly there — the gen_sf1
+    # sweep caught the original formulation reporting 0 for stripped
+    # single-line exact-dup docs
     out = cp.dedupe_lines_global(d, "doc_id", "text", out_col="__clean",
-                                 hot_count_col="n_hot_lines")
-    txt = F.coalesce(F.col("text"), F.lit(""))
+                                 hot_count_col="n_hot_lines",
+                                 removed_count_col="n_removed")
     packed = F.element_at(
         F.transform(F.array(F.col("__clean")),
-                    lambda c: F.struct(
-                        F.md5(c).alias("h"),
-                        F.size(F.split(c, "\n")).alias("nl"))), 1)
+                    lambda c: F.struct(F.md5(c).alias("h"))), 1)
     return out.select(
         "doc_id",
         packed["h"].alias("clean_hash"),
-        (F.size(F.split(txt, "\n")) - packed["nl"]).cast("bigint")
-        .alias("n_removed"),
+        "n_removed",
         "n_hot_lines")
