@@ -513,16 +513,19 @@ def bigram_lm_profile(df: DataFrame, id_col: str,
     per = (pairs.select(id_col, F.col("__p.h1").alias("h1"),
                         F.col("__p.h12").alias("h12"))
            .groupBy(id_col, "h1", "h12")
-           .agg(F.count(F.lit(1)).alias("__c"))
-           # lazily pinned: per feeds THREE consumers (cg -> c1 -> w and
-           # the final join), and each branch acquires a DIFFERENT
-           # isnotnull filter from its join side, so canonical-plan
-           # exchange reuse never fires — without the pin the explode +
-           # 3-key shuffle re-runs three times (measured 52.6 s at the
-           # 500k-doc decade; pinned: one pass). Lazy, so no extra
-           # action; the materialized frame is the PRE-AGGREGATED
-           # (doc, bigram) table, far smaller than the token stream.
-           .localCheckpoint(eager=False))
+           .agg(F.count(F.lit(1)).alias("__c")))
+    # lazily pinned: per feeds THREE consumers (cg -> c1 -> w and the
+    # final join), and each branch acquires a DIFFERENT isnotnull
+    # filter from its join side, so canonical-plan exchange reuse never
+    # fires — without the pin the explode + 3-key shuffle re-runs three
+    # times (measured 52.6 s at the 500k-doc decade; pinned: one pass).
+    # DISK_ONLY, not localCheckpoint: the memory-backed pin's storage
+    # blocks starved execution memory at the 5M-doc decade (350M
+    # pre-aggregated rows -> SparkOutOfMemoryError in the downstream
+    # aggregate); spilled-to-disk blocks stay out of the unified pool
+    # and re-reading them is cheaper than three explode passes.
+    from pyspark import StorageLevel
+    per = per.persist(StorageLevel.DISK_ONLY)
     # corpus statistics as ONE re-aggregation chain: cg is the bigram
     # table, c1 re-aggregates CG (vocab-bounded), not the per-doc frame;
     # the weight join is vocab-sized and AQE broadcasts it when small
