@@ -105,11 +105,18 @@ def ref_bigram_lm(docs, scale=1_000_000):
 @given(st.lists(doc, min_size=1, max_size=30))
 def test_bigram_lm_profile_matches_reference(spark, docs):
     sdf = spark.createDataFrame(list(enumerate(docs)), "i long, text string")
+    out = cp.bigram_lm_profile(sdf, "i", "text")
     got = {r["i"]: (r["n_bigrams"], r["bigram_score"]) for r in
-           cp.bigram_lm_profile(sdf, "i", "text").collect()}
+           out.collect()}
     exp = ref_bigram_lm(docs)
     for i, d in enumerate(docs):
         assert got[i] == exp[i], (d, got[i], exp[i])
+    # pin-lifecycle contract: the shared pre-aggregate rides on the
+    # result and unpersist_pins releases it (long-lived sessions)
+    assert len(getattr(out, "_pinned_deps", [])) == 1
+    assert out._pinned_deps[0].storageLevel.useDisk
+    cp.unpersist_pins(out)
+    assert not out._pinned_deps[0].storageLevel.useDisk
 
 
 def ref_dedupe_lines_global(docs, min_docs=2, keep="none"):

@@ -35,6 +35,24 @@ def test_bucket_scale_mode_matches_parity_without_ties(spark):
     assert ga == gb
 
 
+def test_bucket_scale_mode_matches_parity_on_ties(spark):
+    """With tie_break, scale mode's composite (metric, tie_break)
+    boundary order statistic splits a tied run exactly like parity's
+    row_number — the r8 ADVICE finding (tied quantized scores used to
+    land wholesale in the higher bucket)."""
+    rows = [(f"s{i:03d}", float(i // 10)) for i in range(40)]  # runs of 10
+    df = spark.createDataFrame(rows, "symbol string, mcap double")
+    kw = dict(boundaries=((5, "L"), (15, "M")), default_label="S",
+              tie_break="symbol")
+    a = ops.bucket_by_global_rank(df, "mcap", mode="parity", **kw)
+    b = ops.bucket_by_global_rank(df, "mcap", mode="scale", **kw)
+    ga = {r["symbol"]: r["market_cap_category"] for r in a.collect()}
+    gb = {r["symbol"]: r["market_cap_category"] for r in b.collect()}
+    assert ga == gb
+    assert sorted(ga.values()).count("L") == 5   # tied run split at 5
+    assert sorted(ga.values()).count("M") == 10
+
+
 def test_rank_within_ties_deterministic(spark):
     df = spark.createDataFrame(
         [("a", "g", 2.0), ("b", "g", 2.0), ("c", "g", 1.0), ("d", "h", 9.0)],

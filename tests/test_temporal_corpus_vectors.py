@@ -1101,18 +1101,27 @@ def test_quality_buckets(spark):
     par = {r["doc_id"]: r["quality_bucket"] for r in
            sp.quality_buckets(df, "doc_id", "s", mode="parity").collect()}
     assert par == got
-    # ties break by id: equal scores -> lower ids take the head slots
+    # ties break by id IN BOTH MODES: equal scores -> lower ids take the
+    # head slots (scale mode uses the composite (score, id) boundary
+    # order statistic, so a tied run splits instead of shifting wholesale
+    # — the r8 ADVICE finding)
     tied = spark.createDataFrame([(i, 1.0) for i in range(6)],
                                  "doc_id long, s double")
-    tb = {r["doc_id"]: r["quality_bucket"] for r in
-          sp.quality_buckets(tied, "doc_id", "s",
-                             fractions=(0.5,), labels=("head", "tail"),
-                             mode="parity").collect()}
-    assert tb == {0: "head", 1: "head", 2: "head",
-                  3: "tail", 4: "tail", 5: "tail"}
+    want = {0: "head", 1: "head", 2: "head",
+            3: "tail", 4: "tail", 5: "tail"}
+    for mode in ("parity", "scale"):
+        tb = {r["doc_id"]: r["quality_bucket"] for r in
+              sp.quality_buckets(tied, "doc_id", "s",
+                                 fractions=(0.5,), labels=("head", "tail"),
+                                 mode=mode).collect()}
+        assert tb == want, mode
     with pytest.raises(ValueError, match="labels"):
         sp.quality_buckets(df, "doc_id", "s", fractions=(0.5,),
                            labels=("a", "b", "c"))
     with pytest.raises(ValueError, match="ascending"):
         sp.quality_buckets(df, "doc_id", "s", fractions=(0.9, 0.1),
+                           labels=("a", "b", "c"))
+    # duplicate fractions would silently yield an empty middle bucket
+    with pytest.raises(ValueError, match="ascending"):
+        sp.quality_buckets(df, "doc_id", "s", fractions=(0.5, 0.5),
                            labels=("a", "b", "c"))

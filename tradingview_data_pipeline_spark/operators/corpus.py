@@ -493,7 +493,17 @@ def bigram_lm_profile(df: DataFrame, id_col: str,
     array — no token-per-row explode of unigrams), the corpus bigram
     and prefix tables are two re-aggregations of that same frame, and
     everything joins on 8-byte xxhash64 keys (the q72 lesson), never
-    strings."""
+    strings.
+
+    Caller contract (pin lifecycle): the plan DISK_ONLY-persists its
+    shared per-(doc, bigram) pre-aggregate (three consumers whose
+    differing pushed null filters defeat exchange reuse — NOTES 31).
+    The persisted handle rides on the returned frame as
+    ``result._pinned_deps``; one-shot queries can ignore it (the
+    context cleaner reclaims the blocks), but a long-lived session
+    calling this repeatedly should ``unpersist_pins(result)`` after
+    the result materializes, or disk-cached blocks accumulate until
+    GC happens to collect the handles."""
     toks = tx.tokens(F.coalesce(F.col(text_col), F.lit("")))
 
     def bigram_structs(t: Column) -> Column:
@@ -540,10 +550,21 @@ def bigram_lm_profile(df: DataFrame, id_col: str,
            .agg(F.sum("__c").alias("__n"),
                 F.sum(F.col("__q") * F.col("__c")).alias("__s")))
     zero = F.lit(0).cast("bigint")
-    return (df.select(id_col).join(agg, id_col, "left")
-            .select(id_col,
-                    F.coalesce(F.col("__n"), zero).alias("n_bigrams"),
-                    F.coalesce(F.col("__s"), zero).alias("bigram_score")))
+    out = (df.select(id_col).join(agg, id_col, "left")
+           .select(id_col,
+                   F.coalesce(F.col("__n"), zero).alias("n_bigrams"),
+                   F.coalesce(F.col("__s"), zero).alias("bigram_score")))
+    out._pinned_deps = [per]  # see docstring: unpersist_pins(out)
+    return out
+
+
+def unpersist_pins(df: DataFrame, *, blocking: bool = False) -> None:
+    """Release DISK_ONLY pins an operator attached to its result frame
+    (``_pinned_deps`` — currently ``bigram_lm_profile``). Call AFTER
+    the result has materialized (collected / written); a no-op on
+    frames that carry no pins."""
+    for dep in getattr(df, "_pinned_deps", ()):
+        dep.unpersist(blocking=blocking)
 
 
 def gram_positions(df: DataFrame, id_col: str, text_col: str,

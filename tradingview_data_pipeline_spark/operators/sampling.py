@@ -271,20 +271,24 @@ def quality_buckets(df: DataFrame, id_col: str, score_col: str, *,
     boundaries; ``scoring.bucket_by_global_rank`` then assigns labels —
     ``mode='scale'`` (default) computes the boundary order statistics
     with a small two-phase aggregate and buckets with a map-only range
-    comparison (NO single-partition window; boundary-rank ties may land
-    one row differently than parity, the documented W1 deviation), so
-    the operator survives corpus scale. Ties inside the ranking break
-    on ``id_col`` — deterministic on any layout."""
+    comparison (NO single-partition window), so the operator survives
+    corpus scale. Ties break on ``id_col`` in BOTH modes: scale mode
+    uses the composite ``(score, id)`` boundary order statistic, so a
+    run of tied quantized scores (common for ``bigram_lm_profile``
+    output) splits at the boundary exactly as parity mode does —
+    deterministic on any layout."""
     from tradingview_data_pipeline_spark.operators import scoring as sc
 
     if len(labels) != len(fractions) + 1:
         raise ValueError(
             f"need len(labels) == len(fractions) + 1, got "
             f"{len(labels)} labels / {len(fractions)} fractions")
-    if list(fractions) != sorted(fractions) or not all(
+    if any(a >= b for a, b in zip(fractions, fractions[1:])) or not all(
             0 < f < 1 for f in fractions):
-        raise ValueError(f"fractions must be ascending in (0, 1): "
-                         f"{fractions}")
+        # strictly ascending: a duplicated fraction would silently make
+        # the middle bucket a duplicated rank boundary (empty bucket)
+        raise ValueError(f"fractions must be strictly ascending in "
+                         f"(0, 1): {fractions}")
     n = df.count()
     bounds = [(max(1, int(f * n)), lab)
               for f, lab in zip(fractions, labels)]

@@ -48,8 +48,14 @@ def bucket_by_global_rank(
     ``mode='scale'`` avoids the single-partition window: it computes the
     metric values at the boundary ranks (a tiny 2-phase job: per-partition
     top-N counts -> boundary thresholds) and buckets by range comparison,
-    which is a map-only pass after one small aggregate. Boundary-rank ties
-    may land one row differently than parity mode — documented deviation.
+    which is a map-only pass after one small aggregate. With ``tie_break``
+    the boundary threshold is the composite ``(metric, tie_break)`` order
+    statistic and the compare is lexicographic, so scale mode matches
+    parity EXACTLY even on tied metrics (a run of tied quantized scores —
+    e.g. ``bigram_lm_profile`` output — splits at the boundary instead of
+    landing wholesale in the higher bucket). Without ``tie_break``,
+    boundary ties bucket by ``metric >= threshold`` and a tied run shifts
+    wholesale — documented deviation.
     """
     order = [F.col(metric).desc_nulls_last()]
     if tie_break:
@@ -69,19 +75,29 @@ def bucket_by_global_rank(
     # order statistics; at 100 TB this is one sort-limited aggregate of
     # max(boundary) rows, not a global sort of the table.
     max_rank = max(u for u, _ in boundaries)
+    cols = [metric] + ([tie_break] if tie_break else [])
     top = (
         df.where(F.col(metric).isNotNull())
-        .select(metric)
-        .orderBy(F.col(metric).desc())
+        .select(*cols)
+        .orderBy(*order)
         .limit(max_rank)
         .collect()
     )
-    vals = [r[0] for r in top]
     expr = F.lit(default_label)
     for upper, label in reversed(list(boundaries)):
-        if upper <= len(vals):
-            thr = vals[upper - 1]
-            expr = F.when(F.col(metric) >= thr, F.lit(label)).otherwise(expr)
+        if upper <= len(top):
+            thr = top[upper - 1][0]
+            if tie_break:
+                # composite (metric desc, tie_break asc) boundary: exact
+                # parity even on tied metrics — the tied run splits at
+                # the boundary row's tie_break value
+                tb_thr = top[upper - 1][1]
+                in_bucket = (F.col(metric) > F.lit(thr)) | (
+                    (F.col(metric) == F.lit(thr))
+                    & (F.col(tie_break) <= F.lit(tb_thr)))
+            else:
+                in_bucket = F.col(metric) >= F.lit(thr)
+            expr = F.when(in_bucket, F.lit(label)).otherwise(expr)
         else:
             expr = F.lit(label)
     return df.withColumn(out_col, F.when(F.col(metric).isNotNull(), expr))

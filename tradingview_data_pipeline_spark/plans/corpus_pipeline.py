@@ -506,9 +506,11 @@ class IncrementalCorpusBuilder:
                           T.StructField("owner", T.LongType())]),
             "h", buckets=buckets)
         # cross-document line-prevalence store: one row per distinct
-        # (line-hash, shipping doc) pair, keyed (and bucket-pruned) by
-        # line hash — ~16 bytes per distinct shipped line-doc; the
-        # per-batch read touches only the batch's line-hash buckets
+        # (line-hash, arriving doc) pair — ARRIVED-IN semantics: pairs
+        # are recorded for every near-dup keeper, even ones the line
+        # strip empties or a later stage drops (see _global_line_stage)
+        # — keyed (and bucket-pruned) by line hash, ~16 bytes per pair;
+        # the per-batch read touches only the batch's line-hash buckets
         self.dedupe_global_lines = dedupe_global_lines
         self.lines = ParquetTable(
             spark, os.path.join(state_dir, "lines"),
@@ -738,10 +740,16 @@ class IncrementalCorpusBuilder:
     def _global_line_stage(self, keepers: DataFrame):
         """Incremental cross-document line dedup — the streaming-cadence
         form of ``corpus.dedupe_lines_global``: a non-blank line is HOT
-        once stored prevalence (distinct docs that already shipped it,
-        excluding this batch's own replay echoes) plus this batch's
-        keeper count reaches ``dedupe_global_lines``; every occurrence
-        in the batch is then stripped before shipping. FORWARD-ONLY:
+        once stored prevalence (distinct docs the line ARRIVED in as a
+        near-dup keeper — including docs the strip itself emptied or a
+        later stage dropped, but excluding this batch's own replay
+        echoes) plus this batch's keeper count reaches
+        ``dedupe_global_lines``; every occurrence in the batch is then
+        stripped before shipping. Arrived-in (not shipped) prevalence
+        is deliberate: it counts how often the corpus SEES a line, so
+        boilerplate whose every carrier gets emptied still crosses the
+        threshold, and it keeps the recorded pairs independent of
+        downstream stage config (replay-stable). FORWARD-ONLY:
         docs shipped before a line crossed the threshold keep it (an
         append-only corpus never retro-rewrites) — so unlike the batch
         operator, early copies of late-blooming boilerplate survive;
