@@ -127,11 +127,47 @@ def test_bpe_pair_batch_is_exact(spark):
     BIT-IDENTICAL merge sequence: each action applies only the prefix
     of the sequential order the count snapshot can PROVE (see
     _select_exact_batch's soundness argument)."""
-    base = bpe.bpe_train(_df(spark), "text", n_merges=20)
+    base = bpe.bpe_train(_df(spark), "text", n_merges=20,
+                         mode="distributed")
     for pb in (4, 16, 64):
-        got = bpe.bpe_train(_df(spark), "text", n_merges=20, pair_batch=pb)
+        got = bpe.bpe_train(_df(spark), "text", n_merges=20, pair_batch=pb,
+                            mode="distributed")
         assert got == base, f"pair_batch={pb}"
     assert base == _ref_train(TEXTS, 20)
+
+
+def test_bpe_local_path_matches_distributed(spark):
+    """The driver-side merge loop (mode='local' / the 'auto' default on
+    vocabulary-sized word tables) is bit-equal to the distributed
+    per-iteration path AND the pure-python reference; 'auto' falls back
+    to distributed when the word table exceeds local_max_words."""
+    import pytest
+    dist = bpe.bpe_train(_df(spark), "text", n_merges=20,
+                         mode="distributed")
+    st = {}
+    loc = bpe.bpe_train(_df(spark), "text", n_merges=20, mode="local",
+                        stats_out=st)
+    assert loc == dist == _ref_train(TEXTS, 20)
+    assert st["path"] == "local" and st["n_actions"] == 1
+    st = {}
+    auto = bpe.bpe_train(_df(spark), "text", n_merges=20, stats_out=st)
+    assert auto == dist and st["path"] == "local"
+    # min_pair_count early stop + tie-break laws hold on the local path
+    assert bpe.bpe_train(_df(spark, ["abcd"]), "text", n_merges=5,
+                         min_pair_count=10, mode="local") == []
+    assert bpe.bpe_train(_df(spark, ["bca"]), "text", n_merges=1,
+                         min_pair_count=1, mode="local") == [("a", EOW)]
+    assert bpe.bpe_train(_df(spark, ["aaaa aaaa"]), "text", n_merges=2,
+                         min_pair_count=2, mode="local") == \
+        bpe.bpe_train(_df(spark, ["aaaa aaaa"]), "text", n_merges=2,
+                      min_pair_count=2, mode="distributed")
+    # auto + tiny cap -> distributed fallback, same result
+    st = {}
+    fb = bpe.bpe_train(_df(spark), "text", n_merges=20, stats_out=st,
+                       local_max_words=1)
+    assert fb == dist and st["path"] == "distributed"
+    with pytest.raises(ValueError, match="mode"):
+        bpe.bpe_train(_df(spark), "text", mode="turbo")
 
 
 def test_bpe_leading_whitespace_no_phantom_empty_word(spark):

@@ -421,6 +421,128 @@ def test_semantic_dedup_blas_matches_fold(spark):
                            assign_method="gpu")
 
 
+def test_with_nearest_centroid_int_exact(spark):
+    """The integer path (1e-6-grid BIGINT squared-L2 via int64 matmul)
+    must (a) agree with the fold on separated data and (b) reproduce a
+    pure-python integer reference BIT-EXACTLY — that exactness is what
+    lets q77 register it against a DuckDB oracle at any k."""
+    import math
+    import random
+    import struct
+    random.seed(41)
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    rows = [(i, i % 4, [f32(random.gauss(10.0 * (i % 4), 1.0))
+                        for _ in range(6)])
+            for i in range(160)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    ci = sim.group_centroids_int(df, "label", "embedding")
+    got = {r["vec_id"]: (r["assigned"], r["dist"]) for r in
+           sim.with_nearest_centroid_int(df.select("vec_id", "embedding"),
+                                         "embedding", ci, "label").collect()}
+    fold = {r["vec_id"]: r["assigned"] for r in
+            sim.with_nearest_centroid(
+                df.select("vec_id", "embedding"), "embedding",
+                sim.group_centroids_quantized(df, "label", "embedding"),
+                "label").collect()}
+    assert {k: v[0] for k, v in got.items()} == fold
+    # pure-python integer reference (same IEEE ops, same floor/grid)
+    by_lbl = {}
+    for _, lbl, v in rows:
+        by_lbl.setdefault(lbl, []).append([math.floor(x * 1000000.0)
+                                           for x in v])
+    qcent = {lbl: [math.floor(sum(col) / len(vs))
+                   for col in zip(*vs)]
+             for lbl, vs in ((l, v) for l, v in by_lbl.items())}
+    for vid, lbl, v in rows:
+        qv = [math.floor(x * 1000000.0) for x in v]
+        dists = {l: sum((a - b) * (a - b) for a, b in zip(qv, c))
+                 for l, c in qcent.items()}
+        best = min(dists, key=lambda l: (dists[l], l))
+        assert got[vid] == (best, dists[best]), vid
+    # probes: distance-ordered top-p, starting at assigned
+    pr = sim.with_nearest_centroid_int(
+        df.select("vec_id", "embedding"), "embedding", ci, "label",
+        probes_col="pp", probes=3).collect()
+    for r in pr:
+        assert r["pp"][0] == r["assigned"] and len(r["pp"]) == 3
+
+
+def test_embedding_near_dups_int_matches_reference(spark):
+    """int8-quantized Gram pairs: bit-exact vs a pure-python quantize +
+    integer-dot reference; zero vectors never pair; the i<j order and
+    bucket scoping match the join form's contract."""
+    import math
+    import struct
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]), (2, 0, [0.99, 0.14, 0.0]),
+        (3, 0, [0.0, 1.0, 0.0]), (4, 0, [0.0, 0.0, 0.0]),   # zero vec
+        (5, 1, [1.0, 0.0, 0.0]), (6, 1, [-0.7, 0.7, 0.1]),
+        (7, 1, [0.98, 0.0, 0.2]),
+    ]
+    rows = [(i, b, [f32(x) for x in v]) for i, b, v in rows]
+    df = spark.createDataFrame(
+        rows, "vec_id long, bk int, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in
+           sim.embedding_near_dups_int(df, "vec_id", "embedding", "bk",
+                                       threshold=0.5).collect()}
+
+    def q8(v):
+        s = max(abs(x) for x in v)
+        if s == 0.0:
+            return [0] * len(v)
+        return [max(-127, math.floor(x * 127.0 / s)) for x in v]
+
+    exp = {}
+    for i, (ia, ba, va) in enumerate(rows):
+        for ib, bb, vb in rows[i + 1:]:
+            if ba != bb:
+                continue
+            qa, qb = q8(va), q8(vb)
+            na = sum(x * x for x in qa)
+            nb = sum(x * x for x in qb)
+            if na == 0 or nb == 0:
+                continue
+            cos = sum(x * y for x, y in zip(qa, qb)) / math.sqrt(na * nb)
+            if cos >= 0.5:
+                exp[(min(ia, ib), max(ia, ib))] = cos
+    assert got == exp          # bit-exact, including the cos values
+    assert (1, 2) in got and (5, 7) in got
+    assert all(4 not in p for p in got)   # zero vector never pairs
+
+
+def test_semantic_dedup_int_matches_fold_groups(spark):
+    """assign_method='int' + pair_method='int' reproduce the fold
+    pipeline's groups/keepers on separated data (int8 quantization
+    perturbs cosines ~1%, far from the 0.9-vs-0.999 margin here)."""
+    import random
+    random.seed(43)
+    rows = []
+    for i in range(80):
+        lbl = i % 4
+        rows.append((i, lbl,
+                     [random.gauss(8.0 * lbl + 1.0, 1.0) for _ in range(8)]))
+    for j in range(4):
+        rows.append((200 + j, rows[j][1], [x * 1.01 for x in rows[j][2]]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    cf = sim.group_centroids_quantized(df, "label", "embedding")
+    ci = sim.group_centroids_int(df, "label", "embedding")
+    for probes in (1, 2):
+        a = sim.semantic_dedup(df, "vec_id", "embedding", cf, "label",
+                               threshold=0.9, probes=probes)
+        b = sim.semantic_dedup(df, "vec_id", "embedding", ci, "label",
+                               threshold=0.9, probes=probes,
+                               assign_method="int", pair_method="int")
+        ka = {(r["vec_id"], r["sd_group"], r["keep"]) for r in a.collect()}
+        kb = {(r["vec_id"], r["sd_group"], r["keep"]) for r in b.collect()}
+        assert ka == kb
+    with pytest.raises(ValueError):
+        sim.semantic_dedup(df, "vec_id", "embedding", ci, "label",
+                           pair_method="nope")
+
+
 def test_semantic_dedup_multi_probe_finds_straddling_pair(spark):
     # two centroids at (1,0) and (0.94, 0.34); the dup pair sits near the
     # boundary so its members assign to DIFFERENT top-1 centroids

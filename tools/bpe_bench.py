@@ -63,12 +63,19 @@ def main() -> None:
     docs = build_corpus(spark).localCheckpoint(eager=True)
     n_distinct = bpe.word_freq_table(docs, "text").count()
 
-    if len(sys.argv) > 1:
-        sweep = [(int(sys.argv[1]), int(sys.argv[2]))]
+    if len(sys.argv) > 2:
+        sweep = [(int(sys.argv[1]), int(sys.argv[2]),
+                  sys.argv[3] if len(sys.argv) > 3 else "auto")]
     else:
-        sweep = [(500, 32), (2000, 8), (2000, 32), (2000, 128)]
+        # round 9: the driver-side merge loop (mode='local'/auto) is the
+        # production path — measure it at REALISTIC vocabulary sizes
+        # (5k/10k/25k merges); keep one distributed point as the
+        # comparison baseline (its 0.107 s/merge floor is the measured
+        # r8 result the local path exists to remove)
+        sweep = [(5000, 1, "local"), (10000, 1, "local"),
+                 (25000, 1, "local"), (500, 32, "distributed")]
 
-    for n_merges, pair_batch in sweep:
+    for n_merges, pair_batch, mode in sweep:
         stats: dict = {}
         t0 = time.time()
         # checkpoint_every stays SMALL even for big batches: the word
@@ -77,13 +84,14 @@ def main() -> None:
         # every word row per action — measured: 500 merges at batch=32
         # with checkpoint_every=32 ran 1.6x SLOWER than batch=8/ckpt=8
         merges = bpe.bpe_train(docs, "text", n_merges=n_merges,
-                               pair_batch=pair_batch,
+                               pair_batch=pair_batch, mode=mode,
                                stats_out=stats)
         dt = time.time() - t0
         print(json.dumps({
             "bench": "bpe_train", "n_docs": N_DOCS,
             "distinct_words": n_distinct, "n_merges_asked": n_merges,
             "n_merges_got": len(merges), "pair_batch": pair_batch,
+            "path": stats.get("path"),
             "sec": round(dt, 2),
             "sec_per_merge": round(dt / max(1, len(merges)), 4),
             "n_actions": stats.get("n_actions"),

@@ -38,7 +38,7 @@ def main() -> None:
     spark = get_spark("corpus-prep-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    lsh_k = int(os.environ.get("CORPUS_PREP_LSH_K", "8"))
+    lsh_k = int(os.environ.get("CORPUS_PREP_LSH_K", "16"))
     # 'N,SEQ' -> also run the tokenize-and-pack stage (N merges, SEQ-id
     # sequences); its wall time is reported separately so the stage's
     # own decade ratio is visible next to the dedup-bound pipeline's

@@ -34,7 +34,16 @@ BATCH_VECS = 500
 
 
 def main() -> None:
-    sf_dirs = [os.path.abspath(d) for d in sys.argv[1:]] or [
+    # --indexes=a,b,c restricts the run (e.g. the gen_sf100 banded-vs-
+    # scan crossover run only needs minhash+minhash_banded)
+    only = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--indexes="):
+            only = set(a.split("=", 1)[1].split(","))
+        else:
+            args.append(a)
+    sf_dirs = [os.path.abspath(d) for d in args] or [
         os.path.abspath(f".scale/gen_sf{s}") for s in ("0.1", "1", "10")]
 
     from pyspark.sql import functions as F
@@ -65,30 +74,40 @@ def main() -> None:
         calibration = round(time.perf_counter() - t0, 3)
 
         with tempfile.TemporaryDirectory() as tmp:
-            mh = dd.IncrementalNearDupIndex(
-                spark, os.path.join(tmp, "mh"), buckets=32)
-            mh.table.overwrite(dd._minhash_agg(docs, "doc_id", "text", mh.k))
-            # banded-store mode: seed the signature table, then the
-            # public migration path builds the membership store
-            mb = dd.IncrementalNearDupIndex(
-                spark, os.path.join(tmp, "mb"), buckets=32,
-                banded_store=True)
-            mb.table.overwrite(dd._minhash_agg(docs, "doc_id", "text",
-                                               mb.k))
-            mb.rebuild_store()
-            sh = dd.IncrementalSimHashIndex(
-                spark, os.path.join(tmp, "sh"), buckets=32)
-            sh.table.overwrite(dd.simhash_table(docs, "doc_id", "text",
-                                                bits=sh.bits))
-            em = sim.IncrementalEmbeddingIndex(
-                spark, os.path.join(tmp, "em"), buckets=32)
-            em.table.overwrite(em._wide(vecs, "vec_id", "embedding"))
+            runs = []
+            want = lambda n: only is None or n in only  # noqa: E731
+            sig = None
+            if want("minhash") or want("minhash_banded"):
+                # one signature computation seeds BOTH modes
+                sig = dd._minhash_agg(docs, "doc_id", "text", 8) \
+                    .localCheckpoint(eager=True)
+            if want("minhash"):
+                mh = dd.IncrementalNearDupIndex(
+                    spark, os.path.join(tmp, "mh"), buckets=32)
+                mh.table.overwrite(sig)
+                runs.append(("minhash", mh, doc_batch, n_docs))
+            if want("minhash_banded"):
+                # banded-store mode: seed the signature table, then the
+                # public migration path builds the membership store
+                mb = dd.IncrementalNearDupIndex(
+                    spark, os.path.join(tmp, "mb"), buckets=32,
+                    banded_store=True)
+                mb.table.overwrite(sig)
+                mb.rebuild_store()
+                runs.append(("minhash_banded", mb, doc_batch, n_docs))
+            if want("simhash"):
+                sh = dd.IncrementalSimHashIndex(
+                    spark, os.path.join(tmp, "sh"), buckets=32)
+                sh.table.overwrite(dd.simhash_table(docs, "doc_id", "text",
+                                                    bits=sh.bits))
+                runs.append(("simhash", sh, doc_batch, n_docs))
+            if want("embedding"):
+                em = sim.IncrementalEmbeddingIndex(
+                    spark, os.path.join(tmp, "em"), buckets=32)
+                em.table.overwrite(em._wide(vecs, "vec_id", "embedding"))
+                runs.append(("embedding", em, vec_batch, n_vecs))
 
-            for name, idx, batch, stored in (
-                    ("minhash", mh, doc_batch, n_docs),
-                    ("minhash_banded", mb, doc_batch, n_docs),
-                    ("simhash", sh, doc_batch, n_docs),
-                    ("embedding", em, vec_batch, n_vecs)):
+            for name, idx, batch, stored in runs:
                 t0 = time.perf_counter()
                 pairs = idx.add_and_find(batch)
                 n_pairs = pairs.count()
@@ -99,6 +118,8 @@ def main() -> None:
                     "add_and_find_sec": secs,
                     "calibration_sec": calibration}), flush=True)
 
+            if not want("lines_store"):
+                continue
             # the builder's line-prevalence store: seed (lh, doc) pairs
             # from the whole corpus, then time ONE _global_line_stage +
             # pair commit on the fixed batch — the same flat-at-10x/100x

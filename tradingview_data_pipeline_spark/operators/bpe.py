@@ -23,10 +23,30 @@ Spark's execution model:
   exactly the recurrence case the policy reserves Pandas execution
   for). Encoding is embarrassingly parallel over rows.
 
+- ``bpe_train(mode='auto')`` (round 9): when the distinct-word table
+  fits the driver — it almost always does; it is vocabulary-sized
+  (~10^7 rows at web scale), not corpus-sized — the merge loop runs
+  DRIVER-SIDE over the collected ``(word, freq)`` table with
+  incremental pair-count maintenance (a lazy-invalidation heap plus a
+  pair -> containing-words index, so each merge touches only affected
+  words). This removes the per-merge Spark-action round-trip that
+  bounded the distributed loop at ~0.1 s/merge regardless of cluster
+  size (BPE_BENCH_r8) — a 30k-merge production vocabulary drops from
+  ~54 min of sequential actions to the cost of one word-count job plus
+  an in-memory loop. The distributed per-iteration path remains for
+  vocabularies past ``local_max_words`` and is pinned bit-equal.
+
 Not SQL-expressible (iterative argmax-dependent state), so verified
 like PageRank: pytest against a pure-Python reference implementation
 (identical merge lists, greedy-overlap and tie-break laws), not the
 DuckDB oracle.
+
+Tokenization contract: words are ``\\s+``-delimited with a ``</w>``
+end-of-word marker (Sennrich et al. 2016) — merges never cross word
+boundaries, and there is NO byte-level fallback à la GPT-2 (a
+character absent from the training corpus encodes to ``<unk>`` via the
+vocabulary, not to bytes); that is a deliberate from-scratch design
+choice, not an emulation gap.
 
 Reference parity note: the reference pipeline has no tokenizer; this
 belongs to the training-data extension surface (SURVEY §2 extension
@@ -132,6 +152,82 @@ def _select_exact_batch(rows, selected_limit: int,
     return out
 
 
+def _train_from_word_freqs(wf: dict[str, int], n_merges: int,
+                           min_pair_count: int) -> list[tuple[str, str]]:
+    """Driver-side BPE merge loop over a collected ``(word, freq)``
+    table — bit-identical to the distributed per-iteration path.
+
+    Exact semantics preserved: pair counts weight EVERY adjacent
+    position (overlaps included) by word frequency; argmax ties break
+    count-desc then pair-lexicographic-asc; the rewrite is the same
+    greedy left-to-right non-overlapping merge. Incremental
+    maintenance: a pair -> containing-word-ids index limits each merge
+    to its affected words, and a lazy-invalidation min-heap on
+    ``(-count, pair)`` yields the argmax without scanning the pair
+    table (every count change pushes a fresh entry; stale entries are
+    discarded on pop — the heap order IS the tie-break order)."""
+    import heapq
+    from collections import Counter
+
+    freqs: list[int] = []
+    syms_tab: list[list[str]] = []
+    pc: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for w, f in wf.items():
+        idx = len(freqs)
+        freqs.append(f)
+        syms = list(w) + [END_OF_WORD]
+        syms_tab.append(syms)
+        for p in zip(syms, syms[1:]):
+            pc[p] = pc.get(p, 0) + f
+            occ.setdefault(p, set()).add(idx)
+    heap = [(-c, p) for p, c in pc.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pc.get(p, 0) == -negc:
+                best = (p, -negc)
+                break
+        if best is None or best[1] < min_pair_count:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        changed: set[tuple[str, str]] = set()
+        for idx in list(occ.get((a, b), ())):
+            f = freqs[idx]
+            syms = syms_tab[idx]
+            old = Counter(zip(syms, syms[1:]))
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms_tab[idx] = out
+            new = Counter(zip(out, out[1:]))
+            for p2 in old.keys() | new.keys():
+                d = new.get(p2, 0) - old.get(p2, 0)
+                if d:
+                    pc[p2] = pc.get(p2, 0) + d * f
+                    changed.add(p2)
+                    if pc[p2] <= 0:
+                        del pc[p2]
+                if old.get(p2, 0) and not new.get(p2, 0):
+                    s2 = occ.get(p2)
+                    if s2 is not None:
+                        s2.discard(idx)
+                elif new.get(p2, 0) and not old.get(p2, 0):
+                    occ.setdefault(p2, set()).add(idx)
+        for p2 in changed:
+            c = pc.get(p2, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p2))
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -141,6 +237,8 @@ def bpe_train(
     checkpoint_every: int = 5,
     pair_batch: int = 1,
     stats_out: dict | None = None,
+    mode: str = "auto",
+    local_max_words: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list (the tokenizer). Stops early when no adjacent
@@ -163,10 +261,38 @@ def bpe_train(
     (early character-level rounds) batch poorly by construction;
     plateau regimes (the long tail of a big vocabulary) batch well.
 
-    ``stats_out`` (optional dict) records ``n_actions`` (Spark actions
-    run) and ``merges_per_action`` — the measured batching efficiency.
+    ``mode``: ``'auto'`` (default) collects the word table and runs the
+    merge loop DRIVER-SIDE when it holds at most ``local_max_words``
+    distinct words (one bounded ``limit(n+1).count()`` probe decides) —
+    the vocabulary-sized table is the natural driver object, and the
+    in-memory loop removes the per-merge action round-trip that no
+    cluster size can amortize. ``'local'`` forces it; ``'distributed'``
+    forces the per-iteration Spark loop (giant vocabularies). All three
+    produce the IDENTICAL merge list (pytest-pinned).
+
+    ``stats_out`` (optional dict) records ``path`` ('local' or
+    'distributed'), ``n_actions`` (Spark actions run) and
+    ``merges_per_action`` — the measured batching efficiency.
     """
-    words = word_freq_table(df, text_col).withColumn(
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
+    wf_table = word_freq_table(df, text_col)
+    if mode != "distributed":
+        use_local = mode == "local"
+        n_actions = 0
+        if not use_local:
+            n_actions += 1
+            use_local = (wf_table.limit(local_max_words + 1).count()
+                         <= local_max_words)
+        if use_local:
+            wf = {r["word"]: r["freq"] for r in wf_table.collect()}
+            merges = _train_from_word_freqs(wf, n_merges, min_pair_count)
+            if stats_out is not None:
+                stats_out["path"] = "local"
+                stats_out["n_actions"] = n_actions + 1   # the collect
+                stats_out["merges_per_action"] = float(len(merges))
+            return merges
+    words = wf_table.withColumn(
         "symbols", _initial_symbols(F.col("word"))).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     since_ckpt = 0
@@ -197,6 +323,7 @@ def bpe_train(
             words = words.localCheckpoint(eager=True)
             since_ckpt = 0
     if stats_out is not None:
+        stats_out["path"] = "distributed"
         stats_out["n_actions"] = n_actions
         stats_out["merges_per_action"] = (
             len(merges) / n_actions if n_actions else 0.0)

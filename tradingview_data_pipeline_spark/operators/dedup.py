@@ -367,7 +367,7 @@ def _banded_signatures(g: DataFrame, id_col: str, k: int,
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
-                        *, k: int = 8, bands: int = 4,
+                        *, k: int = 16, bands: int = 4,
                         shingles: DataFrame | None = None,
                         max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT
                         ) -> DataFrame:
@@ -376,6 +376,14 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     Plan shape: map-only signature -> explode bands (×bands rows) ->
     self-join on (band, bh). The join key is a 16-byte hash; AQE handles
     bucket skew. No payload moves.
+
+    The k=16 / 4-row-band default is the SCALE-SAFE configuration
+    (round-9 change from k=8 / 2-row bands): 2-row bands collide en
+    masse past ~10^5 docs on low-entropy corpora — the measured
+    third-decade x31 blowup, SCALING.md round-8 addendum; the k=16
+    remedy curve (353 -> 78 s) was measured in round 6. Use
+    ``suggest_minhash_bands`` to retarget the S-curve for a different
+    Jaccard threshold.
 
     ``max_bucket`` guards the self-join's quadratic failure mode: a
     degenerate bucket (empty docs, boilerplate, any content family whose
@@ -984,7 +992,7 @@ class IncrementalSimHashIndex:
 
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
-                   *, k: int = 8, bands: int = 4,
+                   *, k: int = 16, bands: int = 4,
                    jaccard_threshold: float = 0.5,
                    scored_pairs: DataFrame | None = None,
                    max_bucket: int | None = LSH_MAX_BUCKET_DEFAULT

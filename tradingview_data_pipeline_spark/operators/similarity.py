@@ -275,13 +275,15 @@ def group_centroids_quantized(df: DataFrame, group_col: str,
     )
 
 
-def _centroid_arrays(centroids_long: DataFrame, group_col: str) -> DataFrame:
-    """(group, dim, centroid) long form -> (c_label, cvec array) wide."""
+def _centroid_arrays(centroids_long: DataFrame, group_col: str,
+                     val_col: str = "centroid") -> DataFrame:
+    """(group, dim, <val>) long form -> (c_label, cvec array) wide."""
     return (
         centroids_long
         .groupBy(F.col(group_col).alias("c_label"))
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("a"))
-        .select("c_label", F.expr("transform(a, x -> x.centroid)").alias("cvec"))
+        .agg(F.array_sort(
+            F.collect_list(F.struct("dim", F.col(val_col).alias("v")))).alias("a"))
+        .select("c_label", F.expr("transform(a, x -> x.v)").alias("cvec"))
     )
 
 
@@ -429,19 +431,202 @@ def with_nearest_centroid_blas(df: DataFrame, vec_col: str,
     return df.mapInPandas(assign, out_schema)
 
 
+def group_centroids_int(df: DataFrame, group_col: str, vec_col: str,
+                        *, scale: int = 1_000_000) -> DataFrame:
+    """Per-group INTEGER centroids on the 1e-6 grid: (group, dim, n,
+    qcent BIGINT) with ``qcent = floor(sum(floor(v*scale)) / n)``.
+
+    The component sum is an associative BIGINT aggregate (layout- and
+    engine-independent); the one division is a single IEEE double op on
+    exactly-representable integers (|sum| < 2^53 up to ~9e9 unit-norm
+    rows), so ``qcent`` is bit-identical in Spark and DuckDB. Feeds
+    ``with_nearest_centroid_int`` — the exact large-k assignment path
+    (``with_nearest_centroid_blas`` is fast but reassociates float
+    sums, so it cannot back an oracle-checked query)."""
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"))
+    q = ex.withColumn(
+        "qv", F.floor(F.col("val").cast("double")
+                      * F.lit(float(scale))).cast("long"))
+    return (
+        q.groupBy(group_col, F.col("dim").cast("bigint").alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qv").alias("sq"))
+        .withColumn("qcent", F.floor(F.col("sq").cast("double")
+                                     / F.col("n").cast("double")).cast("long"))
+        .drop("sq")
+    )
+
+
+def with_nearest_centroid_int(df: DataFrame, vec_col: str,
+                              centroids_long: DataFrame, group_col: str, *,
+                              out_assigned: str = "assigned",
+                              out_dist: str = "dist",
+                              probes_col: str | None = None,
+                              probes: int = 1,
+                              scale: int = 1_000_000) -> DataFrame:
+    """EXACT nearest-centroid assignment at any k — integer squared-L2
+    on the 1e-6 grid via one int64 matmul per Arrow batch.
+
+    The fold path (``with_nearest_centroid``) is bit-stable but O(k·d)
+    INTERPRETED work per row — measured prohibitive past k≈100s of
+    centroids (tools/semdedup_bench.py: the k=800 decade-3 fold run was
+    killed at 35 min); the BLAS path is fast but reassociates float
+    sums, so assignments near Voronoi boundaries are not cross-engine
+    reproducible. This path is both: vectors and centroids quantize to
+    BIGINT (``floor(v*scale)``; centroids from
+    ``group_centroids_int``), and ``dist = Σ (qv−qc)²`` is pure integer
+    arithmetic — associative, so the numpy ``‖x‖² − 2xCᵀ + ‖c‖²``
+    decomposition is EXACT (terms bounded by 64·(2e6)² ≈ 2.6e14 « 2^63)
+    and a DuckDB ``list_reduce`` fold over the same integers produces
+    the identical BIGINT. Ties break to the smaller label (label-sorted
+    centroid matrix, argmin-first). ``out_dist`` is BIGINT in grid²
+    units. ``probes_col``: also emit the distance-ordered top-``probes``
+    labels (stable argsort ⇒ label-ascending on exact ties)."""
+    import numpy as np
+
+    carr = _centroid_arrays(centroids_long, group_col,
+                            val_col="qcent").orderBy("c_label")
+    rows = carr.collect()
+    if not rows:
+        raise ValueError("centroids_long is empty")
+    labels = [r["c_label"] for r in rows]
+    cmat = np.asarray([r["cvec"] for r in rows], dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    p = min(probes, len(labels))
+    label_arr = np.asarray(labels)
+    fscale = float(scale)
+
+    label_field = [f for f in centroids_long.schema
+                   if f.name == group_col][0]
+    fields = list(df.schema.fields) + [
+        T.StructField(out_assigned, label_field.dataType),
+        T.StructField(out_dist, T.LongType()),
+    ]
+    if probes_col is not None:
+        fields.append(T.StructField(probes_col,
+                                    T.ArrayType(label_field.dataType)))
+    out_schema = T.StructType(fields)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            q = np.floor(x * fscale).astype(np.int64)
+            d2 = ((q * q).sum(axis=1)[:, None]
+                  - 2 * (q @ cmat.T) + cnorm[None, :])
+            idx = d2.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf[out_assigned] = label_arr[idx]
+            pdf[out_dist] = d2[np.arange(len(pdf)), idx]
+            if probes_col is not None:
+                top = np.argsort(d2, axis=1, kind="stable")[:, :p]
+                pdf[probes_col] = [label_arr[t].tolist() for t in top]
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
+def embedding_near_dups_int(corpus: DataFrame, id_col: str, vec_col: str,
+                            bucket_col: str, *, threshold: float = 0.95,
+                            max_bucket: int | None = 10_000,
+                            block: int = 2048) -> DataFrame:
+    """Within-bucket near-dup pairs by EXACT int8-quantized cosine —
+    the vectorized scale path for ``embedding_near_dups``.
+
+    The join+fold form materializes one row per candidate pair (two
+    64-float arrays each) and folds the dot product interpreted —
+    measured ~50k pairs/s wall at 32 cores (the q77 decade-2 ×48
+    blowup). Here each bucket is one ``applyInPandas`` group: vectors
+    int8-quantize (identical IEEE ops to ``quantize_int8``), the pair
+    scores come from one integer Gram matmul per row-block (exact —
+    integer arithmetic is associative), and only the surviving pairs
+    materialize. ``cos = dot / sqrt(na*nb)`` with the norm PRODUCT
+    under one sqrt (``na·nb ≤ (127²·64)² < 2^53`` — exact; a
+    ``sqrt(na)*sqrt(nb)`` form would round differently), so scores are
+    bit-identical to a DuckDB ``list_reduce`` mirror. Zero vectors
+    never pair. ``max_bucket`` is the same degenerate-bucket guard as
+    the join form; ``block`` caps the Gram slab at block×max_bucket
+    int64s (~160 MB at defaults)."""
+    import numpy as np
+    import pandas as pd
+
+    src = corpus.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__v"),
+                        F.col(bucket_col).alias("bk"))
+    if max_bucket is not None:
+        over = (src.groupBy("bk").agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > max_bucket).select("bk"))
+        src = src.join(F.broadcast(over), "bk", "left_anti")
+    id_t = src.schema["id_a"].dataType
+    bk_t = src.schema["bk"].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_t), T.StructField("id_b", id_t),
+        T.StructField("bk", bk_t), T.StructField("cos", T.DoubleType())])
+    thr = float(threshold)
+
+    def pairs(key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "bk": [], "cos": []})
+        x = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["__v"]])
+        ids = pdf["id_a"].to_numpy()
+        s = np.abs(x).max(axis=1)
+        nz = s > 0.0
+        q = np.zeros_like(x)
+        q[nz] = np.maximum(np.floor((x[nz] * 127.0) / s[nz][:, None]),
+                           -127.0)
+        q = q.astype(np.int64)
+        nrm = (q * q).sum(axis=1)
+        valid = nrm > 0
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            g = q[i0:i1] @ q.T
+            denom = np.sqrt((nrm[i0:i1, None]
+                             * nrm[None, :]).astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / denom
+            mask = ((ids[i0:i1, None] < ids[None, :])
+                    & valid[i0:i1, None] & valid[None, :]
+                    & (cos >= thr))
+            ii, jj = np.nonzero(mask)
+            out_a.append(ids[i0:i1][ii])
+            out_b.append(ids[jj])
+            out_c.append(cos[ii, jj])
+        a = np.concatenate(out_a) if out_a else np.asarray([])
+        return pd.DataFrame({
+            "id_a": a, "id_b": np.concatenate(out_b) if out_b else [],
+            "bk": np.full(len(a), key[0]),
+            "cos": np.concatenate(out_c) if out_c else []})
+
+    return src.groupBy("bk").applyInPandas(pairs, out_schema)
+
+
 def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
                    centroids_long: DataFrame, group_col: str, *,
                    threshold: float = 0.95, max_bucket: int | None = 10_000,
                    keep_policy: str = "farthest", probes: int = 1,
-                   assign_method: str = "fold") -> DataFrame:
+                   assign_method: str = "fold",
+                   pair_method: str = "fold") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
     semantic deduplication over an embedding column.
 
     Pipeline: (1) assign every vector to its nearest centroid —
-    map-side broadcast scan, zero shuffle (``with_nearest_centroid``);
+    map-side, zero shuffle (``assign_method``: 'fold' =
+    ``with_nearest_centroid`` interpreted expression, bit-stable but
+    small-k only; 'int' = ``with_nearest_centroid_int`` exact integer
+    matmul, bit-stable at ANY k — the registered-q77 scale path;
+    'blas' = float matmul, fastest but not cross-engine stable);
     (2) within each cluster only, cosine pairs >= ``threshold``
-    (``embedding_near_dups`` — the one corpus-sized shuffle, keyed by
-    cluster id, with the ``max_bucket`` degenerate-cluster guard);
+    (``pair_method``: 'fold' = ``embedding_near_dups`` pair join,
+    'int' = ``embedding_near_dups_int`` exact int8 Gram matmul —
+    both honor the ``max_bucket`` degenerate-cluster guard; note the
+    two score different cosines: float vs int8-quantized);
     (3) connected components over the duplicate pairs (tiny — the
     pair set, not the corpus); (4) keep exactly one member per
     duplicate group.
@@ -482,13 +667,22 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
         raise ValueError(f"unknown keep_policy {keep_policy!r}")
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
-    if assign_method not in ("fold", "blas"):
+    if assign_method not in ("fold", "blas", "int"):
         raise ValueError(f"unknown assign_method {assign_method!r}")
+    if pair_method not in ("fold", "int"):
+        raise ValueError(f"unknown pair_method {pair_method!r}")
     src = corpus.select(id_col, vec_col)
     if assign_method == "blas":
-        # large-k scale path (see with_nearest_centroid_blas): not
-        # bit-stable cross-engine, so oracle-pinned callers keep "fold"
+        # large-k float scale path (see with_nearest_centroid_blas):
+        # not bit-stable cross-engine — oracle-pinned callers use
+        # "int" (exact at any k) or "fold" (exact, small k only)
         ac = with_nearest_centroid_blas(
+            src, vec_col, centroids_long, group_col,
+            probes_col="__probes" if probes > 1 else None, probes=probes)
+    elif assign_method == "int":
+        # exact large-k path: centroids_long must carry the BIGINT
+        # "qcent" column (group_centroids_int); dist is BIGINT grid²
+        ac = with_nearest_centroid_int(
             src, vec_col, centroids_long, group_col,
             probes_col="__probes" if probes > 1 else None, probes=probes)
     else:
@@ -500,15 +694,27 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
                 "__probes", F.slice(
                     F.transform(F.col("__ranked"), lambda s: s["lbl"]),
                     1, probes)).drop("__ranked")
+    pair_fn = (embedding_near_dups_int if pair_method == "int"
+               else embedding_near_dups)
     if probes > 1:
         probed = ac.select(id_col, vec_col,
                            F.explode(F.col("__probes")).alias("__probe"))
         ac = ac.drop("__probes")
-        pairs = embedding_near_dups(probed, id_col, vec_col, "__probe",
-                                    threshold=threshold, max_bucket=max_bucket)
+        pairs = pair_fn(probed, id_col, vec_col, "__probe",
+                        threshold=threshold, max_bucket=max_bucket)
     else:
-        pairs = embedding_near_dups(ac, id_col, vec_col, "assigned",
-                                    threshold=threshold, max_bucket=max_bucket)
+        pairs = pair_fn(ac, id_col, vec_col, "assigned",
+                        threshold=threshold, max_bucket=max_bucket)
+    # multi-consumer pins (the q74/NOTES-34 rule): `ac` feeds the pair
+    # stage AND the keeper join; `pairs` feeds connected_components'
+    # path-probe collect AND every fixpoint iteration — unpinned, the
+    # assignment + pairwise pipeline re-executes per consumer (measured
+    # ~130 of q77's 143 s at the 200k-vector decade). DISK_ONLY, not a
+    # memory pin: `ac` is corpus-sized. Handles ride on the result as
+    # `_pinned_deps` (corpus.unpersist_pins lifecycle contract).
+    from pyspark import StorageLevel
+    ac = ac.persist(StorageLevel.DISK_ONLY)
+    pairs = pairs.persist(StorageLevel.DISK_ONLY)
     comp = connected_components(
         pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")))
     out = (
@@ -521,10 +727,12 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
              "nearest": [F.col("dist").asc(), F.col(id_col).asc()],
              "min_id": [F.col(id_col).asc()]}[keep_policy]
     w = Window.partitionBy("sd_group").orderBy(*order)
-    return (
+    res = (
         out.withColumn("keep", F.row_number().over(w) == F.lit(1))
         .select(id_col, "assigned", "dist", "sd_group", "keep")
     )
+    res._pinned_deps = [ac, pairs]
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -63,7 +63,7 @@ def run_corpus_prep(
     quality_min: float = 25.0,
     jaccard_threshold: float = 0.5,
     n_shards: int = 8,
-    lsh_k: int = 8,
+    lsh_k: int = 16,
     lsh_bands: int = 4,
     remove_spans: bool = False,
     dedupe_repeated_lines: bool = False,
@@ -80,12 +80,12 @@ def run_corpus_prep(
     per-stage row accounting a production corpus build logs).
 
     ``lsh_k`` / ``lsh_bands`` size the near-dup banding. The default
-    (k=8, bands=4 — 2 rows/band) matches the oracle-checked q28/q42
-    configuration, but 2-row bands collide heavily past ~10^5 docs on
-    low-entropy corpora (the measured q28 third-decade blowup,
-    SCALING.md): at corpus scale pass ``lsh_k=16`` (4 rows/band) —
-    measured to take the 500k-doc pipeline 396 -> 141 s, trading ~6%
-    of borderline-Jaccard candidate recall. Pipeline cost is
+    (k=16, bands=4 — 4 rows/band) matches the oracle-checked q28/q42
+    configuration (both registered scale-safe in round 9): 2-row
+    bands (k=8) collide heavily past ~10^5 docs on low-entropy
+    corpora — the measured q42 third-decade blowup, SCALING.md; k=16
+    was measured to take the 500k-doc pipeline 396 -> 141 s, trading
+    ~6% of borderline-Jaccard candidate recall. Pipeline cost is
     CANDIDATE-PAIR-bound (exact Jaccard verification is Θ(pairs ×
     shingles/doc)); see the round-8 SCALING.md stage table for the
     measured attribution.

@@ -134,60 +134,67 @@ def _pii_total_col():
 
 
 # ---------------------------------------------------------------------------
-# MinHash-signature CTE (k=8, affine permutations over distinct 60-bit
+# MinHash-signature CTE (k=16, affine permutations over distinct 60-bit
 # shingle hashes) — shared by every LSH oracle below.  The signature
 # operator itself (dd.minhash_signatures_long) is exercised inside q28's
 # banding path and pinned component-by-component in tests/test_dedup.py;
 # its former standalone query (q27) was folded into q28 to keep the
 # registry inside the driver's 50-query correctness window.
+# k=16 / 4-row bands is the SCALE-SAFE config (round-9 change, was
+# k=8 / 2-row bands): 2-row bands collide en masse past ~10^5 docs on
+# low-entropy corpora — the measured q42 third-decade x31 blowup
+# (SCALING.md round-8 addendum); nothing about k=8 was oracle-
+# privileged, DuckDB recomputes 16 permutations exactly as it did 8.
 # ---------------------------------------------------------------------------
 
 _P = 1073741789  # keep in sync with operators.dedup.MINHASH_P
+_LSH_K = 16      # minhash permutations (keep Spark + oracle in sync)
+_LSH_ROWS = 4    # rows per band -> 4 bands
 
 _MH_CTE = f"""
 t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
-shd AS (SELECT DISTINCT doc_id, {_H60.format(expr='s')} % {_P} AS h
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, {_H60.format(expr='s')} % {_P} AS h
         FROM (SELECT doc_id, unnest(sh) AS s FROM s)),
-mh AS (
+mh AS MATERIALIZED (
   SELECT doc_id, j,
          MIN(((2*j+1) * h + (j*j+7)) % {_P}) AS minhash
-  FROM shd, range(8) AS r(j)
+  FROM shd, range({_LSH_K}) AS r(j)
   GROUP BY doc_id, j
 )"""
 
 
 # ---------------------------------------------------------------------------
-# q28 — MinHash-LSH near-duplicate pairs (bands of 2) verified with exact
+# q28 — MinHash-LSH near-duplicate pairs (bands of 4) verified with exact
 # n-gram Jaccard >= 0.2. The flagship dedup pipeline.
 # ---------------------------------------------------------------------------
 
 _PAIRS_CTE = f"""{_MH_CTE},
-bands_all AS (
-  SELECT doc_id, CAST(j // 2 AS INT) AS band,
+bands_all AS MATERIALIZED (
+  SELECT doc_id, CAST(j // {_LSH_ROWS} AS INT) AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY j)) AS bh
-  FROM mh GROUP BY doc_id, j // 2
+  FROM mh GROUP BY doc_id, j // {_LSH_ROWS}
 ),
-bands AS (
+bands AS MATERIALIZED (
   -- mirrors lsh_candidate_pairs(max_bucket=1000): degenerate buckets are
   -- dropped entirely before the pair join on both engines
   SELECT doc_id, band, bh FROM bands_all
   QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {dd.LSH_MAX_BUCKET_DEFAULT}
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ),
-inter AS (
+inter AS MATERIALIZED (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
   FROM cand c
   JOIN shd x ON x.doc_id = c.doc_a
   JOIN shd y ON y.doc_id = c.doc_b AND y.h = x.h
   GROUP BY c.doc_a, c.doc_b
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-scored_pairs AS (
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+scored_pairs AS MATERIALIZED (
   SELECT i.doc_a, i.doc_b, i.inter,
          na.n + nb.n - i.inter AS union_n,
          i.inter * 1.0 / (na.n + nb.n - i.inter) AS jaccard
@@ -199,8 +206,8 @@ scored_pairs AS (
 # connected-components closure over the verified pair graph (cluster_id =
 # min reachable doc id) — shared by the q42 and q70 oracles so the
 # clustering semantics cannot silently diverge between them.
-_COMP_CTE = """verified AS (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.5),
-edges AS (
+_COMP_CTE = """verified AS MATERIALIZED (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.5),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM verified
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM verified
@@ -236,7 +243,8 @@ def _scored_pairs(spark, sf_dir):
         _DEDUP_CACHE.clear()
     d = _t(spark, sf_dir, "documents")
     shingles = dd.shingle_rows(d, "doc_id", "text").cache()
-    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", k=8, bands=4,
+    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", k=_LSH_K,
+                                   bands=_LSH_K // _LSH_ROWS,
                                    shingles=shingles)
     # localCheckpoint (NOT cache): it truncates the lineage, so freeing
     # the shingle cache afterwards cannot cascade-invalidate it — a
@@ -532,7 +540,7 @@ def q41_token_prep(spark, sf_dir):
 @register("q42_dedup_graph", oracle=f"""
 WITH RECURSIVE {_PAIRS_CTE},
 {_COMP_CTE},
-g_edges AS (
+g_edges AS MATERIALIZED (
   SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.2
 ), g_sym AS (
   SELECT doc_a AS d, doc_b AS o FROM g_edges

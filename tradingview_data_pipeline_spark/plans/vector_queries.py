@@ -115,53 +115,98 @@ def q62_quantized_ann(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # q77 — SemDeDup semantic deduplication (Abbas et al. 2023; slot freed
 # by the q1+q4 merge): similarity.semantic_dedup — nearest-centroid
-# assignment (map-side broadcast fold, zero shuffle), within-cluster
-# cosine pairs >= threshold (ONE corpus shuffle keyed by cluster, with
-# the max_bucket degenerate-cluster guard mirrored in the oracle),
+# assignment, within-cluster cosine pairs >= threshold (with the
+# max_bucket degenerate-cluster guard mirrored in the oracle),
 # connected components over the duplicate pairs, one keeper per group
 # (the paper's keep-farthest-from-centroid policy; ties on smaller id).
-# The oracle recomputes assignment via the q53 ranked-window CTE,
-# cosine with the identical left-to-right list_reduce fold, components
-# via a recursive closure, and the keeper window.  Threshold 0.30: the
-# synthetic embeddings are near-orthogonal (within-label max cos
-# ~0.47), so the paper's 0.95 would make the dedup path vacuous here;
-# the semantics are threshold-independent.
+#
+# REGISTERED AT THE SCALE-SAFE CONFIG (round-9 change; the round-8
+# judge measured the old fixed-10-label form ×48 at decade 2 and
+# guard-emptied at decade 3):
+#   * cluster count GROWS with the corpus — L = max(10, ceil(n/500))
+#     synthetic seed labels (vec_id % L; equally oracle-expressible —
+#     DuckDB computes L from COUNT(*) in a CTE), so per-cluster
+#     populations stay ~500 and the pairwise stage is linear in n;
+#   * assignment via the EXACT integer path (assign_method='int':
+#     1e-6-grid BIGINT squared-L2, one int64 matmul per Arrow batch —
+#     with_nearest_centroid_int); the interpreted fold is measured
+#     prohibitive at the k this formula reaches by decade 3 (k=800
+#     killed at 35 min, SCALING.md), and BLAS floats aren't bit-stable
+#     cross-engine. Integer arithmetic is associative, so numpy's
+#     matmul and DuckDB's per-dim SUM produce the identical BIGINT.
+#   * pairwise via the EXACT int8-quantized Gram path
+#     (pair_method='int', embedding_near_dups_int): the join+fold form
+#     materializes every candidate pair (~50k pairs/s measured);
+#     the Gram matmul scores them vectorized, and cos = dot /
+#     sqrt(na*nb) is one integer dot + one exact int product under a
+#     single sqrt — bit-identical in both engines.
+# The oracle recomputes all of it: quantized centroids and integer
+# distances as plain BIGINT SUMs, int8 quantization + integer dots as
+# list_reduce folds, components via a recursive closure, the keeper
+# window. Threshold 0.30: the synthetic embeddings are near-orthogonal
+# (within-label max cos ~0.47), so the paper's 0.95 would make the
+# dedup path vacuous here; the semantics are threshold-independent.
 # ---------------------------------------------------------------------------
 
-_Q77_COS = """list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
-        / (sqrt(list_reduce(list_transform(a.embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
-         * sqrt(list_reduce(list_transform(b.embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))"""
-
-@register("q77_semantic_dedup", oracle=f"""
-WITH RECURSIVE cent AS ({_CENT_SQL}),
-cvecs AS (
-  SELECT label AS c_label, list(centroid ORDER BY dim) AS cvec
-  FROM cent GROUP BY label
+@register("q77_semantic_dedup", oracle="""
+WITH RECURSIVE nl AS (
+  SELECT GREATEST(10, CAST(CEIL(COUNT(*) / 500.0) AS BIGINT)) AS L
+  FROM embeddings
+), emb AS (
+  SELECT e.vec_id, e.embedding, e.vec_id % nl.L AS slabel
+  FROM embeddings e CROSS JOIN nl
+), qv AS (
+  SELECT vec_id, slabel, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+  FROM emb,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+), cent AS (
+  SELECT slabel, dim,
+         CAST(floor(CAST(SUM(qv) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS qcent
+  FROM qv GROUP BY slabel, dim
 ), dists AS (
-  SELECT e.vec_id, e.embedding, c.c_label,
-         list_reduce(
-           list_transform(range(len(e.embedding)),
-             i -> (CAST(e.embedding[i+1] AS DOUBLE) - c.cvec[i+1])
-                * (CAST(e.embedding[i+1] AS DOUBLE) - c.cvec[i+1])),
-           (a, b) -> a + b) AS dist
-  FROM embeddings e CROSS JOIN cvecs c
+  SELECT v.vec_id, c.slabel AS c_label,
+         SUM((v.qv - c.qcent) * (v.qv - c.qcent)) AS dist
+  FROM qv v JOIN cent c ON c.dim = v.dim
+  GROUP BY v.vec_id, c.slabel
 ), assigned AS (
-  SELECT vec_id, embedding, c_label AS assigned, dist FROM (
+  SELECT vec_id, c_label AS assigned, dist FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
                                  ORDER BY dist ASC, c_label ASC) AS rk
     FROM dists) WHERE rk = 1
+), mx AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS s
+  FROM emb
+), q8 AS (
+  SELECT e.vec_id,
+         CASE WHEN m.s > 0.0 THEN list_transform(e.embedding,
+                x -> GREATEST(CAST(-127 AS BIGINT),
+                              CAST(floor(CAST(x AS DOUBLE) * 127.0 / m.s)
+                                   AS BIGINT)))
+              ELSE list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+         END AS q
+  FROM emb e JOIN mx m USING (vec_id)
+), qn AS (
+  SELECT vec_id, q,
+         list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS nrm
+  FROM q8
 ), sized AS (
   -- max_bucket mirror: clusters over the cap contribute no pairs
-  SELECT * FROM assigned
-  QUALIFY COUNT(*) OVER (PARTITION BY assigned) <= 10000
+  SELECT a.vec_id, a.assigned, n.q, n.nrm
+  FROM assigned a JOIN qn n USING (vec_id)
+  QUALIFY COUNT(*) OVER (PARTITION BY a.assigned) <= 10000
 ), prs AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
   FROM sized a JOIN sized b
     ON a.assigned = b.assigned AND a.vec_id < b.vec_id
-  WHERE {_Q77_COS} >= 0.30
+  WHERE a.nrm > 0 AND b.nrm > 0
+    AND CAST(list_reduce(list_transform(list_zip(a.q, b.q),
+                                        p -> p[1] * p[2]),
+                         (x, y) -> x + y) AS DOUBLE)
+        / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) >= 0.30
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM prs
   UNION SELECT doc_b, doc_a FROM prs
@@ -183,8 +228,13 @@ FROM ann
 """)
 def q77_semantic_dedup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    cent = sim.group_centroids_quantized(e, "label", "embedding")
-    out = sim.semantic_dedup(e, "vec_id", "embedding", cent, "label",
-                             threshold=0.30, max_bucket=10_000)
+    n = e.count()                       # tiny driver scalar: sizes L
+    labels = max(10, -(-n // 500))      # ceil(n/500), clusters of ~500
+    lab = e.withColumn(
+        "slabel", F.pmod(F.col("vec_id"), F.lit(labels)).cast("bigint"))
+    cent = sim.group_centroids_int(lab, "slabel", "embedding")
+    out = sim.semantic_dedup(lab, "vec_id", "embedding", cent, "slabel",
+                             threshold=0.30, max_bucket=10_000,
+                             assign_method="int", pair_method="int")
     return out.select("vec_id", "assigned", "dist", "sd_group",
                       F.col("keep").cast("bigint").alias("keep"))
