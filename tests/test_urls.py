@@ -1,0 +1,87 @@
+"""URL/domain dedup operators (operators/urls.py) — unit semantics;
+q80's oracle verifies the same expressions end-to-end cross-engine."""
+
+from pyspark.sql import functions as F
+
+from tradingview_data_pipeline_spark.operators import urls as ur
+
+
+def _vals(spark, fn, items):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(items)],
+                               "id long, u string")
+    rows = df.select("id", fn(F.col("u")).alias("v")).orderBy("id").collect()
+    return [r["v"] for r in rows]
+
+
+def test_url_host_normalization(spark):
+    got = _vals(spark, ur.url_host, [
+        "https://WWW.Example.COM:443/a/b",      # case, www, port
+        "http://user:pw@Sub.Example.com./x",    # userinfo, trailing dot
+        "https://example.org",                  # bare host
+        "ftp://www.files.example.net:21/",      # non-http scheme still parses
+        "not a url",                            # no scheme -> ''
+    ])
+    assert got == ["example.com", "sub.example.com", "example.org",
+                   "files.example.net", ""]
+
+
+def test_registered_domain_heuristic(spark):
+    got = _vals(spark, lambda c: ur.registered_domain(c), [
+        "a.b.example.com",      # -> example.com
+        "news.example.co.uk",   # co.uk branch -> example.co.uk
+        "example.org",          # already eTLD+1
+        "localhost",            # single label passes through
+        "gov.uk",               # 2 labels, no third -> unchanged
+    ])
+    assert got == ["example.com", "example.co.uk", "example.org",
+                   "localhost", "gov.uk"]
+
+
+def test_canonical_url_rules(spark):
+    got = _vals(spark, ur.canonical_url, [
+        # tracking params dropped, rest sorted; index.html dropped;
+        # port/www/case normalized; fragment dropped
+        "https://WWW.Example.com:8080/a/index.html?z=1&utm_source=x&a=2#frag",
+        "http://example.com/a/?a=2&z=1",        # same canonical as above
+        "https://example.com/a",                # and again (no query -> differs)
+        "https://example.com/",                 # root -> bare host
+        "plain text",                           # no scheme -> NULL
+    ])
+    assert got[0] == "example.com/a?a=2&z=1"
+    assert got[1] == got[0]                  # order + scheme insensitive
+    assert got[2] == "example.com/a"
+    assert got[3] == "example.com"
+    assert got[4] is None
+
+
+def test_url_dedup_groups_and_keepers(spark):
+    df = spark.createDataFrame([
+        (1, "https://www.example.com/a?utm_source=x"),
+        (2, "http://example.com/a"),
+        (3, "https://example.com/b"),
+        (4, "garbage"),
+        (5, "also garbage"),
+    ], "doc_id long, url string")
+    out = {r["doc_id"]: r for r in
+           ur.url_dedup(df, "doc_id", "url").collect()}
+    assert out[1]["url_group"] == out[2]["url_group"] == 1
+    assert out[1]["url_is_keeper"] and not out[2]["url_is_keeper"]
+    assert out[3]["url_group"] == 3 and out[3]["url_is_keeper"]
+    # non-URLs are their own singleton groups, always kept
+    assert out[4]["url_group"] == 4 and out[4]["url_is_keeper"]
+    assert out[5]["url_group"] == 5 and out[5]["url_is_keeper"]
+    assert out[4]["url_canonical"] is None
+
+
+def test_domain_stats(spark):
+    df = spark.createDataFrame([
+        (1, "https://a.example.com/x"),
+        (2, "https://www.a.example.com/x/"),      # same canonical as 1
+        (3, "https://b.example.com/y"),
+        (4, "https://shop.example.co.uk/z"),
+        (5, "nope"),
+    ], "doc_id long, url string")
+    got = {r["domain"]: (r["n_docs"], r["n_urls"], r["n_dups"]) for r in
+           ur.domain_stats(df, "url").collect()}
+    assert got == {"example.com": (3, 2, 1),
+                   "example.co.uk": (1, 1, 0)}

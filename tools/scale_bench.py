@@ -36,9 +36,9 @@ QUERIES = [
     "q28_lsh_near_dup",
     "q42_dedup_graph",   # merged cluster+graph legs (r8 merge #13)
     "q76_token_sequences",
-    "q29_simhash",
+    "q29_signature_neardup",   # merged text-SimHash + embedding-LSH (r9)
     "q30_ann_topk",      # merged fold+blas+ivf legs (r8 merge #16)
-    "q32_embedding_near_dup",
+    "q80_url_dedup",     # round-9 addition (slot freed by q29+q32)
     "q53_kmeans_assign",
     "q62_quantized_ann",
     "q46_corpus_prep",   # merged split+chunk query: times BOTH legs,

@@ -1,0 +1,121 @@
+"""Decade curve for the two flagship scoring pipelines (VERDICT r8
+task 7): composite (3-granularity z-score tree, composite_score.py) and
+fundamental (melted 3-window percentile plan, fundamental_score.py)
+were benched only at the reference universe (~1.6k symbols); SURVEY §6
+claims the same plans scale without algorithm changes. This measures
+that claim at 1x / 100x / 1000x synthetic stock universes.
+
+Generation is Spark-side (deterministic xxhash64-derived values, ~5%
+nulls to match the reference CSV's null rate, 20 sectors × 119
+industries so peer-group populations GROW with the universe — the shape
+a bigger real market would have), eagerly checkpointed so generation
+cost never pollutes the timings.
+
+Composite runs bucket_by_global_rank in BOTH modes at the base size
+(parity = the reference-exact single-partition window, documented W1
+exception) but scale mode only at 100x/1000x — the parity window is the
+known, documented non-scale path.
+
+    python tools/scoring_scale_bench.py [sizes...]
+
+Prints one JSON line per size; append to SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SIZES = [1_643, 164_300, 1_643_000]
+
+
+def build_universe(spark, n: int):
+    from pyspark.sql import functions as F
+
+    from tradingview_data_pipeline_spark import schemas
+
+    sch = schemas.stock_data_schema()
+    base = spark.range(n).withColumnRenamed("id", "__i")
+    cols = []
+    for f in sch.fields:
+        name, i = f.name, F.col("__i")
+        h = F.xxhash64(i, F.lit(name))
+        if name == "symbol":
+            cols.append(F.format_string("SYM%08d", i).alias(name))
+        elif name == "sector":
+            cols.append(F.concat(F.lit("sec"), (i % 20).cast("string"))
+                        .alias(name))
+        elif name == "industry":
+            # industries nest under sectors (119 per sector shape-wise)
+            cols.append(F.concat(F.lit("ind"),
+                                 ((i % 20) * 119 + F.pmod(h, F.lit(119)))
+                                 .cast("string")).alias(name))
+        elif name == "analyst_rating":
+            cols.append(F.element_at(
+                F.array(*[F.lit(s) for s in
+                          ("Strong Buy", "Buy", "Hold", "Sell", "")]),
+                (F.pmod(h, F.lit(5)) + 1).cast("int")).alias(name))
+        elif name in schemas._STRING_COLS:
+            cols.append(F.concat(F.lit("s"), (i % 7).cast("string"))
+                        .alias(name))
+        elif name in schemas._LONG_COLS:
+            cols.append((F.pmod(h, F.lit(2 * 10 ** 13 - 10 ** 8))
+                         + F.lit(10 ** 8)).alias(name))
+        elif name == "last_modified_date":
+            cols.append(F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                        .alias(name))
+        else:  # doubles, ~5% null like the reference CSVs
+            v = (F.pmod(h, F.lit(200_000)).cast("double") / 1000.0 - 100.0)
+            cols.append(F.when(F.pmod(F.xxhash64(i, F.lit(name + "_n")),
+                                      F.lit(100)) < 5, F.lit(None))
+                        .otherwise(v).alias(name))
+    return base.select(*cols)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tradingview_data_pipeline_spark.plans import composite_score as cs
+    from tradingview_data_pipeline_spark.plans import fundamental_score as fs
+    from tradingview_data_pipeline_spark.session import get_spark
+
+    sizes = [int(a) for a in sys.argv[1:]] or SIZES
+    spark = get_spark("scoring-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for n in sizes:
+        df = build_universe(spark, n).repartition(32) \
+            .localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 % 7)") \
+            .collect()
+        calibration = round(time.perf_counter() - t0, 3)
+
+        rec = {"universe_rows": n, "calibration_sec": calibration}
+
+        modes = ["scale"] if n > SIZES[0] else ["parity", "scale"]
+        scored = None
+        for mode in modes:
+            t0 = time.perf_counter()
+            scored = cs.composite_scores(df, bucket_mode=mode)
+            scored.write.format("noop").mode("overwrite").save()
+            rec[f"composite_{mode}_sec"] = round(time.perf_counter() - t0, 3)
+        cats = scored.select("symbol", "market_cap_category") \
+            .localCheckpoint(eager=True)
+
+        t0 = time.perf_counter()
+        fscored = fs.fundamental_ranks(
+            fs.fundamental_scores(df, size_hint_rows=n), cats)
+        fscored.write.format("noop").mode("overwrite").save()
+        rec["fundamental_sec"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(rec), flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from tradingview_data_pipeline_spark.operators import cdc
 from tradingview_data_pipeline_spark.operators import fingerprint as fp
 from tradingview_data_pipeline_spark.operators import fuzzy as fz
-from tradingview_data_pipeline_spark.operators import similarity as sim
 from tradingview_data_pipeline_spark.operators import skew as sk
 from tradingview_data_pipeline_spark.operators.scoring import (
     attach_peer_percentile_exact,
@@ -25,71 +24,12 @@ from tradingview_data_pipeline_spark.plans.analytics import (
 
 
 # ---------------------------------------------------------------------------
-# q32 — embedding near-dup retrieval via hyperplane SimHash LSH (the scale
-# path: map-only 96-bit signature, 8-band bucket join, exact quantized-
-# cosine verification).  Replaced the label-bucketed exact-pair form in
-# round 6: fixed-bucket-count all-pairs measured x82 wall-time at 10x data
-# on the scale bench (c²/2 per bucket), while near-dups are O(n) — see
-# similarity.embedding_near_dups_lsh.  The output carries the FULL
-# signature (band keys) per vector, so the md5-hyperplane pipeline is
-# value-verified against the oracle even on corpora with no near-dups.
+# q32 (retired round 9): the hyperplane-LSH embedding near-dup query
+# merged into q29_signature_neardup (training_queries.py) — both
+# emitted (id, signature, banded near-dup degree); the operator
+# (similarity.embedding_near_dups_lsh) is unchanged and still
+# oracle-verified there. The freed slot went to q80_url_dedup.
 # ---------------------------------------------------------------------------
-
-@register("q32_embedding_near_dup", oracle="""
-WITH dims AS (SELECT unnest(range(64)) AS d),
-hbits AS (SELECT unnest(range(96)) AS i),
-signs AS (
-  SELECT i, d,
-         CASE WHEN strpos('02468ace', substr(md5(i::VARCHAR || '_' || d::VARCHAR), 1, 1)) > 0
-              THEN 1 ELSE -1 END AS s
-  FROM hbits, dims),
-vq AS (
-  -- NULL vectors have no signature (mirrors embedding_lsh_bands' drop)
-  SELECT vec_id, d,
-         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS x
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL), dims),
-bitsum AS (
-  SELECT vec_id, i, SUM(s * x) AS bs
-  FROM vq JOIN signs USING (d) GROUP BY 1, 2),
-bandkey AS (
-  SELECT vec_id, i // 12 AS pos,
-         SUM((CASE WHEN bs >= 0 THEN 1 ELSE 0 END) * (1 << CAST(i % 12 AS INT))) AS key
-  FROM bitsum GROUP BY 1, 2),
-sig AS (
-  SELECT vec_id, string_agg(key::VARCHAR, '-' ORDER BY pos) AS sig_key
-  FROM bandkey GROUP BY 1),
-capped AS (
-  SELECT * FROM bandkey QUALIFY COUNT(*) OVER (PARTITION BY pos, key) <= 1000),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM capped a JOIN capped b ON a.pos = b.pos AND a.key = b.key
-                             AND a.vec_id < b.vec_id),
-n2 AS (SELECT vec_id, SUM(x * x) AS n2 FROM vq GROUP BY 1),
-dots AS (
-  SELECT c.id_a, c.id_b, SUM(xa.x * xb.x) AS dp
-  FROM cand c
-  JOIN vq xa ON xa.vec_id = c.id_a
-  JOIN vq xb ON xb.vec_id = c.id_b AND xb.d = xa.d
-  GROUP BY 1, 2),
-good AS (
-  SELECT d.id_a, d.id_b
-  FROM dots d
-  JOIN n2 na ON na.vec_id = d.id_a
-  JOIN n2 nb ON nb.vec_id = d.id_b
-  WHERE CAST(d.dp AS DOUBLE)
-        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.95),
-deg AS (
-  SELECT vec_id, COUNT(*) AS neardup_n FROM (
-    SELECT id_a AS vec_id FROM good
-    UNION ALL SELECT id_b AS vec_id FROM good)
-  GROUP BY 1)
-SELECT s.vec_id, s.sig_key, CAST(COALESCE(deg.neardup_n, 0) AS BIGINT) AS neardup_n
-FROM sig s LEFT JOIN deg USING (vec_id)
-""")
-def q32_embedding_near_dup(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    return sim.embedding_near_dups_lsh(e, "vec_id", "embedding",
-                                       threshold=0.95)
 
 
 # ---------------------------------------------------------------------------

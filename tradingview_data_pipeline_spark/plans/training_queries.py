@@ -270,10 +270,21 @@ def q28_lsh_near_dup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q29 — SimHash signatures (60-bit, distinct-token majority vote) +
-# banded near-dup retrieval: per doc, the signature and the count of
-# other docs within Hamming distance 3 (pigeonhole-banded equi-join, so
-# the oracle's pair CTE is the recall-1.0 retrieval, not an O(n²) scan).
+# q29 — signature + banded near-dup degree, tagged union (round-9
+# consolidation of q29+q32, the COVERAGE.md pre-planned merge — both
+# emitted exactly (id, signature, banded near-dup degree), one over
+# text, one over embeddings; the merge frees the slot q80 takes):
+#   'text'      — 60-bit token-majority SimHash per document + count of
+#                 other docs within Hamming distance 3 (pigeonhole
+#                 4-band equi-join: recall 1.0, never O(n²)).
+#   'embedding' — 96-bit md5-hyperplane signature per vector + count of
+#                 banded partners with exact quantized cosine >= 0.95
+#                 (similarity.embedding_near_dups_lsh — the scale path
+#                 that replaced fixed-bucket all-pairs after the
+#                 round-6 x82 measurement).
+# Unified schema (kind, id, sig, neardup_n): sig is the '-'-joined band
+# keys for embeddings and the decimal signature for text, so BOTH
+# signature pipelines stay value-verified in one driver hash.
 # ---------------------------------------------------------------------------
 
 def _simhash_oracle(bits: int = 60, bands: int = 4,
@@ -290,35 +301,94 @@ def _simhash_oracle(bits: int = 60, bands: int = 4,
         f"ELSE CAST(0 AS BIGINT) END" for j in range(bits))
     bandvals = ", ".join(f"({b})" for b in range(bands))
     return f"""
-WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
-ex AS (SELECT doc_id, ('0x' || substr(md5(u.t), 1, 15))::BIGINT AS h
+t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+ex AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(u.t), 1, 15))::BIGINT AS h
        FROM t, unnest(toks) AS u(t)),
-g AS (SELECT doc_id, COUNT(*) AS n, {sums} FROM ex GROUP BY doc_id),
-sh AS (SELECT t.doc_id, ({sig}) AS simhash
+g AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n, {sums} FROM ex GROUP BY doc_id),
+sh AS MATERIALIZED (SELECT t.doc_id, ({sig}) AS simhash
        FROM t JOIN g USING (doc_id)),
-allsh AS (SELECT t.doc_id, sh.simhash FROM t LEFT JOIN sh USING (doc_id)),
+allsh AS MATERIALIZED (SELECT t.doc_id, sh.simhash FROM t LEFT JOIN sh USING (doc_id)),
 b AS (SELECT doc_id, simhash, v.band,
              (simhash >> (v.band * {chunk})) & {mask} AS chunk
       FROM allsh, (VALUES {bandvals}) v(band)
       WHERE simhash IS NOT NULL),
-bc AS (SELECT * FROM b
+bc AS MATERIALIZED (SELECT * FROM b
        QUALIFY COUNT(*) OVER (PARTITION BY band, chunk) <= {dd.LSH_MAX_BUCKET_DEFAULT}),
-prs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+prs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
         FROM bc a JOIN bc b2
           ON a.band = b2.band AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
         WHERE bit_count(xor(a.simhash, b2.simhash)) <= {max_hamming}),
-deg AS (SELECT doc_id, COUNT(*) AS near_dups FROM
+deg AS MATERIALIZED (SELECT doc_id, COUNT(*) AS near_dups FROM
           (SELECT doc_a AS doc_id FROM prs
            UNION ALL SELECT doc_b AS doc_id FROM prs)
-        GROUP BY doc_id)
-SELECT a.doc_id, a.simhash,
-       CAST(COALESCE(deg.near_dups, 0) AS BIGINT) AS near_dups
+        GROUP BY doc_id)"""
+
+
+# the former q32 oracle, CTE-form (names prefixed e* where they would
+# collide with the SimHash leg's)
+_EMB_LSH_CTE = """
+dims AS (SELECT unnest(range(64)) AS d),
+hbits AS (SELECT unnest(range(96)) AS i),
+signs AS (
+  SELECT i, d,
+         CASE WHEN strpos('02468ace', substr(md5(i::VARCHAR || '_' || d::VARCHAR), 1, 1)) > 0
+              THEN 1 ELSE -1 END AS s
+  FROM hbits, dims),
+vq AS MATERIALIZED (
+  -- NULL vectors have no signature (mirrors embedding_lsh_bands' drop)
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS x
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL), dims),
+bitsum AS MATERIALIZED (
+  SELECT vec_id, i, SUM(s * x) AS bs
+  FROM vq JOIN signs USING (d) GROUP BY 1, 2),
+bandkey AS MATERIALIZED (
+  SELECT vec_id, i // 12 AS pos,
+         SUM((CASE WHEN bs >= 0 THEN 1 ELSE 0 END) * (1 << CAST(i % 12 AS INT))) AS key
+  FROM bitsum GROUP BY 1, 2),
+esig AS MATERIALIZED (
+  SELECT vec_id, string_agg(key::VARCHAR, '-' ORDER BY pos) AS sig_key
+  FROM bandkey GROUP BY 1),
+capped AS MATERIALIZED (
+  SELECT * FROM bandkey QUALIFY COUNT(*) OVER (PARTITION BY pos, key) <= 1000),
+ecand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM capped a JOIN capped b ON a.pos = b.pos AND a.key = b.key
+                             AND a.vec_id < b.vec_id),
+n2 AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS n2 FROM vq GROUP BY 1),
+dots AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, SUM(xa.x * xb.x) AS dp
+  FROM ecand c
+  JOIN vq xa ON xa.vec_id = c.id_a
+  JOIN vq xb ON xb.vec_id = c.id_b AND xb.d = xa.d
+  GROUP BY 1, 2),
+good AS MATERIALIZED (
+  SELECT d.id_a, d.id_b
+  FROM dots d
+  JOIN n2 na ON na.vec_id = d.id_a
+  JOIN n2 nb ON nb.vec_id = d.id_b
+  WHERE CAST(d.dp AS DOUBLE)
+        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.95),
+edeg AS MATERIALIZED (
+  SELECT vec_id, COUNT(*) AS neardup_n FROM (
+    SELECT id_a AS vec_id FROM good
+    UNION ALL SELECT id_b AS vec_id FROM good)
+  GROUP BY 1)"""
+
+
+@register("q29_signature_neardup", oracle=f"""
+WITH {_simhash_oracle()},
+{_EMB_LSH_CTE}
+SELECT 'text' AS kind, a.doc_id AS id,
+       CAST(a.simhash AS VARCHAR) AS sig,
+       CAST(COALESCE(deg.near_dups, 0) AS BIGINT) AS neardup_n
 FROM allsh a LEFT JOIN deg USING (doc_id)
-"""
-
-
-@register("q29_simhash", oracle=_simhash_oracle())
-def q29_simhash(spark, sf_dir):
+UNION ALL
+SELECT 'embedding' AS kind, s.vec_id AS id, s.sig_key AS sig,
+       CAST(COALESCE(edeg.neardup_n, 0) AS BIGINT) AS neardup_n
+FROM esig s LEFT JOIN edeg USING (vec_id)
+""")
+def q29_signature_neardup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # the sig aggregate feeds the banded self-join twice AND the final
     # degree join; the three subtrees do NOT get exchange-reused (the
@@ -335,10 +405,21 @@ def q29_simhash(spark, sf_dir):
     deg = (pairs.selectExpr("doc_a AS doc_id")
            .unionAll(pairs.selectExpr("doc_b AS doc_id"))
            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("near_dups")))
-    return (sigs.join(deg, "doc_id", "left")
-            .select("doc_id", "simhash",
-                    F.coalesce(F.col("near_dups"),
-                               F.lit(0).cast("bigint")).alias("near_dups")))
+    text_leg = (sigs.join(deg, "doc_id", "left")
+                .select(F.lit("text").alias("kind"),
+                        F.col("doc_id").alias("id"),
+                        F.col("simhash").cast("string").alias("sig"),
+                        F.coalesce(F.col("near_dups"),
+                                   F.lit(0).cast("bigint"))
+                        .alias("neardup_n")))
+    e = _t(spark, sf_dir, "embeddings")
+    emb_leg = (sim.embedding_near_dups_lsh(e, "vec_id", "embedding",
+                                           threshold=0.95)
+               .select(F.lit("embedding").alias("kind"),
+                       F.col("vec_id").alias("id"),
+                       F.col("sig_key").alias("sig"),
+                       F.col("neardup_n").cast("bigint").alias("neardup_n")))
+    return text_leg.unionByName(emb_leg)
 
 
 # ---------------------------------------------------------------------------
@@ -698,3 +779,123 @@ def q76_token_sequences(spark, sf_dir):
         .alias("ids_hash"),
         F.col("n_real"),
         F.size("doc_spans").cast("bigint").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# q80 — URL / domain-level dedup with host normalization (round 9; slot
+# freed by the q29+q32 merge; the judge's next-candidate list — the one
+# dedup granularity the family lacked). The documents table carries no
+# URL column, so the query derives a deterministic, deliberately messy
+# URL per doc from (source, doc_id) — uppercase hosts, default ports,
+# userinfo, trailing host dots, /index.html suffixes, tracking params,
+# unsorted query strings, fragments, and a co.uk branch for the eTLD+1
+# rule — with the IDENTICAL expression on both engines, then runs the
+# real operators (operators/urls.py). Tagged union:
+#   'url'    — per-doc canonical form + keep-one-per-URL group/keeper
+#              (urls.url_dedup: map-side canonicalization, ONE
+#              hash-agg + join back);
+#   'domain' — per-registered-domain doc/distinct-URL/dup counts
+#              (urls.domain_stats — the crawl-blocklist table).
+# ---------------------------------------------------------------------------
+
+_Q80_URL_SQL = """CASE CAST(doc_id % 4 AS INT)
+ WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443/a/'
+             || CAST(doc_id % 37 AS VARCHAR)
+             || '/index.html?utm_source=feed&x=' || CAST(doc_id % 5 AS VARCHAR)
+ WHEN 1 THEN 'http://user@' || source || '.example.com/a/'
+             || CAST(doc_id % 37 AS VARCHAR)
+             || '?x=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=c'
+ WHEN 2 THEN 'https://' || source || '.example.com./a/'
+             || CAST(doc_id % 37 AS VARCHAR) || '/'
+ ELSE 'https://' || source || '.example.co.uk/b/'
+      || CAST(doc_id % 37 AS VARCHAR) || '/?fbclid=abc#frag'
+END"""
+
+_Q80_CANON_SQL = """
+u AS (SELECT doc_id, {url} AS url FROM documents),
+h0 AS (SELECT doc_id, url,
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1) AS auth,
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path0,
+              regexp_extract(url, '\\?([^#]*)', 1) AS qs
+       FROM u),
+cn AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(regexp_replace(auth, '^[^@/]*@', '')),
+                            '\\.$', ''),
+             ':[0-9]*$', ''),
+           '^www\\.', '') AS host,
+         regexp_replace(regexp_replace(path0, '/index\\.(html?|php)$', '/'),
+                        '/+$', '') AS path,
+         array_to_string(list_sort(list_filter(str_split(qs, '&'),
+             p -> p != '' AND NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid|ref)(=|$)'))),
+             '&') AS q
+  FROM h0),
+canon AS (
+  SELECT doc_id,
+         host || path || CASE WHEN q != '' THEN '?' || q ELSE '' END AS c,
+         host
+  FROM cn)"""
+
+
+@register("q80_url_dedup", oracle=f"""
+WITH {_Q80_CANON_SQL.format(url=_Q80_URL_SQL)},
+grp AS (SELECT c, MIN(doc_id) AS g FROM canon GROUP BY c),
+dom AS (
+  SELECT doc_id, c,
+         CASE WHEN len(parts) <= 1 THEN host
+              WHEN len(parts) >= 3 AND parts[len(parts) - 1] IN
+                   ('co', 'com', 'net', 'org', 'ac', 'gov', 'edu')
+                   AND length(parts[len(parts)]) = 2
+              THEN array_to_string(list_slice(parts, len(parts) - 2, len(parts)), '.')
+              ELSE array_to_string(list_slice(parts, len(parts) - 1, len(parts)), '.')
+         END AS domain
+  FROM (SELECT doc_id, c, host, str_split(host, '.') AS parts FROM canon)),
+dstats AS (
+  SELECT domain, CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM (SELECT domain, c, COUNT(*) AS n FROM dom GROUP BY domain, c)
+  GROUP BY domain)
+SELECT 'url' AS kind, canon.doc_id AS id, canon.c AS key,
+       grp.g AS v1, CAST(canon.doc_id = grp.g AS BIGINT) AS v2
+FROM canon JOIN grp USING (c)
+UNION ALL
+SELECT 'domain' AS kind, CAST(NULL AS BIGINT) AS id, domain AS key,
+       n_docs AS v1, n_urls AS v2
+FROM dstats
+""")
+def q80_url_dedup(spark, sf_dir):
+    from tradingview_data_pipeline_spark.operators import urls as ur
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    mod = lambda k: (did % k).cast("string")  # noqa: E731
+    url = (F.when(did % 4 == 0, F.concat(
+               F.lit("https://WWW."), F.col("source"),
+               F.lit(".Example.COM:443/a/"), mod(37),
+               F.lit("/index.html?utm_source=feed&x="), mod(5)))
+           .when(did % 4 == 1, F.concat(
+               F.lit("http://user@"), F.col("source"),
+               F.lit(".example.com/a/"), mod(37),
+               F.lit("?x="), mod(5), F.lit("&utm_campaign=c")))
+           .when(did % 4 == 2, F.concat(
+               F.lit("https://"), F.col("source"),
+               F.lit(".example.com./a/"), mod(37), F.lit("/")))
+           .otherwise(F.concat(
+               F.lit("https://"), F.col("source"),
+               F.lit(".example.co.uk/b/"), mod(37),
+               F.lit("/?fbclid=abc#frag"))))
+    src = d.select("doc_id", url.alias("url"))
+    deduped = ur.url_dedup(src, "doc_id", "url")
+    url_leg = deduped.select(
+        F.lit("url").alias("kind"), F.col("doc_id").alias("id"),
+        F.col("url_canonical").alias("key"),
+        F.col("url_group").alias("v1"),
+        F.col("url_is_keeper").cast("bigint").alias("v2"))
+    dom_leg = ur.domain_stats(src, "url").select(
+        F.lit("domain").alias("kind"),
+        F.lit(None).cast("bigint").alias("id"),
+        F.col("domain").alias("key"),
+        F.col("n_docs").alias("v1"), F.col("n_urls").alias("v2"))
+    return url_leg.unionByName(dom_leg)
