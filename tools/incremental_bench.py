@@ -29,8 +29,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH_DOCS = 500
-BATCH_VECS = 500
+# INCR_BATCH / INCR_BUCKETS environment knobs (round 9): the banded
+# store's read pruning is governed by (batch x bands) / bucket_count —
+# the crossover run uses a small batch + many buckets so touched-
+# directory pruning actually has something to prune (at batch 500 x
+# 4 bands over 32 buckets every directory is touched and "pruned"
+# reads degenerate to full scans, NOTES 34).
+BATCH_DOCS = int(os.environ.get("INCR_BATCH", "500"))
+BATCH_VECS = int(os.environ.get("INCR_BATCH", "500"))
+BUCKETS = int(os.environ.get("INCR_BUCKETS", "32"))
 
 
 def main() -> None:
@@ -83,27 +90,27 @@ def main() -> None:
                     .localCheckpoint(eager=True)
             if want("minhash"):
                 mh = dd.IncrementalNearDupIndex(
-                    spark, os.path.join(tmp, "mh"), buckets=32)
+                    spark, os.path.join(tmp, "mh"), buckets=BUCKETS)
                 mh.table.overwrite(sig)
                 runs.append(("minhash", mh, doc_batch, n_docs))
             if want("minhash_banded"):
                 # banded-store mode: seed the signature table, then the
                 # public migration path builds the membership store
                 mb = dd.IncrementalNearDupIndex(
-                    spark, os.path.join(tmp, "mb"), buckets=32,
+                    spark, os.path.join(tmp, "mb"), buckets=BUCKETS,
                     banded_store=True)
                 mb.table.overwrite(sig)
                 mb.rebuild_store()
                 runs.append(("minhash_banded", mb, doc_batch, n_docs))
             if want("simhash"):
                 sh = dd.IncrementalSimHashIndex(
-                    spark, os.path.join(tmp, "sh"), buckets=32)
+                    spark, os.path.join(tmp, "sh"), buckets=BUCKETS)
                 sh.table.overwrite(dd.simhash_table(docs, "doc_id", "text",
                                                     bits=sh.bits))
                 runs.append(("simhash", sh, doc_batch, n_docs))
             if want("embedding"):
                 em = sim.IncrementalEmbeddingIndex(
-                    spark, os.path.join(tmp, "em"), buckets=32)
+                    spark, os.path.join(tmp, "em"), buckets=BUCKETS)
                 em.table.overwrite(em._wide(vecs, "vec_id", "embedding"))
                 runs.append(("embedding", em, vec_batch, n_vecs))
 
@@ -114,7 +121,7 @@ def main() -> None:
                 secs = round(time.perf_counter() - t0, 3)
                 print(json.dumps({
                     "index": name, "sf_dir": sf_dir, "stored_rows": stored,
-                    "batch_rows": BATCH_DOCS, "pairs": n_pairs,
+                    "batch_rows": BATCH_DOCS, "buckets": BUCKETS, "pairs": n_pairs,
                     "add_and_find_sec": secs,
                     "calibration_sec": calibration}), flush=True)
 
@@ -136,7 +143,7 @@ def main() -> None:
                 spark, os.path.join(tmp, "lines"),
                 T.StructType([T.StructField("lh", T.LongType()),
                               T.StructField("doc", T.LongType())]),
-                "lh", buckets=32)
+                "lh", buckets=BUCKETS)
             txt = F.coalesce(F.col("text"), F.lit(""))
             lines_t.overwrite(
                 docs.select(F.col("doc_id").alias("doc"),
@@ -154,7 +161,7 @@ def main() -> None:
                     src.join(tgt, ["lh", "doc"], "left_anti")))
             print(json.dumps({
                 "index": "lines_store", "sf_dir": sf_dir,
-                "stored_rows": n_docs, "batch_rows": BATCH_DOCS,
+                "stored_rows": n_docs, "batch_rows": BATCH_DOCS, "buckets": BUCKETS,
                 "hot_lines": n_hot,
                 "add_and_find_sec": round(time.perf_counter() - t0, 3),
                 "calibration_sec": calibration}), flush=True)

@@ -230,6 +230,21 @@ class BandedBucketStore:
 
     ``pl`` carries a per-doc payload BIGINT (SimHash signature;
     0 where unused) so Hamming filters run on the pair set only.
+
+    WHEN TO ENABLE (measured, INCR_BENCH_r9 / SCALING addendum 21):
+    per-trigger cost is O(batch×bands × store/buckets + C) with
+    C ≈ 2.5 s of checkpoint/manifest constant — touched directories
+    are read AND copy-on-write rewritten wholesale, so the lever is
+    bucket count. Enable when BOTH (a) the signature table holds
+    ≳ 2M rows (below that, C alone exceeds the scan path's whole
+    cost — scan wins at every smaller measured size) and (b)
+    ``buckets`` ≥ 10 × batch×bands (at small bucket counts a batch
+    touches every directory and pruning degenerates to a full store
+    rewrite). Measured win at 5M stored signatures, batch 50,
+    buckets 4096: 10.7 s vs the scan path's 17.3 s — and the gap
+    grows with the store, since banded per-trigger work is
+    store-size-independent at a fixed touched count while the scan
+    path re-reads and re-bands every stored row.
     """
 
     def __init__(self, spark, path: str, *,
