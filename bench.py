@@ -149,6 +149,7 @@ def main():
     # total; the final JSON line always prints.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    from tradingview_data_pipeline_spark.operators import pins
     for name, fn in analytics.QUERIES.items():
         t0 = time.perf_counter()
         try:
@@ -156,6 +157,11 @@ def main():
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — harness must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        # release operator DISK_ONLY pins between queries — a 50-query
+        # session otherwise accumulates them into tens of GB of
+        # block-manager spill (pins are performance artifacts; results
+        # stay correct if one is ever released early)
+        pins.release_all()
 
     try:
         _bench_pipelines(spark, timings)

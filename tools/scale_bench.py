@@ -99,6 +99,10 @@ def main() -> None:
                 # ratio printer indexes rows by the timings keys
             except Exception as exc:  # noqa: BLE001 — harness must survive
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            # release operator DISK_ONLY pins between queries (outside
+            # the timed block) — see operators/pins.py
+            from tradingview_data_pipeline_spark.operators import pins
+            pins.release_all()
         rec = {"sf_dir": sf_dir, "calibration_sec": calibration,
                "total_sec": round(sum(timings.values()), 3),
                "queries": timings, "rows": rows,

@@ -78,6 +78,12 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # release operator DISK_ONLY pins between queries — a
+            # 50-query session otherwise accumulates tens of GB of
+            # block-manager spill (operators/pins.py)
+            from tradingview_data_pipeline_spark.operators import pins
+            pins.release_all()
         if name not in oracles:
             print(f"ok?   {name}: rows={len(srows)} (no oracle — rows-only check)")
             continue

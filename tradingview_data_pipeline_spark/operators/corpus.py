@@ -555,6 +555,8 @@ def bigram_lm_profile(df: DataFrame, id_col: str,
                    F.coalesce(F.col("__n"), zero).alias("n_bigrams"),
                    F.coalesce(F.col("__s"), zero).alias("bigram_score")))
     out._pinned_deps = [per]  # see docstring: unpersist_pins(out)
+    from tradingview_data_pipeline_spark.operators import pins
+    pins.track(per)           # bulk-releasable by long-lived harnesses
     return out
 
 

@@ -713,8 +713,10 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
     # memory pin: `ac` is corpus-sized. Handles ride on the result as
     # `_pinned_deps` (corpus.unpersist_pins lifecycle contract).
     from pyspark import StorageLevel
-    ac = ac.persist(StorageLevel.DISK_ONLY)
-    pairs = pairs.persist(StorageLevel.DISK_ONLY)
+
+    from tradingview_data_pipeline_spark.operators import pins
+    ac = pins.track(ac.persist(StorageLevel.DISK_ONLY))
+    pairs = pins.track(pairs.persist(StorageLevel.DISK_ONLY))
     comp = connected_components(
         pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")))
     out = (

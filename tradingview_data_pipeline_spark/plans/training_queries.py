@@ -325,10 +325,18 @@ deg AS MATERIALIZED (SELECT doc_id, COUNT(*) AS near_dups FROM
 
 
 # the former q32 oracle, CTE-form (names prefixed e* where they would
-# collide with the SimHash leg's)
+# collide with the SimHash leg's). Round-9 change: the band-key WIDTH
+# is size-adaptive (suggest_lsh_chunk_bits mirrored in the nchunk CTE)
+# — the registered fixed-12-bit form was the measured x12-per-decade
+# config (bucket population grows with n -> intra-bucket pairs x100 per
+# x10); re-sizing keys to hold ~4 random vectors per bucket keeps the
+# candidate budget linear (126.5 -> 21.7 s at the 200k-vector decade,
+# r6 measurement, ~0.97 planted recall at bands=8).
 _EMB_LSH_CTE = """
+nchunk AS (SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(2.0,
+                  COUNT(*) / 4.0))) AS BIGINT)) AS ch FROM embeddings),
 dims AS (SELECT unnest(range(64)) AS d),
-hbits AS (SELECT unnest(range(96)) AS i),
+hbits AS (SELECT unnest(range(8 * (SELECT ch FROM nchunk))) AS i),
 signs AS (
   SELECT i, d,
          CASE WHEN strpos('02468ace', substr(md5(i::VARCHAR || '_' || d::VARCHAR), 1, 1)) > 0
@@ -343,8 +351,9 @@ bitsum AS MATERIALIZED (
   SELECT vec_id, i, SUM(s * x) AS bs
   FROM vq JOIN signs USING (d) GROUP BY 1, 2),
 bandkey AS MATERIALIZED (
-  SELECT vec_id, i // 12 AS pos,
-         SUM((CASE WHEN bs >= 0 THEN 1 ELSE 0 END) * (1 << CAST(i % 12 AS INT))) AS key
+  SELECT vec_id, i // (SELECT ch FROM nchunk) AS pos,
+         SUM((CASE WHEN bs >= 0 THEN 1 ELSE 0 END)
+             * (1 << CAST(i % (SELECT ch FROM nchunk) AS INT))) AS key
   FROM bitsum GROUP BY 1, 2),
 esig AS MATERIALIZED (
   SELECT vec_id, string_agg(key::VARCHAR, '-' ORDER BY pos) AS sig_key
@@ -413,8 +422,12 @@ def q29_signature_neardup(spark, sf_dir):
                                    F.lit(0).cast("bigint"))
                         .alias("neardup_n")))
     e = _t(spark, sf_dir, "embeddings")
+    # size_hint: band keys re-size with the corpus (the r6-measured
+    # x12-decade fix; oracle mirrors via the nchunk CTE). One tiny
+    # count action — the same pattern as q77's per-sf label count.
     emb_leg = (sim.embedding_near_dups_lsh(e, "vec_id", "embedding",
-                                           threshold=0.95)
+                                           threshold=0.95,
+                                           size_hint=e.count())
                .select(F.lit("embedding").alias("kind"),
                        F.col("vec_id").alias("id"),
                        F.col("sig_key").alias("sig"),
