@@ -117,6 +117,11 @@ def test_bigram_lm_profile_matches_reference(spark, docs):
     assert out._pinned_deps[0].storageLevel.useDisk
     cp.unpersist_pins(out)
     assert not out._pinned_deps[0].storageLevel.useDisk
+    # ...and the session registry tracked it too (harnesses bulk-release
+    # between queries; release_all is idempotent on already-released)
+    from tradingview_data_pipeline_spark.operators import pins
+    assert pins.release_all() >= 1
+    assert pins.release_all() == 0
 
 
 def ref_dedupe_lines_global(docs, min_docs=2, keep="none"):
