@@ -1,0 +1,109 @@
+"""Deterministic Bloom-filter membership — the decontamination
+prefilter at corpus scale (round 9; the r8 verdict's named candidate).
+
+Exact-join decontamination (``corpus.decontaminate`` / q48) shuffles
+one row per distinct (doc, n-gram) on the corpus side. At 100 TB the
+benchmark side is tiny but the corpus side's shuffle is the cost; the
+standard fix is a broadcast Bloom filter: the corpus side drops
+non-member grams MAP-SIDE and only candidates (true hits + the
+engineered false-positive tail) reach the join.
+
+Everything here is DETERMINISTIC and cross-engine exact, so the Bloom
+path is DuckDB-oracle-checkable (q48's 'bloom' leg) — unusual for a
+Bloom, routine for this repo:
+
+- two independent 60-bit hashes per key from ONE md5 (bits 1-15 and
+  16-30 of the hex digest — the repo's ``_H60`` pattern),
+- k probe positions by Kirsch-Mitzenmacher double hashing
+  ``(h1 + i*h2) % n_bits`` (exact BIGINT arithmetic: h < 2^60, i < 8),
+- the bit array packs 63 bits per BIGINT word (bit 63 never used —
+  DuckDB raises on signed ``<<`` overflow where Spark wraps, so the
+  63-bit layout keeps every word arithmetic identical in both engines),
+- build = one hash-aggregate (``bit_or`` per word) + a driver collect
+  bounded by ``n_bits/63`` words — the filter is a model-sized object
+  (1 MB per ~8M bits), broadcast as a literal array into the probe
+  expression, which stays in whole-stage codegen.
+
+No false negatives by construction (pytest pins candidates ⊇ exact
+hits and bit-equality against a pure-python reference); false-positive
+rate follows the standard (1 - e^{-kn/m})^k.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD_BITS = 63  # bit 63 unused: DuckDB errors on signed << overflow
+
+
+def hash_pair(col: Column) -> tuple[Column, Column]:
+    """Two independent 60-bit hashes from one md5 — (h1, h2). h1 is
+    identical to ``text.md5_hash60`` so Bloom candidates join exact
+    gram hashes without re-hashing."""
+    d = F.md5(col)
+    h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 16, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def bloom_parameters(n_items: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: m = -n ln p / (ln 2)^2 bits, k = (m/n) ln 2.
+    Returns (n_bits rounded up to a whole 63-bit word, k >= 1)."""
+    if n_items <= 0:
+        raise ValueError("n_items must be > 0")
+    if not 0.0 < fp_rate < 1.0:
+        raise ValueError("fp_rate must be in (0, 1)")
+    m = math.ceil(-n_items * math.log(fp_rate) / (math.log(2) ** 2))
+    m = ((m + _WORD_BITS - 1) // _WORD_BITS) * _WORD_BITS
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def _positions(h1: Column, h2: Column, n_bits: int, k: int) -> list[Column]:
+    return [(h1 + F.lit(i) * h2) % F.lit(n_bits) for i in range(k)]
+
+
+def _shl1(bits: Column) -> Column:
+    # F.shiftleft's python wrapper only accepts an int literal for the
+    # shift amount; call_function passes the Column through
+    return F.call_function("shiftleft", F.lit(1).cast("long"), bits)
+
+
+def build_bloom(df: DataFrame, h1: Column, h2: Column, *,
+                n_bits: int, k: int) -> list[int]:
+    """Build the filter over ``df``'s (h1, h2) hash pairs; returns the
+    packed word list (python ints, ``ceil(n_bits/63)`` BIGINTs).
+
+    One explode(k) + hash-aggregate (``bit_or`` per word, map-side
+    combine) + a words-sized driver collect — never O(rows) on the
+    driver. The word list is the broadcastable model artifact."""
+    assert n_bits % _WORD_BITS == 0, "n_bits must pack whole 63-bit words"
+    pos = df.select(F.explode(F.array(
+        *_positions(h1, h2, n_bits, k))).alias("p"))
+    words = (pos.select((F.col("p") / _WORD_BITS).cast("long").alias("w"),
+                        _shl1((F.col("p") % _WORD_BITS).cast("int"))
+                        .alias("b"))
+             .groupBy("w").agg(F.bit_or("b").alias("bits")))
+    arr = [0] * (n_bits // _WORD_BITS)
+    for r in words.collect():
+        arr[r["w"]] = r["bits"]
+    return arr
+
+
+def bloom_contains(h1: Column, h2: Column, words: list[int], *,
+                   n_bits: int, k: int) -> Column:
+    """Membership-test expression over the packed word list — a pure
+    JVM expression (literal array + shifts), no UDF, stays in codegen.
+    TRUE means "possibly member" (false positives at the engineered
+    rate), FALSE means definitely absent."""
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    out = None
+    for p in _positions(h1, h2, n_bits, k):
+        word = F.element_at(lit_words, (p / _WORD_BITS).cast("int") + 1)
+        bit = _shl1((p % _WORD_BITS).cast("int"))
+        t = (word.bitwiseAND(bit) != 0)
+        out = t if out is None else (out & t)
+    return out

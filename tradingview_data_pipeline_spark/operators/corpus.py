@@ -135,6 +135,7 @@ def decontaminate(
     text_col: str,
     *,
     n: int = 5,
+    bloom: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Flag corpus documents sharing any word ``n``-gram with a benchmark
     document (the standard train-set decontamination check).
@@ -144,16 +145,39 @@ def decontaminate(
     they came from.  Joins 60-bit n-gram hashes (8 bytes) — the corpus
     side shuffles one row per distinct (doc, n-gram); the benchmark side
     is typically small enough to broadcast.
+
+    ``bloom=(n_bits, k)`` (round 9 — the 100-TB prefilter): build a
+    deterministic Bloom filter over the benchmark grams
+    (``operators/bloom.py``, a model-sized broadcast artifact) and drop
+    non-member corpus grams MAP-SIDE before they reach the distinct +
+    join shuffles — at corpus scale the shuffle shrinks from every
+    (doc, gram) to true hits plus the engineered false-positive tail.
+    Results are IDENTICAL (a Bloom has no false negatives; false
+    positives are eliminated by the exact join that follows) —
+    pytest-pinned.
     """
-    def gram_hashes(d: DataFrame, alias: str) -> DataFrame:
+    from tradingview_data_pipeline_spark.operators import bloom as bl
+
+    def grams(d: DataFrame, alias: str) -> DataFrame:
         g = d.select(
             F.col(id_col).alias(alias),
             F.explode(tx.word_shingles(F.col(text_col), n=n)).alias("g"))
-        g = g.where(F.size(F.split(F.col("g"), " ")) == F.lit(n))
-        return g.select(alias, tx.md5_hash60(F.col("g")).alias("h")).distinct()
+        return g.where(F.size(F.split(F.col("g"), " ")) == F.lit(n))
 
-    cg = gram_hashes(corpus, "doc_id_c")
-    bg = gram_hashes(benchmark, "doc_id_b")
+    cg = grams(corpus, "doc_id_c") \
+        .select("doc_id_c", tx.md5_hash60(F.col("g")).alias("h"),
+                F.col("g"))
+    if bloom is not None:
+        n_bits, k = bloom
+        h1, h2 = bl.hash_pair(F.col("g"))
+        bwords = bl.build_bloom(
+            grams(benchmark, "doc_id_b").select("g").distinct(),
+            *bl.hash_pair(F.col("g")), n_bits=n_bits, k=k)
+        cg = cg.where(bl.bloom_contains(h1, h2, bwords,
+                                        n_bits=n_bits, k=k))
+    cg = cg.drop("g").distinct()
+    bg = grams(benchmark, "doc_id_b") \
+        .select("doc_id_b", tx.md5_hash60(F.col("g")).alias("h")).distinct()
     hits = cg.join(bg, "h")
     return (
         hits.groupBy(F.col("doc_id_c").alias(id_col))

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark.operators import corpus as cp
 from tradingview_data_pipeline_spark.operators import sampling as sp
+from tradingview_data_pipeline_spark.operators import text as tx
 from tradingview_data_pipeline_spark.plans.analytics import register, _t
 
 # \S+ extraction, mirroring tx.tokens — trim()+split leaves a phantom
@@ -215,31 +216,105 @@ def _q47_chunking(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q48 — decontamination: flag corpus docs (doc_id % 20 != 0) sharing any
-# word 5-gram with the held-out benchmark slice (doc_id % 20 == 0).
-# Joins 60-bit gram hashes, not strings.
+# q48 — decontamination, tagged union (round 9 adds the 'bloom' leg):
+#   'exact' — flag corpus docs (doc_id % 20 != 0) sharing any word
+#             5-gram with the held-out benchmark slice (doc_id % 20
+#             == 0); joins 60-bit gram hashes, not strings.
+#   'bloom' — the 100-TB prefilter, value-verified: a DETERMINISTIC
+#             Bloom filter over the benchmark grams (operators/
+#             bloom.py — Kirsch-Mitzenmacher (h1 + i*h2) % n_bits over
+#             two md5-slice hashes, 63-bit words so << never overflows
+#             a DuckDB BIGINT) is rebuilt bit-for-bit by the oracle as
+#             a bit_or-per-word aggregate, and per contaminated-or-not
+#             corpus doc the leg emits (candidate grams passing all k
+#             probes, total distinct grams). Candidates ⊇ exact hits
+#             by construction; the hash compare pins the exact
+#             false-positive tail cross-engine.
+# n_bits=64512 (1024 63-bit words), k=4 — static so both engines size
+# identically; the library's bloom_parameters covers adaptive sizing.
 # ---------------------------------------------------------------------------
+
+_Q48_BITS = 63 * 1024
+_Q48_K = 4
 
 @register("q48_decontamination", oracle=f"""
 WITH tok AS (
   SELECT doc_id, {_TOK_W} AS w FROM documents
 ), grams AS (
   SELECT doc_id, unnest({_grams_sql(5)}) AS g FROM tok
-), hashes AS (
-  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM grams
-)
-SELECT c.doc_id AS doc_id,
-       COUNT(DISTINCT c.h) AS n_hits,
-       COUNT(DISTINCT b.doc_id) AS n_benchmark_docs
-FROM hashes c
-JOIN hashes b ON c.h = b.h AND b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+), hp AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(g), 16, 15))::BIGINT AS h2
+  FROM grams
+), corp AS (SELECT doc_id, h1, h2 FROM hp WHERE doc_id % 20 <> 0),
+bmark AS (SELECT DISTINCT h1, h2 FROM hp WHERE doc_id % 20 = 0),
+pos AS (
+  SELECT (h1 + i * h2) % {_Q48_BITS} AS p FROM bmark, range({_Q48_K}) r(i)
+), bw AS MATERIALIZED (
+  SELECT p // 63 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+  FROM pos GROUP BY p // 63
+), cpos AS (
+  SELECT doc_id, h1, (h1 + i * h2) % {_Q48_BITS} AS p
+  FROM corp, range({_Q48_K}) r(i)
+), kset AS (
+  SELECT doc_id, h1, COUNT(*) AS ks
+  FROM cpos JOIN bw ON bw.w = cpos.p // 63
+       AND (bw.bits & (CAST(1 AS BIGINT) << CAST(cpos.p % 63 AS INT))) <> 0
+  GROUP BY doc_id, h1
+), cand AS (SELECT doc_id, h1 FROM kset WHERE ks = {_Q48_K}),
+tot AS (SELECT doc_id, COUNT(DISTINCT h1) AS n FROM corp GROUP BY doc_id)
+SELECT 'exact' AS kind, c.doc_id AS doc_id,
+       COUNT(DISTINCT c.h1) AS v1,
+       COUNT(DISTINCT b.doc_id) AS v2
+FROM corp c JOIN hp b ON b.h1 = c.h1 AND b.doc_id % 20 = 0
 GROUP BY c.doc_id
+UNION ALL
+SELECT 'bloom' AS kind, t.doc_id,
+       CAST(COALESCE(cc.n_cand, 0) AS BIGINT) AS v1,
+       CAST(t.n AS BIGINT) AS v2
+FROM tot t LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_cand FROM cand GROUP BY doc_id
+) cc USING (doc_id)
 """)
 def q48_decontamination(spark, sf_dir):
+    from tradingview_data_pipeline_spark.operators import bloom as bl
+
     d = _t(spark, sf_dir, "documents")
     benchmark = d.where(F.col("doc_id") % 20 == 0)
     rest = d.where(F.col("doc_id") % 20 != 0)
-    return cp.decontaminate(rest, benchmark, "doc_id", "text", n=5)
+    exact = cp.decontaminate(rest, benchmark, "doc_id", "text", n=5)
+    exact_leg = exact.select(
+        F.lit("exact").alias("kind"), "doc_id",
+        F.col("n_hits").alias("v1"),
+        F.col("n_benchmark_docs").alias("v2"))
+
+    def grams(part: DataFrame) -> DataFrame:
+        g = part.select(
+            "doc_id",
+            F.explode(tx.word_shingles(F.col("text"), n=5)).alias("g"))
+        return g.where(F.size(F.split(F.col("g"), " ")) == F.lit(5))
+
+    h1, h2 = bl.hash_pair(F.col("g"))
+    bwords = bl.build_bloom(grams(benchmark).select("g").distinct(),
+                            h1, h2, n_bits=_Q48_BITS, k=_Q48_K)
+    corp = grams(rest).select(
+        "doc_id", tx.md5_hash60(F.col("g")).alias("h1"), "g").distinct()
+    cand = corp.where(bl.bloom_contains(
+        *bl.hash_pair(F.col("g")), bwords, n_bits=_Q48_BITS, k=_Q48_K))
+    tot = corp.groupBy("doc_id").agg(F.countDistinct("h1").alias("__n"))
+    # every corpus doc rides the leg (v1 = 0 when no gram passes the
+    # filter) — the hash then pins the filter's exact bit pattern over
+    # the WHOLE corpus, not just the contaminated tail
+    bloom_leg = (tot.join(cand.groupBy("doc_id")
+                          .agg(F.countDistinct("h1").alias("__c")),
+                          "doc_id", "left")
+                 .select(F.lit("bloom").alias("kind"), "doc_id",
+                         F.coalesce(F.col("__c"), F.lit(0).cast("bigint"))
+                         .alias("v1"),
+                         F.col("__n").alias("v2")))
+    return exact_leg.unionByName(bloom_leg)
 
 
 # ---------------------------------------------------------------------------
