@@ -76,6 +76,15 @@ def main() -> None:
         sim.with_nearest_centroid_blas(e, "embedding", c1, "assigned") \
             .write.format("noop").mode("overwrite").save()
         rec["assign_blas_sec"] = round(time.perf_counter() - t0, 2)
+        # round-9 exact-integer backend (with_nearest_centroid_int —
+        # the oracle-checkable large-k path q77 registers): same numpy
+        # matmul shape as BLAS but int64 — the price of bit-stability
+        t0 = time.perf_counter()
+        ci = sim.group_centroids_int(a1, "assigned", "embedding") \
+            .localCheckpoint()
+        sim.with_nearest_centroid_int(e, "embedding", ci, "assigned") \
+            .write.format("noop").mode("overwrite").save()
+        rec["assign_int_sec"] = round(time.perf_counter() - t0, 2)
         if not os.environ.get("SEMDD_SKIP_FOLD"):
             t0 = time.perf_counter()
             sim.with_nearest_centroid(e, "embedding", c1, "assigned") \

@@ -396,15 +396,22 @@ def span_corruption(seqs: DataFrame, sentinel_start: int, *,
             if len(pdf) == 0:
                 continue
             inputs, targets = [], []
-            for _, row in pdf.iterrows():
-                ids = list(row[ids_col])[: int(row[n_real_col])]
+            # column-wise zip, not iterrows: building a pandas Series
+            # per row was the dominant per-row cost (the r8 review's
+            # "slowest-per-byte Python in the repo"); the per-row seeded
+            # RNG + variable-length outputs keep the inner loop python,
+            # but row access is now plain numpy scalars
+            for row_ids, row_n, *keyvals in zip(
+                    pdf[ids_col].to_numpy(), pdf[n_real_col].to_numpy(),
+                    *(pdf[c].to_numpy() for c in keys)):
+                ids = list(row_ids)[: int(row_n)]
                 n = len(ids)
                 if n < 2:
                     inputs.append([int(x) for x in ids])
                     targets.append([] if eos_id is None else [int(eos_id)])
                     continue
                 seed_key = ":".join(
-                    [salt] + [str(row[c]) for c in keys])
+                    [salt] + [str(v) for v in keyvals])
                 seed = int.from_bytes(
                     hashlib.md5(seed_key.encode()).digest()[:8], "big")
                 rng = np.random.default_rng(seed)
