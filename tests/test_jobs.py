@@ -309,6 +309,50 @@ def _variant(swap_at, token="dup"):
     return " ".join(ws)
 
 
+def test_incremental_builder_url_stage(spark, tmp_path):
+    """url_col wires address-level dedup as the FIRST stage: re-crawled
+    URLs drop before any text work, within and across batches; docs
+    without a parseable URL always pass; replay converges."""
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    b = IncrementalCorpusBuilder(spark, str(tmp_path / "state"),
+                                 quality_min=0.0, url_col="url")
+    sch = "doc_id long, text string, url string"
+    m1 = b.add_batch(spark.createDataFrame([
+        (1, BASE_WORDS, "https://www.a.com/x?utm_source=s"),
+        (2, "completely different words entirely here about other topics "
+            "with many extra tokens to make shingles " * 2,
+         "http://a.com/x"),          # same canonical URL as doc 1
+        (3, _variant_text(), "no url at all"),   # passthrough
+    ], sch))
+    assert m1["url_dropped_docs"] == 1
+    assert m1["appended"] == 2 and m1["corpus_rows"] == 2
+
+    # second batch: re-crawl of doc 1's URL drops BEFORE text stages —
+    # its text is brand-new (would survive content dedup) yet never lands
+    m2 = b.add_batch(spark.createDataFrame([
+        (10, "entirely novel text that no content stage would drop "
+             "with plenty of distinct vocabulary " * 2,
+         "https://A.com/x/"),
+    ], sch))
+    assert m2 == {"batch_rows": 1, "url_dropped_docs": 1,
+                  "after_quality_and_exact": 0, "neardup_dropped": 0,
+                  "appended": 0, "corpus_rows": 2}
+    # replay converges (the echo rule)
+    m2r = b.add_batch(spark.createDataFrame([
+        (10, "entirely novel text that no content stage would drop "
+             "with plenty of distinct vocabulary " * 2,
+         "https://A.com/x/"),
+    ], sch))
+    assert m2r["appended"] == 0 and m2r["corpus_rows"] == 2
+
+
+def _variant_text():
+    return ("a fresh unrelated document with plenty of novel words "
+            "covering totally new material and nothing shared " * 2)
+
+
 def test_incremental_corpus_builder_dedups_across_batches(spark, tmp_path):
     from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
         IncrementalCorpusBuilder)

@@ -437,7 +437,8 @@ class IncrementalCorpusBuilder:
                  tokenizer: tuple[list[tuple[str, str]],
                                   dict[str, int]] | None = None,
                  seq_len: int | None = None,
-                 seq_pad_id: int | None = None):
+                 seq_pad_id: int | None = None,
+                 url_col: str | None = None):
         from pyspark.sql import types as T
 
         from tradingview_data_pipeline_spark.operators.merge import ParquetTable
@@ -461,6 +462,15 @@ class IncrementalCorpusBuilder:
         # (reload it from its parquet artifact, never retrain mid-stream)
         self.quality_model = quality_model
         self.dedupe_repeated_lines = dedupe_repeated_lines
+        # optional FIRST stage (round 9): address-level dedup — the
+        # cheapest and first-applied dedup of a web pipeline (RefinedWeb
+        # §3.1). Runs before any text stage; its store commits first
+        # and replays converge by the echo rule (urls.IncrementalUrlIndex)
+        self.url_col = url_col
+        if url_col is not None:
+            from tradingview_data_pipeline_spark.operators import urls as ur
+            self.urls = ur.IncrementalUrlIndex(
+                spark, os.path.join(state_dir, "urls"), buckets=buckets)
         corpus_schema = T.StructType([
             T.StructField("doc_id", T.LongType()),
             T.StructField("text", T.StringType()),
@@ -540,6 +550,15 @@ class IncrementalCorpusBuilder:
     def add_batch(self, docs: DataFrame) -> dict:
         """Process one batch of (doc_id, text); returns stage metrics."""
         n_batch = docs.count()
+
+        n_after_url = n_batch
+        if self.url_col is not None:
+            # address-level dedup FIRST: drops re-crawls before any
+            # text work (content hash, signatures, grams) runs on them
+            docs = self.urls.add_and_filter(
+                docs.withColumn("doc_id", F.col("doc_id").cast("long")),
+                "doc_id", self.url_col)
+            n_after_url = docs.count()
 
         cleaned = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"), "text")
@@ -717,6 +736,8 @@ class IncrementalCorpusBuilder:
         self.hashes.merge_upsert(batch_e.select("content_hash"))
         out = {
             "batch_rows": n_batch,
+            **({"url_dropped_docs": n_batch - n_after_url}
+               if self.url_col is not None else {}),
             "after_quality_and_exact": n_exact,
             "neardup_dropped": (n_exact - n_appended if n_after_near is None
                                 else n_exact - n_after_near),
