@@ -177,3 +177,126 @@ def test_weighted_sample_log_space_matches_linear(spark):
     assert len(out) == 5
     # heavily-weighted ids dominate: the top log-weight row is near-certain
     assert 20 in {r["id"] for r in out}
+
+
+# --- hashed-feature logistic regression -------------------------------------
+
+def _logreg_reference(docs, *, n_buckets, iters, lr, l2=0.0):
+    """Pure-Python mirror of logreg_train's exactness contract: md5-60
+    bucketing, ascending-bucket float64 margin fold, 1e-9-grid int64
+    gradient quantization, identical driver update order."""
+    import hashlib
+
+    import numpy as np
+
+    grid = 1e9
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
+
+    def sigmoid(m):
+        if m >= 0:
+            return 1.0 / (1.0 + math.exp(-m))
+        z = math.exp(m)
+        return z / (1.0 + z)
+
+    feats = []
+    for _id, text, y in docs:
+        cnt = {}
+        toks = text.split()
+        for t in toks:
+            b = bucket(t)
+            cnt[b] = cnt.get(b, 0) + 1
+        feats.append((1 if y else 0, sorted(cnt.items()), len(toks)))
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias, hist = 0.0, []
+    for _ in range(iters):
+        acc, gb, lq = {}, 0, 0
+        for y, pairs, n in feats:
+            m = bias
+            for b, c in pairs:
+                m += w[b] * (c / n)
+            e = sigmoid(m) - y
+            for b, c in pairs:
+                acc[b] = acc.get(b, 0) + math.floor(e * (c / n) * grid)
+            gb += math.floor(e * grid)
+            loss = max(m, 0.0) - m * y + math.log1p(math.exp(-abs(m)))
+            lq += math.floor(loss * grid)
+        nd = len(feats)
+        hist.append(lq / grid / nd)
+        decay = 1.0 - lr * l2
+        if l2:
+            w *= decay
+        for b, g in acc.items():
+            w[b] -= lr * ((g / grid) / nd)
+        bias = bias * (decay if l2 else 1.0) - lr * ((gb / grid) / nd)
+    return w, bias, hist
+
+
+def test_logreg_train_bit_equal_to_python_reference(spark):
+    import numpy as np
+
+    docs = GOOD + BAD + [(7, "", True)]  # empty doc trains the bias only
+    df = spark.createDataFrame(docs, "doc_id long, text string, y boolean")
+    kw = dict(n_buckets=4096, iters=5, lr=0.5, l2=0.1)
+    model = cl.logreg_train(df, "text", "y", **kw)
+    ref_w, ref_b, ref_h = _logreg_reference(docs, **kw)
+    assert np.array_equal(model.dense, ref_w)
+    assert model.bias == ref_b
+    assert model.history == ref_h
+    # the nonzero weight table IS the dense vector's support
+    got = {r["bucket"]: r["weight"] for r in model.weights.collect()}
+    assert got == {int(b): float(ref_w[b]) for b in np.flatnonzero(ref_w)}
+
+
+def test_logreg_train_layout_independent(spark):
+    import numpy as np
+
+    docs = GOOD + BAD
+    df = spark.createDataFrame(docs, "doc_id long, text string, y boolean")
+    kw = dict(n_buckets=4096, iters=4, lr=0.5)
+    m1 = cl.logreg_train(df, "text", "y", **kw)
+    m2 = cl.logreg_train(df.repartition(7), "text", "y", **kw)
+    assert np.array_equal(m1.dense, m2.dense)
+    assert m1.bias == m2.bias
+    assert m1.history == m2.history
+
+
+def test_logreg_separates_and_score_matches_driver_math(spark):
+    docs = GOOD + BAD
+    df = spark.createDataFrame(docs, "doc_id long, text string, y boolean")
+    model = cl.logreg_train(df, "text", "y", n_buckets=4096, iters=30, lr=1.0)
+    # training loss decreases on the separable planted corpus
+    assert model.history[-1] < model.history[0]
+    got = {r["doc_id"]: r for r in
+           cl.logreg_score(df, "doc_id", "text", model).collect()}
+    assert min(got[i]["margin"] for i in (1, 2, 3)) > \
+        max(got[i]["margin"] for i in (4, 5, 6))
+    # the DataFrame-side margin equals the driver-side dot product
+    import hashlib
+    for _id, text, _y in docs:
+        toks = text.split()
+        s = sum(model.dense[int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                            % model.n_buckets] for t in toks)
+        want = s / len(toks) + model.bias
+        assert got[_id]["margin"] == pytest.approx(want, abs=1e-12)
+        assert got[_id]["prob"] == pytest.approx(
+            1.0 / (1.0 + math.exp(-want)), abs=1e-12)
+
+
+def test_logreg_score_empty_doc_is_bias_only(spark):
+    df = spark.createDataFrame(GOOD + BAD, "doc_id long, text string, y boolean")
+    model = cl.logreg_train(df, "text", "y", n_buckets=1024, iters=3)
+    probe = spark.createDataFrame([(9, ""), (10, "   ")],
+                                  "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           cl.logreg_score(probe, "doc_id", "text", model).collect()}
+    for i in (9, 10):
+        assert got[i]["n_tokens"] == 0
+        assert got[i]["margin"] == model.bias
+
+
+def test_logreg_train_empty_input_raises(spark):
+    df = spark.createDataFrame([], "doc_id long, text string, y boolean")
+    with pytest.raises(ValueError, match="empty training set"):
+        cl.logreg_train(df, "text", "y", n_buckets=64, iters=1)

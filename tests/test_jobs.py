@@ -730,6 +730,34 @@ def test_corpus_prep_learned_quality_gate(spark, tmp_path):
     assert [r["doc_id"] for r in out] == [1]
 
 
+def test_corpus_prep_logreg_quality_gate(spark, tmp_path):
+    """quality_model=(LogRegModel, min_margin) — the fastText-style
+    linear filter plugs into the same learned-gate slot, dispatched on
+    model type (_apply_quality_model)."""
+    from tradingview_data_pipeline_spark.operators import classify as cl
+    from tradingview_data_pipeline_spark.plans import corpus_pipeline
+
+    train = spark.createDataFrame(
+        [(100, CLEAN_DOC, True),
+         (101, "another informative varied piece about science and art "
+               "history music travel cooking with careful writing", True),
+         (102, "buy cheap pills click here winner prize spam offer", False),
+         (103, "click buy spam winner cheap prize pills offer now", False)],
+        "doc_id long, text string, y boolean")
+    model = cl.logreg_train(train, "text", "y", n_buckets=4096,
+                            iters=30, lr=1.0)
+    docs = _corpus_batch(spark, [
+        (1, CLEAN_DOC),
+        (2, "cheap pills spam winner prize click buy offer here today "
+            "winner cheap prize spam pills click buy offer now indeed")])
+    m = corpus_pipeline.run_corpus_prep(
+        spark, docs, str(tmp_path / "out"), quality_min=0.0,
+        quality_model=(model, 0.0))
+    assert m["after_near_dedup_and_quality"] == 1
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
 def test_corpus_prep_repetition_gate_unknown_signal_raises(spark, tmp_path):
     import pytest
 

@@ -15,6 +15,22 @@ Two public families:
   join → per-doc BIGINT sum, so the corpus shuffles only 8-byte partial
   sums keyed by doc id.
 
+* **Hashed-feature logistic regression** (``logreg_train`` +
+  ``logreg_score``): the fastText-style linear quality filter (the
+  LLaMA / GPT-3 "trained on Wikipedia vs crawl" gate) — L1-normalized
+  hashed-token bag-of-words features, full-batch gradient descent.
+  Training is iterative (the PageRank/BPE verification pattern:
+  pytest-pinned against a pure-Python reference, deliberately not
+  SQL-oracle-expressible): the featurized corpus is built ONCE, pinned
+  DISK_ONLY, and each iteration is a single map-only pass that emits
+  int64-QUANTIZED per-partition gradient entries — the only per-
+  iteration shuffle is vocabulary-bounded (≤ ``n_buckets`` 16-byte
+  rows), the corpus never reshuffles, and the weight vector lives on
+  the driver (2 MB at the default 2^18 buckets).  Quantization makes
+  the distributed gradient sum associative, so training is bit-
+  reproducible under any partitioning — the same exactness contract
+  the repo pins for BPE and the int-SemDeDup kernels.
+
 * **DSIR importance weights** (``hashed_ngram_dist`` +
   ``importance_weights``): Xie et al. 2023 ("Data Selection for
   Language Models via Importance Resampling") — hashed n-gram
@@ -129,6 +145,201 @@ def _w_col(n_pos, n_neg, tp, tn, v, use_log):
     if use_log:
         return F.log(r)
     return F.floor(r * F.lit(GRID)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature logistic regression — the fastText-style linear filter.
+# ---------------------------------------------------------------------------
+
+GRID9 = 1_000_000_000.0  # gradient/loss quantization grid (1e-9 resolution)
+
+
+class LogRegModel:
+    """Trained ``logreg_train`` artifact.
+
+    ``weights`` is a (bucket BIGINT, weight DOUBLE) DataFrame of the
+    NONZERO coordinates (vocabulary-bounded, broadcastable), ``bias``
+    the intercept, ``n_buckets`` the feature-hash modulus (scoring must
+    reuse it), ``history`` the mean training loss per iteration.  The
+    dense vector stays driver-side in ``dense`` for tests/persistence.
+    """
+
+    def __init__(self, weights: DataFrame, bias: float, n_buckets: int,
+                 history: list, dense=None):
+        self.weights = weights
+        self.bias = bias
+        self.n_buckets = n_buckets
+        self.history = history
+        self.dense = dense
+
+
+def _lr_bucket(col, n_buckets: int):
+    """Feature-hash bucket: md5-60 pmod n_buckets — reproducible in any
+    engine / pure Python (``int(md5(t).hexdigest()[:15], 16) % m``)."""
+    return F.pmod(tx.md5_hash60(col), F.lit(n_buckets))
+
+
+def _stable_sigmoid(m: float) -> float:
+    import math
+    if m >= 0:
+        return 1.0 / (1.0 + math.exp(-m))
+    z = math.exp(m)
+    return z / (1.0 + z)
+
+
+def _logloss(m: float, y: int) -> float:
+    """Numerically stable -[y ln p + (1-y) ln(1-p)] for margin m."""
+    import math
+    return max(m, 0.0) - m * y + math.log1p(math.exp(-abs(m)))
+
+
+def logreg_train(df: DataFrame, text_col: str, label_col: str, *,
+                 n_buckets: int = 1 << 18, iters: int = 30,
+                 lr: float = 0.5, l2: float = 0.0) -> LogRegModel:
+    """Train a hashed bag-of-words logistic-regression quality filter.
+
+    Features: x_b = (occurrences of tokens hashing to bucket b) /
+    (doc token count) — the L1-normalized fastText-style document
+    vector; empty documents train the bias only.  Full-batch GD:
+    w ← w·(1 − lr·l2) − lr·∇/n with ∇ the exact log-loss gradient.
+
+    Scale shape (what survives 100 TB): the featurized corpus —
+    per-doc SORTED (bucket, cnt) arrays — is built with one explode +
+    two hash aggregates and pinned DISK_ONLY; each iteration is ONE
+    map-only pass over the pin (no corpus shuffle, no driver copy of
+    the data) whose output is per-partition pre-summed int64 gradient
+    entries, ≤ ``n_buckets`` rows however large the corpus.  The dense
+    weight vector broadcasts (2 MB at 2^18); iterations cost one corpus
+    scan each — the textbook GD trade, amortized by the pin.
+
+    Exactness contract: per-doc margins fold in ascending-bucket order
+    in float64, per-doc gradient/loss contributions quantize to the
+    1e-9 grid BEFORE summation (int64 sums are associative → layout-
+    independent), the driver update is plain float64 — so the whole
+    trajectory is bit-reproducible and pytest-pinned against a
+    pure-Python reference (test_classify).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from tradingview_data_pipeline_spark.operators import pins
+    from pyspark import StorageLevel
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = df.sparkSession
+    y = F.when(F.col(label_col).cast("boolean"), F.lit(1)).otherwise(F.lit(0))
+    # __doc is assigned BEFORE the explode (a generator in the same
+    # projection would stamp ids on the exploded rows) — it only needs
+    # to be unique per input row; the gradient never depends on its
+    # value, so layout-dependent ids don't break reproducibility.
+    base = (df.select(y.alias("__y"),
+                      tx.tokens(F.col(text_col)).alias("__toks"))
+            .withColumn("__doc", F.monotonically_increasing_id()))
+    feat = (base
+            .select("__y", "__doc",
+                    F.explode_outer(F.col("__toks")).alias("token"))
+            .withColumn("bucket", F.when(F.col("token").isNotNull(),
+                                         _lr_bucket(F.col("token"),
+                                                    n_buckets)))
+            .groupBy("__doc", "__y", "bucket")
+            .agg(F.count(F.col("token")).alias("cnt"))
+            .groupBy("__doc", "__y")
+            .agg(F.sort_array(F.collect_list(
+                F.when(F.col("bucket").isNotNull(),
+                       F.struct(F.col("bucket"), F.col("cnt")))))
+                 .alias("bc"))
+            .select("__y", "bc"))
+    feat = pins.track(feat.persist(StorageLevel.DISK_ONLY))
+
+    out_schema = "bucket long, g long"
+
+    def _grad_pass(w: np.ndarray, bias: float):
+        def fn(it):
+            acc: dict = {}
+            for pdf in it:
+                for yv, bc in zip(pdf["__y"].to_numpy(), pdf["bc"]):
+                    pairs = [] if bc is None else list(bc)
+                    n_tok = sum(int(p["cnt"]) for p in pairs)
+                    m = bias
+                    if n_tok:
+                        for p in pairs:  # ascending bucket order (sorted)
+                            m += w[int(p["bucket"])] * (int(p["cnt"]) / n_tok)
+                    e = _stable_sigmoid(m) - int(yv)
+                    for p in pairs:
+                        b = int(p["bucket"])
+                        q = math.floor(e * (int(p["cnt"]) / n_tok) * GRID9)
+                        acc[b] = acc.get(b, 0) + q
+                    acc[-1] = acc.get(-1, 0) + math.floor(e * GRID9)
+                    acc[-2] = acc.get(-2, 0) + math.floor(
+                        _logloss(m, int(yv)) * GRID9)
+                    acc[-3] = acc.get(-3, 0) + 1
+            if acc:
+                yield pd.DataFrame({"bucket": list(acc.keys()),
+                                    "g": list(acc.values())})
+        return fn
+
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+    history = []
+    try:
+        for _ in range(iters):
+            rows = (feat.mapInPandas(_grad_pass(w, bias), out_schema)
+                    .groupBy("bucket").agg(F.sum("g").alias("g"))
+                    .collect())
+            tot = {r["bucket"]: r["g"] for r in rows}
+            n = tot.pop(-3, 0)
+            if n == 0:
+                raise ValueError("logreg_train: empty training set")
+            loss_q = tot.pop(-2, 0)
+            gb = tot.pop(-1, 0)
+            history.append(loss_q / GRID9 / n)
+            decay = 1.0 - lr * l2
+            if l2:
+                w *= decay
+            for b, g in tot.items():
+                w[b] -= lr * ((g / GRID9) / n)
+            bias = bias * (decay if l2 else 1.0) - lr * ((gb / GRID9) / n)
+    finally:
+        feat.unpersist()
+    nz = np.flatnonzero(w)
+    wdf = spark.createDataFrame(
+        [(int(b), float(w[b])) for b in nz], "bucket long, weight double")
+    return LogRegModel(wdf, float(bias), n_buckets, history, dense=w)
+
+
+def logreg_score(df: DataFrame, id_col: str, text_col: str,
+                 model: LogRegModel) -> DataFrame:
+    """Score documents with a trained ``logreg_train`` model.
+
+    Returns (id, n_tokens, margin, prob): margin = Σ w[bucket(tok)] /
+    n_tokens + bias (the L1-normalized linear score — empty docs get
+    the bare bias), prob = sigmoid(margin).  Plan shape mirrors
+    ``nb_score``: the nonzero weight table broadcasts, the corpus
+    explodes map-side, and only (doc, partial-sum) rows shuffle into
+    the final hash aggregate.  Buckets absent from the nonzero table
+    carry weight 0 by construction.
+    """
+    tok = df.select(F.col(id_col),
+                    F.explode_outer(tx.tokens(F.col(text_col))).alias("token"))
+    tok = tok.withColumn(
+        "bucket", F.when(F.col("token").isNotNull(),
+                         _lr_bucket(F.col("token"), model.n_buckets)))
+    contrib = F.when(F.col("token").isNull(), F.lit(0.0)) \
+               .otherwise(F.coalesce(F.col("weight"), F.lit(0.0)))
+    agg = (tok.join(F.broadcast(model.weights), "bucket", "left")
+           .groupBy(id_col)
+           .agg(F.count(F.col("token")).alias("n_tokens"),
+                F.coalesce(F.sum(contrib), F.lit(0.0)).alias("__ws")))
+    margin = (F.when(F.col("n_tokens") > 0,
+                     F.col("__ws") / F.col("n_tokens"))
+              .otherwise(F.lit(0.0)) + F.lit(model.bias))
+    return (agg.withColumn("margin", margin)
+            .withColumn("prob",
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))))
+            .drop("__ws"))
 
 
 # ---------------------------------------------------------------------------

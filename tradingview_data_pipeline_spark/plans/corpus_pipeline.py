@@ -108,15 +108,18 @@ def run_corpus_prep(
     zero-shuffle column expressions) — the gate adds no stage, no
     shuffle, and no second scan.
 
-    ``quality_model=(weights, min_log_odds)`` adds the LEARNED half of
-    the quality gate (the CCNet/GPT-3 classifier filter): ``weights``
-    is a trained ``classify.token_class_weights`` table, and docs whose
-    ``classify.nb_score(use_log=True)`` falls below ``min_log_odds``
-    are dropped AFTER the heuristic gates (cheap filters first, so the
-    model scores fewer docs).  Cost: one corpus-sized explode →
-    broadcast-join → per-doc sum (map-side partial aggregation; only
-    (doc_id, score) rows shuffle) plus one doc-id-keyed semi-join back
-    — the only stage-level join this gate adds.
+    ``quality_model=(model, threshold)`` adds the LEARNED half of the
+    quality gate (the CCNet/GPT-3 classifier filter): ``model`` is
+    either a trained ``classify.token_class_weights`` table (docs whose
+    ``nb_score(use_log=True)`` log-odds fall below ``threshold`` drop)
+    or a ``classify.LogRegModel`` (the fastText-style filter; docs
+    whose ``logreg_score`` margin falls below ``threshold`` drop) —
+    dispatched on type, applied AFTER the heuristic gates (cheap
+    filters first, so the model scores fewer docs).  Cost either way:
+    one corpus-sized explode → broadcast-join → per-doc sum (map-side
+    partial aggregation; only (doc_id, score) rows shuffle) plus one
+    doc-id-keyed semi-join back — the only stage-level join this gate
+    adds.
 
     ``train_mixture=(weights, total_rows)`` resamples the TRAIN split to
     a target domain mixture (``sampling.mixture_sample`` over
@@ -200,13 +203,7 @@ def run_corpus_prep(
         gated = _apply_repetition_limits(gated, repetition_limits)
 
     if quality_model is not None:
-        from tradingview_data_pipeline_spark.operators import classify as cl
-        weights, min_log_odds = quality_model
-        passing = (cl.nb_score(gated, "doc_id", "text", weights,
-                               use_log=True)
-                   .where(F.col("score") >= F.lit(float(min_log_odds)))
-                   .select("doc_id"))
-        gated = gated.join(passing, "doc_id", "left_semi")
+        gated = _apply_quality_model(gated, quality_model)
 
     redacted = gated.withColumn("text", tx.redact_pii(F.col("text")))
 
@@ -340,6 +337,30 @@ def _apply_repetition_limits(df: DataFrame,
     the tokenize/shingle passes), zero shuffle, zero extra stage.
     Unknown signal names fail loudly (in corpus.py)."""
     return df.where(cp.repetition_within_limits(F.col("text"), limits))
+
+
+def _apply_quality_model(gated: DataFrame,
+                         quality_model: tuple) -> DataFrame:
+    """The learned quality gate, dispatched on model type: an NB weights
+    table (``classify.token_class_weights`` + ``nb_score(use_log=True)``
+    thresholded on log-odds) or a ``classify.LogRegModel`` (``logreg_
+    score`` thresholded on the linear margin).  Either way: one
+    corpus-sized explode → broadcast-join → per-doc sum (map-side
+    partial aggregation; only (doc_id, score) rows shuffle) plus one
+    doc-id-keyed semi-join back — the only stage-level join this gate
+    adds.  Both score by-document only, so replays gate identically."""
+    from tradingview_data_pipeline_spark.operators import classify as cl
+    model, threshold = quality_model
+    if isinstance(model, cl.LogRegModel):
+        passing = (cl.logreg_score(gated, "doc_id", "text", model)
+                   .where(F.col("margin") >= F.lit(float(threshold)))
+                   .select("doc_id"))
+    else:
+        passing = (cl.nb_score(gated, "doc_id", "text", model,
+                               use_log=True)
+                   .where(F.col("score") >= F.lit(float(threshold)))
+                   .select("doc_id"))
+    return gated.join(passing, "doc_id", "left_semi")
 
 
 class IncrementalCorpusBuilder:
@@ -577,15 +598,7 @@ class IncrementalCorpusBuilder:
             gated = _apply_repetition_limits(gated, self.repetition_limits)
 
         if self.quality_model is not None:
-            from tradingview_data_pipeline_spark.operators import (
-                classify as cl,
-            )
-            weights, min_log_odds = self.quality_model
-            passing = (cl.nb_score(gated, "doc_id", "text", weights,
-                                   use_log=True)
-                       .where(F.col("score") >= F.lit(float(min_log_odds)))
-                       .select("doc_id"))
-            gated = gated.join(passing, "doc_id", "left_semi")
+            gated = _apply_quality_model(gated, self.quality_model)
 
         # exact dedup: min doc_id per content within the batch, then
         # anti-join against the hash-gate table — read BUCKET-PRUNED to
