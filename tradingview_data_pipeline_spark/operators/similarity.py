@@ -1120,3 +1120,236 @@ class IncrementalEmbeddingIndex:
         see ``dedup.IncrementalNearDupIndex.rebuild_store``."""
         assert self.store is not None
         self.store.rebuild_from(self._bk(self._melt(self.table.read())))
+
+
+# ---------------------------------------------------------------------------
+# Dimensionality reduction — PCA (exact-moment) and random projection.
+# The 100-TB pre-step for the pairwise/ANN family: SemDeDup's in-cluster
+# Gram and brute-force top-k both cost O(d) per pair, so projecting
+# 64→16 dims cuts the dominant stage ~4× at a measured recall cost
+# (tools/semdedup_bench.py records the tradeoff).
+# ---------------------------------------------------------------------------
+
+PCA_GRID = 10_000  # 1e-4 element quantization for the exact moment pass
+
+
+class PcaModel:
+    """``pca_fit`` artifact: ``components`` is the (d, k) float64
+    projection matrix (columns = top-k eigenvectors of the covariance,
+    descending eigenvalue, sign-fixed so each column's largest-|.|
+    element is positive), ``mean`` the (d,) training mean, ``n`` the
+    row count, ``explained`` the k eigenvalues.  Everything driver-side
+    and tiny (d ≤ a few thousand); broadcast happens at projection."""
+
+    def __init__(self, components, mean, n: int, explained, *,
+                 center: bool, grid: int):
+        self.components = components
+        self.mean = mean
+        self.n = n
+        self.explained = explained
+        self.center = center
+        self.grid = grid
+
+
+def pca_fit(df: DataFrame, vec_col: str, out_dim: int, *,
+            center: bool = True, grid: int = PCA_GRID) -> PcaModel:
+    """Fit PCA over an embedding column with ONE exact-arithmetic pass.
+
+    Scale shape: elements quantize to the ``grid`` (1e-4 default), each
+    partition accumulates the count / first-moment vector / second-
+    moment (Gram) matrix in INTEGER arithmetic (int64 per Arrow batch,
+    arbitrary-precision Python int across batches — no overflow at any
+    corpus size), and emits d + d² + 1 DECIMAL(38,0) cells; the driver
+    combines the ≤ (d²+d+1)·partitions cells, forms the exact
+    covariance numerator n·G − S·Sᵀ as Python ints, and runs one local
+    ``eigh`` on the d×d float64 matrix.  The corpus never shuffles —
+    the only moved bytes are the per-partition moment cells.  Integer
+    sums are associative, so the model is bit-identical under any
+    partitioning (pytest-pinned); determinism of ``eigh`` on identical
+    input is LAPACK's.
+
+    ``center=False`` skips mean subtraction (second-moment PCA) — use
+    when downstream cosine semantics must not shift the origin.
+    """
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("pca_fit: empty input")
+    d = len(head[0])
+    if not 1 <= out_dim <= d:
+        raise ValueError(f"out_dim must be in [1, {d}]")
+
+    def moments(it):
+        n = 0
+        s = [0] * d
+        g = [[0] * d for _ in range(d)]
+        for pdf in it:
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]]) if len(pdf) else None
+            if mat is None:
+                continue
+            q = np.floor(mat * grid).astype(np.int64)
+            n += q.shape[0]
+            bs = q.sum(axis=0, dtype=np.int64)
+            bg = q.T @ q  # int64 exact: |q| ~ grid·|x|, batch-bounded
+            for i in range(d):
+                s[i] += int(bs[i])
+                gi = g[i]
+                bgi = bg[i]
+                for j in range(d):
+                    gi[j] += int(bgi[j])
+        cells = [(-1, -1, decimal.Decimal(n))]
+        cells += [(i, -1, decimal.Decimal(s[i])) for i in range(d)]
+        cells += [(i, j, decimal.Decimal(g[i][j]))
+                  for i in range(d) for j in range(d)]
+        yield pd.DataFrame({"i": [c[0] for c in cells],
+                            "j": [c[1] for c in cells],
+                            "v": [c[2] for c in cells]})
+
+    rows = (df.select(vec_col)
+            .mapInPandas(moments, "i int, j int, v decimal(38,0)")
+            .groupBy("i", "j").agg(F.sum("v").alias("v"))
+            .collect())
+    n = 0
+    s = [0] * d
+    g = [[0] * d for _ in range(d)]
+    for r in rows:
+        v = int(r["v"])
+        if r["i"] == -1:
+            n = v
+        elif r["j"] == -1:
+            s[r["i"]] = v
+        else:
+            g[r["i"]][r["j"]] = v
+    if n == 0:
+        raise ValueError("pca_fit: empty input")
+    # exact integer numerator of the (co)variance, then ONE float divide
+    if center:
+        num = [[n * g[i][j] - s[i] * s[j] for j in range(d)]
+               for i in range(d)]
+        den = float(n) * n * grid * grid
+    else:
+        num = g
+        den = float(n) * grid * grid
+    cov = np.array([[num[i][j] / den for j in range(d)]
+                    for i in range(d)], dtype=np.float64)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:out_dim]
+    comp = evecs[:, order]
+    # sign convention: each column's largest-|.| element positive
+    # (lowest index on ties) — eigenvector sign is otherwise arbitrary
+    for c in range(comp.shape[1]):
+        col = comp[:, c]
+        piv = int(np.argmax(np.abs(col)))
+        if col[piv] < 0:
+            comp[:, c] = -col
+    mean = np.array([s[i] / (float(n) * grid) for i in range(d)])
+    return PcaModel(comp, mean, n, evals[order].copy(),
+                    center=center, grid=grid)
+
+
+def _fixed_order_project(mat, w):
+    """(batch, d) @ (d, k) with a FIXED ascending-j summation order —
+    independent of batch size / BLAS blocking, so projected rows are
+    bit-identical under any partitioning."""
+    import numpy as np
+    out = np.zeros((mat.shape[0], w.shape[1]), dtype=np.float64)
+    for j in range(w.shape[0]):
+        out += mat[:, j:j + 1] * w[j:j + 1, :]
+    return out
+
+
+def pca_project(df: DataFrame, vec_col: str, model: PcaModel, *,
+                out_col: str | None = None) -> DataFrame:
+    """Project an embedding column through a ``pca_fit`` model —
+    map-only (no shuffle), one Arrow batch at a time, the (d,k) matrix
+    broadcast by closure.  Row results are bit-deterministic (fixed
+    summation order; see ``_fixed_order_project``).  Replaces
+    ``vec_col`` unless ``out_col`` names a new column."""
+    import numpy as np
+    import pandas as pd
+
+    out = out_col or vec_col
+    comp = model.components
+    mean = model.mean if model.center else None
+    cols = df.columns
+    res_cols = cols if out in cols else cols + [out]
+    schema = ", ".join(
+        f"`{c}` array<double>" if c == out else _field_ddl(df, c)
+        for c in res_cols)
+
+    def project(it):
+        for pdf in it:
+            if len(pdf):
+                mat = np.stack([np.asarray(v, dtype=np.float64)
+                                for v in pdf[vec_col]])
+                if mean is not None:
+                    mat = mat - mean
+                y = _fixed_order_project(mat, comp)
+                pdf = pdf.copy()
+                pdf[out] = [y[i].tolist() for i in range(y.shape[0])]
+            elif out not in pdf.columns:
+                pdf = pdf.copy()
+                pdf[out] = pd.Series([], dtype=object)
+            yield pdf[res_cols]
+
+    return df.mapInPandas(project, schema)
+
+
+def random_projection(df: DataFrame, vec_col: str, out_dim: int, *,
+                      seed: int = 0, out_col: str | None = None) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: y = x · R with
+    R[j,l] = ±1/√out_dim, the sign drawn from md5(seed:j:l) — fully
+    deterministic, no fit pass, same map-only/fixed-order execution as
+    ``pca_project``.  The zero-pass alternative when 1e2–1e3 input dims
+    make the d² moment pass or the eigh unattractive; distances are
+    preserved in expectation rather than optimally."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("random_projection: empty input")
+    d = len(head[0])
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    scale = 1.0 / float(out_dim) ** 0.5
+    r = np.empty((d, out_dim), dtype=np.float64)
+    for j in range(d):
+        for li in range(out_dim):
+            h = hashlib.md5(f"{seed}:{j}:{li}".encode()).digest()
+            r[j, li] = scale if h[0] & 1 else -scale
+
+    out = out_col or vec_col
+    cols = df.columns
+    res_cols = cols if out in cols else cols + [out]
+    schema = ", ".join(
+        f"`{c}` array<double>" if c == out else _field_ddl(df, c)
+        for c in res_cols)
+
+    def project(it):
+        for pdf in it:
+            if len(pdf):
+                mat = np.stack([np.asarray(v, dtype=np.float64)
+                                for v in pdf[vec_col]])
+                y = _fixed_order_project(mat, r)
+                pdf = pdf.copy()
+                pdf[out] = [y[i].tolist() for i in range(y.shape[0])]
+            elif out not in pdf.columns:
+                pdf = pdf.copy()
+                pdf[out] = pd.Series([], dtype=object)
+            yield pdf[res_cols]
+
+    return df.mapInPandas(project, schema)
+
+
+def _field_ddl(df: DataFrame, name: str) -> str:
+    """DDL fragment for an existing column (used to rebuild mapInPandas
+    schemas that pass other columns through unchanged)."""
+    return f"`{name}` {df.schema[name].dataType.simpleString()}"
