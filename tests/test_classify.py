@@ -300,3 +300,27 @@ def test_logreg_train_empty_input_raises(spark):
     df = spark.createDataFrame([], "doc_id long, text string, y boolean")
     with pytest.raises(ValueError, match="empty training set"):
         cl.logreg_train(df, "text", "y", n_buckets=64, iters=1)
+
+
+def test_logreg_artifact_round_trip(spark, tmp_path):
+    """save_logreg/load_logreg: one parquet, sentinel rows for
+    bias/n_buckets; the reloaded model scores identically."""
+    df = spark.createDataFrame(GOOD + BAD, "doc_id long, text string, y boolean")
+    model = cl.logreg_train(df, "text", "y", n_buckets=2048, iters=4)
+    path = str(tmp_path / "lr")
+    cl.save_logreg(model, path)
+    back = cl.load_logreg(spark, path)
+    assert back.bias == model.bias
+    assert back.n_buckets == model.n_buckets
+    w0 = {r["bucket"]: r["weight"] for r in model.weights.collect()}
+    w1 = {r["bucket"]: r["weight"] for r in back.weights.collect()}
+    assert w0 == w1
+    s0 = {r["doc_id"]: r["margin"] for r in
+          cl.logreg_score(df, "doc_id", "text", model).collect()}
+    s1 = {r["doc_id"]: r["margin"] for r in
+          cl.logreg_score(df, "doc_id", "text", back).collect()}
+    assert s0 == s1
+    # non-artifact parquet fails loudly
+    df.write.mode("overwrite").parquet(str(tmp_path / "junk"))
+    with pytest.raises(Exception):
+        cl.load_logreg(spark, str(tmp_path / "junk"))

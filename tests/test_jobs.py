@@ -1075,6 +1075,39 @@ def test_cli_train_classifier_then_gate(spark, tmp_path, capsys, monkeypatch):
     assert "after_near_dedup_and_quality: 0" in report
 
 
+def test_cli_train_logreg_then_gate(spark, tmp_path, capsys, monkeypatch):
+    """--model logreg writes the save_logreg artifact; corpus-prep
+    --quality-model auto-detects it by schema (bucket, weight) and
+    gates on the margin."""
+    import os
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    w_dir = tmp_path / "logreg"
+    jobs.main(["train-classifier", "--model", "logreg",
+               "--logreg-iters", "3",
+               "--docs-parquet", "/root/testdata/sf0.001/documents.parquet",
+               "--label-expr", "lang = 'en'",
+               "--out-dir", str(w_dir)])
+    report = capsys.readouterr().out
+    assert "Train Classifier Success" in report
+    assert "nonzero_weights" in report and "loss_last" in report
+    assert any(f.endswith(".parquet") for f in os.listdir(w_dir))
+
+    out = tmp_path / "corpus"
+    jobs.main(["corpus-prep",
+               "--docs-parquet", "/root/testdata/sf0.001/documents.parquet",
+               "--out-dir", str(out),
+               "--quality-model", f"{w_dir},-1000000"])   # permissive gate
+    assert "Corpus Prep Success" in capsys.readouterr().out
+
+    out2 = tmp_path / "corpus2"
+    jobs.main(["corpus-prep",
+               "--docs-parquet", "/root/testdata/sf0.001/documents.parquet",
+               "--out-dir", str(out2),
+               "--quality-model", f"{w_dir},1000000"])    # prohibitive
+    assert "after_near_dedup_and_quality: 0" in capsys.readouterr().out
+
+
 def test_corpus_prep_sequence_targets_causal(spark, tmp_path):
     """sequence_targets='causal' ships trainer-ready labels: next-token
     shift of input_ids with pad/final positions loss-masked."""

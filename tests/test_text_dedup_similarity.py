@@ -1245,3 +1245,65 @@ def test_pca_preserves_planted_near_dup_pairs(spark):
     top1 = {r["query_id"]: r["neighbor_id"] for r in got.collect()}
     hits = sum(1 for i in range(10) if top1[1000 + i] == i)
     assert hits >= 9  # planted partner is the top-1 neighbor post-projection
+
+
+def test_semantic_dedup_projected_with_full_d_verification(spark):
+    """The projected-space composition: pair in PCA space at a loosened
+    candidate threshold, verify with full-dimension cosine.  A decoy
+    pair identical IN THE PROJECTED SUBSPACE but far apart in full d is
+    merged without verification (the measured over-drop) and survives
+    with it; the genuine near-dup pair is dropped either way."""
+    d = 8
+    rows = []
+    for i in range(60):
+        v = [3.0 * math.sin(0.4 * i), 2.0 * math.cos(0.6 * i)] + \
+            [0.01 * math.sin(i + j) for j in range(d - 2)]
+        rows.append((i, [float(x) for x in v]))
+    # decoy: same dims 0-1, opposite dim 2 -> full-d cos ~ 0.38
+    rows.append((500, [2.0, 1.0, 1.5] + [0.0] * (d - 3)))
+    rows.append((501, [2.0, 1.0, -1.5] + [0.0] * (d - 3)))
+    # genuine near-dup pair
+    rows.append((600, [3.0, 2.0] + [0.0] * (d - 2)))
+    rows.append((601, [3.003, 2.002] + [0.001] * (d - 2)))
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    m = sim.pca_fit(df, "vec", 2)
+    proj = sim.pca_project(df, "vec", m)
+    one = F.lit(0)
+    cents = sim.group_centroids_quantized(
+        proj.withColumn("g", one), "g", "vec")
+
+    def kept(out):
+        r = {x["vec_id"]: x["keep"] for x in out.collect()}
+        return r
+
+    plain = kept(sim.semantic_dedup(proj, "vec_id", "vec", cents, "g",
+                                    threshold=0.9))
+    assert not (plain[500] and plain[501])      # false merge, unverified
+    assert not (plain[600] and plain[601])      # true pair merged
+
+    ver = kept(sim.semantic_dedup(proj, "vec_id", "vec", cents, "g",
+                                  threshold=0.9,
+                                  verify_vectors=df,
+                                  candidate_threshold=0.8))
+    assert ver[500] and ver[501]                # decoy survives full-d check
+    assert not (ver[600] and ver[601])          # true pair still merged
+
+
+def test_pca_artifact_round_trip(spark, tmp_path):
+    import numpy as np
+
+    rows = _planted_vectors(n=40)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)],
+                               "id long, vec array<double>")
+    m = sim.pca_fit(df, "vec", 3)
+    path = str(tmp_path / "pca")
+    sim.save_pca(m, spark, path)
+    back = sim.load_pca(spark, path)
+    assert np.array_equal(back.components, m.components)
+    assert np.array_equal(back.mean, m.mean)
+    assert np.array_equal(back.explained, m.explained)
+    assert (back.n, back.center, back.grid) == (m.n, m.center, m.grid)
+    p0 = {r["id"]: r["vec"] for r in sim.pca_project(df, "vec", m).collect()}
+    p1 = {r["id"]: r["vec"] for r in
+          sim.pca_project(df, "vec", back).collect()}
+    assert p0 == p1

@@ -127,7 +127,9 @@ def main() -> None:
                 .localCheckpoint()
             out = sim.semantic_dedup(pe, "vec_id", "embedding", pc1,
                                      "assigned", threshold=THRESHOLD,
-                                     probes=2, assign_method="blas")
+                                     probes=2, assign_method="blas",
+                                     verify_vectors=e,
+                                     candidate_threshold=THRESHOLD - 0.1)
             out.write.format("noop").mode("overwrite").save()
             rec["pca_dim"] = pca_dim
             rec["pca_p2_sec"] = round(time.perf_counter() - t0, 2)

@@ -342,6 +342,33 @@ def logreg_score(df: DataFrame, id_col: str, text_col: str,
             .drop("__ws"))
 
 
+def save_logreg(model: LogRegModel, path: str) -> None:
+    """Persist a ``logreg_train`` model as ONE self-contained parquet —
+    the train-once / gate-anywhere artifact contract (``bpe.save_merges``
+    precedent).  Rows are the nonzero (bucket, weight) coordinates plus
+    two sentinel rows: bucket −1 carries the bias, bucket −2 carries
+    ``n_buckets`` (real buckets are always ≥ 0, so sentinels can't
+    collide)."""
+    spark = model.weights.sparkSession
+    meta = spark.createDataFrame(
+        [(-1, float(model.bias)), (-2, float(model.n_buckets))],
+        "bucket long, weight double")
+    model.weights.select("bucket", "weight").unionByName(meta) \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_logreg(spark, path: str) -> LogRegModel:
+    """Reload a ``save_logreg`` artifact; the result scores immediately
+    (``dense``/``history`` are training-side only and stay None)."""
+    df = spark.read.parquet(path)
+    meta = {r["bucket"]: r["weight"]
+            for r in df.where(F.col("bucket") < 0).collect()}
+    if -1 not in meta or -2 not in meta:
+        raise ValueError(f"not a logreg artifact (missing sentinels): {path}")
+    return LogRegModel(df.where(F.col("bucket") >= 0),
+                       float(meta[-1]), int(meta[-2]), [], dense=None)
+
+
 # ---------------------------------------------------------------------------
 # DSIR — importance resampling toward a target distribution.
 # ---------------------------------------------------------------------------

@@ -612,7 +612,9 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
                    threshold: float = 0.95, max_bucket: int | None = 10_000,
                    keep_policy: str = "farthest", probes: int = 1,
                    assign_method: str = "fold",
-                   pair_method: str = "fold") -> DataFrame:
+                   pair_method: str = "fold",
+                   verify_vectors: DataFrame | None = None,
+                   candidate_threshold: float | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
     semantic deduplication over an embedding column.
 
@@ -653,6 +655,18 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
     duplicate candidate edges are harmless to the component step.
     Assignment, ``dist`` and the keeper window always use the TOP-1
     centroid, so probes changes recall only, not keeper semantics.
+
+    ``verify_vectors`` / ``candidate_threshold`` (round 9 — the
+    projected-space composition): run the corpus through ``pca_project``
+    / ``random_projection`` first and pass the ORIGINAL embeddings as
+    ``verify_vectors`` — clustering and pairing then happen in the
+    reduced space (O(out_dim) per pair) at ``candidate_threshold``
+    (loosen it below ``threshold``: reduced-space cosines are noisy in
+    both directions), and every candidate pair is re-scored with the
+    exact full-dimension quantized cosine (``cosine_verify_pairs``)
+    before components — so false positives cost |pairs| folds, never a
+    wrong drop.  ``dist``/keeper stay in the pairing space (determinism
+    unchanged).  Same funnel discipline as LSH → exact Jaccard.
 
     Returns (id, assigned, dist, sd_group, keep): every corpus row
     annotated — singletons (no near-dup within their cluster) are their
@@ -696,15 +710,28 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
                     1, probes)).drop("__ranked")
     pair_fn = (embedding_near_dups_int if pair_method == "int"
                else embedding_near_dups)
+    cand_thr = threshold if candidate_threshold is None else candidate_threshold
     if probes > 1:
         probed = ac.select(id_col, vec_col,
                            F.explode(F.col("__probes")).alias("__probe"))
         ac = ac.drop("__probes")
         pairs = pair_fn(probed, id_col, vec_col, "__probe",
-                        threshold=threshold, max_bucket=max_bucket)
+                        threshold=cand_thr, max_bucket=max_bucket)
     else:
         pairs = pair_fn(ac, id_col, vec_col, "assigned",
-                        threshold=threshold, max_bucket=max_bucket)
+                        threshold=cand_thr, max_bucket=max_bucket)
+    if verify_vectors is not None:
+        # the LSH→exact-Jaccard pattern applied to projected pairing:
+        # when `corpus` carries REDUCED vectors (pca_project /
+        # random_projection), pair in the cheap space at a loosened
+        # candidate_threshold, then keep only pairs whose FULL-dimension
+        # cosine (from `verify_vectors`: (id_col, vec_col) original
+        # embeddings) clears `threshold` — reduced-space false positives
+        # die here at |pairs| cost, never corpus cost.
+        pairs = cosine_verify_pairs(
+            pairs.select("id_a", "id_b"),
+            verify_vectors.select(F.col(id_col), F.col(vec_col)),
+            id_col, vec_col, threshold=threshold)
     # multi-consumer pins (the q74/NOTES-34 rule): `ac` feeds the pair
     # stage AND the keeper join; `pairs` feeds connected_components'
     # path-probe collect AND every fixpoint iteration — unpinned, the
@@ -1353,3 +1380,41 @@ def _field_ddl(df: DataFrame, name: str) -> str:
     """DDL fragment for an existing column (used to rebuild mapInPandas
     schemas that pass other columns through unchanged)."""
     return f"`{name}` {df.schema[name].dataType.simpleString()}"
+
+
+def save_pca(model: PcaModel, spark, path: str) -> None:
+    """Persist a ``pca_fit`` model as ONE parquet (fit-once /
+    project-anywhere, the ``bpe.save_merges`` artifact contract).
+    Cell rows: (i≥0, j≥0) = components[i, j]; (i≥0, −1) = mean[i];
+    (−2, j) = explained[j]; (−3, −3) = n; (−4, −4) = center flag;
+    (−5, −5) = grid."""
+    rows = []
+    d, k = model.components.shape
+    for i in range(d):
+        for j in range(k):
+            rows.append((i, j, float(model.components[i, j])))
+        rows.append((i, -1, float(model.mean[i])))
+    for j in range(k):
+        rows.append((-2, j, float(model.explained[j])))
+    rows += [(-3, -3, float(model.n)), (-4, -4, 1.0 if model.center else 0.0),
+             (-5, -5, float(model.grid))]
+    spark.createDataFrame(rows, "i int, j int, v double") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pca(spark, path: str) -> PcaModel:
+    """Reload a ``save_pca`` artifact — bit-exact round trip (cells are
+    the float64 values themselves)."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).collect()
+    cells = {(r["i"], r["j"]): r["v"] for r in rows}
+    if (-3, -3) not in cells or (-5, -5) not in cells:
+        raise ValueError(f"not a pca artifact (missing meta cells): {path}")
+    d = 1 + max(i for i, _ in cells if i >= 0)
+    k = 1 + max(j for i, j in cells if i >= 0 and j >= 0)
+    comp = np.array([[cells[(i, j)] for j in range(k)] for i in range(d)])
+    mean = np.array([cells[(i, -1)] for i in range(d)])
+    expl = np.array([cells[(-2, j)] for j in range(k)])
+    return PcaModel(comp, mean, int(cells[(-3, -3)]), expl,
+                    center=bool(cells[(-4, -4)]), grid=int(cells[(-5, -5)]))

@@ -189,6 +189,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--min-df", type=int, default=2,
                     help="train-classifier: drop tokens with fewer "
                          "total occurrences (model stays broadcastable)")
+    ap.add_argument("--model", choices=["nb", "logreg"], default="nb",
+                    help="train-classifier: 'nb' = token naive-Bayes "
+                         "weights table; 'logreg' = hashed-feature "
+                         "logistic regression artifact (save_logreg)")
+    ap.add_argument("--logreg-iters", type=int, default=20,
+                    help="train-classifier --model logreg: GD iterations"
+                         " (one corpus scan each)")
     ap.add_argument("--quality-model", default=None,
                     help="corpus-prep: 'WEIGHTS_PARQUET,MIN_LOG_ODDS' — "
                          "gate docs below the learned classifier score "
@@ -273,12 +280,23 @@ def main(argv: list[str] | None = None) -> None:
         qual_model = None
         if args.quality_model:
             try:
-                w_path, thr = args.quality_model.rsplit(",", 1)
-                qual_model = (spark.read.parquet(w_path), float(thr))
+                w_path, thr_s = args.quality_model.rsplit(",", 1)
+                thr = float(thr_s)
             except ValueError:
                 ap.error("--quality-model expects "
-                         "'WEIGHTS_PARQUET,MIN_LOG_ODDS' "
+                         "'WEIGHTS_PARQUET,THRESHOLD' "
                          f"(got {args.quality_model!r})")
+            wdf = spark.read.parquet(w_path)
+            # artifact kind by schema: (bucket, weight) = logreg
+            # (save_logreg sentinels carry bias/n_buckets);
+            # (token, n_pos, n_neg) = the NB weights table
+            if set(wdf.columns) == {"bucket", "weight"}:
+                from tradingview_data_pipeline_spark.operators import (
+                    classify as _clq,
+                )
+                qual_model = (_clq.load_logreg(spark, w_path), thr)
+            else:
+                qual_model = (wdf, thr)
 
         def corpus_body(t):
             docs = spark.read.parquet(args.docs_parquet)
@@ -308,6 +326,15 @@ def main(argv: list[str] | None = None) -> None:
             docs = spark.read.parquet(args.docs_parquet)
             labeled = docs.withColumn(
                 "__y", F.expr(args.label_expr).cast("boolean"))
+            if args.model == "logreg":
+                m = _cl.logreg_train(labeled, "text", "__y",
+                                     iters=args.logreg_iters)
+                _cl.save_logreg(m, args.out_dir)
+                t.metrics["nonzero_weights"] = int(m.weights.count())
+                t.metrics["bias"] = round(m.bias, 6)
+                t.metrics["loss_first"] = round(m.history[0], 6)
+                t.metrics["loss_last"] = round(m.history[-1], 6)
+                return
             w = _cl.token_class_weights(labeled, "text", "__y",
                                         min_df=args.min_df)
             w.write.mode("overwrite").parquet(args.out_dir)
