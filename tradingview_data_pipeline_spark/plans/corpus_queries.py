@@ -299,10 +299,21 @@ def q48_decontamination(spark, sf_dir):
     h1, h2 = bl.hash_pair(F.col("g"))
     bwords = bl.build_bloom(grams(benchmark).select("g").distinct(),
                             h1, h2, n_bits=_Q48_BITS, k=_Q48_K)
-    corp = grams(rest).select(
-        "doc_id", tx.md5_hash60(F.col("g")).alias("h1"), "g").distinct()
+    # hash BEFORE the distinct so the shuffle carries (doc, 8B, 8B)
+    # rows, never gram strings; pin the frame — it feeds `cand` and
+    # `tot` with DIFFERENT pushed filters, which defeats exchange reuse
+    # (the q74/NOTES-34 rule), so unpinned it re-ran the explode +
+    # distinct per consumer (measured 2.8x on the r9 bench).
+    from pyspark import StorageLevel
+
+    from tradingview_data_pipeline_spark.operators import pins
+    ch1, ch2 = bl.hash_pair(F.col("g"))
+    corp = (grams(rest)
+            .select("doc_id", ch1.alias("h1"), ch2.alias("h2"))
+            .distinct())
+    corp = pins.track(corp.persist(StorageLevel.DISK_ONLY))
     cand = corp.where(bl.bloom_contains(
-        *bl.hash_pair(F.col("g")), bwords, n_bits=_Q48_BITS, k=_Q48_K))
+        F.col("h1"), F.col("h2"), bwords, n_bits=_Q48_BITS, k=_Q48_K))
     tot = corp.groupBy("doc_id").agg(F.countDistinct("h1").alias("__n"))
     # every corpus doc rides the leg (v1 = 0 when no gram passes the
     # filter) — the hash then pins the filter's exact bit pattern over
@@ -314,7 +325,9 @@ def q48_decontamination(spark, sf_dir):
                          F.coalesce(F.col("__c"), F.lit(0).cast("bigint"))
                          .alias("v1"),
                          F.col("__n").alias("v2")))
-    return exact_leg.unionByName(bloom_leg)
+    out = exact_leg.unionByName(bloom_leg)
+    out._pinned_deps = [corp]
+    return out
 
 
 # ---------------------------------------------------------------------------
