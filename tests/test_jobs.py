@@ -813,6 +813,34 @@ def test_incremental_builder_learned_quality_gate(spark, tmp_path):
     assert sorted(r["doc_id"] for r in b.corpus.read().collect()) == [1]
 
 
+def test_incremental_builder_logreg_gate(spark, tmp_path):
+    """The LogRegModel flavor of the per-batch learned gate — loaded
+    from the save_logreg artifact, as a restart would — with the same
+    replay-idempotence contract as the NB flavor."""
+    from tradingview_data_pipeline_spark.operators import classify as cl
+    from tradingview_data_pipeline_spark.plans.corpus_pipeline import (
+        IncrementalCorpusBuilder)
+
+    train = spark.createDataFrame(
+        [(100, CLEAN_DOC, True),
+         (101, "buy cheap pills click here winner prize spam offer", False)],
+        "doc_id long, text string, y boolean")
+    model = cl.logreg_train(train, "text", "y", n_buckets=2048,
+                            iters=25, lr=1.0)
+    cl.save_logreg(model, str(tmp_path / "lr"))
+    loaded = cl.load_logreg(spark, str(tmp_path / "lr"))
+    spammy = ("cheap pills spam winner prize click buy offer here today "
+              "winner cheap prize spam pills click buy offer now indeed")
+    b = IncrementalCorpusBuilder(spark, str(tmp_path / "state"),
+                                 quality_min=0.0,
+                                 quality_model=(loaded, 0.0))
+    m1 = b.add_batch(_corpus_batch(spark, [(1, CLEAN_DOC), (2, spammy)]))
+    assert m1["after_quality_and_exact"] == 1 and m1["appended"] == 1
+    m2 = b.add_batch(_corpus_batch(spark, [(1, CLEAN_DOC), (2, spammy)]))
+    assert m2["appended"] == 0
+    assert sorted(r["doc_id"] for r in b.corpus.read().collect()) == [1]
+
+
 def test_incremental_builder_repetition_gate_validates_at_init(tmp_path):
     """Unknown signal names fail at construction, before any state
     directory is created."""
