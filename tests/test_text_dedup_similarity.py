@@ -1307,3 +1307,50 @@ def test_pca_artifact_round_trip(spark, tmp_path):
     p1 = {r["id"]: r["vec"] for r in
           sim.pca_project(df, "vec", back).collect()}
     assert p0 == p1
+
+
+def test_incremental_pca_equals_batch_fit(spark, tmp_path):
+    """Three batches folded into the store derive a model bit-identical
+    to pca_fit over the concatenation; replay is a no-op; the store
+    persists across handles; dimension mismatch fails loudly."""
+    import numpy as np
+
+    rows = _planted_vectors(n=90)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)],
+                               "id long, vec array<double>")
+    parts = [df.where(F.col("id") % 3 == k) for k in range(3)]
+    ipca = sim.IncrementalPca(spark, str(tmp_path / "pca_state"))
+    for k, p in enumerate(parts):
+        assert ipca.add_batch(p, "vec", f"b{k}") is True
+    m_inc = ipca.model(3)
+    m_fit = sim.pca_fit(df, "vec", 3)
+    assert np.array_equal(m_inc.components, m_fit.components)
+    assert np.array_equal(m_inc.mean, m_fit.mean)
+    assert np.array_equal(m_inc.explained, m_fit.explained)
+    assert m_inc.n == m_fit.n == 90
+    # uncentered derivation from the same store
+    m0 = ipca.model(2, center=False)
+    f0 = sim.pca_fit(df, "vec", 2, center=False)
+    assert np.array_equal(m0.components, f0.components)
+
+    # replay: same batch_id changes nothing
+    assert ipca.add_batch(parts[0], "vec", "b0") is False
+    assert np.array_equal(ipca.model(3).components, m_fit.components)
+
+    # persistence: a fresh handle sees the same state
+    again = sim.IncrementalPca(spark, str(tmp_path / "pca_state"))
+    assert again.applied_batches() == {"b0", "b1", "b2"}
+    assert np.array_equal(again.model(3).components, m_fit.components)
+
+    # dimension mismatch fails loudly
+    bad = spark.createDataFrame([(1, [1.0, 2.0])],
+                                "id long, vec array<double>")
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        again.add_batch(bad, "vec", "b9")
+    # grid mismatch fails loudly
+    other = sim.IncrementalPca(spark, str(tmp_path / "pca_state"),
+                               grid=100)
+    with pytest.raises(ValueError, match="grid mismatch"):
+        other.add_batch(parts[0], "vec", "b9")
+    with pytest.raises(ValueError, match="no batches"):
+        sim.IncrementalPca(spark, str(tmp_path / "empty")).model(2)

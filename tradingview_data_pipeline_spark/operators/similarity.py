@@ -1198,17 +1198,28 @@ def pca_fit(df: DataFrame, vec_col: str, out_dim: int, *,
     ``center=False`` skips mean subtraction (second-moment PCA) — use
     when downstream cosine semantics must not shift the origin.
     """
-    import decimal
-
-    import numpy as np
-    import pandas as pd
-
     head = df.select(vec_col).first()
     if head is None or head[0] is None:
         raise ValueError("pca_fit: empty input")
     d = len(head[0])
     if not 1 <= out_dim <= d:
         raise ValueError(f"out_dim must be in [1, {d}]")
+    n, s, g = _collect_moments(df, vec_col, d, grid)
+    if n == 0:
+        raise ValueError("pca_fit: empty input")
+    return _model_from_moments(n, s, g, d, out_dim,
+                               center=center, grid=grid)
+
+
+def _moment_pass(vec_col: str, d: int, grid: int):
+    """The per-partition exact-moment accumulator for mapInPandas:
+    int64 per Arrow batch, arbitrary-precision Python int across
+    batches, DECIMAL(38,0) cells out.  Cell ids: (−1,−1) = count,
+    (i,−1) = Σ q_i, (i,j) = Σ q_i·q_j."""
+    import decimal
+
+    import numpy as np
+    import pandas as pd
 
     def moments(it):
         n = 0
@@ -1236,9 +1247,15 @@ def pca_fit(df: DataFrame, vec_col: str, out_dim: int, *,
         yield pd.DataFrame({"i": [c[0] for c in cells],
                             "j": [c[1] for c in cells],
                             "v": [c[2] for c in cells]})
+    return moments
 
+
+def _collect_moments(df: DataFrame, vec_col: str, d: int, grid: int):
+    """One exact-moment pass → (n, s[d], g[d][d]) as Python ints.  The
+    corpus never shuffles; only d²+d+1 cells per partition move."""
     rows = (df.select(vec_col)
-            .mapInPandas(moments, "i int, j int, v decimal(38,0)")
+            .mapInPandas(_moment_pass(vec_col, d, grid),
+                         "i int, j int, v decimal(38,0)")
             .groupBy("i", "j").agg(F.sum("v").alias("v"))
             .collect())
     n = 0
@@ -1252,9 +1269,16 @@ def pca_fit(df: DataFrame, vec_col: str, out_dim: int, *,
             s[r["i"]] = v
         else:
             g[r["i"]][r["j"]] = v
-    if n == 0:
-        raise ValueError("pca_fit: empty input")
-    # exact integer numerator of the (co)variance, then ONE float divide
+    return n, s, g
+
+
+def _model_from_moments(n: int, s: list, g: list, d: int, out_dim: int, *,
+                        center: bool, grid: int) -> PcaModel:
+    """Exact integer numerator of the (co)variance, ONE float divide,
+    one local eigh, sign-fixed components (largest-|.| element of each
+    column positive — eigenvector sign is otherwise arbitrary)."""
+    import numpy as np
+
     if center:
         num = [[n * g[i][j] - s[i] * s[j] for j in range(d)]
                for i in range(d)]
@@ -1267,8 +1291,6 @@ def pca_fit(df: DataFrame, vec_col: str, out_dim: int, *,
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1][:out_dim]
     comp = evecs[:, order]
-    # sign convention: each column's largest-|.| element positive
-    # (lowest index on ties) — eigenvector sign is otherwise arbitrary
     for c in range(comp.shape[1]):
         col = comp[:, c]
         piv = int(np.argmax(np.abs(col)))
@@ -1418,3 +1440,119 @@ def load_pca(spark, path: str) -> PcaModel:
     expl = np.array([cells[(-2, j)] for j in range(k)])
     return PcaModel(comp, mean, int(cells[(-3, -3)]), expl,
                     center=bool(cells[(-4, -4)]), grid=int(cells[(-5, -5)]))
+
+
+class IncrementalPca:
+    """Streaming-cadence PCA maintenance — the incremental counterpart
+    of ``pca_fit`` (the repo's family rule: every batch operator that
+    maintains corpus-derived state gets a persisted incremental index;
+    cf. IncrementalNearDupIndex / IncrementalUrlIndex / IncrementalRollup).
+
+    Why it works: the exact-moment representation (count, Σq, ΣqqT as
+    arbitrary-precision ints) is MERGEABLE — add a batch's cells to the
+    stored cells and the result is bit-identical to a from-scratch fit
+    over the union.  State is d²+d+2 rows in one keyed ParquetTable
+    (model-sized — KBs at d=64 — however many vectors have flowed
+    through), so maintenance cost is one moment pass over the BATCH
+    plus one tiny table rewrite: O(batch), never O(corpus).
+
+    Replay protocol: every applied ``batch_id`` is recorded as a marker
+    row IN THE SAME TABLE, so the moment update and the replay guard
+    commit in ONE atomic manifest swap — a crashed ``add_batch`` either
+    fully applied or never happened, and re-delivery is a no-op
+    (test-pinned).  This is stricter than the gram/line stores' content
+    dedup because moments are not content-addressable: double-adding
+    the same rows would silently skew the covariance.
+
+    ``model(out_dim, center=...)`` derives a ``PcaModel`` from the
+    stored cells at any time — bit-identical to ``pca_fit`` on the
+    concatenation of every applied batch (test-pinned).
+    """
+
+    def __init__(self, spark, path: str, *, grid: int = PCA_GRID):
+        from pyspark.sql import types as T
+
+        from tradingview_data_pipeline_spark.operators.merge import (
+            ParquetTable,
+        )
+        self.spark = spark
+        self.grid = grid
+        schema = T.StructType([
+            T.StructField("ck", T.StringType(), False),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("v", T.DecimalType(38, 0)),
+        ])
+        # unbucketed: the whole state is d²+d+O(batches) tiny rows
+        self.table = ParquetTable(spark, path, schema, "ck", buckets=None)
+
+    # -- internals ------------------------------------------------------------
+
+    def _cells(self):
+        """(meta, moments, applied batch ids) from the committed state."""
+        meta, cells, batches = {}, {}, set()
+        for r in self.table.read().collect():
+            if r["ck"].startswith("batch:"):
+                batches.add(r["ck"][6:])
+            elif r["ck"].startswith("meta:"):
+                meta[r["ck"][5:]] = int(r["v"])
+            else:
+                cells[(r["i"], r["j"])] = int(r["v"])
+        return meta, cells, batches
+
+    def applied_batches(self) -> set:
+        return self._cells()[2]
+
+    # -- maintenance ----------------------------------------------------------
+
+    def add_batch(self, df: DataFrame, vec_col: str, batch_id: str) -> bool:
+        """Fold one batch into the stored moments; returns False (and
+        changes nothing) when ``batch_id`` was already applied."""
+        import decimal
+
+        meta, cells, batches = self._cells()
+        if batch_id in batches:
+            return False
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError("add_batch: empty batch")
+        d = len(head[0])
+        if meta and meta.get("d") != d:
+            raise ValueError(
+                f"dimension mismatch: store built at d={meta.get('d')}, "
+                f"batch has d={d}")
+        if meta and meta.get("grid") != self.grid:
+            raise ValueError(
+                f"grid mismatch: store built at grid={meta.get('grid')}, "
+                f"instance configured grid={self.grid}")
+        n, s, g = _collect_moments(df, vec_col, d, self.grid)
+        new = dict(cells)
+        new[(-1, -1)] = new.get((-1, -1), 0) + n
+        for i in range(d):
+            new[(i, -1)] = new.get((i, -1), 0) + s[i]
+            for j in range(d):
+                new[(i, j)] = new.get((i, j), 0) + g[i][j]
+        rows = [(f"{i}:{j}", i, j, decimal.Decimal(v))
+                for (i, j), v in new.items()]
+        rows += [("meta:d", -9, -9, decimal.Decimal(d)),
+                 ("meta:grid", -9, -9, decimal.Decimal(self.grid)),
+                 (f"batch:{batch_id}", -9, -9, decimal.Decimal(0))]
+        src = self.spark.createDataFrame(rows, self.table.schema)
+        # ONE manifest commit carries the moments AND the replay marker
+        self.table.merge_upsert(src)
+        return True
+
+    # -- derivation -----------------------------------------------------------
+
+    def model(self, out_dim: int, *, center: bool = True) -> PcaModel:
+        meta, cells, _ = self._cells()
+        if not meta:
+            raise ValueError("no batches applied yet")
+        d = meta["d"]
+        if not 1 <= out_dim <= d:
+            raise ValueError(f"out_dim must be in [1, {d}]")
+        n = cells[(-1, -1)]
+        s = [cells.get((i, -1), 0) for i in range(d)]
+        g = [[cells.get((i, j), 0) for j in range(d)] for i in range(d)]
+        return _model_from_moments(n, s, g, d, out_dim,
+                                   center=center, grid=meta["grid"])
