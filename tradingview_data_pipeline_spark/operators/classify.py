@@ -256,8 +256,9 @@ def logreg_train(df: DataFrame, text_col: str, label_col: str, *,
 
     out_schema = "bucket long, g long"
 
-    def _grad_pass(w: np.ndarray, bias: float):
+    def _grad_pass(bv):
         def fn(it):
+            w, bias = bv.value
             acc: dict = {}
             for pdf in it:
                 for yv, bc in zip(pdf["__y"].to_numpy(), pdf["bc"]):
@@ -286,9 +287,14 @@ def logreg_train(df: DataFrame, text_col: str, label_col: str, *,
     history = []
     try:
         for _ in range(iters):
-            rows = (feat.mapInPandas(_grad_pass(w, bias), out_schema)
+            # a real broadcast, not closure capture: the 2 MB dense
+            # vector ships once per executor per iteration, not once
+            # per task
+            bv = spark.sparkContext.broadcast((w, bias))
+            rows = (feat.mapInPandas(_grad_pass(bv), out_schema)
                     .groupBy("bucket").agg(F.sum("g").alias("g"))
                     .collect())
+            bv.unpersist()
             tot = {r["bucket"]: r["g"] for r in rows}
             n = tot.pop(-3, 0)
             if n == 0:
