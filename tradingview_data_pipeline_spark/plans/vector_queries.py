@@ -27,19 +27,36 @@ _CENT_SQL = """
 
 
 # ---------------------------------------------------------------------------
-# q53 — one deterministic Lloyd/k-means iteration, BOTH halves in one
-# query: per-label quantized centroids (the "train" half — long-form
-# explode + BIGINT hash-aggregate, shuffling labels x dims rows of
-# 8 bytes with full map-side combine; formerly standalone q52) feed the
-# nearest-centroid assignment (the "assign" half — centroids pivot to
-# arrays and broadcast; each vector scans the k=10 centroids map-side
-# with a fold distance, no shuffle of the embedding table).  The output
-# `dist` is an exact function of every centroid component, so the
-# driver's value hash still pins the centroid math; the centroid table
-# itself is additionally pinned in tests/test_vector_ops.py.
+# q53 — the two exact-arithmetic centroid/vector queries merged (round-9
+# registry merge #18, the COVERAGE.md next-candidate; frees the slot
+# q81 uses), tagged union on (kind, id, k2, v1, v2, rk):
+#   'assign' — one deterministic Lloyd/k-means iteration (formerly
+#              q53_kmeans_assign): per-label quantized centroids
+#              (long-form explode + BIGINT hash-aggregate, 8-byte rows,
+#              full map-side combine) feed the broadcast nearest-
+#              centroid fold — no shuffle of the embedding table.
+#              id=vec_id, k2=label, v1=assigned, v2=dist (exact
+#              function of every centroid component — the hash pins
+#              the centroid math).
+#   'ann'    — int8-quantized ANN (formerly q62_quantized_ann):
+#              symmetric per-vector quantization floor(x*127/max|x|),
+#              INTEGER dot-product top-k — scores AND ranks exact.
+#              id=query_id, k2=neighbor_id, v1=qdot, rk=rank.
 # ---------------------------------------------------------------------------
 
-@register("q53_kmeans_assign", oracle=f"""
+_QZ_SQL = """
+sv AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+       FROM embeddings),
+qz AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CASE WHEN mx > 0.0
+                          THEN CAST(greatest(-127, floor(CAST(x AS DOUBLE) * 127.0 / mx)) AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END) AS qv
+       FROM sv)
+"""
+
+@register("q53_centroid_ann", oracle=f"""
 WITH cent AS ({_CENT_SQL}),
 cvecs AS (
   SELECT label AS c_label, list(centroid ORDER BY dim) AS cvec
@@ -56,43 +73,7 @@ cvecs AS (
   SELECT *, row_number() OVER (PARTITION BY vec_id
                                ORDER BY dist ASC, c_label ASC) AS rk
   FROM dists
-)
-SELECT vec_id, label, c_label AS assigned, dist FROM ranked WHERE rk = 1
-""")
-def q53_kmeans_assign(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    cent = sim.group_centroids_quantized(e, "label", "embedding")
-    out = sim.assign_nearest_centroid(
-        e.select("vec_id", "label", "embedding"), "vec_id", "embedding",
-        cent.select("label", "dim", "centroid"), "label")
-    return out.join(
-        e.select("vec_id", "label"), "vec_id"
-    ).select("vec_id", "label", "assigned", "dist")
-
-
-# ---------------------------------------------------------------------------
-# q62 — int8-quantized ANN: symmetric per-vector quantization
-# (floor(x*127/max|x|), IEEE-exact) then INTEGER dot-product top-k.
-# The memory/bandwidth scale path: the quantized corpus is 1/4 the
-# bytes and the per-pair score is pure BIGINT arithmetic — both the
-# ranking AND the scores hash-match the oracle exactly (no float fold
-# to reassociate).
-# ---------------------------------------------------------------------------
-
-_QZ_SQL = """
-sv AS (SELECT vec_id, embedding,
-              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
-       FROM embeddings),
-qz AS (SELECT vec_id,
-              list_transform(embedding,
-                x -> CASE WHEN mx > 0.0
-                          THEN CAST(greatest(-127, floor(CAST(x AS DOUBLE) * 127.0 / mx)) AS BIGINT)
-                          ELSE CAST(0 AS BIGINT) END) AS qv
-       FROM sv)
-"""
-
-@register("q62_quantized_ann", oracle=f"""
-WITH {_QZ_SQL},
+), {_QZ_SQL},
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_reduce(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2]),
@@ -100,16 +81,84 @@ scored AS (
   FROM qz c CROSS JOIN (SELECT * FROM qz WHERE vec_id < 5) q
   WHERE c.vec_id != q.vec_id
 )
-SELECT query_id, neighbor_id, qdot, rk FROM (
+SELECT 'assign' AS kind, vec_id AS id, CAST(label AS BIGINT) AS k2,
+       CAST(c_label AS BIGINT) AS v1, dist AS v2,
+       CAST(NULL AS BIGINT) AS rk
+FROM ranked WHERE rk = 1
+UNION ALL
+SELECT 'ann' AS kind, query_id AS id, neighbor_id AS k2, qdot AS v1,
+       CAST(NULL AS DOUBLE) AS v2, rk
+FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY qdot DESC, neighbor_id ASC) AS rk
   FROM scored
 ) WHERE rk <= 5
 """)
-def q62_quantized_ann(spark, sf_dir):
+def q53_centroid_ann(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return sim.quantized_topk(e, e.where(F.col("vec_id") < 5),
-                              "vec_id", "embedding", k=5)
+    cent = sim.group_centroids_quantized(e, "label", "embedding")
+    out = sim.assign_nearest_centroid(
+        e.select("vec_id", "label", "embedding"), "vec_id", "embedding",
+        cent.select("label", "dim", "centroid"), "label")
+    assign_leg = (out.join(e.select("vec_id", "label"), "vec_id")
+                  .select(F.lit("assign").alias("kind"),
+                          F.col("vec_id").alias("id"),
+                          F.col("label").cast("bigint").alias("k2"),
+                          F.col("assigned").cast("bigint").alias("v1"),
+                          F.col("dist").alias("v2"),
+                          F.lit(None).cast("bigint").alias("rk")))
+    ann = sim.quantized_topk(e, e.where(F.col("vec_id") < 5),
+                             "vec_id", "embedding", k=5)
+    ann_leg = ann.select(F.lit("ann").alias("kind"),
+                         F.col("query_id").alias("id"),
+                         F.col("neighbor_id").alias("k2"),
+                         F.col("qdot").alias("v1"),
+                         F.lit(None).cast("double").alias("v2"),
+                         F.col("rk"))
+    return assign_leg.unionByName(ann_leg)
+
+
+# ---------------------------------------------------------------------------
+# q81 — exact embedding moment cells (slot freed by merge #18): the
+# distributed HALF of PCA (`similarity.pca_fit` / `IncrementalPca`)
+# made oracle-checkable.  The fit's only cross-machine artifact is the
+# moment cell set — count (−1,−1), first moments (i,−1), second-moment
+# Gram (i,j) — over elements quantized to the 1e-4 grid; everything
+# after it (eigh, sign fix) is driver-local deterministic numpy on
+# these checked inputs.  Integer sums are associative, so the driver
+# hash pins the cells bit-for-bit at any layout; DuckDB recomputes the
+# Gram as a per-vector element self-join.  (Cells fit BIGINT through
+# ~1e12 rows at this grid; the operator itself carries python-int /
+# DECIMAL(38,0) headroom beyond that.)
+# ---------------------------------------------------------------------------
+
+@register("q81_embedding_moments", oracle=f"""
+WITH elems AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {float(sim.PCA_GRID)})
+              AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+)
+SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
+       COUNT(*) AS v FROM embeddings
+UNION ALL
+SELECT CAST(i AS INT) AS i, CAST(-1 AS INT) AS j, SUM(q) AS v
+FROM elems GROUP BY i
+UNION ALL
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j, SUM(a.q * b.q) AS v
+FROM elems a JOIN elems b USING (vec_id)
+GROUP BY a.i, b.i
+""")
+def q81_embedding_moments(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    head = e.select("embedding").first()
+    d = len(head[0])
+    cells = (e.select("embedding")
+             .mapInPandas(sim._moment_pass("embedding", d, sim.PCA_GRID),
+                          "i int, j int, v decimal(38,0)")
+             .groupBy("i", "j").agg(F.sum("v").alias("v")))
+    return cells.select("i", "j", F.col("v").cast("bigint").alias("v"))
 
 
 # ---------------------------------------------------------------------------
