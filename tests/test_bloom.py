@@ -86,3 +86,34 @@ def test_decontaminate_bloom_prefilter_is_exact(spark):
                   cp.decontaminate(rest, bench, "doc_id", "text", n=5,
                                    bloom=(63 * 32, 4)).collect()}
     assert base == with_bloom and base          # identical, non-empty
+
+
+def test_decontaminate_precomputed_hashes_path_is_exact(spark):
+    """corpus_hashes=(id, h) fast path (the q48 shared-pin pattern)
+    produces the identical result; bloom+corpus_hashes is rejected."""
+    import pytest
+
+    from tradingview_data_pipeline_spark.operators import text as tx
+
+    docs = [(i, f"shared contamination phrase alpha beta gamma delta {i % 3} "
+                f"plus unique filler {i} " + " ".join(
+                    f"w{i}x{j}" for j in range(8)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.where(F.col("doc_id") % 10 == 0)
+    rest = df.where(F.col("doc_id") % 10 != 0)
+    pre = (rest.select(
+        "doc_id",
+        F.explode(tx.word_shingles(F.col("text"), n=5)).alias("g"))
+        .where(F.size(F.split(F.col("g"), " ")) == 5)
+        .select("doc_id", tx.md5_hash60(F.col("g")).alias("h"))
+        .distinct())
+    base = {(r["doc_id"], r["n_hits"], r["n_benchmark_docs"]) for r in
+            cp.decontaminate(rest, bench, "doc_id", "text", n=5).collect()}
+    fast = {(r["doc_id"], r["n_hits"], r["n_benchmark_docs"]) for r in
+            cp.decontaminate(rest, bench, "doc_id", "text", n=5,
+                             corpus_hashes=pre).collect()}
+    assert base == fast and base
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cp.decontaminate(rest, bench, "doc_id", "text", n=5,
+                         bloom=(63 * 32, 4), corpus_hashes=pre)

@@ -136,6 +136,7 @@ def decontaminate(
     *,
     n: int = 5,
     bloom: tuple[int, int] | None = None,
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Flag corpus documents sharing any word ``n``-gram with a benchmark
     document (the standard train-set decontamination check).
@@ -155,8 +156,19 @@ def decontaminate(
     Results are IDENTICAL (a Bloom has no false negatives; false
     positives are eliminated by the exact join that follows) —
     pytest-pinned.
+
+    ``corpus_hashes``: a precomputed DISTINCT (``id_col``, ``h``)
+    frame of the corpus side's md5-60 gram hashes — skips the corpus
+    tokenize/explode/distinct when a caller already materialized it
+    (e.g. a pinned frame shared with a Bloom-prefilter leg, the q48
+    pattern).  Equivalence with the default path is pytest-pinned.
+    Incompatible with ``bloom`` (the prefilter needs the second md5
+    slice, which the (id, h) contract doesn't carry).
     """
     from tradingview_data_pipeline_spark.operators import bloom as bl
+
+    if bloom is not None and corpus_hashes is not None:
+        raise ValueError("bloom and corpus_hashes are mutually exclusive")
 
     def grams(d: DataFrame, alias: str) -> DataFrame:
         g = d.select(
@@ -164,18 +176,22 @@ def decontaminate(
             F.explode(tx.word_shingles(F.col(text_col), n=n)).alias("g"))
         return g.where(F.size(F.split(F.col("g"), " ")) == F.lit(n))
 
-    cg = grams(corpus, "doc_id_c") \
-        .select("doc_id_c", tx.md5_hash60(F.col("g")).alias("h"),
-                F.col("g"))
-    if bloom is not None:
-        n_bits, k = bloom
-        h1, h2 = bl.hash_pair(F.col("g"))
-        bwords = bl.build_bloom(
-            grams(benchmark, "doc_id_b").select("g").distinct(),
-            *bl.hash_pair(F.col("g")), n_bits=n_bits, k=k)
-        cg = cg.where(bl.bloom_contains(h1, h2, bwords,
-                                        n_bits=n_bits, k=k))
-    cg = cg.drop("g").distinct()
+    if corpus_hashes is not None:
+        cg = corpus_hashes.select(F.col(id_col).alias("doc_id_c"),
+                                  F.col("h"))
+    else:
+        cg = grams(corpus, "doc_id_c") \
+            .select("doc_id_c", tx.md5_hash60(F.col("g")).alias("h"),
+                    F.col("g"))
+        if bloom is not None:
+            n_bits, k = bloom
+            h1, h2 = bl.hash_pair(F.col("g"))
+            bwords = bl.build_bloom(
+                grams(benchmark, "doc_id_b").select("g").distinct(),
+                *bl.hash_pair(F.col("g")), n_bits=n_bits, k=k)
+            cg = cg.where(bl.bloom_contains(h1, h2, bwords,
+                                            n_bits=n_bits, k=k))
+        cg = cg.drop("g").distinct()
     bg = grams(benchmark, "doc_id_b") \
         .select("doc_id_b", tx.md5_hash60(F.col("g")).alias("h")).distinct()
     hits = cg.join(bg, "h")

@@ -284,11 +284,6 @@ def q48_decontamination(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     benchmark = d.where(F.col("doc_id") % 20 == 0)
     rest = d.where(F.col("doc_id") % 20 != 0)
-    exact = cp.decontaminate(rest, benchmark, "doc_id", "text", n=5)
-    exact_leg = exact.select(
-        F.lit("exact").alias("kind"), "doc_id",
-        F.col("n_hits").alias("v1"),
-        F.col("n_benchmark_docs").alias("v2"))
 
     def grams(part: DataFrame) -> DataFrame:
         g = part.select(
@@ -300,10 +295,13 @@ def q48_decontamination(spark, sf_dir):
     bwords = bl.build_bloom(grams(benchmark).select("g").distinct(),
                             h1, h2, n_bits=_Q48_BITS, k=_Q48_K)
     # hash BEFORE the distinct so the shuffle carries (doc, 8B, 8B)
-    # rows, never gram strings; pin the frame — it feeds `cand` and
-    # `tot` with DIFFERENT pushed filters, which defeats exchange reuse
-    # (the q74/NOTES-34 rule), so unpinned it re-ran the explode +
-    # distinct per consumer (measured 2.8x on the r9 bench).
+    # rows, never gram strings; pin the frame — it feeds the exact
+    # leg (via decontaminate's corpus_hashes fast path: h1 IS the
+    # md5-60 gram hash) plus `cand` and `tot`, with DIFFERENT pushed
+    # filters per consumer, which defeats exchange reuse (the
+    # q74/NOTES-34 rule) — unpinned it re-ran the explode + distinct
+    # per consumer (measured 2.8x on the r9 bench).  One corpus gram
+    # pass now serves BOTH legs.
     from pyspark import StorageLevel
 
     from tradingview_data_pipeline_spark.operators import pins
@@ -312,6 +310,14 @@ def q48_decontamination(spark, sf_dir):
             .select("doc_id", ch1.alias("h1"), ch2.alias("h2"))
             .distinct())
     corp = pins.track(corp.persist(StorageLevel.DISK_ONLY))
+
+    exact = cp.decontaminate(
+        rest, benchmark, "doc_id", "text", n=5,
+        corpus_hashes=corp.select("doc_id", F.col("h1").alias("h")))
+    exact_leg = exact.select(
+        F.lit("exact").alias("kind"), "doc_id",
+        F.col("n_hits").alias("v1"),
+        F.col("n_benchmark_docs").alias("v2"))
     cand = corp.where(bl.bloom_contains(
         F.col("h1"), F.col("h2"), bwords, n_bits=_Q48_BITS, k=_Q48_K))
     tot = corp.groupBy("doc_id").agg(F.countDistinct("h1").alias("__n"))
