@@ -417,7 +417,9 @@ _BM25_TERMS = ["spark", "query", "fast"]
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 50
 
 
-def _bm25_oracle() -> str:
+def _bm25_ctes() -> str:
+    """The shared BM25 scoring CTE chain (``perdoc``, ``stats``,
+    ``scored``) — used by q71's full profile and q82's rank leg."""
     terms = _BM25_TERMS
     tf_defs = ", ".join(
         f"CAST(len(list_filter(w, t -> t = '{t}')) AS BIGINT) AS tf_{i}"
@@ -441,8 +443,7 @@ def _bm25_oracle() -> str:
     for p in parts[1:]:
         score = f"({score} + {p})"
     tf_cols = ", ".join(f"tf_{i}" for i in range(len(terms)))
-    return f"""
-WITH perdoc AS (
+    return f"""perdoc AS (
   SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, {tf_defs}
   FROM (SELECT doc_id, {_TOK_W} AS w FROM documents)
 ), stats AS (
@@ -451,7 +452,13 @@ WITH perdoc AS (
 ), scored AS (
   SELECT doc_id, dl, {tf_cols}, {score} AS score
   FROM perdoc CROSS JOIN stats
-)
+)"""
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH {_bm25_ctes()}
 SELECT doc_id, dl, {tf_cols}, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
 FROM scored
@@ -902,3 +909,87 @@ def q79_global_line_dedup(spark, sf_dir):
         packed["h"].alias("clean_hash"),
         "n_removed",
         "n_hot_lines")
+
+
+# ---------------------------------------------------------------------------
+# q82 — hybrid retrieval via reciprocal-rank fusion (operators/
+# retrieval.rrf_fuse), registered in the slot freed by the q20+q56
+# merge.  The lexical leg is the q71 BM25 top-50 (rational idf,
+# oracle-shared scoring CTEs); the semantic leg is exact cosine top-50
+# for one probe embedding (vec_id 0 — doc_id and vec_id are the same id
+# space in the fixture) via the IEEE-fold brute_force_topk kernel q30
+# verifies.  Fusion contributions are integer — DIV(1e12, 60 + rank) —
+# so the fused score is an exact BIGINT sum; ranks inside each leg are
+# deterministic because both kernels are already hash-verified.  Plan:
+# the two legs are scans (BM25: map pass + broadcast stats row; ANN:
+# broadcast-query map pass), the fusion shuffles only the 100 bounded
+# candidate rows.
+# ---------------------------------------------------------------------------
+
+_RRF_LEG_K, _RRF_K, _RRF_SCALE, _RRF_TOPK = 50, 60, 10**12, 20
+
+_Q82_DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            "(x, y) -> x + y)")
+_Q82_NSQ = ("list_reduce(list_transform({a}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)")
+
+
+def _q82_oracle() -> str:
+    cos = (f"{_Q82_DOT.format(a='qv', b='c.embedding')} / "
+           f"(sqrt({_Q82_NSQ.format(a='qv')}) * "
+           f"sqrt({_Q82_NSQ.format(a='c.embedding')}))")
+    return f"""
+WITH {_bm25_ctes()},
+bmtop AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rk
+  FROM scored QUALIFY rk <= {_RRF_LEG_K}
+),
+probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+anns AS (
+  SELECT c.vec_id AS doc_id, {cos} AS cos
+  FROM embeddings c CROSS JOIN probe
+  WHERE c.vec_id != 0
+),
+anntop AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT)
+           AS rk
+  FROM anns QUALIFY rk <= {_RRF_LEG_K}
+),
+u AS (
+  SELECT doc_id, 'bm25' AS leg, rk FROM bmtop
+  UNION ALL
+  SELECT doc_id, 'ann' AS leg, rk FROM anntop
+),
+fused AS (
+  SELECT doc_id,
+         CAST(SUM({_RRF_SCALE} // ({_RRF_K} + rk)) AS BIGINT) AS rrf_q,
+         CAST(MIN(CASE WHEN leg = 'bm25' THEN rk END) AS BIGINT) AS bm25_rk,
+         CAST(MIN(CASE WHEN leg = 'ann' THEN rk END) AS BIGINT) AS ann_rk
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, bm25_rk, ann_rk, rrf_q,
+       CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id ASC) AS BIGINT)
+         AS fused_rk
+FROM fused
+QUALIFY fused_rk <= {_RRF_TOPK}
+"""
+
+
+@register("q82_hybrid_retrieval", oracle=_q82_oracle())
+def q82_hybrid_retrieval(spark, sf_dir):
+    from tradingview_data_pipeline_spark.operators import retrieval as rt
+    from tradingview_data_pipeline_spark.operators import similarity as sim
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    bm = (cp.bm25_scores(d, "doc_id", "text", _BM25_TERMS,
+                         k1=_BM25_K1, b=_BM25_B, k=_RRF_LEG_K)
+          .select("doc_id", "rk"))
+    ann = (sim.brute_force_topk(e, e.where(F.col("vec_id") == 0),
+                                "vec_id", "embedding", k=_RRF_LEG_K)
+           .select(F.col("neighbor_id").alias("doc_id"), "rk"))
+    return rt.rrf_fuse([("bm25", bm), ("ann", ann)], ["doc_id"],
+                       rrf_k=_RRF_K, scale=_RRF_SCALE, topk=_RRF_TOPK)

@@ -85,16 +85,30 @@ def q18_event_windows(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q20 — session windows (30 min gap) per user. Spark's session_window
-# merges an event whose gap is <= 30 min INCLUSIVE (empirically pinned
-# by the gap-edge parity test in tests/test_temporal_corpus_vectors.py);
-# the oracle's gaps-and-islands flags a new session only at gap > 30 min
-# — same boundary. (Round 2 had `>=` here, unfalsified only because the
-# synthetic events carry microsecond-random timestamps with no exact
-# 30:00 gaps.)
+# q20 — sessionization, tagged union (round-9 consolidation of q20+q56;
+# see COVERAGE.md headroom map). Two physical strategies for the same
+# 30-minute-gap session semantics over events, in ONE row set:
+#   'window' — Spark's built-in F.session_window grouping (the
+#              Structured Streaming shape), per-user session event
+#              counts + exact decimal value sums;
+#   'gaps'   — the lag + running-sum gaps-and-islands operator
+#              (operators/asof.sessionize: one key-partitioned window,
+#              both functions share the sort, single shuffle), emitting
+#              the 1-based session_seq and the session span.
+# Boundary convention (both legs): an event at exactly prev + 30 min
+# CONTINUES the session — session_window merges gap <= 30 min INCLUSIVE
+# (empirically pinned by the gap-edge parity test in
+# tests/test_temporal_corpus_vectors.py); the oracle flags a new
+# session only at gap > 30 min — same boundary. (Round 2 had `>=` here,
+# unfalsified only because the synthetic events carry
+# microsecond-random timestamps with no exact 30:00 gaps.)
+# Unified schema (kind, user_id, session_start, n_events, v1, v2):
+# 'window' carries v1 = total_value (DECIMAL-exact sum), v2 NULL;
+# 'gaps' carries v1 = session_seq, v2 = span in microseconds (exact:
+# epoch-µs differences are < 2^53, so the double is lossless).
 # ---------------------------------------------------------------------------
 
-@register("q20_events_session", oracle="""
+@register("q20_sessionization", oracle="""
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -106,21 +120,63 @@ WITH flagged AS (
   SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM flagged
+), win AS (
+  SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM sessions
+  GROUP BY user_id, sid
+), g_flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g_sessions AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM g_flagged
+), gaps AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events,
+         MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM g_sessions GROUP BY user_id, session_seq
 )
-SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM sessions
-GROUP BY user_id, sid
+SELECT 'window' AS kind, user_id, session_start, n_events,
+       total_value AS v1, NULL::DOUBLE AS v2
+FROM win
+UNION ALL
+SELECT 'gaps', user_id, session_start, n_events,
+       CAST(session_seq AS DOUBLE),
+       CAST(epoch_us(session_end) - epoch_us(session_start) AS DOUBLE)
+FROM gaps
 """)
-def q20_events_session(spark, sf_dir):
+def q20_sessionization(spark, sf_dir):
     e = events(spark, sf_dir)
-    return (
+    win = (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             _dsum(F.col("value"), scale="18,2").alias("total_value"))
-        .select("user_id", F.col("w.start").alias("session_start"),
-                "n_events", "total_value")
+             _dsum(F.col("value"), scale="18,2").alias("v1"))
+        .select(F.lit("window").alias("kind"), "user_id",
+                F.col("w.start").alias("session_start"), "n_events", "v1",
+                F.lit(None).cast("double").alias("v2"))
     )
+    from tradingview_data_pipeline_spark.operators import asof as aj
+    s = aj.sessionize(e.select("user_id", "event_id", "ts"),
+                      "user_id", "ts", gap="30 minutes",
+                      tiebreak="event_id")
+    gaps = (s.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"))
+            .select(F.lit("gaps").alias("kind"), "user_id",
+                    "session_start", "n_events",
+                    F.col("session_seq").cast("double").alias("v1"),
+                    F.expr("timestampdiff(MICROSECOND, session_start, "
+                           "session_end)")
+                    .cast("double").alias("v2")))
+    return win.unionByName(gaps)
 
 
 # ---------------------------------------------------------------------------

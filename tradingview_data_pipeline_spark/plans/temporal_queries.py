@@ -164,43 +164,10 @@ def _q50_interval_join(spark, sf_dir):
                  .alias("click_value_sum")))
 
 
-# ---------------------------------------------------------------------------
-# q56 — gap-based sessionization (30-minute inactivity gap): per-session
-# event counts and spans.  lag + running sum over ONE key-partitioned
-# window (shared sort), then a hash aggregate — two shuffles total on
-# user_id, no self-join.
-# ---------------------------------------------------------------------------
-
-@register("q56_sessionize", oracle="""
-WITH o AS (
-  SELECT user_id, event_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-  FROM events
-), f AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN prev_ts IS NULL
-                   OR ts > prev_ts + INTERVAL '30 minutes'
-              THEN 1 ELSE 0 END AS is_start
-  FROM o
-), s AS (
-  SELECT user_id, ts,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS session_seq
-  FROM f
-)
-SELECT user_id, session_seq, COUNT(*) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
-FROM s GROUP BY user_id, session_seq
-""")
-def q56_sessionize(spark, sf_dir):
-    e = events(spark, sf_dir).select("user_id", "event_id", "ts")
-    s = aj.sessionize(e, "user_id", "ts", gap="30 minutes",
-                      tiebreak="event_id")
-    return (s.groupBy("user_id", "session_seq")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.min("ts").alias("session_start"),
-                 F.max("ts").alias("session_end")))
+# (q56_sessionize merged into events_queries.q20_sessionization as the
+# 'gaps' leg — round-9 consolidation #19; operators/asof.sessionize keeps
+# its own oracle-equivalent coverage through that leg and the gap-edge
+# parity pytest.)
 
 
 # ---------------------------------------------------------------------------
