@@ -1354,3 +1354,74 @@ def test_incremental_pca_equals_batch_fit(spark, tmp_path):
         other.add_batch(parts[0], "vec", "b9")
     with pytest.raises(ValueError, match="no batches"):
         sim.IncrementalPca(spark, str(tmp_path / "empty")).model(2)
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs — asymmetric n-gram containment
+# ---------------------------------------------------------------------------
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_containment_asymmetric_subset(spark):
+    # doc 1 (12 words) is quoted wholesale inside doc 2 (62 words):
+    # containment(1 -> 2) = 1.0 but the reverse is ~0.17 — the asymmetry
+    # the operator exists for. doc 4 shares doc 2's pre/post filler
+    # (keeping those grams in-universe at df = 2, so doc 2's denominator
+    # is NOT just the quote); doc 3 is unrelated.
+    quote = _words("q", 12)
+    pre, post = _words("pre", 25), _words("post", 25)
+    df = spark.createDataFrame(
+        [(1, quote),
+         (2, pre + " " + quote + " " + post),
+         (3, _words("z", 40)),
+         (4, pre + " " + post)],
+        "doc_id bigint, text string")
+    out = {(r["doc_id"], r["partner_doc_id"]): r
+           for r in dd.containment_pairs(
+               df, "doc_id", "text", n=4, threshold=0.9).collect()}
+    # (1,2): the quote; (4,2): doc 4's whole in-universe gram set (its
+    # 44 pure pre/post grams; its 3 pre->post junction grams are df=1)
+    # is inside doc 2
+    assert set(out) == {(1, 2), (4, 2)}
+    r = out[(1, 2)]
+    # 12-word quote -> 9 4-grams, all shared, all in-universe (df = 2)
+    assert r["n_grams"] == 9 and r["shared"] == 9
+    assert r["containment"] == 1.0
+    assert out[(4, 2)]["n_grams"] == 44
+    # reverse direction: doc 2's in-universe grams = 9 quote + 44
+    # filler = 53; only 9 land in doc 1 -> 0.17, far below threshold
+    both = {(r["doc_id"], r["partner_doc_id"]): r
+            for r in dd.containment_pairs(
+                df, "doc_id", "text", n=4, threshold=0.1).collect()}
+    assert both[(2, 1)]["n_grams"] == 53
+    assert both[(2, 1)]["containment"] == 9 / 53
+    # contrast: symmetric Jaccard of docs 1 and 2 over distinct 4-gram
+    # sets is 9 / 59 — far below any dedup threshold
+    assert 9 / 59 < 0.2
+
+
+def test_containment_df_cap_excludes_boilerplate(spark):
+    # a gram shared by MORE than max_gram_docs docs is excluded from
+    # numerator and denominator; docs left with zero in-universe grams
+    # emit nothing
+    boiler = _words("b", 4)
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(4)], "doc_id bigint, text string")
+    out = dd.containment_pairs(df, "doc_id", "text", n=4,
+                               threshold=0.1, max_gram_docs=3).collect()
+    assert out == []
+    # raise the cap to 4: every pair is now fully contained
+    out2 = dd.containment_pairs(df, "doc_id", "text", n=4,
+                                threshold=0.99, max_gram_docs=4).collect()
+    assert len(out2) == 12  # 4 docs x 3 partners, directed
+    assert all(r["containment"] == 1.0 for r in out2)
+
+
+def test_containment_validation(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        dd.containment_pairs(df, "doc_id", "text", threshold=0.0)
+    with pytest.raises(ValueError, match="max_gram_docs"):
+        dd.containment_pairs(df, "doc_id", "text", max_gram_docs=1)

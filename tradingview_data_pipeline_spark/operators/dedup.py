@@ -1060,3 +1060,72 @@ def suggest_minhash_bands(k: int, threshold: float) -> int:
         if err < best_err:
             best, best_err = b, err
     return best
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric n-gram containment — the dedup granularity resemblance
+# metrics miss. Jaccard (q28) scores |A∩B| / |A∪B|, so a short document
+# quoted wholesale inside a much larger one scores near zero; containment
+# |A∩B| / |A| scores it 1.0. This is the "containment MinHash" problem
+# (Broder 1997's two resemblance/containment measures); here the n-gram
+# sets are small enough per doc that we compute containment EXACTLY over
+# a df-capped gram universe instead of sketching it.
+# ---------------------------------------------------------------------------
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                      n: int = 8, threshold: float = 0.5,
+                      max_gram_docs: int = 1000) -> DataFrame:
+    """Directed near-containment pairs: one row per (doc, partner) where
+    at least ``threshold`` of the doc's word ``n``-grams also appear in
+    the partner — catching subset/quote duplication (a doc embedded in a
+    larger page) that symmetric Jaccard scores near zero.
+
+    Containment is computed over the CAPPED gram universe: grams held by
+    fewer than 2 docs cannot contribute to an intersection and are
+    dropped before the join; grams held by more than ``max_gram_docs``
+    docs are corpus boilerplate and are excluded from BOTH the numerator
+    and the denominator (a deterministic definition the oracle mirrors —
+    and the quadratic-fanout guard: per-gram pair fanout is bounded by
+    max_gram_docs², the same cap discipline as LSH bucket capping).
+    Docs with zero in-universe grams emit no rows.
+
+    Output: (doc_id, partner_id, shared, n_grams, containment) with
+    ``containment = shared / n_grams`` ≥ threshold — integer counts and
+    one exact IEEE division, engine-reproducible. Every shuffle carries
+    8-byte md5-60 gram hashes, never text.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_gram_docs < 2:
+        raise ValueError(f"max_gram_docs must be >= 2, got {max_gram_docs}")
+    grams = (df.select(F.col(id_col),
+                       F.explode(word_shingles(F.col(text_col), n=n))
+                       .alias("gram"))
+             # word_shingles falls back to whole-text for < n words; a
+             # real n-gram has exactly n-1 separating spaces
+             .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n))
+             .select(F.col(id_col), md5_hash60(F.col("gram")).alias("h"))
+             .distinct())
+    nd = grams.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    kept = (grams.join(nd.where((F.col("nd") >= 2)
+                                & (F.col("nd") <= max_gram_docs)), "h")
+            .select(id_col, "h"))
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a = kept.select(F.col(id_col).alias("_ida"), "h")
+    b = kept.select(F.col(id_col).alias("_idb"), "h")
+    shared = (a.join(b, "h")
+              .where(F.col("_ida") < F.col("_idb"))
+              .groupBy("_ida", "_idb")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    directed = shared.unionByName(
+        shared.select(F.col("_idb").alias("_ida"),
+                      F.col("_ida").alias("_idb"), "shared"))
+    return (directed
+            .join(sizes.withColumnRenamed(id_col, "_ida"), "_ida")
+            .withColumn("containment",
+                        F.col("shared").cast("double")
+                        / F.col("n_grams").cast("double"))
+            .where(F.col("containment") >= F.lit(threshold))
+            .select(F.col("_ida").alias(id_col),
+                    F.col("_idb").alias(f"partner_{id_col}"),
+                    "shared", "n_grams", "containment"))

@@ -474,13 +474,30 @@ def q71_bm25_rank(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q72 — substring-level duplicate spans (operators/corpus.
-# dup_span_profile): per-document count/fraction of word 8-gram spans
-# shared with another document — the n-gram-granular approximation of
-# suffix-array substring dedup, catching boilerplate spans that
-# document-level MinHash (q28) misses. Integer counts + one exact
-# division; linear in corpus tokens.
+# q72 — substring-level duplication, tagged union (round-9 'containment'
+# leg added):
+#   'profile'     — per-document count/fraction of word 8-gram spans
+#                   shared with another document (operators/corpus.
+#                   dup_span_profile) — the n-gram-granular
+#                   approximation of suffix-array substring dedup,
+#                   catching boilerplate spans document-level MinHash
+#                   (q28) misses;
+#   'containment' — directed near-containment pairs (operators/dedup.
+#                   containment_pairs): docs >= 50% of whose in-universe
+#                   8-grams appear in the partner — the ASYMMETRIC
+#                   measure (Broder 1997) that flags a short doc quoted
+#                   wholesale inside a larger one, which Jaccard
+#                   resemblance scores near zero. Universe capped at
+#                   gram-df <= 100 (numerator AND denominator — the
+#                   deterministic definition + quadratic-fanout guard).
+# Unified schema (kind, doc_id, partner_id, c1, c2, frac): profile rows
+# carry partner NULL, c1/c2 = n_spans/n_dup_spans, frac = dup_frac;
+# containment rows carry c1/c2 = shared/n_grams, frac = containment.
+# Integer counts + one exact division per row; linear in corpus tokens
+# plus the df-capped pair join.
 # ---------------------------------------------------------------------------
+
+_Q72_CTHRESH, _Q72_CCAP = 0.5, 100
 
 @register("q72_dup_spans", oracle=f"""
 WITH tok AS (
@@ -500,18 +517,55 @@ WITH tok AS (
            AS n_dup_spans
   FROM pg JOIN nd USING (h)
   GROUP BY pg.doc_id
+), gk AS (
+  SELECT pg.doc_id, pg.h
+  FROM pg JOIN nd USING (h)
+  WHERE nd.nd BETWEEN 2 AND {_Q72_CCAP}
+), sz AS (
+  SELECT doc_id, COUNT(*) AS ng FROM gk GROUP BY doc_id
+), sh AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+  FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), dirp AS (
+  SELECT da AS doc_id, db AS partner_id, shared FROM sh
+  UNION ALL
+  SELECT db, da, shared FROM sh
+), cont AS (
+  SELECT dirp.doc_id, partner_id, CAST(shared AS BIGINT) AS shared,
+         CAST(ng AS BIGINT) AS ng,
+         CAST(shared AS DOUBLE) / CAST(ng AS DOUBLE) AS containment
+  FROM dirp JOIN sz USING (doc_id)
 )
-SELECT d.doc_id,
-       COALESCE(n_spans, 0) AS n_spans,
-       COALESCE(n_dup_spans, 0) AS n_dup_spans,
+SELECT 'profile' AS kind, d.doc_id, NULL::BIGINT AS partner_id,
+       COALESCE(n_spans, 0) AS c1,
+       COALESCE(n_dup_spans, 0) AS c2,
        CASE WHEN COALESCE(n_spans, 0) > 0
             THEN CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)
-            ELSE CAST(0 AS DOUBLE) END AS dup_frac
+            ELSE CAST(0 AS DOUBLE) END AS frac
 FROM documents d LEFT JOIN prof ON prof.doc_id = d.doc_id
+UNION ALL
+SELECT 'containment', doc_id, partner_id, shared, ng, containment
+FROM cont WHERE containment >= {_Q72_CTHRESH}
 """)
 def q72_dup_spans(spark, sf_dir):
+    from tradingview_data_pipeline_spark.operators import dedup as dd
     d = _t(spark, sf_dir, "documents")
-    return cp.dup_span_profile(d, "doc_id", "text", n=8)
+    profile = (cp.dup_span_profile(d, "doc_id", "text", n=8)
+               .select(F.lit("profile").alias("kind"), "doc_id",
+                       F.lit(None).cast("bigint").alias("partner_id"),
+                       F.col("n_spans").alias("c1"),
+                       F.col("n_dup_spans").alias("c2"),
+                       F.col("dup_frac").alias("frac")))
+    cont = (dd.containment_pairs(d, "doc_id", "text", n=8,
+                                 threshold=_Q72_CTHRESH,
+                                 max_gram_docs=_Q72_CCAP)
+            .select(F.lit("containment").alias("kind"), "doc_id",
+                    F.col("partner_doc_id").alias("partner_id"),
+                    F.col("shared").alias("c1"),
+                    F.col("n_grams").alias("c2"),
+                    F.col("containment").alias("frac")))
+    return profile.unionByName(cont)
 
 
 # ---------------------------------------------------------------------------
