@@ -39,8 +39,9 @@ QUERIES = [
     "q29_signature_neardup",   # merged text-SimHash + embedding-LSH (r9)
     "q30_ann_topk",      # merged fold+blas+ivf legs (r8 merge #16)
     "q80_url_dedup",     # round-9 addition (slot freed by q29+q32)
-    "q53_kmeans_assign",
-    "q62_quantized_ann",
+    "q53_centroid_ann",  # merged kmeans-assign + quantized-ANN (r9 #18)
+    "q72_dup_spans",     # span profile + containment pairs (r9 leg)
+    "q82_hybrid_retrieval",  # BM25 + ANN RRF fusion (r9, slot from q20+q56)
     "q46_corpus_prep",   # merged split+chunk query: times BOTH legs,
                          # so its curve is NOT comparable to the
                          # pre-merge q47 chunking-only numbers
