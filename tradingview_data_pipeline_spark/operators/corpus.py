@@ -362,8 +362,27 @@ def bm25_scores(
     return topk.withColumn("rk", F.row_number().over(w).cast("bigint"))
 
 
+def span_gram_counts(df: DataFrame, id_col: str, text_col: str, *,
+                     n: int = 8) -> DataFrame:
+    """One row per (doc, word-n-gram md5-60 hash) with its within-doc
+    multiplicity ``c`` — the shared substrate for ``dup_span_profile``
+    and ``dedup.containment_pairs``. Multi-consumer callers (q72's two
+    legs) compute it once and pin it DISK_ONLY (NOTES-31/34 rule): the
+    tokenize + explode + first shuffle is the dominant cost and the two
+    legs' differing downstream aggregates defeat exchange reuse."""
+    return (df.select(F.col(id_col),
+                      F.explode(tx.word_shingles(F.col(text_col), n=n))
+                      .alias("gram"))
+            # word_shingles falls back to whole-text for < n words; a
+            # real n-gram has exactly n-1 separating spaces
+            .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n))
+            .select(F.col(id_col), tx.md5_hash60(F.col("gram")).alias("h"))
+            .groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c")))
+
+
 def dup_span_profile(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 8
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 8,
+    gram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-level duplication profile: for every document, how many
     of its word ``n``-gram spans also occur in at least one OTHER
@@ -385,18 +404,16 @@ def dup_span_profile(
     exact-span dedup. A 60-bit hash collision would conflate two grams
     (P ~ n_grams^2 / 2^61); the oracle mirrors the identical hash so
     cross-engine equality is unaffected.
+
+    ``gram_counts``: optional precomputed ``span_gram_counts`` frame
+    (multi-consumer callers pin it and share it with
+    ``containment_pairs``); ``n`` is ignored when provided.
     """
-    grams = (df.select(F.col(id_col),
-                       F.explode(tx.word_shingles(F.col(text_col), n=n))
-                       .alias("gram"))
-             # word_shingles falls back to whole-text for < n words; a
-             # real n-gram has exactly n-1 separating spaces
-             .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n))
-             .select(F.col(id_col), tx.md5_hash60(F.col("gram")).alias("h")))
     # one row per (doc, gram-hash) with its within-doc multiplicity:
     # the join input shrinks to the distinct-pair count and the
     # doc-count aggregate becomes a plain count
-    pg = grams.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
+    pg = (gram_counts if gram_counts is not None
+          else span_gram_counts(df, id_col, text_col, n=n))
     nd = pg.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     prof = (pg.join(nd, "h")
             .groupBy(id_col)

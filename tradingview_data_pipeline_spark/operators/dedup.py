@@ -1074,7 +1074,8 @@ def suggest_minhash_bands(k: int, threshold: float) -> int:
 
 def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
                       n: int = 8, threshold: float = 0.5,
-                      max_gram_docs: int = 1000) -> DataFrame:
+                      max_gram_docs: int = 1000,
+                      gram_counts: DataFrame | None = None) -> DataFrame:
     """Directed near-containment pairs: one row per (doc, partner) where
     at least ``threshold`` of the doc's word ``n``-grams also appear in
     the partner — catching subset/quote duplication (a doc embedded in a
@@ -1093,19 +1094,19 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
     ``containment = shared / n_grams`` ≥ threshold — integer counts and
     one exact IEEE division, engine-reproducible. Every shuffle carries
     8-byte md5-60 gram hashes, never text.
+
+    ``gram_counts``: optional precomputed ``corpus.span_gram_counts``
+    frame — multi-consumer callers (q72's two legs) pin it DISK_ONLY
+    and share it; ``n`` is ignored when provided.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if max_gram_docs < 2:
         raise ValueError(f"max_gram_docs must be >= 2, got {max_gram_docs}")
-    grams = (df.select(F.col(id_col),
-                       F.explode(word_shingles(F.col(text_col), n=n))
-                       .alias("gram"))
-             # word_shingles falls back to whole-text for < n words; a
-             # real n-gram has exactly n-1 separating spaces
-             .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n))
-             .select(F.col(id_col), md5_hash60(F.col("gram")).alias("h"))
-             .distinct())
+    if gram_counts is None:
+        from tradingview_data_pipeline_spark.operators import corpus as _cp
+        gram_counts = _cp.span_gram_counts(df, id_col, text_col, n=n)
+    grams = gram_counts.select(id_col, "h")
     nd = grams.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     kept = (grams.join(nd.where((F.col("nd") >= 2)
                                 & (F.col("nd") <= max_gram_docs)), "h")

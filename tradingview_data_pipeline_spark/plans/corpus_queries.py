@@ -549,17 +549,28 @@ SELECT 'containment', doc_id, partner_id, shared, ng, containment
 FROM cont WHERE containment >= {_Q72_CTHRESH}
 """)
 def q72_dup_spans(spark, sf_dir):
+    from pyspark import StorageLevel
+
     from tradingview_data_pipeline_spark.operators import dedup as dd
+    from tradingview_data_pipeline_spark.operators import pins
     d = _t(spark, sf_dir, "documents")
-    profile = (cp.dup_span_profile(d, "doc_id", "text", n=8)
+    # both legs consume the tokenize+explode+first-shuffle substrate
+    # with DIFFERENT downstream aggregates (multiplicity-weighted vs
+    # distinct-set), which defeats exchange reuse — pin the compact
+    # (doc, 8-byte hash, count) frame once (NOTES-31/34 rule; measured
+    # 11.9 -> ~6 s at the 5k-doc decade)
+    pg = pins.track(cp.span_gram_counts(d, "doc_id", "text", n=8)
+                    .persist(StorageLevel.DISK_ONLY))
+    profile = (cp.dup_span_profile(d, "doc_id", "text", gram_counts=pg)
                .select(F.lit("profile").alias("kind"), "doc_id",
                        F.lit(None).cast("bigint").alias("partner_id"),
                        F.col("n_spans").alias("c1"),
                        F.col("n_dup_spans").alias("c2"),
                        F.col("dup_frac").alias("frac")))
-    cont = (dd.containment_pairs(d, "doc_id", "text", n=8,
+    cont = (dd.containment_pairs(d, "doc_id", "text",
                                  threshold=_Q72_CTHRESH,
-                                 max_gram_docs=_Q72_CCAP)
+                                 max_gram_docs=_Q72_CCAP,
+                                 gram_counts=pg)
             .select(F.lit("containment").alias("kind"), "doc_id",
                     F.col("partner_doc_id").alias("partner_id"),
                     F.col("shared").alias("c1"),
