@@ -1425,3 +1425,62 @@ def test_containment_validation(spark):
         dd.containment_pairs(df, "doc_id", "text", threshold=0.0)
     with pytest.raises(ValueError, match="max_gram_docs"):
         dd.containment_pairs(df, "doc_id", "text", max_gram_docs=1)
+
+
+def test_incremental_containment_index(spark, tmp_path):
+    quote = _words("q", 12)                       # 9 4-grams
+    page = _words("pre", 10) + " " + quote + " " + _words("post", 10)
+    other = _words("z", 30)
+    idx = dd.IncrementalContainmentIndex(
+        spark, str(tmp_path / "cix"), n=4, threshold=0.9, buckets=4)
+
+    # batch 1 registers the big page and an unrelated doc: no pairs
+    out1 = idx.add_and_find(spark.createDataFrame(
+        [(1, page), (2, other)], "doc_id long, text string")).collect()
+    assert out1 == []
+
+    # batch 2: the quote arrives -> contained in the STORED page
+    out2 = {(r["doc_id"], r["partner_doc_id"]): r
+            for r in idx.add_and_find(spark.createDataFrame(
+                [(3, quote)], "doc_id long, text string")).collect()}
+    assert set(out2) == {(3, 1)}
+    r = out2[(3, 1)]
+    assert r["shared"] == 9 and r["n_grams"] == 9
+    assert r["containment"] == 1.0
+    # the reverse direction (page in quote) is 9/29 — below threshold
+
+    # persistence + new×new: a fresh handle, one batch carrying BOTH a
+    # new page quoting doc 3's text and another copy of the quote
+    idx2 = dd.IncrementalContainmentIndex(
+        spark, str(tmp_path / "cix"), n=4, threshold=0.9, buckets=4)
+    out3 = {(r["doc_id"], r["partner_doc_id"])
+            for r in idx2.add_and_find(spark.createDataFrame(
+                [(4, _words("mid", 10) + " " + quote),
+                 (5, quote)], "doc_id long, text string")).collect()}
+    # quote-copies 3 and 5 are contained in stored page 1, new page 4,
+    # and each other; already-reported (3,1) must NOT reappear
+    assert (5, 1) in out3 and (5, 4) in out3 and (3, 4) in out3
+    assert (5, 3) in out3 and (3, 5) in out3
+    assert (3, 1) not in out3
+
+    # re-add refreshes the stored row instead of duplicating it
+    assert idx2.table.read().count() == 5
+    idx2.add_and_find(spark.createDataFrame(
+        [(5, other)], "doc_id long, text string"))
+    assert idx2.table.read().count() == 5
+
+
+def test_incremental_containment_hot_gram_cap(spark, tmp_path):
+    # a gram held by more docs than max_gram_docs stops pairing: with
+    # cap=2 a third copy of the same text meets a full bucket and
+    # reports nothing (lower-bound contract), while cap=None reports
+    boiler = _words("b", 4)
+    for cap, expect_pairs in ((2, False), (None, True)):
+        idx = dd.IncrementalContainmentIndex(
+            spark, str(tmp_path / f"cap{cap}"), n=4, threshold=0.5,
+            max_gram_docs=cap, buckets=2)
+        idx.add_and_find(spark.createDataFrame(
+            [(1, boiler), (2, boiler)], "doc_id long, text string"))
+        out = idx.add_and_find(spark.createDataFrame(
+            [(3, boiler)], "doc_id long, text string")).collect()
+        assert bool(out) is expect_pairs

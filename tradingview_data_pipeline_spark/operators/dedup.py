@@ -1130,3 +1130,109 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
             .select(F.col("_ida").alias(id_col),
                     F.col("_idb").alias(f"partner_{id_col}"),
                     "shared", "n_grams", "containment"))
+
+
+class IncrementalContainmentIndex:
+    """Quote/subset detection for an APPEND-ONLY corpus: "does this new
+    document substantially appear in the corpus already (or contain a
+    stored document)?" — the incremental form of ``containment_pairs``,
+    with the same O(batch)-plan discipline as the other incremental
+    indexes.
+
+    State is ONE keyed ``ParquetTable`` row per document:
+    ``(doc_id, grams array<bigint>, n_grams)`` — the doc's distinct
+    word-n-gram md5-60 hashes (~8 bytes of state per distinct gram;
+    re-adding a doc refreshes its row). Each batch:
+
+      1. computes its per-doc distinct gram sets once
+         (``corpus.span_gram_counts``),
+      2. pairs batch grams against stored grams via
+         ``_batch_vs_stored_pairs`` keyed on the gram hash — the stored
+         side explodes map-side and streams under broadcast joins
+         (never shuffled); the NON-distinct pair stream has exactly one
+         row per shared gram, so ``shared = count per pair``,
+      3. attaches denominators (batch counts in-batch; stored partners
+         via a bucket-pruned ``read_matching`` point read) and emits
+         DIRECTED rows where ``shared / n_grams >= threshold``.
+
+    Contract differences vs the batch operator (deliberate — stored
+    denominators must not go stale as the corpus grows):
+    ``n_grams`` is the doc's FULL distinct gram count fixed at
+    registration (not the df-capped universe), and the
+    ``max_gram_docs`` cap drops hot grams from the NUMERATOR only
+    (population counted over stored+batch holders per touched gram) —
+    so reported containment is a LOWER BOUND for docs made of corpus
+    boilerplate, and exact for pairs sharing only sub-cap grams.
+
+    Crash protocol: the returned pairs are pinned before the single
+    table upsert; replaying a batch after a crash re-reports its pairs
+    and re-upserts identical rows (idempotent), so replay converges —
+    same story as ``IncrementalNearDupIndex``.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, *, n: int = 8,
+                 threshold: float = 0.5,
+                 max_gram_docs: int | None = 1000,
+                 buckets: int | None = None):
+        from tradingview_data_pipeline_spark.operators.merge import ParquetTable
+        if not 0.0 < threshold <= 1.0:
+            raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+        self.n, self.threshold = n, threshold
+        self.max_gram_docs = max_gram_docs
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("grams", T.ArrayType(T.LongType())),
+            T.StructField("n_grams", T.LongType()),
+        ])
+        self.table = ParquetTable(spark, path, schema, "doc_id",
+                                  buckets=buckets)
+
+    def add_and_find(self, df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+        """Register a batch; return DIRECTED rows
+        (doc_id, partner_doc_id, shared, n_grams, containment) where at
+        least one side is from this batch and the doc_id side's
+        containment in the partner clears the threshold."""
+        from tradingview_data_pipeline_spark.operators import corpus as _cp
+        new_rows = (_cp.span_gram_counts(
+            df.select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(text_col)),
+            "doc_id", text_col, n=self.n)
+            .groupBy("doc_id")
+            .agg(F.collect_list("h").alias("grams"),
+                 F.count(F.lit(1)).alias("n_grams"))
+            .localCheckpoint(eager=True))
+        new_ids = new_rows.select("doc_id")
+        new_g = new_rows.select(
+            "doc_id", F.explode("grams").alias("h"))
+        stored_g = (self.table.read()
+                    .join(F.broadcast(new_ids), "doc_id", "left_anti")
+                    .select("doc_id", F.explode("grams").alias("h")))
+        raw = _batch_vs_stored_pairs(new_g, stored_g, ["h"], "doc_id",
+                                     self.max_gram_docs)
+        shared = (raw.groupBy("id_a", "id_b")
+                  .agg(F.count(F.lit(1)).alias("shared")))
+        directed = shared.unionByName(
+            shared.select(F.col("id_b").alias("id_a"),
+                          F.col("id_a").alias("id_b"), "shared"))
+        partners = directed.select(F.col("id_a").alias("doc_id")).distinct()
+        sizes = (new_rows.select("doc_id", "n_grams").unionByName(
+            self.table.read_matching(partners)
+            .join(F.broadcast(partners), "doc_id", "left_semi")
+            .select("doc_id", "n_grams")))
+        out = (directed
+               .join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+               .withColumn("containment",
+                           F.col("shared").cast("double")
+                           / F.col("n_grams").cast("double"))
+               .where(F.col("containment") >= F.lit(self.threshold))
+               .select(F.col("id_a").alias("doc_id"),
+                       F.col("id_b").alias("partner_doc_id"),
+                       "shared", "n_grams", "containment")
+               .localCheckpoint(eager=True))   # pin before the upsert
+        self.table.merge_upsert(new_rows)
+        return out
+
+    def compact(self) -> None:
+        """Maintenance: rewrite live buckets to one file each."""
+        self.table.compact()
