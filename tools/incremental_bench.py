@@ -113,6 +113,17 @@ def main() -> None:
                     spark, os.path.join(tmp, "em"), buckets=BUCKETS)
                 em.table.overwrite(em._wide(vecs, "vec_id", "embedding"))
                 runs.append(("embedding", em, vec_batch, n_vecs))
+            if want("containment"):
+                from tradingview_data_pipeline_spark.operators import (
+                    corpus as cp)
+                cx = dd.IncrementalContainmentIndex(
+                    spark, os.path.join(tmp, "cx"), buckets=BUCKETS)
+                cx.table.overwrite(
+                    cp.span_gram_counts(docs, "doc_id", "text", n=8)
+                    .groupBy("doc_id")
+                    .agg(F.collect_list("h").alias("grams"),
+                         F.count(F.lit(1)).alias("n_grams")))
+                runs.append(("containment", cx, doc_batch, n_docs))
 
             for name, idx, batch, stored in runs:
                 t0 = time.perf_counter()
