@@ -449,3 +449,50 @@ def test_stream_corpus_build_with_global_line_dedup(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(texts.items()) == sorted(
         (r["doc_id"], r["text"]) for r in builder.corpus.read().collect())
+
+
+def test_stream_containment_index(spark, tmp_path):
+    """The containment index composes with the same streaming sink: a
+    later micro-batch's quote is reported against the stored page, the
+    directed pair key dedups re-reports."""
+    from tradingview_data_pipeline_spark.operators.dedup import (
+        IncrementalContainmentIndex,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    page = ("intro words all around here now " + quote
+            + " closing words trailing off the end")
+    schema = "doc_id long, text string"
+    pairs_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("partner_doc_id", T.LongType()),
+        T.StructField("shared", T.LongType()),
+        T.StructField("n_grams", T.LongType()),
+        T.StructField("containment", T.DoubleType()),
+        T.StructField("pair_key", T.StringType()),
+    ])
+    src_dir = tmp_path / "cdocs_in"
+    src_dir.mkdir()
+    idx = IncrementalContainmentIndex(
+        spark, str(tmp_path / "cix_s"), n=4, threshold=0.9, buckets=4)
+    pairs_table = ParquetTable(spark, str(tmp_path / "cpairs"),
+                               pairs_schema, key="pair_key")
+
+    spark.createDataFrame([(1, page)], schema) \
+        .coalesce(1).write.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema).parquet(str(src_dir) + "/*")
+    q = stream_neardup_candidates(stream, idx, pairs_table,
+                                  str(tmp_path / "ckpt_cx"))
+    q.awaitTermination(120)
+    assert pairs_table.read().count() == 0
+
+    spark.createDataFrame([(2, quote)], schema) \
+        .coalesce(1).write.parquet(str(src_dir / "b2"))
+    q = stream_neardup_candidates(stream, idx, pairs_table,
+                                  str(tmp_path / "ckpt_cx"))
+    q.awaitTermination(120)
+    rows = {(r["doc_id"], r["partner_doc_id"]): r
+            for r in pairs_table.read().collect()}
+    assert set(rows) == {(2, 1)}
+    assert rows[(2, 1)]["containment"] == 1.0
