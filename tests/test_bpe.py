@@ -246,3 +246,42 @@ def test_save_load_vocab_round_trip(spark, tmp_path):
     path = str(tmp_path / "vocab")
     bpe.save_vocab(spark, vocab, path)
     assert bpe.load_vocab(spark, path) == vocab
+
+
+def test_fertility_profile(spark):
+    # a vocabulary trained ON src_a: src_a words encode as whole tokens
+    # (low fertility), unseen src_b words shatter toward characters
+    corpus = [(1, "hello hello world", "a"),
+              (2, "hello world world hello", "a"),
+              (3, "zzyqx vwpt", "b")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string, src string")
+    merges = bpe.bpe_train(
+        df.where(F.col("src") == "a"), "text", n_merges=50)
+    prof = {r["src"]: r for r in bpe.fertility_profile(
+        df, "doc_id", "text", merges, group_cols=["src"]).collect()}
+    # exact integer accounting vs the reference encoder
+    enc_counts = {}
+    for _, text, src in corpus:
+        toks = sum(len(bpe._encode_word(w, merges)) for w in text.split())
+        enc_counts[src] = enc_counts.get(src, 0) + toks
+    assert prof["a"]["n_docs"] == 2 and prof["b"]["n_docs"] == 1
+    assert prof["a"]["n_words"] == 7 and prof["b"]["n_words"] == 2
+    assert prof["a"]["n_tokens"] == enc_counts["a"]
+    assert prof["b"]["n_tokens"] == enc_counts["b"]
+    assert prof["a"]["tokens_per_word"] == enc_counts["a"] / 7
+    # trained-domain fertility is 1.0 (whole-word merges learned);
+    # unseen-domain fertility is strictly higher
+    assert prof["a"]["tokens_per_word"] == 1.0
+    assert prof["b"]["tokens_per_word"] > 2.0
+    assert prof["a"]["chars_per_token"] == prof["a"]["n_chars"] / enc_counts["a"]
+
+
+def test_fertility_profile_ungrouped_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "")], "doc_id long, text string")
+    merges = bpe.bpe_train(df, "text", n_merges=10)
+    rows = bpe.fertility_profile(df, "doc_id", "text", merges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 2 and r["n_words"] == 2
+    assert r["tokens_per_word"] is not None

@@ -479,3 +479,53 @@ def load_vocab(spark, path: str) -> dict[str, int]:
     """Load a vocabulary saved by ``save_vocab``."""
     return {r["token"]: r["id"] for r in
             spark.read.parquet(path).collect()}
+
+
+def fertility_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tokenizer fertility evaluation: per ``group_cols`` (per corpus
+    with ``None``), the compression statistics people compare
+    tokenizers by — BPE tokens per word (fertility; 1.0 = every word is
+    one token, higher = more splitting) and characters per BPE token
+    (compression rate). The standard acceptance gate before adopting a
+    tokenizer for a domain mix: a vocabulary trained on one domain
+    shows inflated fertility on another, and this surfaces it per
+    group in one pass.
+
+    Returns (group..., n_docs, n_words, n_tokens, n_chars,
+    tokens_per_word, chars_per_token) — integer sums with two exact
+    IEEE divisions. Plan: the ``bpe_encode`` map pass (memoized per
+    Arrow batch, ``keep_cols`` carries the group key through — no
+    re-join) plus ONE hash aggregate on the group key; the corpus is
+    never shuffled. Groups with zero words report NULL ratios rather
+    than dividing by zero.
+    """
+    keep = list(group_cols or [])
+    pre = df.select(
+        id_col, *keep, text_col,
+        F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                        lambda w: w != "")).alias("__w"),
+        F.length(F.col(text_col)).alias("__c"))
+    # word/char counts ride through the encode pass as keep_cols (the
+    # same no-re-join trick packing uses for its shard key)
+    enc = bpe_encode(pre, id_col, text_col, merges,
+                     keep_cols=keep + ["__w", "__c"])
+    out = (enc.groupBy(*keep)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__w").cast("bigint").alias("n_words"),
+                F.sum("n_bpe_tokens").cast("bigint").alias("n_tokens"),
+                F.sum("__c").cast("bigint").alias("n_chars")))
+    return out.select(
+        *keep, "n_docs", "n_words", "n_tokens", "n_chars",
+        F.when(F.col("n_words") > 0,
+               F.col("n_tokens").cast("double")
+               / F.col("n_words").cast("double")).alias("tokens_per_word"),
+        F.when(F.col("n_tokens") > 0,
+               F.col("n_chars").cast("double")
+               / F.col("n_tokens").cast("double")).alias("chars_per_token"))

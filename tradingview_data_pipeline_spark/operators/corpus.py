@@ -363,21 +363,36 @@ def bm25_scores(
 
 
 def span_gram_counts(df: DataFrame, id_col: str, text_col: str, *,
-                     n: int = 8) -> DataFrame:
+                     n: int = 8, partitions: int | None = None) -> DataFrame:
     """One row per (doc, word-n-gram md5-60 hash) with its within-doc
     multiplicity ``c`` — the shared substrate for ``dup_span_profile``
     and ``dedup.containment_pairs``. Multi-consumer callers (q72's two
     legs) compute it once and pin it DISK_ONLY (NOTES-31/34 rule): the
     tokenize + explode + first shuffle is the dominant cost and the two
-    legs' differing downstream aggregates defeat exchange reuse."""
-    return (df.select(F.col(id_col),
-                      F.explode(tx.word_shingles(F.col(text_col), n=n))
-                      .alias("gram"))
-            # word_shingles falls back to whole-text for < n words; a
-            # real n-gram has exactly n-1 separating spaces
-            .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n))
-            .select(F.col(id_col), tx.md5_hash60(F.col("gram")).alias("h"))
-            .groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c")))
+    legs' differing downstream aggregates defeat exchange reuse.
+
+    ``partitions``: width of the (doc, gram) aggregate's shuffle. The
+    explode multiplies input rows by ~tokens-per-doc, so at large
+    corpora the session's shuffle width under-partitions this ONE
+    stage: mostly-unique (doc, gram) keys defeat partial aggregation,
+    and a 5M-doc corpus pushes ~465M rows through it — at 32
+    partitions each concurrent sort exceeds the unified pool
+    (SparkOutOfMemoryError, measured at decade 4; the q74 DISK_ONLY
+    lesson's sibling — this time execution memory, not storage). Size
+    it ~ (docs × grams-per-doc) / ~1.5M rows-per-partition; the
+    explicit repartition on (id, gram-hash) satisfies the aggregate's
+    distribution, so no second shuffle is added. AQE coalesces the
+    tail when the hint overshoots."""
+    grams = (df.select(F.col(id_col),
+                       F.explode(tx.word_shingles(F.col(text_col), n=n))
+                       .alias("gram"))
+             # word_shingles falls back to whole-text for < n words; a
+             # real n-gram has exactly n-1 separating spaces
+             .where(F.size(F.split(F.col("gram"), " ")) == F.lit(n))
+             .select(F.col(id_col), tx.md5_hash60(F.col("gram")).alias("h")))
+    if partitions is not None:
+        grams = grams.repartition(partitions, F.col(id_col), F.col("h"))
+    return grams.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
 
 
 def dup_span_profile(

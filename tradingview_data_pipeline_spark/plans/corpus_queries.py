@@ -558,8 +558,13 @@ def q72_dup_spans(spark, sf_dir):
     # with DIFFERENT downstream aggregates (multiplicity-weighted vs
     # distinct-set), which defeats exchange reuse — pin the compact
     # (doc, 8-byte hash, count) frame once (NOTES-31/34 rule; measured
-    # 11.9 -> ~6 s at the 5k-doc decade)
-    pg = pins.track(cp.span_gram_counts(d, "doc_id", "text", n=8)
+    # 11.9 -> ~6 s at the 5k-doc decade). The substrate shuffle is
+    # sized by corpus (one tiny count action — the q29/q77 size_hint
+    # pattern): ~90 grams/doc ÷ ~1.5M rows/partition; the session's
+    # 32-wide default OOMs the per-task sort at the 5M-doc decade
+    n_parts = max(32, int(d.count() * 90 // 1_500_000))
+    pg = pins.track(cp.span_gram_counts(d, "doc_id", "text", n=8,
+                                        partitions=n_parts)
                     .persist(StorageLevel.DISK_ONLY))
     profile = (cp.dup_span_profile(d, "doc_id", "text", gram_counts=pg)
                .select(F.lit("profile").alias("kind"), "doc_id",
