@@ -398,6 +398,7 @@ def span_gram_counts(df: DataFrame, id_col: str, text_col: str, *,
 def dup_span_profile(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 8,
     gram_counts: DataFrame | None = None,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Substring-level duplication profile: for every document, how many
     of its word ``n``-gram spans also occur in at least one OTHER
@@ -423,19 +424,32 @@ def dup_span_profile(
     ``gram_counts``: optional precomputed ``span_gram_counts`` frame
     (multi-consumer callers pin it and share it with
     ``containment_pairs``); ``n`` is ignored when provided.
+    ``partitions``: width hint for the per-gram shuffles (see
+    ``span_gram_counts`` — at the 5M-doc decade the gram stream is
+    ~465M mostly-unique rows and the session's small-data width OOMs
+    the per-task sort).
+
+    Join-size note (the decade-4 catch): n_spans never needed the
+    gram⋈doc-frequency join at all — it is ``sum(c)`` per doc straight
+    off the substrate — so the join back runs against ONLY the nd>=2
+    grams (the duplicated minority), never the full per-gram count
+    table. At 5M docs that is a ~23M-row side instead of ~460M.
     """
     # one row per (doc, gram-hash) with its within-doc multiplicity:
     # the join input shrinks to the distinct-pair count and the
     # doc-count aggregate becomes a plain count
     pg = (gram_counts if gram_counts is not None
-          else span_gram_counts(df, id_col, text_col, n=n))
-    nd = pg.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-    prof = (pg.join(nd, "h")
+          else span_gram_counts(df, id_col, text_col, n=n,
+                                partitions=partitions))
+    pgh = pg.repartition(partitions, "h") if partitions else pg
+    dup_h = (pgh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+             .where(F.col("nd") >= 2).select("h"))
+    spans = pg.groupBy(id_col).agg(F.sum("c").alias("n_spans"))
+    dups = (pgh.join(dup_h, "h")
             .groupBy(id_col)
-            .agg(F.sum("c").alias("n_spans"),
-                 F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
-                 .alias("n_dup_spans")))
-    out = (df.select(id_col).join(prof, id_col, "left")
+            .agg(F.sum("c").alias("n_dup_spans")))
+    out = (df.select(id_col).join(spans, id_col, "left")
+           .join(dups, id_col, "left")
            .select(F.col(id_col),
                    F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
                    F.coalesce(F.col("n_dup_spans"), F.lit(0))

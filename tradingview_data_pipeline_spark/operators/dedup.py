@@ -1075,7 +1075,8 @@ def suggest_minhash_bands(k: int, threshold: float) -> int:
 def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
                       n: int = 8, threshold: float = 0.5,
                       max_gram_docs: int = 1000,
-                      gram_counts: DataFrame | None = None) -> DataFrame:
+                      gram_counts: DataFrame | None = None,
+                      partitions: int | None = None) -> DataFrame:
     """Directed near-containment pairs: one row per (doc, partner) where
     at least ``threshold`` of the doc's word ``n``-grams also appear in
     the partner — catching subset/quote duplication (a doc embedded in a
@@ -1097,7 +1098,13 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
 
     ``gram_counts``: optional precomputed ``corpus.span_gram_counts``
     frame — multi-consumer callers (q72's two legs) pin it DISK_ONLY
-    and share it; ``n`` is ignored when provided.
+    and share it; ``n`` is ignored when provided. ``partitions``:
+    width hint for the per-gram shuffles (see ``span_gram_counts`` —
+    the gram stream is ~90x the doc count and the session's small-data
+    shuffle width under-partitions it at large corpora). Everything
+    AFTER the universe filter is inherently small (only df>=2 grams
+    survive), so the hint applies to the two gram-cardinality stages
+    only.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1105,8 +1112,11 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
         raise ValueError(f"max_gram_docs must be >= 2, got {max_gram_docs}")
     if gram_counts is None:
         from tradingview_data_pipeline_spark.operators import corpus as _cp
-        gram_counts = _cp.span_gram_counts(df, id_col, text_col, n=n)
+        gram_counts = _cp.span_gram_counts(df, id_col, text_col, n=n,
+                                           partitions=partitions)
     grams = gram_counts.select(id_col, "h")
+    if partitions is not None:
+        grams = grams.repartition(partitions, F.col("h"))
     nd = grams.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     kept = (grams.join(nd.where((F.col("nd") >= 2)
                                 & (F.col("nd") <= max_gram_docs)), "h")

@@ -561,12 +561,17 @@ def q72_dup_spans(spark, sf_dir):
     # 11.9 -> ~6 s at the 5k-doc decade). The substrate shuffle is
     # sized by corpus (one tiny count action — the q29/q77 size_hint
     # pattern): ~90 grams/doc ÷ ~1.5M rows/partition; the session's
-    # 32-wide default OOMs the per-task sort at the 5M-doc decade
-    n_parts = max(32, int(d.count() * 90 // 1_500_000))
+    # 32-wide default OOMs the per-task sort at the 5M-doc decade.
+    # Below the session width the hint is DISABLED (None): the extra
+    # repartition exchanges cost ~2x at the 5k-doc decade for nothing
+    n_parts = int(d.count() * 90 // 1_500_000)
+    if n_parts <= 32:
+        n_parts = None
     pg = pins.track(cp.span_gram_counts(d, "doc_id", "text", n=8,
                                         partitions=n_parts)
                     .persist(StorageLevel.DISK_ONLY))
-    profile = (cp.dup_span_profile(d, "doc_id", "text", gram_counts=pg)
+    profile = (cp.dup_span_profile(d, "doc_id", "text", gram_counts=pg,
+                                   partitions=n_parts)
                .select(F.lit("profile").alias("kind"), "doc_id",
                        F.lit(None).cast("bigint").alias("partner_id"),
                        F.col("n_spans").alias("c1"),
@@ -575,7 +580,7 @@ def q72_dup_spans(spark, sf_dir):
     cont = (dd.containment_pairs(d, "doc_id", "text",
                                  threshold=_Q72_CTHRESH,
                                  max_gram_docs=_Q72_CCAP,
-                                 gram_counts=pg)
+                                 gram_counts=pg, partitions=n_parts)
             .select(F.lit("containment").alias("kind"), "doc_id",
                     F.col("partner_doc_id").alias("partner_id"),
                     F.col("shared").alias("c1"),
