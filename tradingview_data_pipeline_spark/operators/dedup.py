@@ -1178,6 +1178,18 @@ class IncrementalContainmentIndex:
     table upsert; replaying a batch after a crash re-reports its pairs
     and re-upserts identical rows (idempotent), so replay converges —
     same story as ``IncrementalNearDupIndex``.
+
+    Scale contract (measured, INCR_BENCH_r9): per-trigger cost is flat
+    through ~500k stored docs (7.1/6.0/7.8 s at a fixed 500-doc batch)
+    and starts tracking the store SCAN at the 5M-doc decade (17.0 s) —
+    the same scan-mode profile as the other indexes. The
+    ``BandedBucketStore`` read-pruned mode deliberately does NOT apply
+    here: a 500-doc batch touches ~46k distinct gram keys (vs ~2k band
+    keys for MinHash), so at any practical bucket-directory count
+    every directory is touched and "pruning" degenerates to a full
+    copy-on-write store rewrite — strictly worse than the scan. Past
+    ~5M docs, shard the corpus (per-source indexes) or raise the batch
+    size so the scan amortizes.
     """
 
     def __init__(self, spark: SparkSession, path: str, *, n: int = 8,
