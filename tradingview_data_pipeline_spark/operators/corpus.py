@@ -464,7 +464,8 @@ def dup_span_profile(
 
 def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
                      *, n: int = 8, min_docs: int = 2,
-                     keep_min_doc: bool = False) -> DataFrame:
+                     keep_min_doc: bool = False,
+                     partitions: int | None = None) -> DataFrame:
     """The ACTION half of ``dup_span_profile``: rewrite every document
     with its cross-document duplicated spans EXCISED — the cut step of
     suffix-array substring dedup ("Deduplicating Training Data Makes
@@ -500,6 +501,14 @@ def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
     explode of the corpus, no collect_list re-assembly shuffle).
     """
     gp = gram_positions(df, id_col, text_col, n=n)
+    # width hint (``partitions``, the span_gram_counts rule): the
+    # positional gram stream is ~90x the doc count; at the 5M-doc
+    # decade its sort-merge join against the shared-gram table OOMs at
+    # the session's small-data shuffle width. Widening the gp side
+    # here widens the SMJ on both sides (the join requires matching
+    # partitioning); the aggregates hash-spill and need no hint.
+    if partitions is not None:
+        gp = gp.repartition(partitions, F.col("h"))
     shared = (gp.select(id_col, "h").distinct()
               .groupBy("h").agg(F.count(F.lit(1)).alias("nd"),
                                 F.min(id_col).alias("__owner"))

@@ -647,9 +647,16 @@ UNION ALL
 """)
 def q73_dup_span_removal(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # same size-gated width hint as q72 (SCALING addendum 22): the
+    # positional gram SMJ OOMs at the 5M-doc decade on the session's
+    # small-data shuffle width
+    n_parts = int(d.count() * 90 // 1_500_000)
+    if n_parts <= 32:
+        n_parts = None
 
     def leg(kind, **kw):
-        return cp.remove_dup_spans(d, "doc_id", "text", n=8, **kw) \
+        return cp.remove_dup_spans(d, "doc_id", "text", n=8,
+                                   partitions=n_parts, **kw) \
             .select(F.lit(kind).alias("kind"), "doc_id", "text_clean",
                     "n_words", "n_removed")
 
