@@ -1484,3 +1484,22 @@ def test_incremental_containment_hot_gram_cap(spark, tmp_path):
         out = idx.add_and_find(spark.createDataFrame(
             [(3, boiler)], "doc_id long, text string")).collect()
         assert bool(out) is expect_pairs
+
+
+def test_incremental_containment_short_doc_readd_refreshes(spark, tmp_path):
+    # a doc re-added with sub-n-word text must refresh to an EMPTY gram
+    # set (stale grams would keep pairing it forever)
+    quote = _words("q", 12)
+    idx = dd.IncrementalContainmentIndex(
+        spark, str(tmp_path / "cix_sh"), n=4, threshold=0.9, buckets=2)
+    idx.add_and_find(spark.createDataFrame(
+        [(1, quote)], "doc_id long, text string"))
+    # re-add doc 1 with a 2-word text: row refreshed, grams emptied
+    idx.add_and_find(spark.createDataFrame(
+        [(1, "tiny text")], "doc_id long, text string"))
+    row = idx.table.read().collect()
+    assert len(row) == 1 and row[0]["n_grams"] == 0
+    # a fresh copy of the quote now finds NO stored partner
+    out = idx.add_and_find(spark.createDataFrame(
+        [(2, quote)], "doc_id long, text string")).collect()
+    assert out == []

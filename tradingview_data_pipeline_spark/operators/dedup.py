@@ -1216,14 +1216,24 @@ class IncrementalContainmentIndex:
         least one side is from this batch and the doc_id side's
         containment in the partner clears the threshold."""
         from tradingview_data_pipeline_spark.operators import corpus as _cp
-        new_rows = (_cp.span_gram_counts(
-            df.select(F.col(id_col).cast("long").alias("doc_id"),
-                      F.col(text_col)),
-            "doc_id", text_col, n=self.n)
-            .groupBy("doc_id")
-            .agg(F.collect_list("h").alias("grams"),
-                 F.count(F.lit(1)).alias("n_grams"))
-            .localCheckpoint(eager=True))
+        batch = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                          F.col(text_col))
+        agg = (_cp.span_gram_counts(batch, "doc_id", text_col, n=self.n)
+               .groupBy("doc_id")
+               .agg(F.collect_list("h").alias("grams"),
+                    F.count(F.lit(1)).alias("n_grams")))
+        # docs shorter than n words have ZERO grams but must still
+        # register (an empty row) — otherwise re-adding a doc with new
+        # short text would silently keep its stale gram set
+        new_rows = (batch.select("doc_id").distinct()
+                    .join(agg, "doc_id", "left")
+                    .select("doc_id",
+                            F.coalesce(F.col("grams"), F.expr(
+                                "CAST(array() AS array<bigint>)"))
+                            .alias("grams"),
+                            F.coalesce(F.col("n_grams"), F.lit(0))
+                            .cast("bigint").alias("n_grams"))
+                    .localCheckpoint(eager=True))
         new_ids = new_rows.select("doc_id")
         new_g = new_rows.select(
             "doc_id", F.explode("grams").alias("h"))
