@@ -507,11 +507,12 @@ def fertility_profile(
     than dividing by zero.
     """
     keep = list(group_cols or [])
+    txt = F.coalesce(F.col(text_col), F.lit(""))   # size(split(NULL)) is -1
     pre = df.select(
         id_col, *keep, text_col,
-        F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+        F.size(F.filter(F.split(F.trim(txt), r"\s+"),
                         lambda w: w != "")).alias("__w"),
-        F.length(F.col(text_col)).alias("__c"))
+        F.length(txt).alias("__c"))
     # word/char counts ride through the encode pass as keep_cols (the
     # same no-re-join trick packing uses for its shard key)
     enc = bpe_encode(pre, id_col, text_col, merges,
