@@ -1503,3 +1503,28 @@ def test_incremental_containment_short_doc_readd_refreshes(spark, tmp_path):
     out = idx.add_and_find(spark.createDataFrame(
         [(2, quote)], "doc_id long, text string")).collect()
     assert out == []
+
+
+def test_incremental_containment_readd_uses_fresh_denominator(spark, tmp_path):
+    # re-added doc: its denominator must come from the refreshed row
+    # ONLY — the pre-fix read emitted a second stale-sized containment
+    # row for the same pair (review catch, round 9)
+    quote = _words("q", 12)                       # 9 4-grams
+    longer = quote + " " + _words("extra", 8)     # 17 4-grams
+    idx = dd.IncrementalContainmentIndex(
+        spark, str(tmp_path / "cix_rd"), n=4, threshold=0.4, buckets=2)
+    idx.add_and_find(spark.createDataFrame(
+        [(1, quote), (9, quote)], "doc_id long, text string"))
+    out = idx.add_and_find(spark.createDataFrame(
+        [(9, longer)], "doc_id long, text string")).collect()
+    rows = [r for r in out if r["doc_id"] == 9 and r["partner_doc_id"] == 1]
+    assert len(rows) == 1                          # exactly one, not two
+    assert rows[0]["n_grams"] == 17               # fresh denominator
+    assert rows[0]["shared"] == 9
+
+
+def test_incremental_containment_validates_cap(spark, tmp_path):
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_gram_docs"):
+        dd.IncrementalContainmentIndex(
+            spark, str(tmp_path / "cix_bad"), max_gram_docs=1)

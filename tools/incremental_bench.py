@@ -118,11 +118,22 @@ def main() -> None:
                     corpus as cp)
                 cx = dd.IncrementalContainmentIndex(
                     spark, os.path.join(tmp, "cx"), buckets=BUCKETS)
+                # seed with the SAME register-empty contract as
+                # add_and_find: sub-8-word docs get an empty-set row,
+                # so stored_rows truly equals n_docs
+                agg = (cp.span_gram_counts(docs, "doc_id", "text", n=8)
+                       .groupBy("doc_id")
+                       .agg(F.collect_list("h").alias("grams"),
+                            F.count(F.lit(1)).alias("n_grams")))
                 cx.table.overwrite(
-                    cp.span_gram_counts(docs, "doc_id", "text", n=8)
-                    .groupBy("doc_id")
-                    .agg(F.collect_list("h").alias("grams"),
-                         F.count(F.lit(1)).alias("n_grams")))
+                    docs.select("doc_id").distinct()
+                    .join(agg, "doc_id", "left")
+                    .select("doc_id",
+                            F.coalesce(F.col("grams"), F.expr(
+                                "CAST(array() AS array<bigint>)"))
+                            .alias("grams"),
+                            F.coalesce(F.col("n_grams"), F.lit(0))
+                            .cast("bigint").alias("n_grams")))
                 runs.append(("containment", cx, doc_batch, n_docs))
 
             for name, idx, batch, stored in runs:

@@ -398,6 +398,7 @@ def span_gram_counts(df: DataFrame, id_col: str, text_col: str, *,
 def dup_span_profile(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 8,
     gram_counts: DataFrame | None = None,
+    gram_doc_freq: DataFrame | None = None,
     partitions: int | None = None,
 ) -> DataFrame:
     """Substring-level duplication profile: for every document, how many
@@ -442,8 +443,13 @@ def dup_span_profile(
           else span_gram_counts(df, id_col, text_col, n=n,
                                 partitions=partitions))
     pgh = pg.repartition(partitions, "h") if partitions else pg
-    dup_h = (pgh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-             .where(F.col("nd") >= 2).select("h"))
+    # ``gram_doc_freq``: optional precomputed (h, nd) doc-frequency
+    # frame — the by-h aggregate over the substrate is the other
+    # heavy shuffle both q72 legs need, shareable the same way as
+    # gram_counts (compute once, filter per leg)
+    ndf = (gram_doc_freq if gram_doc_freq is not None
+           else pgh.groupBy("h").agg(F.count(F.lit(1)).alias("nd")))
+    dup_h = ndf.where(F.col("nd") >= 2).select("h")
     spans = pg.groupBy(id_col).agg(F.sum("c").alias("n_spans"))
     dups = (pgh.join(dup_h, "h")
             .groupBy(id_col)

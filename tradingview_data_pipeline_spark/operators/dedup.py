@@ -1076,6 +1076,7 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
                       n: int = 8, threshold: float = 0.5,
                       max_gram_docs: int = 1000,
                       gram_counts: DataFrame | None = None,
+                      gram_doc_freq: DataFrame | None = None,
                       partitions: int | None = None) -> DataFrame:
     """Directed near-containment pairs: one row per (doc, partner) where
     at least ``threshold`` of the doc's word ``n``-grams also appear in
@@ -1117,7 +1118,11 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, *,
     grams = gram_counts.select(id_col, "h")
     if partitions is not None:
         grams = grams.repartition(partitions, F.col("h"))
-    nd = grams.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    # gram_doc_freq: optional precomputed (h, nd) frame (shared with
+    # dup_span_profile by q72 — the by-h aggregate is the other heavy
+    # shuffle over the substrate)
+    nd = (gram_doc_freq if gram_doc_freq is not None
+          else grams.groupBy("h").agg(F.count(F.lit(1)).alias("nd")))
     kept = (grams.join(nd.where((F.col("nd") >= 2)
                                 & (F.col("nd") <= max_gram_docs)), "h")
             .select(id_col, "h"))
@@ -1199,6 +1204,11 @@ class IncrementalContainmentIndex:
         from tradingview_data_pipeline_spark.operators.merge import ParquetTable
         if not 0.0 < threshold <= 1.0:
             raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+        if max_gram_docs is not None and max_gram_docs < 2:
+            # same contract as containment_pairs: a cap below 2 drops
+            # every shared gram and the index silently reports nothing
+            raise ValueError(
+                f"max_gram_docs must be >= 2 or None, got {max_gram_docs}")
         self.n, self.threshold = n, threshold
         self.max_gram_docs = max_gram_docs
         schema = T.StructType([
@@ -1242,15 +1252,25 @@ class IncrementalContainmentIndex:
                     .select("doc_id", F.explode("grams").alias("h")))
         raw = _batch_vs_stored_pairs(new_g, stored_g, ["h"], "doc_id",
                                      self.max_gram_docs)
+        # pin the (small, pair-bounded) shared counts: partners is
+        # collected for the bucket-pruned point read and the output
+        # consumes directed twice (main input + sizes) — unpinned, the
+        # batch-vs-stored join would re-execute three times per trigger
         shared = (raw.groupBy("id_a", "id_b")
-                  .agg(F.count(F.lit(1)).alias("shared")))
+                  .agg(F.count(F.lit(1)).alias("shared"))
+                  .localCheckpoint(eager=True))
         directed = shared.unionByName(
             shared.select(F.col("id_b").alias("id_a"),
                           F.col("id_a").alias("id_b"), "shared"))
         partners = directed.select(F.col("id_a").alias("doc_id")).distinct()
+        # stored denominators: anti-join the batch ids — a RE-ADDED
+        # doc's denominator must come from its refreshed row only (the
+        # pre-upsert read would otherwise emit a second, stale-sized
+        # containment row for the same pair)
         sizes = (new_rows.select("doc_id", "n_grams").unionByName(
             self.table.read_matching(partners)
             .join(F.broadcast(partners), "doc_id", "left_semi")
+            .join(F.broadcast(new_ids), "doc_id", "left_anti")
             .select("doc_id", "n_grams")))
         out = (directed
                .join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")

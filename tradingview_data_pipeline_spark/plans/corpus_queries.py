@@ -570,7 +570,15 @@ def q72_dup_spans(spark, sf_dir):
     pg = pins.track(cp.span_gram_counts(d, "doc_id", "text", n=8,
                                         partitions=n_parts)
                     .persist(StorageLevel.DISK_ONLY))
+    # the by-h doc-frequency aggregate is the OTHER heavy shuffle both
+    # legs need (profile filters nd>=2, containment nd in [2, cap]) —
+    # same compute-once contract as the substrate (review catch, r9)
+    pgh = pg.repartition(n_parts, "h") if n_parts else pg
+    ndf = pins.track(pgh.groupBy("h")
+                     .agg(F.count(F.lit(1)).alias("nd"))
+                     .persist(StorageLevel.DISK_ONLY))
     profile = (cp.dup_span_profile(d, "doc_id", "text", gram_counts=pg,
+                                   gram_doc_freq=ndf,
                                    partitions=n_parts)
                .select(F.lit("profile").alias("kind"), "doc_id",
                        F.lit(None).cast("bigint").alias("partner_id"),
@@ -580,7 +588,8 @@ def q72_dup_spans(spark, sf_dir):
     cont = (dd.containment_pairs(d, "doc_id", "text",
                                  threshold=_Q72_CTHRESH,
                                  max_gram_docs=_Q72_CCAP,
-                                 gram_counts=pg, partitions=n_parts)
+                                 gram_counts=pg, gram_doc_freq=ndf,
+                                 partitions=n_parts)
             .select(F.lit("containment").alias("kind"), "doc_id",
                     F.col("partner_doc_id").alias("partner_id"),
                     F.col("shared").alias("c1"),

@@ -242,7 +242,14 @@ def _scored_pairs(spark, sf_dir):
                 pass
         _DEDUP_CACHE.clear()
     d = _t(spark, sf_dir, "documents")
-    shingles = dd.shingle_rows(d, "doc_id", "text").cache()
+    # DISK_ONLY, not .cache(): the exploded shingle frame is
+    # corpus-sized (~100 hashes/doc -> ~500M rows at the 5M-doc
+    # decade) and a deserialized memory cache heap-OOMs there — the
+    # addendum-16 pin rule (corpus-sized pins never compete with
+    # execution memory; caught at decade 4, SCALING addendum 23)
+    from pyspark import StorageLevel
+    shingles = dd.shingle_rows(d, "doc_id", "text") \
+        .persist(StorageLevel.DISK_ONLY)
     pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", k=_LSH_K,
                                    bands=_LSH_K // _LSH_ROWS,
                                    shingles=shingles)
