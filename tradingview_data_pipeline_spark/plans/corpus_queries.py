@@ -1018,6 +1018,8 @@ def q79_global_line_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _RRF_LEG_K, _RRF_K, _RRF_SCALE, _RRF_TOPK = 50, 60, 10**12, 20
+#: 'multi' leg: 3 probe queries, top-20 legs, fused top-10 per query
+_RRF_NQ, _RRF_MK, _RRF_MTOPK = 3, 20, 10
 
 _Q82_DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
             "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
@@ -1061,17 +1063,70 @@ fused AS (
          CAST(MIN(CASE WHEN leg = 'bm25' THEN rk END) AS BIGINT) AS bm25_rk,
          CAST(MIN(CASE WHEN leg = 'ann' THEN rk END) AS BIGINT) AS ann_rk
   FROM u GROUP BY doc_id
+),
+single AS (
+  SELECT doc_id, bm25_rk, ann_rk, rrf_q,
+         CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id ASC) AS BIGINT)
+           AS fused_rk
+  FROM fused
+  QUALIFY fused_rk <= {_RRF_TOPK}
+),
+mq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id < {_RRF_NQ}),
+manns AS (
+  SELECT query_id, c.vec_id AS doc_id, {cos} AS cos
+  FROM embeddings c CROSS JOIN mq
+  WHERE c.vec_id != query_id
+),
+manntop AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, doc_id ASC) AS BIGINT)
+           AS rk
+  FROM manns QUALIFY rk <= {_RRF_MK}
+),
+mu AS (
+  SELECT query_id, doc_id, 'bm25' AS leg, rk
+  FROM bmtop CROSS JOIN (SELECT query_id FROM mq) q
+  WHERE rk <= {_RRF_MK}
+  UNION ALL
+  SELECT query_id, doc_id, 'ann', rk FROM manntop
+),
+mfused AS (
+  SELECT query_id, doc_id,
+         CAST(SUM({_RRF_SCALE} // ({_RRF_K} + rk)) AS BIGINT) AS rrf_q,
+         CAST(MIN(CASE WHEN leg = 'bm25' THEN rk END) AS BIGINT) AS bm25_rk,
+         CAST(MIN(CASE WHEN leg = 'ann' THEN rk END) AS BIGINT) AS ann_rk
+  FROM mu GROUP BY query_id, doc_id
+),
+multi AS (
+  SELECT query_id, doc_id, bm25_rk, ann_rk, rrf_q,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_q DESC, doc_id ASC) AS BIGINT)
+           AS fused_rk
+  FROM mfused
+  QUALIFY fused_rk <= {_RRF_MTOPK}
 )
-SELECT doc_id, bm25_rk, ann_rk, rrf_q,
-       CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id ASC) AS BIGINT)
-         AS fused_rk
-FROM fused
-QUALIFY fused_rk <= {_RRF_TOPK}
+SELECT 'single' AS kind, NULL::BIGINT AS query_id,
+       doc_id, bm25_rk, ann_rk, rrf_q, fused_rk
+FROM single
+UNION ALL
+SELECT 'multi', query_id, doc_id, bm25_rk, ann_rk, rrf_q, fused_rk
+FROM multi
 """
 
 
 @register("q82_hybrid_retrieval", oracle=_q82_oracle())
 def q82_hybrid_retrieval(spark, sf_dir):
+    """Tagged union: 'single' — one-probe RRF fusion (BM25 top-50 +
+    exact-cosine top-50, fused top-20); 'multi' — per-query grouped
+    fusion for 3 probe embeddings (the ``group_cols`` path of
+    ``rrf_fuse``, oracle-checked here rather than pytest-only): the
+    query-independent BM25 top-20 is cross-joined onto the query ids
+    (a broadcast of 20 rows — the lexical ranking is shared, the
+    fusion is per-query) against each probe's cosine top-20, fused
+    top-10 per query. Same integer-quantized contributions, so every
+    leg and both fused orders hash cross-engine."""
     from tradingview_data_pipeline_spark.operators import retrieval as rt
     from tradingview_data_pipeline_spark.operators import similarity as sim
     d = _t(spark, sf_dir, "documents")
@@ -1082,5 +1137,21 @@ def q82_hybrid_retrieval(spark, sf_dir):
     ann = (sim.brute_force_topk(e, e.where(F.col("vec_id") == 0),
                                 "vec_id", "embedding", k=_RRF_LEG_K)
            .select(F.col("neighbor_id").alias("doc_id"), "rk"))
-    return rt.rrf_fuse([("bm25", bm), ("ann", ann)], ["doc_id"],
-                       rrf_k=_RRF_K, scale=_RRF_SCALE, topk=_RRF_TOPK)
+    nq = F.lit(None).cast("bigint").alias("query_id")
+    single = (rt.rrf_fuse([("bm25", bm), ("ann", ann)], ["doc_id"],
+                          rrf_k=_RRF_K, scale=_RRF_SCALE, topk=_RRF_TOPK)
+              .select(F.lit("single").alias("kind"), nq, "doc_id",
+                      "bm25_rk", "ann_rk", "rrf_q", "fused_rk"))
+    mqs = e.where(F.col("vec_id") < _RRF_NQ)
+    ann_m = (sim.brute_force_topk(e, mqs, "vec_id", "embedding", k=_RRF_MK)
+             .select("query_id", F.col("neighbor_id").alias("doc_id"), "rk"))
+    bm_m = (bm.where(F.col("rk") <= _RRF_MK)
+            .crossJoin(F.broadcast(
+                mqs.select(F.col("vec_id").alias("query_id")))))
+    multi = (rt.rrf_fuse([("bm25", bm_m), ("ann", ann_m)], ["doc_id"],
+                         rrf_k=_RRF_K, scale=_RRF_SCALE, topk=_RRF_MTOPK,
+                         group_cols=["query_id"])
+             .select(F.lit("multi").alias("kind"),
+                     F.col("query_id").cast("bigint"), "doc_id",
+                     "bm25_rk", "ann_rk", "rrf_q", "fused_rk"))
+    return single.unionByName(multi)
