@@ -446,15 +446,26 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame, id_col: str,
-                   *, threshold: float = 0.0) -> DataFrame:
+                   *, threshold: float = 0.0,
+                   partitions: int | None = None) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for each candidate pair.
 
     inter via join on shingle equality; union = |A| + |B| - inter. Integer
     counts -> exact double division, engine-reproducible.
+
+    ``partitions``: width hint for the two joins against the
+    corpus-sized shingle frame (~100 hashes/doc) — at the 5M-doc decade
+    their sort-merge sorts exceed the per-task budget at the session's
+    small-data shuffle width (the SCALING addendum-22 rule; caught on
+    q70, whose connected-components run sits downstream of this
+    verify).
     """
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = shingles.select(F.col(id_col).alias("doc_a"), F.col("s"))
     sb = shingles.select(F.col(id_col).alias("doc_b"), F.col("s"))
+    if partitions is not None:
+        sa = sa.repartition(partitions, F.col("doc_a"))
+        sb = sb.repartition(partitions, F.col("doc_b"), F.col("s"))
     inter = (
         pairs.join(sa, "doc_a").join(sb, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))

@@ -260,7 +260,11 @@ def _scored_pairs(spark, sf_dir):
     # downstream query would rebuild the full LSH pipeline per
     # reference (q59's triangle join references it 5x: 327-exchange
     # plan vs 11 with the checkpoint).
-    scored = dd.jaccard_verify(pairs, shingles, "doc_id") \
+    # same size-gated width hint as q72/q73 (SCALING addendum 22): the
+    # verify joins sort the ~100x-exploded shingle frame
+    n_parts = int(d.count() * 100 // 1_500_000)
+    scored = dd.jaccard_verify(pairs, shingles, "doc_id",
+                               partitions=n_parts if n_parts > 32 else None) \
         .localCheckpoint(eager=True)
     shingles.unpersist()
     _DEDUP_CACHE[key] = (spark, scored)
