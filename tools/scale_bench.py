@@ -81,6 +81,16 @@ def main() -> None:
             except Exception:
                 pass
         tq._DEDUP_CACHE.clear()
+        # size the session shuffle width by the scale point (the SURVEY
+        # §6 doctrine: partitions ~ input volume, AQE coalesces the
+        # tail) — the fixed small-data width leaves decade-4 sorts
+        # over-packed even where no single operator explodes enough to
+        # deserve its own hint (q29's concurrent union legs, addendum
+        # 23 postscript). Runtime conf: applies per scale, no restart.
+        n_docs_width = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).count()
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(max(32, n_docs_width // 20_000)))
         qmap["q1_grouped_aggs"](spark, sf_dir) \
             .write.format("noop").mode("overwrite").save()    # warm-up
         t0 = time.perf_counter()

@@ -510,7 +510,8 @@ SIMHASH_MAX_BITS = 60
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str,
                   bits: int = 16, out_col: str = "simhash",
-                  impl: str = "sql") -> DataFrame:
+                  impl: str = "sql",
+                  partitions: int | None = None) -> DataFrame:
     """``impl="sql"``: the codegen'd conditional-sum aggregate (the
     oracle-matched reference form). ``impl="arrow"``: identical bit
     mapping computed by numpy over Arrow batches (``mapInPandas``) —
@@ -526,7 +527,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str,
                   .cast("bigint").alias("__h60")))
     if impl == "arrow":
         g = _simhash_agg_arrow(ex, id_col, df.schema[id_col].dataType,
-                               bits, out_col)
+                               bits, out_col, partitions=partitions)
     else:
         assert impl == "sql", impl
         aggs = [F.count(F.lit(1)).alias("__n")]
@@ -546,7 +547,8 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str,
 
 
 def _simhash_agg_arrow(ex: DataFrame, id_col: str, id_type,
-                       bits: int, out_col: str) -> DataFrame:
+                       bits: int, out_col: str,
+                       partitions: int | None = None) -> DataFrame:
     """(id, __h60) token-hash rows -> (id, signature) via numpy.
 
     One shuffle on the id (hash repartition + sort-within-partitions —
@@ -608,7 +610,13 @@ def _simhash_agg_arrow(ex: DataFrame, id_col: str, id_type,
             yield pd.DataFrame({id_col: [carry_id],
                                 out_col: [sig_of(carry_n, carry_sums)]})
 
-    return (ex.repartition(F.col(id_col))
+    # ``partitions``: width hint for the token-hash shuffle+sort — the
+    # exploded frame is ~60x the doc count, and the 5M-doc decade's
+    # per-task sortWithinPartitions OOMs at the session width (the
+    # SCALING addendum-22 rule; size-gate it in callers)
+    part_args = ([partitions] if partitions is not None else []) + \
+        [F.col(id_col)]
+    return (ex.repartition(*part_args)
             .sortWithinPartitions(id_col)
             .mapInPandas(fold, out_schema))
 

@@ -418,7 +418,13 @@ def q29_signature_neardup(spark, sf_dir):
     # the SQL fold at sf0.1 steady-state (0.8s vs 1.9s signature cost;
     # the per-row 60 shift/mask extractions were the bottleneck, NOTES
     # r5/r6). Integer-identical to the SQL form the oracle runs.
-    sigs = dd.simhash_table(d, "doc_id", "text", bits=60, impl="arrow") \
+    # size-gated width hint (addendum 22): the exploded token-hash
+    # frame is ~60x docs and the arrow path's per-task sort OOMs at the
+    # 5M-doc decade on the session width
+    sh_parts = int(d.count() * 60 // 1_500_000)
+    sigs = dd.simhash_table(d, "doc_id", "text", bits=60, impl="arrow",
+                            partitions=sh_parts if sh_parts > 32
+                            else None) \
         .localCheckpoint(eager=True)
     pairs = dd.simhash_candidate_pairs(d, "doc_id", "text", bits=60,
                                        bands=4, max_hamming=3, sigs=sigs)
@@ -436,13 +442,23 @@ def q29_signature_neardup(spark, sf_dir):
     # size_hint: band keys re-size with the corpus (the r6-measured
     # x12-decade fix; oracle mirrors via the nchunk CTE). One tiny
     # count action — the same pattern as q77's per-sf label count.
+    n_vecs = e.count()
     emb_leg = (sim.embedding_near_dups_lsh(e, "vec_id", "embedding",
                                            threshold=0.95,
-                                           size_hint=e.count())
+                                           size_hint=n_vecs)
                .select(F.lit("embedding").alias("kind"),
                        F.col("vec_id").alias("id"),
                        F.col("sig_key").alias("sig"),
                        F.col("neardup_n").cast("bigint").alias("neardup_n")))
+    if n_vecs > 500_000:
+        # decade-scale only: the union otherwise executes BOTH legs'
+        # stage DAGs concurrently and the two in-budget sorts split the
+        # pool past it — each leg passes solo at 5M docs / 2M vecs but
+        # the combined execution hits SPILL_OUT_OF_MEMORY (addendum-22
+        # postscript). Materializing the small (n_vecs-row) leg output
+        # at build sequentializes the memory peaks; small scales keep
+        # the lazy single-action plan.
+        emb_leg = emb_leg.localCheckpoint(eager=True)
     return text_leg.unionByName(emb_leg)
 
 
