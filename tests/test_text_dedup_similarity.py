@@ -1528,3 +1528,18 @@ def test_incremental_containment_validates_cap(spark, tmp_path):
     with _pt.raises(ValueError, match="max_gram_docs"):
         dd.IncrementalContainmentIndex(
             spark, str(tmp_path / "cix_bad"), max_gram_docs=1)
+
+
+def test_incremental_containment_rejects_intra_batch_dup_ids(spark, tmp_path):
+    # two rows with one doc_id inside ONE batch would silently union
+    # both texts' gram sets (neither text's row, nor the documented
+    # re-add refresh) — must raise instead (advisor catch, round 9)
+    import pytest as _pt
+    idx = dd.IncrementalContainmentIndex(
+        spark, str(tmp_path / "cix_dup"), n=4, threshold=0.5, buckets=2)
+    batch = spark.createDataFrame(
+        [(1, _words("a", 12)), (1, _words("b", 12))],
+        "doc_id long, text string")
+    with _pt.raises(ValueError, match="appears 2x in one batch"):
+        idx.add_and_find(batch)
+    assert idx.table.read().count() == 0          # nothing registered

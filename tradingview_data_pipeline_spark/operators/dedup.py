@@ -1247,6 +1247,18 @@ class IncrementalContainmentIndex:
         from tradingview_data_pipeline_spark.operators import corpus as _cp
         batch = df.select(F.col(id_col).cast("long").alias("doc_id"),
                           F.col(text_col))
+        # intra-batch duplicate doc_ids would silently UNION both texts'
+        # gram sets below (neither text's row, and not the documented
+        # re-add refresh either) — fail loudly instead; the check is one
+        # batch-sized doc_id-only job per trigger
+        dup = (batch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+               .where(F.col("c") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"IncrementalContainmentIndex.add_and_find: doc_id "
+                f"{dup[0]['doc_id']} appears {dup[0]['c']}x in one batch "
+                "— dedup the batch first (re-add semantics refresh a "
+                "row across batches, not within one)")
         agg = (_cp.span_gram_counts(batch, "doc_id", text_col, n=self.n)
                .groupBy("doc_id")
                .agg(F.collect_list("h").alias("grams"),

@@ -68,16 +68,27 @@ def rrf_fuse(
     names = [n for n, _ in legs]
     if len(set(names)) != len(names):
         raise ValueError(f"rrf_fuse: duplicate leg names {names}")
-    if rrf_k < 0 or scale <= 0:
-        raise ValueError("rrf_fuse: rrf_k must be >= 0 and scale > 0")
+    if rrf_k < 1 or scale <= 0:
+        # rrf_k >= 1 keeps the divisor positive even for a malformed
+        # rank of 0, so Spark's DIV can never hit /0 (NULL, silently
+        # dropped from SUM) where DuckDB's // would raise — the ranks
+        # themselves are additionally guarded below.
+        raise ValueError("rrf_fuse: rrf_k must be >= 1 and scale > 0")
     gcols = list(group_cols)
     icols = list(id_cols)
     tagged = None
     for name, df in legs:
+        # loud 1-based-rank guard: a rank < 1 is a caller bug and must
+        # fail identically in both engines, not skew the fused score
+        rank = F.col(rank_col).cast("bigint")
         part = df.select(
             *gcols, *icols,
             F.lit(name).alias("_leg"),
-            F.col(rank_col).cast("bigint").alias("_rank"))
+            F.when(rank >= 1, rank)
+             .otherwise(F.assert_true(rank >= 1, F.lit(
+                 f"rrf_fuse: leg '{name}' has a rank < 1 — ranks must "
+                 "be 1-based")).cast("bigint"))
+             .alias("_rank"))
         tagged = part if tagged is None else tagged.unionByName(part)
     contrib = F.expr(f"DIV({scale}, {rrf_k} + _rank)")
     aggs = [F.sum(contrib).cast("bigint").alias("rrf_q")]

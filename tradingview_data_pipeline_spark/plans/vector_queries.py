@@ -143,10 +143,12 @@ WITH elems AS (
 SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
        COUNT(*) AS v FROM embeddings
 UNION ALL
-SELECT CAST(i AS INT) AS i, CAST(-1 AS INT) AS j, SUM(q) AS v
+SELECT CAST(i AS INT) AS i, CAST(-1 AS INT) AS j,
+       CAST(SUM(q) AS BIGINT) AS v
 FROM elems GROUP BY i
 UNION ALL
-SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j, SUM(a.q * b.q) AS v
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS v
 FROM elems a JOIN elems b USING (vec_id)
 GROUP BY a.i, b.i
 """)
@@ -216,7 +218,7 @@ WITH RECURSIVE nl AS (
   FROM qv GROUP BY slabel, dim
 ), dists AS (
   SELECT v.vec_id, c.slabel AS c_label,
-         SUM((v.qv - c.qcent) * (v.qv - c.qcent)) AS dist
+         CAST(SUM((v.qv - c.qcent) * (v.qv - c.qcent)) AS BIGINT) AS dist
   FROM qv v JOIN cent c ON c.dim = v.dim
   GROUP BY v.vec_id, c.slabel
 ), assigned AS (
