@@ -45,6 +45,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_TABLE_ROWS_MEMO: dict[tuple[str, str], int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """EXACT base-table row count from parquet footers, memoized per
+    (sf_dir, table) — replaces the per-query ``df.count()`` Spark action
+    several plans used purely to size partition hints (advisor catch,
+    round 9: each such action re-scanned the corpus even at scales where
+    the hint is then discarded). Footer reads are driver-side metadata
+    only, O(files); exact because these are unfiltered base tables."""
+    key = (sf_dir, name)
+    if key not in _TABLE_ROWS_MEMO:
+        from tradingview_data_pipeline_spark.operators.merge import (
+            parquet_footer_rows,
+        )
+        _TABLE_ROWS_MEMO[key] = parquet_footer_rows(
+            [os.path.join(sf_dir, f"{name}.parquet")])
+    return _TABLE_ROWS_MEMO[key]
+
+
 def _dsum(c, scale="25,6"):
     """Order-independent sum of doubles: decimal accumulate, double out.
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from tradingview_data_pipeline_spark.operators import corpus as cp
 from tradingview_data_pipeline_spark.operators import sampling as sp
 from tradingview_data_pipeline_spark.operators import text as tx
-from tradingview_data_pipeline_spark.plans.analytics import register, _t
+from tradingview_data_pipeline_spark.plans.analytics import register, _t, table_rows
 
 # \S+ extraction, mirroring tx.tokens — trim()+split leaves a phantom
 # "" token for tab/newline-leading text in BOTH engines (trim strips
@@ -559,12 +559,13 @@ def q72_dup_spans(spark, sf_dir):
     # distinct-set), which defeats exchange reuse — pin the compact
     # (doc, 8-byte hash, count) frame once (NOTES-31/34 rule; measured
     # 11.9 -> ~6 s at the 5k-doc decade). The substrate shuffle is
-    # sized by corpus (one tiny count action — the q29/q77 size_hint
-    # pattern): ~90 grams/doc ÷ ~1.5M rows/partition; the session's
-    # 32-wide default OOMs the per-task sort at the 5M-doc decade.
-    # Below the session width the hint is DISABLED (None): the extra
-    # repartition exchanges cost ~2x at the 5k-doc decade for nothing
-    n_parts = int(d.count() * 90 // 1_500_000)
+    # sized by corpus (parquet-footer row count — driver-side metadata,
+    # no Spark action; the advisor-caught d.count() re-scanned the
+    # corpus per run): ~90 grams/doc ÷ ~1.5M rows/partition; the
+    # session's 32-wide default OOMs the per-task sort at the 5M-doc
+    # decade. Below the session width the hint is DISABLED (None): the
+    # extra repartition exchanges cost ~2x at the 5k-doc decade
+    n_parts = int(table_rows(sf_dir, "documents") * 90 // 1_500_000)
     if n_parts <= 32:
         n_parts = None
     pg = pins.track(cp.span_gram_counts(d, "doc_id", "text", n=8,
@@ -658,8 +659,9 @@ def q73_dup_span_removal(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # same size-gated width hint as q72 (SCALING addendum 22): the
     # positional gram SMJ OOMs at the 5M-doc decade on the session's
-    # small-data shuffle width
-    n_parts = int(d.count() * 90 // 1_500_000)
+    # small-data shuffle width; sized from the parquet footer, not a
+    # count() action
+    n_parts = int(table_rows(sf_dir, "documents") * 90 // 1_500_000)
     if n_parts <= 32:
         n_parts = None
 

@@ -18,7 +18,7 @@ from tradingview_data_pipeline_spark.operators import dedup as dd
 from tradingview_data_pipeline_spark.operators import packing as pk
 from tradingview_data_pipeline_spark.operators import similarity as sim
 from tradingview_data_pipeline_spark.operators import text as tx
-from tradingview_data_pipeline_spark.plans.analytics import register, _t
+from tradingview_data_pipeline_spark.plans.analytics import register, _t, table_rows
 
 # --- shared DuckDB fragments (mirror operators/text.py exactly) -----------
 
@@ -261,8 +261,9 @@ def _scored_pairs(spark, sf_dir):
     # reference (q59's triangle join references it 5x: 327-exchange
     # plan vs 11 with the checkpoint).
     # same size-gated width hint as q72/q73 (SCALING addendum 22): the
-    # verify joins sort the ~100x-exploded shingle frame
-    n_parts = int(d.count() * 100 // 1_500_000)
+    # verify joins sort the ~100x-exploded shingle frame; footer-sized,
+    # no count() action
+    n_parts = int(table_rows(sf_dir, "documents") * 100 // 1_500_000)
     scored = dd.jaccard_verify(pairs, shingles, "doc_id",
                                partitions=n_parts if n_parts > 32 else None) \
         .localCheckpoint(eager=True)
@@ -420,8 +421,8 @@ def q29_signature_neardup(spark, sf_dir):
     # r5/r6). Integer-identical to the SQL form the oracle runs.
     # size-gated width hint (addendum 22): the exploded token-hash
     # frame is ~60x docs and the arrow path's per-task sort OOMs at the
-    # 5M-doc decade on the session width
-    sh_parts = int(d.count() * 60 // 1_500_000)
+    # 5M-doc decade on the session width; footer-sized, no count()
+    sh_parts = int(table_rows(sf_dir, "documents") * 60 // 1_500_000)
     sigs = dd.simhash_table(d, "doc_id", "text", bits=60, impl="arrow",
                             partitions=sh_parts if sh_parts > 32
                             else None) \
@@ -440,9 +441,9 @@ def q29_signature_neardup(spark, sf_dir):
                         .alias("neardup_n")))
     e = _t(spark, sf_dir, "embeddings")
     # size_hint: band keys re-size with the corpus (the r6-measured
-    # x12-decade fix; oracle mirrors via the nchunk CTE). One tiny
-    # count action — the same pattern as q77's per-sf label count.
-    n_vecs = e.count()
+    # x12-decade fix; oracle mirrors via the nchunk CTE). Footer count
+    # — exact, driver-side, no table scan.
+    n_vecs = table_rows(sf_dir, "embeddings")
     emb_leg = (sim.embedding_near_dups_lsh(e, "vec_id", "embedding",
                                            threshold=0.95,
                                            size_hint=n_vecs)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark.operators import similarity as sim
-from tradingview_data_pipeline_spark.plans.analytics import register, _t
+from tradingview_data_pipeline_spark.plans.analytics import register, _t, table_rows
 
 _CENT_SQL = """
   SELECT label, i - 1 AS dim, COUNT(*) AS n,
@@ -279,7 +279,7 @@ FROM ann
 """)
 def q77_semantic_dedup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    n = e.count()                       # tiny driver scalar: sizes L
+    n = table_rows(sf_dir, "embeddings")   # footer count: sizes L, no scan
     labels = max(10, -(-n // 500))      # ceil(n/500), clusters of ~500
     lab = e.withColumn(
         "slabel", F.pmod(F.col("vec_id"), F.lit(labels)).cast("bigint"))
