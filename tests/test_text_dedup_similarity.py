@@ -1543,3 +1543,52 @@ def test_incremental_containment_rejects_intra_batch_dup_ids(spark, tmp_path):
     with _pt.raises(ValueError, match="appears 2x in one batch"):
         idx.add_and_find(batch)
     assert idx.table.read().count() == 0          # nothing registered
+
+
+def test_incremental_containment_arrow_probe_equals_scan(spark, tmp_path):
+    # probe='arrow' must yield the exact same directed pair set (and the
+    # same refreshed store) as probe='scan' — incl. a re-added doc in
+    # the batch (exercises the arrow path's own-row exclusion) and a
+    # sub-n-word doc (empty gram array in the stored chunks)
+    quote = _words("q", 12)
+    longer = quote + " " + _words("extra", 8)
+    seed = spark.createDataFrame(
+        [(1, quote), (2, longer), (3, _words("z", 20)), (4, "tiny")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(3, _words("z", 9)),                      # re-add, new text
+         (10, quote),                              # dup of 1/2
+         (11, _words("fresh", 15))],
+        "doc_id long, text string")
+
+    def run(probe):
+        idx = dd.IncrementalContainmentIndex(
+            spark, str(tmp_path / f"cix_{probe}"), n=4, threshold=0.4,
+            buckets=2, probe=probe)
+        idx.add_and_find(seed)
+        out = idx.add_and_find(batch)
+        pairs = sorted(map(tuple, out.collect()))
+        store = sorted((r["doc_id"], tuple(sorted(r["grams"])),
+                        r["n_grams"]) for r in idx.table.read().collect())
+        return pairs, store
+
+    scan_pairs, scan_store = run("scan")
+    arrow_pairs, arrow_store = run("arrow")
+    assert arrow_pairs == scan_pairs and len(scan_pairs) > 0
+    assert arrow_store == scan_store
+
+
+def test_incremental_containment_probe_validation_and_auto(spark, tmp_path):
+    import pytest as _pt
+    with _pt.raises(ValueError, match="probe"):
+        dd.IncrementalContainmentIndex(
+            spark, str(tmp_path / "cix_p"), probe="bogus")
+    # auto mode picks scan below the crossover (row_count 0 here) and
+    # still produces correct output
+    idx = dd.IncrementalContainmentIndex(
+        spark, str(tmp_path / "cix_a"), n=4, threshold=0.5, buckets=2)
+    assert idx.probe == "auto"
+    out = idx.add_and_find(spark.createDataFrame(
+        [(1, _words("a", 10)), (2, _words("a", 10))],
+        "doc_id long, text string"))
+    assert out.count() == 2                        # both directions

@@ -123,3 +123,38 @@ def test_domain_stats(spark):
            ur.domain_stats(df, "url").collect()}
     assert got == {"example.com": (3, 2, 1),
                    "example.co.uk": (1, 1, 0)}
+
+
+def test_domain_cap_over_under_and_null(spark):
+    # hot.example.com: 5 docs, cap 3 -> exactly 3 keepers picked by the
+    # stable (md5(id), id) order; cold.example.org: 2 docs, under cap
+    # (no-window branch), all kept; a schemeless row has no domain and
+    # is uncapped
+    import hashlib
+    rows = [(i, f"https://hot.example.com/p/{i}") for i in range(5)]
+    rows += [(10, "https://cold.example.org/a"),
+             (11, "https://cold.example.org/b"),
+             (12, "no scheme")]
+    df = spark.createDataFrame(rows, "id long, u string")
+    out = {r["id"]: r for r in
+           ur.domain_cap(df, "id", "u", k=3).collect()}
+    assert len(out) == 8
+    hot = [i for i in range(5)]
+    expected_keep = set(sorted(
+        hot, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:3])
+    for i in hot:
+        r = out[i]
+        assert r["cap_domain"] == "example.com" and r["cap_n_domain"] == 5
+        assert r["cap_keep"] == (i in expected_keep)
+    for i in (10, 11):
+        assert out[i]["cap_domain"] == "example.org"
+        assert out[i]["cap_n_domain"] == 2 and out[i]["cap_keep"]
+    assert out[12]["cap_domain"] is None and out[12]["cap_keep"]
+    assert out[12]["cap_n_domain"] is None
+
+
+def test_domain_cap_validates_k(spark):
+    import pytest
+    df = spark.createDataFrame([(1, "https://a.com/x")], "id long, u string")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        ur.domain_cap(df, "id", "u", k=0)

@@ -113,11 +113,11 @@ def main() -> None:
                     spark, os.path.join(tmp, "em"), buckets=BUCKETS)
                 em.table.overwrite(em._wide(vecs, "vec_id", "embedding"))
                 runs.append(("embedding", em, vec_batch, n_vecs))
-            if want("containment"):
+            cx_modes = [m for m in ("containment", "containment_scan",
+                                    "containment_arrow") if want(m)]
+            if cx_modes:
                 from tradingview_data_pipeline_spark.operators import (
                     corpus as cp)
-                cx = dd.IncrementalContainmentIndex(
-                    spark, os.path.join(tmp, "cx"), buckets=BUCKETS)
                 # seed with the SAME register-empty contract as
                 # add_and_find: sub-8-word docs get an empty-set row,
                 # so stored_rows truly equals n_docs
@@ -125,16 +125,24 @@ def main() -> None:
                        .groupBy("doc_id")
                        .agg(F.collect_list("h").alias("grams"),
                             F.count(F.lit(1)).alias("n_grams")))
-                cx.table.overwrite(
-                    docs.select("doc_id").distinct()
-                    .join(agg, "doc_id", "left")
-                    .select("doc_id",
-                            F.coalesce(F.col("grams"), F.expr(
-                                "CAST(array() AS array<bigint>)"))
-                            .alias("grams"),
-                            F.coalesce(F.col("n_grams"), F.lit(0))
-                            .cast("bigint").alias("n_grams")))
-                runs.append(("containment", cx, doc_batch, n_docs))
+                seed = (docs.select("doc_id").distinct()
+                        .join(agg, "doc_id", "left")
+                        .select("doc_id",
+                                F.coalesce(F.col("grams"), F.expr(
+                                    "CAST(array() AS array<bigint>)"))
+                                .alias("grams"),
+                                F.coalesce(F.col("n_grams"), F.lit(0))
+                                .cast("bigint").alias("n_grams"))
+                        .localCheckpoint(eager=True))
+                for m in cx_modes:
+                    probe = {"containment": "auto",
+                             "containment_scan": "scan",
+                             "containment_arrow": "arrow"}[m]
+                    cx = dd.IncrementalContainmentIndex(
+                        spark, os.path.join(tmp, f"cx_{probe}"),
+                        buckets=BUCKETS, probe=probe)
+                    cx.table.overwrite(seed)
+                    runs.append((m, cx, doc_batch, n_docs))
 
             for name, idx, batch, stored in runs:
                 t0 = time.perf_counter()

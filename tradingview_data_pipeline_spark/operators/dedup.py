@@ -1203,23 +1203,42 @@ class IncrementalContainmentIndex:
     and re-upserts identical rows (idempotent), so replay converges —
     same story as ``IncrementalNearDupIndex``.
 
-    Scale contract (measured, INCR_BENCH_r9): per-trigger cost is flat
-    through ~500k stored docs (7.1/6.0/7.8 s at a fixed 500-doc batch)
-    and starts tracking the store SCAN at the 5M-doc decade (17.0 s) —
-    the same scan-mode profile as the other indexes. The
-    ``BandedBucketStore`` read-pruned mode deliberately does NOT apply
-    here: a 500-doc batch touches ~46k distinct gram keys (vs ~2k band
-    keys for MinHash), so at any practical bucket-directory count
-    every directory is touched and "pruning" degenerates to a full
-    copy-on-write store rewrite — strictly worse than the scan. Past
-    ~5M docs, shard the corpus (per-source indexes) or raise the batch
-    size so the scan amortizes.
+    Scale contract (measured, INCR_BENCH_r9/r10): per-trigger cost is
+    flat through ~500k stored docs (~5-8 s at a fixed 500-doc batch)
+    and starts tracking the store SCAN at the 5M-doc decade (17-23 s in
+    ``probe='scan'``). The ``BandedBucketStore`` read-pruned mode
+    deliberately does NOT apply here, and the reason is arithmetic, not
+    taste: a 500-doc batch probes ~46k distinct gram keys (vs ~2k band
+    keys for MinHash), so (a) at any practical bucket-directory count
+    B, the expected fraction of directories touched is
+    1 - exp(-46k/B) ≈ 1 — "pruning" reads everything and the
+    copy-on-write rewrite makes writes strictly worse; (b) per-bucket
+    Bloom summaries die on the probe side — 46k probes per trigger
+    need per-probe fp << 1/46k (~30 bits/key, GBs of summaries);
+    (c) exact prefix filtering (PPJoin-style) at the default
+    threshold 0.5 only halves the probe keys — pigeonhole gives a
+    (1-t)·|set|+1 prefix, no better. The lever that DOES hold is the
+    ``probe='arrow'`` path: the stored side is never exploded through
+    codegen at all — a vectorized Arrow pass intersects each stored
+    gram array against the broadcast sorted batch-gram array
+    (searchsorted, O(log batch_grams) per stored gram, numpy-batched)
+    and emits only the hits. Same output multiset as the scan probe
+    (pytest-pinned), per-trigger cost = one columnar read + a memory-
+    bandwidth-bound intersection. ``probe='auto'`` (default) switches
+    to arrow once the store's footer row count crosses
+    ``_ARROW_PROBE_MIN_ROWS`` (2M — below that the scan path's codegen
+    probe is already cheap and arrow's python-worker spin-up is pure
+    overhead). Past ~50M docs, shard the corpus (per-source indexes)
+    or raise the batch size so the read amortizes.
     """
+
+    _ARROW_PROBE_MIN_ROWS = 2_000_000
 
     def __init__(self, spark: SparkSession, path: str, *, n: int = 8,
                  threshold: float = 0.5,
                  max_gram_docs: int | None = 1000,
-                 buckets: int | None = None):
+                 buckets: int | None = None,
+                 probe: str = "auto"):
         from tradingview_data_pipeline_spark.operators.merge import ParquetTable
         if not 0.0 < threshold <= 1.0:
             raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1228,6 +1247,9 @@ class IncrementalContainmentIndex:
             # every shared gram and the index silently reports nothing
             raise ValueError(
                 f"max_gram_docs must be >= 2 or None, got {max_gram_docs}")
+        if probe not in ("auto", "scan", "arrow"):
+            raise ValueError(f"probe must be auto/scan/arrow, got {probe!r}")
+        self.probe = probe
         self.n, self.threshold = n, threshold
         self.max_gram_docs = max_gram_docs
         schema = T.StructType([
@@ -1278,9 +1300,16 @@ class IncrementalContainmentIndex:
         new_ids = new_rows.select("doc_id")
         new_g = new_rows.select(
             "doc_id", F.explode("grams").alias("h"))
-        stored_g = (self.table.read()
-                    .join(F.broadcast(new_ids), "doc_id", "left_anti")
-                    .select("doc_id", F.explode("grams").alias("h")))
+        mode = self.probe
+        if mode == "auto":
+            mode = ("arrow" if self.table.row_count()
+                    >= self._ARROW_PROBE_MIN_ROWS else "scan")
+        if mode == "arrow":
+            stored_g = self._arrow_probe(new_rows)
+        else:
+            stored_g = (self.table.read()
+                        .join(F.broadcast(new_ids), "doc_id", "left_anti")
+                        .select("doc_id", F.explode("grams").alias("h")))
         raw = _batch_vs_stored_pairs(new_g, stored_g, ["h"], "doc_id",
                                      self.max_gram_docs)
         # pin the (small, pair-bounded) shared counts: partners is
@@ -1315,6 +1344,67 @@ class IncrementalContainmentIndex:
                .localCheckpoint(eager=True))   # pin before the upsert
         self.table.merge_upsert(new_rows)
         return out
+
+    def _arrow_probe(self, new_rows: DataFrame) -> DataFrame:
+        """Vectorized stored-side probe: emit the stored (doc_id, h)
+        rows whose gram appears in the batch — the exact multiset the
+        scan probe's anti-join + explode + broadcast-semi-join yields —
+        WITHOUT ever exploding the stored table through codegen.
+
+        One driver collect of the (checkpointed) batch gram arrays
+        (O(batch) — ~46k longs at batch 500, a few hundred KB) builds a
+        sorted int64 probe array, broadcast to the executors; a
+        ``mapInPandas`` pass then flattens each Arrow chunk's gram
+        lists into one contiguous int64 vector and keeps the hits via
+        ``searchsorted`` — memory-bandwidth-bound, no shuffle, no join
+        machinery, parallel over the store's file partitions.
+        """
+        import numpy as np
+        import pandas as pd
+
+        rows = new_rows.select("doc_id", "grams").collect()
+        batch_ids = np.array(sorted(r["doc_id"] for r in rows),
+                             dtype=np.int64)
+        flat = [g for r in rows for g in r["grams"]]
+        if not flat:
+            return new_rows.sparkSession.createDataFrame(
+                [], "doc_id long, h long")
+        probe = np.unique(np.array(flat, dtype=np.int64))
+        sc = new_rows.sparkSession.sparkContext
+        b_probe, b_ids = sc.broadcast(probe), sc.broadcast(batch_ids)
+
+        def hits(it):
+            bg, bid = b_probe.value, b_ids.value
+            for pdf in it:
+                ids = pdf["doc_id"].to_numpy()
+                # exclude the batch's own (re-added) rows, same as the
+                # scan path's anti-join on new_ids
+                pos = np.searchsorted(bid, ids)
+                own = (pos < len(bid)) & \
+                    (bid[np.minimum(pos, len(bid) - 1)] == ids)
+                if own.any():
+                    pdf = pdf[~own]
+                    ids = ids[~own]
+                if not len(pdf):
+                    continue
+                grams = pdf["grams"].to_list()
+                lens = np.fromiter((len(g) for g in grams),
+                                   dtype=np.int64, count=len(grams))
+                if not lens.sum():
+                    continue
+                vals = np.concatenate(
+                    [np.asarray(g, dtype=np.int64)
+                     for g in grams if len(g)])
+                pos = np.searchsorted(bg, vals)
+                hit = (pos < len(bg)) & \
+                    (bg[np.minimum(pos, len(bg) - 1)] == vals)
+                if hit.any():
+                    yield pd.DataFrame(
+                        {"doc_id": np.repeat(ids, lens)[hit],
+                         "h": vals[hit]})
+
+        return (self.table.read().select("doc_id", "grams")
+                .mapInPandas(hits, "doc_id long, h long"))
 
     def compact(self) -> None:
         """Maintenance: rewrite live buckets to one file each."""

@@ -129,6 +129,60 @@ def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
             .withColumn("n_dups", F.col("n_docs") - F.col("n_urls")))
 
 
+def domain_cap(df: DataFrame, id_col: str, url_col: str, *, k: int,
+               out_prefix: str = "cap") -> DataFrame:
+    """Per-registered-domain document cap (Gopher §A.2 crawl hygiene):
+    keep at most ``k`` docs per registered domain, deterministically —
+    docs within a domain are ranked by ``(md5(id), id)`` (a stable,
+    engine-portable hash order, so the kept subset is a uniform sample
+    independent of input order) and the first ``k`` survive.
+
+    Output: input columns + ``<p>_domain`` (NULL where the URL does not
+    canonicalize — such rows are uncapped), ``<p>_n_domain`` (the
+    domain's total doc count; NULL for domain-less rows) and
+    ``<p>_keep``.
+
+    Plan shape (the 100-TB consideration): a naive global window over
+    every domain sorts the WHOLE corpus within skewed domain
+    partitions — one hot domain serializes a single task. Instead the
+    per-domain counts (one map-side-combinable aggregate) split the
+    corpus: domains at or under the cap pass wholesale with keep=true
+    (NO SORT at all — at web scale that is the overwhelming majority
+    of rows and every domain in the long tail), and only rows of
+    OVER-cap domains go through the hash-ordered window — a window
+    whose total input is bounded by the hot-domain mass, not the
+    corpus. Joins against the counts frame are left unhinted: at bench
+    scale AQE broadcasts the tiny domain table, at web scale (1e8
+    domains) it stays a partitioned join — the forced-broadcast trap
+    is deliberately avoided. Equivalent to ``row_number() OVER
+    (PARTITION BY domain ORDER BY md5(id), id) <= k`` on every row —
+    under-cap domains trivially satisfy it. Requires unique
+    ``id_col`` values (rank order between duplicate ids is undefined).
+    """
+    if k < 1:
+        raise ValueError(f"domain_cap: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+    p = out_prefix
+    canon = canonical_url(F.col(url_col))
+    dom = F.when(canon.isNotNull(), registered_domain(
+        F.regexp_extract(canon, r"^([^/?#]*)", 1)))
+    base = df.withColumn(f"{p}_domain", dom)
+    counts = (base.where(F.col(f"{p}_domain").isNotNull())
+              .groupBy(f"{p}_domain")
+              .agg(F.count(F.lit(1)).alias(f"{p}_n_domain")))
+    with_n = base.join(counts, f"{p}_domain", "left")
+    under = (with_n.where(F.coalesce(F.col(f"{p}_n_domain"),
+                                     F.lit(0)) <= k)
+             .withColumn(f"{p}_keep", F.lit(True)))
+    w = Window.partitionBy(f"{p}_domain").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    capped = (with_n.where(F.col(f"{p}_n_domain") > k)
+              .withColumn(f"{p}_keep", F.row_number().over(w) <= k))
+    return (under.unionByName(capped)
+            .select(*df.columns, f"{p}_domain", f"{p}_n_domain",
+                    f"{p}_keep"))
+
+
 class IncrementalUrlIndex:
     """Streaming-cadence URL dedup for an append-only corpus — the
     incremental sibling of ``url_dedup``, completing the family pattern

@@ -836,8 +836,18 @@ def q76_token_sequences(spark, sf_dir):
 #              (urls.url_dedup: map-side canonicalization, ONE
 #              hash-agg + join back);
 #   'domain' — per-registered-domain doc/distinct-URL/dup counts
-#              (urls.domain_stats — the crawl-blocklist table).
+#              (urls.domain_stats — the crawl-blocklist table);
+#   'cap'    — per-domain document cap APPLIED (urls.domain_cap,
+#              Gopher §A.2; round 10): keep at most K docs per
+#              registered domain, ranked by the stable (md5(id), id)
+#              order — identical in both engines. K=200 so the
+#              driver's sf0.01 gate (500 docs) exercises BOTH plan
+#              branches (example.com ~375 docs is capped through the
+#              window, example.co.uk ~125 passes the no-sort
+#              under-cap path).
 # ---------------------------------------------------------------------------
+
+_Q80_CAP_K = 200
 
 _Q80_URL_SQL = """CASE CAST(doc_id % 4 AS INT)
  WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443/a/'
@@ -905,6 +915,14 @@ UNION ALL
 SELECT 'domain' AS kind, CAST(NULL AS BIGINT) AS id, domain AS key,
        n_docs AS v1, n_urls AS v2
 FROM dstats
+UNION ALL
+SELECT 'cap' AS kind, doc_id AS id, domain AS key,
+       CAST(COUNT(*) OVER (PARTITION BY domain) AS BIGINT) AS v1,
+       CAST(row_number() OVER (PARTITION BY domain
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                        doc_id)
+            <= {_Q80_CAP_K} AS BIGINT) AS v2
+FROM dom
 """)
 def q80_url_dedup(spark, sf_dir):
     from tradingview_data_pipeline_spark.operators import urls as ur
@@ -939,4 +957,10 @@ def q80_url_dedup(spark, sf_dir):
         F.lit(None).cast("bigint").alias("id"),
         F.col("domain").alias("key"),
         F.col("n_docs").alias("v1"), F.col("n_urls").alias("v2"))
-    return url_leg.unionByName(dom_leg)
+    cap_leg = (ur.domain_cap(src, "doc_id", "url", k=_Q80_CAP_K)
+               .select(F.lit("cap").alias("kind"),
+                       F.col("doc_id").alias("id"),
+                       F.col("cap_domain").alias("key"),
+                       F.col("cap_n_domain").cast("bigint").alias("v1"),
+                       F.col("cap_keep").cast("bigint").alias("v2")))
+    return url_leg.unionByName(dom_leg).unionByName(cap_leg)
