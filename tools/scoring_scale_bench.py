@@ -87,9 +87,21 @@ def main() -> None:
     spark = get_spark("scoring-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    import tempfile
+
     for n in sizes:
-        df = build_universe(spark, n).repartition(32) \
-            .localCheckpoint(eager=True)
+        if n <= 2_000_000:
+            df = build_universe(spark, n).repartition(32) \
+                .localCheckpoint(eager=True)
+        else:
+            # decade-4 harness safety: a localCheckpoint would park the
+            # ~8 GB generated universe deserialized in the same heap the
+            # pipelines' sorts need — write-through parquet instead
+            # (generation still excluded from the timings)
+            path = tempfile.mkdtemp(prefix="scoring_universe_") + "/u"
+            build_universe(spark, n).repartition(64) \
+                .write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
         t0 = time.perf_counter()
         spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 % 7)") \
             .collect()

@@ -458,8 +458,17 @@ def q29_signature_neardup(spark, sf_dir):
         # the combined execution hits SPILL_OUT_OF_MEMORY (addendum-22
         # postscript). Materializing the small (n_vecs-row) leg output
         # at build sequentializes the memory peaks; small scales keep
-        # the lazy single-action plan.
-        emb_leg = emb_leg.localCheckpoint(eager=True)
+        # the lazy single-action plan. DISK_ONLY pin + eager count
+        # (round 10, replacing localCheckpoint): localCheckpoint parks
+        # its blocks MEMORY_AND_DISK in the SAME single-JVM heap the
+        # text leg's sorts then compete with — the reason decade 4
+        # previously needed a 16g driver; parked-to-disk the composed
+        # query fits the 8g default.
+        from pyspark import StorageLevel
+
+        from tradingview_data_pipeline_spark.operators import pins
+        emb_leg = pins.track(emb_leg.persist(StorageLevel.DISK_ONLY))
+        emb_leg.count()
     return text_leg.unionByName(emb_leg)
 
 
