@@ -296,3 +296,51 @@ def test_ingest_newest_roundtrip(spark, tmp_path):
     (tmp_path / "Technicals_a.csv").write_text('"Symbol","RSI (14)"\n"S1","42.0"\n')
     df = ingest_newest(spark, str(tmp_path), "Technicals", HEADER_MAP, CSV_SCHEMA)
     assert df.collect()[0]["rsi"] == 42.0
+
+
+def _bucketed(spark, tmp_path, name):
+    return ParquetTable(spark, str(tmp_path / name), SCHEMA, key="symbol",
+                        buckets=4)
+
+
+def test_insert_only_fastpath_engages_and_is_exact(spark, tmp_path,
+                                                   monkeypatch):
+    # a pure-insert upsert into a bucketed table must take the hardlink
+    # append (no bucket rewrite) and produce exactly old + new rows
+    t = _bucketed(spark, tmp_path, "fp")
+    t.merge_upsert(spark.createDataFrame(
+        [("A", 1.0, 2.0), ("B", 3.0, 4.0)], SCHEMA))
+
+    def boom(*a, **k):
+        raise AssertionError("rewrite path must not run for pure inserts")
+    monkeypatch.setattr(t, "_rewrite_touched_buckets", boom)
+    t.merge_upsert(spark.createDataFrame(
+        [("C", 5.0, 6.0), ("D", 7.0, 8.0)], SCHEMA))
+    assert rows(t) == {"A": (1.0, 2.0), "B": (3.0, 4.0),
+                       "C": (5.0, 6.0), "D": (7.0, 8.0)}
+    # (hardlink sharing itself is transient: with the default
+    # retain_versions=1 the superseded dirs are GC'd at commit, so the
+    # observable contract is the monkeypatch above + exact rows)
+
+
+def test_insert_only_fastpath_falls_back_on_collision(spark, tmp_path):
+    t = _bucketed(spark, tmp_path, "fb")
+    t.merge_upsert(spark.createDataFrame([("A", 1.0, 2.0)], SCHEMA))
+    assert t._insert_only_fastpath(
+        align_to_schema(spark.createDataFrame([("A", 9.0, 9.0)], SCHEMA),
+                        SCHEMA)) is False
+    # full upsert still merges correctly through the rewrite path
+    t.merge_upsert(spark.createDataFrame([("A", 9.0, None)],
+                                         "symbol string, price double, pe double"))
+    assert rows(t) == {"A": (9.0, 2.0)}
+
+
+def test_insert_only_fastpath_preserves_time_travel(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "tt"), SCHEMA, key="symbol",
+                     buckets=4, retain_versions=3)
+    t.merge_upsert(spark.createDataFrame([("A", 1.0, 2.0)], SCHEMA))
+    v1 = t.status()["version"]
+    t.merge_upsert(spark.createDataFrame([("B", 3.0, 4.0)], SCHEMA))
+    old = {r["symbol"] for r in t.read(version=v1).collect()}
+    assert old == {"A"}
+    assert {r["symbol"] for r in t.read().collect()} == {"A", "B"}

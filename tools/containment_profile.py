@@ -27,8 +27,9 @@ def main():
     spark = get_spark("containment-profile")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    off = int(os.environ.get("BATCH_OFFSET", "10000000"))
     batch = (docs.limit(500)
-             .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+             .select((F.col("doc_id") + off).alias("doc_id"), "text")
              .localCheckpoint(eager=True))
 
     idx = dd.IncrementalContainmentIndex(spark, store, buckets=buckets,

@@ -661,6 +661,85 @@ class ParquetTable:
         # out of it.
         self._gc_unprotected(self._protected_dirs(new_m))
 
+    def _insert_only_fastpath(self, src: DataFrame) -> bool:
+        """Hardlink append: commit ``src`` as pure inserts WITHOUT
+        rewriting any bucket, iff no source key already exists in the
+        store. Returns True when it committed (caller skips the rewrite
+        path), False to fall back.
+
+        Why: batch-cadence incremental indexes upsert mostly-fresh keys
+        every trigger, and ``_rewrite_touched_buckets`` copy-on-writes
+        every touched bucket — at 5M stored containment rows that is a
+        full-store rewrite per 500-doc batch (measured 6.9 s of a 15 s
+        trigger, round 10). For a no-collision batch the merged result
+        is exactly old-rows + new-rows, so each touched bucket's new
+        directory can HARDLINK the old directory's immutable files and
+        add only the batch's freshly-written ones: per-trigger write
+        cost drops to O(batch + touched-bucket key-column scan), and
+        the LSM-ish file accumulation is what ``compact()`` exists for.
+
+        The collision probe reads ONLY the key column of the touched
+        buckets (columnar scan, ~40 MB at 5M longs). Crash protocol is
+        unchanged: new dirs + links land before the manifest commit (a
+        crash leaves orphans, never a torn table); old dirs stay live
+        for retained history versions — hardlinks make the overlap
+        nearly free — and the same post-commit GC reaps them when they
+        roll out of retention. Falls back (False) on any collision, a
+        manifest-less/unbucketed table, or a filesystem that refuses
+        the links.
+        """
+        if not self.buckets:
+            return False
+        self.repair()
+        m = self._load_manifest()
+        if m is None:
+            return False
+        mapping, version = dict(m["buckets"]), int(m["version"])
+        touched = sorted(r[0] for r in
+                         src.withColumn(_BUCKET_COL, self._bucket_expr())
+                         .select(_BUCKET_COL).distinct().collect())
+        if not touched:
+            return True                     # nothing to insert
+        stored_keys = self._read_slice(mapping, [int(b) for b in touched]) \
+            .select(self.key)
+        if not stored_keys.join(src.select(self.key), self.key,
+                                "left_semi").isEmpty():
+            return False
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        align_to_schema(src, self.schema) \
+            .withColumn(_BUCKET_COL, self._bucket_expr()) \
+            .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(tmp)
+        try:
+            for b in touched:
+                new_part = os.path.join(tmp, f"{_BUCKET_COL}={b}")
+                if not os.path.isdir(new_part):
+                    continue
+                key = str(b)
+                name = f"b{b}-{uuid.uuid4().hex[:8]}"
+                new_dir = os.path.join(self.path, name)
+                os.makedirs(new_dir)
+                if key in mapping:
+                    old_dir = os.path.join(self.path, mapping[key])
+                    for fn in os.listdir(old_dir):
+                        if fn.endswith(".parquet"):
+                            try:
+                                os.link(os.path.join(old_dir, fn),
+                                        os.path.join(new_dir, fn))
+                            except OSError:
+                                shutil.copy2(os.path.join(old_dir, fn),
+                                             os.path.join(new_dir, fn))
+                for fn in os.listdir(new_part):
+                    if fn.endswith(".parquet"):
+                        os.rename(os.path.join(new_part, fn),
+                                  os.path.join(new_dir, fn))
+                mapping[key] = name
+            _fsync_dir(self.path)
+            new_m = self._commit_manifest(mapping, version + 1)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        self._gc_unprotected(self._protected_dirs(new_m))
+        return True
+
     def overwrite(self, df: DataFrame) -> None:
         """K3 truncate-and-load. Explicit truncation DESTROYS history:
         the table (and its manifest/history) resets to version 1, and
@@ -750,6 +829,8 @@ class ParquetTable:
         combine = lambda tgt, s: self._merge_frames(
             tgt, s, source_cols, update_only_source_columns)
         if self.buckets:
+            if self._insert_only_fastpath(src):
+                return                     # pure inserts: hardlink append
             self._rewrite_touched_buckets(src, combine)
         else:
             self._replace_with(combine(self.read(), src))
@@ -772,6 +853,8 @@ class ParquetTable:
             return tgt.unionByName(fresh)
 
         if self.buckets:
+            if self._insert_only_fastpath(src):
+                return                     # no collisions: append == insert
             self._rewrite_touched_buckets(src, combine)
         else:
             self._replace_with(combine(self.read(), src))
