@@ -299,8 +299,10 @@ def test_ingest_newest_roundtrip(spark, tmp_path):
 
 
 def _bucketed(spark, tmp_path, name):
-    return ParquetTable(spark, str(tmp_path / name), SCHEMA, key="symbol",
-                        buckets=4)
+    t = ParquetTable(spark, str(tmp_path / name), SCHEMA, key="symbol",
+                     buckets=4)
+    t.INSERT_FASTPATH_MIN_ROWS = 0     # exercise the path on toy tables
+    return t
 
 
 def test_insert_only_fastpath_engages_and_is_exact(spark, tmp_path,
@@ -338,6 +340,7 @@ def test_insert_only_fastpath_falls_back_on_collision(spark, tmp_path):
 def test_insert_only_fastpath_preserves_time_travel(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "tt"), SCHEMA, key="symbol",
                      buckets=4, retain_versions=3)
+    t.INSERT_FASTPATH_MIN_ROWS = 0
     t.merge_upsert(spark.createDataFrame([("A", 1.0, 2.0)], SCHEMA))
     v1 = t.status()["version"]
     t.merge_upsert(spark.createDataFrame([("B", 3.0, 4.0)], SCHEMA))

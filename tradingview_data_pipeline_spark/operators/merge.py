@@ -131,6 +131,14 @@ class ParquetTable:
     ``buckets=N`` switches to the hash-bucketed layout with bucket-pruned
     maintenance (see module docstring)."""
 
+    # _insert_only_fastpath engages only above this footer row count:
+    # its collision probe costs one extra source evaluation + a
+    # key-column scan, which pays for itself only when the avoided
+    # bucket rewrite is large. Small tables (the scoring pipelines'
+    # reference-sized stores) always take the plain rewrite. Tests
+    # lower this to exercise the path on toy tables.
+    INSERT_FASTPATH_MIN_ROWS = 1_000_000
+
     def __init__(self, spark: SparkSession, path: str, schema: T.StructType,
                  key: str, *, buckets: int | None = None,
                  retain_versions: int | None = None):
@@ -694,6 +702,8 @@ class ParquetTable:
         m = self._load_manifest()
         if m is None:
             return False
+        if self.row_count() < self.INSERT_FASTPATH_MIN_ROWS:
+            return False               # rewrite is cheap; probe is not
         mapping, version = dict(m["buckets"]), int(m["version"])
         touched = sorted(r[0] for r in
                          src.withColumn(_BUCKET_COL, self._bucket_expr())
