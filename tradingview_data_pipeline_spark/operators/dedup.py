@@ -1217,22 +1217,33 @@ class IncrementalContainmentIndex:
     need per-probe fp << 1/46k (~30 bits/key, GBs of summaries);
     (c) exact prefix filtering (PPJoin-style) at the default
     threshold 0.5 only halves the probe keys — pigeonhole gives a
-    (1-t)·|set|+1 prefix, no better. The lever that DOES hold is the
-    ``probe='arrow'`` path: the stored side is never exploded through
-    codegen at all — a vectorized Arrow pass intersects each stored
-    gram array against the broadcast sorted batch-gram array
-    (searchsorted, O(log batch_grams) per stored gram, numpy-batched)
-    and emits only the hits. Same output multiset as the scan probe
-    (pytest-pinned), per-trigger cost = one columnar read + a memory-
-    bandwidth-bound intersection. ``probe='auto'`` (default) switches
-    to arrow once the store's footer row count crosses
-    ``_ARROW_PROBE_MIN_ROWS`` (2M — below that the scan path's codegen
-    probe is already cheap and arrow's python-worker spin-up is pure
-    overhead). Past ~50M docs, shard the corpus (per-source indexes)
+    (1-t)·|set|+1 prefix, no better. The levers that DO hold, both
+    measured at 5M stored docs (round 10, phase-profiled via
+    tools/containment_profile.py):
+
+      * the ParquetTable hardlink insert fast path — the largest
+        phase of the trigger was not the probe but the UPSERT's
+        copy-on-write of every touched bucket (6.9 s of 15.1 s);
+        with fresh-key batches committing as hardlink appends it
+        drops to 2.9 s and the trigger to ~13 s;
+      * keep the bucket count LOW (32-class) for this read-dominated
+        doc-keyed store: a 4096-bucket layout was measured WORSE in
+        every phase (probe 4.8 -> 14.7 s, upsert 2.9 -> 10 s — 1.2k
+        rows/bucket makes tiny files whose open/scheduling overhead
+        swamps any pruning).
+
+    ``probe='arrow'`` (opt-in) replaces the stored-side codegen
+    explode+broadcast-probe with a vectorized Arrow searchsorted pass;
+    it is output-identical (pytest-pinned) but MEASURED SLOWER at
+    every decade (7.6 vs 4.8 s at 5M) — the full gram column must
+    cross the JVM->Python Arrow boundary, which costs more than the
+    codegen probe it avoids. ``probe='auto'`` therefore always takes
+    'scan'; the option is kept as the measured negative result and for
+    deployments where the Arrow boundary is cheaper. The remaining
+    floor is the ~3.6 GB stored-gram columnar read (~4.8 s at 32
+    threads). Past ~50M docs, shard the corpus (per-source indexes)
     or raise the batch size so the read amortizes.
     """
-
-    _ARROW_PROBE_MIN_ROWS = 2_000_000
 
     def __init__(self, spark: SparkSession, path: str, *, n: int = 8,
                  threshold: float = 0.5,
@@ -1300,11 +1311,10 @@ class IncrementalContainmentIndex:
         new_ids = new_rows.select("doc_id")
         new_g = new_rows.select(
             "doc_id", F.explode("grams").alias("h"))
-        mode = self.probe
-        if mode == "auto":
-            mode = ("arrow" if self.table.row_count()
-                    >= self._ARROW_PROBE_MIN_ROWS else "scan")
-        if mode == "arrow":
+        # 'auto' is always the scan probe — the arrow path measured
+        # slower at every store size (class docstring); it remains
+        # available as an explicit opt-in only
+        if self.probe == "arrow":
             stored_g = self._arrow_probe(new_rows)
         else:
             stored_g = (self.table.read()
