@@ -90,6 +90,17 @@ def main() -> None:
     import tempfile
 
     for n in sizes:
+        # decade-sized shuffle width (the addendum-22 rule, applied to
+        # the scoring family after the 16.4M GC-death): the melted
+        # fundamental frame is 18 x n rows and the composite windows
+        # carry ~100-col rows, so a fixed 32-wide shuffle puts ~500 MB
+        # sorts on one task at this decade. ~64k wide-rows per task
+        # keeps the sort in-budget; small decades keep the session
+        # default. Runtime-settable: spark.sql.shuffle.partitions is
+        # read at planning time, and AQE coalesces any over-split
+        # small stage.
+        width = max(32, n // 64_000)
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
         if n <= 2_000_000:
             df = build_universe(spark, n).repartition(32) \
                 .localCheckpoint(eager=True)

@@ -21,6 +21,16 @@ _LOCAL_DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # NOTE (round 10, measured): planning every shuffle wide via
+    # adaptive.coalescePartitions.initialPartitionNum=512 and letting
+    # AQE coalesce was tried as the session-wide width fix and
+    # REGRESSED the sf0.1 suite ~2x (bench 100 -> 196 s) — local-mode
+    # map-output overhead on hundreds of tiny shuffles is not free, and
+    # AQE's coalescing does not recover it. Width therefore stays a
+    # per-decade knob: callers running decade-scale jobs size
+    # spark.sql.shuffle.partitions ~ input bytes / 128 MiB at session
+    # build (SPARK_GRAFT_CPUS env or extra_conf), the posture the
+    # module docstring documents for the 1000-executor profile.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # zstd over default snappy: ~30-40% smaller parquet at comparable
     # speed — at the 100 TB design point scan bytes are the dominant
