@@ -192,3 +192,36 @@ def test_top_k_tie_break(spark):
         [("b", 5.0), ("a", 5.0), ("c", 1.0), ("d", 9.0)], "symbol string, v double")
     out = ops.top_k(df, "v", 2, tie_break="symbol").collect()
     assert [r["symbol"] for r in out] == ["d", "a"]
+
+
+def test_rank_within_scale_mode_matches_window(spark):
+    # W2 scale mode (run-splitting on a low-cardinality metric) must
+    # produce the identical integer ranks as the window form — incl.
+    # tied scores, null scores (rank last), a NULL category group, and
+    # a category with a single row
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        cat = rng.choice(["Large", "Mid", "Small", None])
+        score = rng.choice([None] + [round(x * 0.5, 2) for x in range(20)])
+        rows.append((f"S{i:04d}", cat, score))
+    rows.append(("S9999", "Lonely", 3.0))
+    df = spark.createDataFrame(rows, "symbol string, cat string, score double")
+    kw = dict(tie_break="symbol", out_col="rk")
+    a = ops.rank_within(df, ["cat"], "score", **kw)
+    b = ops.rank_within(df, ["cat"], "score", mode="scale",
+                        scale_key="symbol", **kw)
+    ra = {r["symbol"]: r["rk"] for r in a.collect()}
+    rb = {r["symbol"]: r["rk"] for r in b.collect()}
+    assert ra == rb and len(ra) == 401
+
+
+def test_rank_within_scale_mode_validation(spark):
+    import pytest
+    df = spark.createDataFrame([("A", "c", 1.0)],
+                               "symbol string, cat string, score double")
+    with pytest.raises(ValueError, match="tie_break"):
+        ops.rank_within(df, ["cat"], "score", mode="scale")
+    with pytest.raises(ValueError, match="mode"):
+        ops.rank_within(df, ["cat"], "score", mode="bogus")

@@ -127,14 +127,26 @@ def main() -> None:
             scored = cs.composite_scores(df, bucket_mode=mode)
             scored.write.format("noop").mode("overwrite").save()
             rec[f"composite_{mode}_sec"] = round(time.perf_counter() - t0, 3)
-        cats = scored.select("symbol", "market_cap_category") \
-            .localCheckpoint(eager=True)
+            print(json.dumps({"phase": f"composite_{mode}", "universe_rows": n,
+                              "sec": rec[f"composite_{mode}_sec"]}), flush=True)
+        if n <= 2_000_000:
+            cats = scored.select("symbol", "market_cap_category") \
+                .localCheckpoint(eager=True)
+        else:
+            # same decade-4 rule as the universe: park on disk, not heap
+            cpath = tempfile.mkdtemp(prefix="scoring_cats_") + "/c"
+            scored.select("symbol", "market_cap_category") \
+                .write.mode("overwrite").parquet(cpath)
+            cats = spark.read.parquet(cpath)
 
         t0 = time.perf_counter()
         fscored = fs.fundamental_ranks(
-            fs.fundamental_scores(df, size_hint_rows=n), cats)
+            fs.fundamental_scores(df, size_hint_rows=n), cats,
+            rank_mode="scale" if n > 2_000_000 else "window")
         fscored.write.format("noop").mode("overwrite").save()
         rec["fundamental_sec"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps({"phase": "fundamental", "universe_rows": n,
+                          "sec": rec["fundamental_sec"]}), flush=True)
         print(json.dumps(rec), flush=True)
 
     spark.stop()

@@ -109,15 +109,66 @@ def bucket_by_global_rank(
 
 def rank_within(df: DataFrame, partition_by: Sequence[str], order_metric: str,
                 out_col: str = "rank", tie_break: str | None = None,
-                ascending: bool = False) -> DataFrame:
+                ascending: bool = False, mode: str = "window",
+                scale_key: str | None = None) -> DataFrame:
     """1..N ordinal per group. pandas assigns positionally after a sort (ties
-    by prior order); we pin ties with ``tie_break`` asc for determinism."""
+    by prior order); we pin ties with ``tie_break`` asc for determinism.
+
+    ``mode='window'`` (default): one row_number window per group — fine
+    whenever no single group is huge.
+
+    ``mode='scale'`` (round 10): when ``partition_by`` has FEW distinct
+    values (fundamental_ranks partitions by 4-5 market-cap categories),
+    the window form sorts each multi-million-row group in ONE task —
+    the measured 16.4M-stock heap death. This mode computes the exact
+    same integer ranks with no giant partition, via run-splitting on a
+    LOW-CARDINALITY order metric (e.g. a 2-dp score in [0,100] — <=10k
+    runs/group; a continuous metric would degenerate, see below):
+
+      rank = #{rows in group with strictly better metric}   (offset)
+             + row_number within the tied (group, metric) run by
+               ``tie_break``                                 (run rank)
+
+    The offset is a cumulative-sum window over the (group, metric)
+    COUNTS frame (tiny), the run rank a window whose partitions are
+    tied runs (bounded by the metric's value multiplicity), both over a
+    narrow (key, group, metric, tie) projection joined back on
+    ``scale_key`` (a unique row key — required, as is ``tie_break``).
+    Ranks are integers, so the two modes are value-identical — only the
+    physical plan changes.
+    """
     order = [F.col(order_metric).asc_nulls_last() if ascending
              else F.col(order_metric).desc_nulls_last()]
     if tie_break:
         order.append(F.col(tie_break).asc())
-    w = Window.partitionBy(*partition_by).orderBy(*order)
-    return df.withColumn(out_col, F.row_number().over(w))
+    if mode == "window":
+        w = Window.partitionBy(*partition_by).orderBy(*order)
+        return df.withColumn(out_col, F.row_number().over(w))
+    if mode != "scale":
+        raise ValueError(f"rank_within: mode must be window/scale, got {mode!r}")
+    if not tie_break or not scale_key:
+        raise ValueError("rank_within(mode='scale') requires tie_break "
+                         "and scale_key (a unique row key)")
+    keys = list(partition_by)
+    narrow = df.select(scale_key, *keys, order_metric, tie_break)
+    w_run = Window.partitionBy(*keys, order_metric) \
+        .orderBy(F.col(tie_break).asc())
+    counts = narrow.groupBy(*keys, order_metric) \
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.partitionBy(*keys).orderBy(order[0]) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        *keys, order_metric,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"))
+    # join on the metric via null-safe equality (null metrics rank last
+    # as one run, exactly like desc_nulls_last/asc_nulls_last)
+    cond = [narrow[k].eqNullSafe(offsets[k]) for k in keys] + \
+           [narrow[order_metric].eqNullSafe(offsets[order_metric])]
+    ranks = (narrow.withColumn("__rn", F.row_number().over(w_run))
+             .join(offsets, cond)
+             .select(narrow[scale_key].alias(scale_key),
+                     (F.col("__off") + F.col("__rn")).alias(out_col)))
+    return df.join(ranks, scale_key, "left")
 
 
 # ---------------------------------------------------------------------------

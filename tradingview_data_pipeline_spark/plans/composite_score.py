@@ -18,14 +18,14 @@ metric whose industry-level gate failed (SURVEY §4 item 4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark.functions.cleaning import (
     guarded_rel_diff, macd_histogram, rating_to_score,
 )
 from tradingview_data_pipeline_spark.operators.scoring import (
-    bucket_by_global_rank, group_zscore, top_k,
+    bucket_by_global_rank, top_k,
 )
 
 # Factor weights (calcompositescore.py:161-188)
@@ -92,29 +92,65 @@ def composite_scores(df: DataFrame, *, bucket_mode: str = "parity") -> DataFrame
                                out_col="market_cap_category",
                                tie_break="symbol", mode=bucket_mode)
 
-    w_ind = Window.partitionBy("market_cap_category", "sector", "industry")
-    w_sec = Window.partitionBy("market_cap_category", "sector")
-    n_ind = F.count(F.lit(1)).over(w_ind)
-
     # a stock participates only with non-null cap/sector/industry
     # (the reference's loops skip NaN group keys, calcompositescore.py:273-289)
     in_scope = (F.col("market_cap_category").isNotNull()
                 & F.col("sector").isNotNull() & F.col("industry").isNotNull())
 
-    # ONE select for every normalized column: window functions sharing a
-    # spec merge into a single Window operator only when they sit in the
-    # same projection — per-metric withColumn chaining left 49 Window
-    # operators (and as many local sorts) in the physical plan; this
-    # form plans 2 (one per granularity, count included).
+    # Group statistics as AGGREGATES + broadcast joins, not windows
+    # (round-10 reshape, measured at the 16.4M-stock decade): the
+    # z-score needs only (n, mean, stddev) per group per metric, and
+    # group cardinality is business-bounded (caps x sectors x
+    # industries ~ 10^4) — so two map-side-combinable aggregates
+    # produce tiny stats tables that broadcast back, and the ~100-col
+    # fact rows never enter a window exchange at all. The previous
+    # two full-width window exchanges sorted the entire wide table
+    # twice (~32 GB of shuffle at 16.4M rows; heap-death at the 8g
+    # default, 501 s at 24g). Float caveat checked against the oracle
+    # gate: avg/stddev_samp under partial aggregation can differ from
+    # the window form by last-ulp reassociation; the driver hash
+    # stayed green (q37/q12 re-verified) because scores are rounded
+    # downstream and the generated metrics are low-entropy 3-dp.
+    keys_ind = ["market_cap_category", "sector", "industry"]
+    keys_sec = ["market_cap_category", "sector"]
+
+    def stats(keys: list[str], tag: str) -> DataFrame:
+        # peer scope = non-null GROUP KEYS only (window-partitioning
+        # semantics preserved): a null-industry row cannot score itself
+        # but IS a sector-level peer — filtering on full in_scope here
+        # would silently shrink sector stats
+        scope = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            scope = c if scope is None else scope & c
+        aggs = [F.count(F.lit(1)).alias(f"__nrows_{tag}")]
+        for m in NORMALIZED_METRICS:
+            v = F.col(m).cast("double")
+            aggs += [F.count(v).alias(f"__n_{tag}_{m}"),
+                     F.avg(v).alias(f"__mu_{tag}_{m}"),
+                     F.stddev_samp(v).alias(f"__sd_{tag}_{m}")]
+        return df.where(scope).groupBy(*keys).agg(*aggs)
+
+    df = (df.join(F.broadcast(stats(keys_ind, "i")), keys_ind, "left")
+            .join(F.broadcast(stats(keys_sec, "s")), keys_sec, "left"))
+
+    def z_at(m: str, tag: str, level: str) -> F.Column:
+        v = F.col(m).cast("double")
+        n = F.col(f"__n_{tag}_{m}")
+        mu, sd = F.col(f"__mu_{tag}_{m}"), F.col(f"__sd_{tag}_{m}")
+        z = (v - mu) / sd * F.lit(LEVEL_WEIGHTS[level])
+        return F.when(v.isNull() | (n < 3) | (sd == 0) | sd.isNull(),
+                      F.lit(0.0)).otherwise(z)
+
     zcols = []
     for m in NORMALIZED_METRICS:
-        v = F.col(m).cast("double")
-        z_ind = group_zscore(v, w_ind, min_group=3, level_weight=LEVEL_WEIGHTS["industry"])
-        z_sec = group_zscore(v, w_sec, min_group=3, level_weight=LEVEL_WEIGHTS["sector"])
         z = F.when(~in_scope, F.lit(0.0)) \
-             .when(n_ind >= 2, z_ind).otherwise(z_sec)   # W6 gate (:292-299)
+             .when(F.coalesce(F.col("__nrows_i"), F.lit(0)) >= 2,
+                   z_at(m, "i", "industry")) \
+             .otherwise(z_at(m, "s", "sector"))   # W6 gate (:292-299)
         zcols.append(z.alias(f"{m}_normalized"))
-    df = df.select("*", *zcols)
+    df = df.select(*[c for c in df.columns if not c.startswith("__")],
+                   *zcols)
 
     weighted = None
     for m, w in COMPOSITE_WEIGHTS.items():

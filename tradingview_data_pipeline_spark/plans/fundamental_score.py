@@ -187,14 +187,22 @@ def fundamental_scores(df: DataFrame, *,
     return df.withColumn("fundamental_score", F.round(blend, 2))
 
 
-def fundamental_ranks(df: DataFrame, categories: DataFrame | None = None) -> DataFrame:
+def fundamental_ranks(df: DataFrame, categories: DataFrame | None = None,
+                      *, rank_mode: str = "window") -> DataFrame:
     """W2: 1..N per market_cap_category by fundamental_score desc
-    (calfundamentalscore.py:339-349); deterministic symbol tie-break."""
+    (calfundamentalscore.py:339-349); deterministic symbol tie-break.
+
+    ``rank_mode='scale'`` for decade-size universes: only 4-5 category
+    partitions exist, so the window form sorts each in one task (the
+    measured 16.4M heap death); scale mode run-splits on the 2-dp score
+    (rank_within docstring) — identical integer ranks, bounded tasks.
+    """
     if categories is not None:
         df = df.join(categories.select("symbol", "market_cap_category"),
                      "symbol", "left")
     ranked = rank_within(df, ["market_cap_category"], "fundamental_score",
-                         out_col="fundamental_rank", tie_break="symbol")
+                         out_col="fundamental_rank", tie_break="symbol",
+                         mode=rank_mode, scale_key="symbol")
     # reference leaves uncategorized symbols unranked (uploads NULL when the
     # rank is 0/NaN) — don't hand rows in the NULL-category partition 1..N
     return ranked.withColumn(
