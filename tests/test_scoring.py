@@ -225,3 +225,41 @@ def test_rank_within_scale_mode_validation(spark):
         ops.rank_within(df, ["cat"], "score", mode="scale")
     with pytest.raises(ValueError, match="mode"):
         ops.rank_within(df, ["cat"], "score", mode="bogus")
+
+
+def test_fundamental_modes_and_rank_modes_agree(spark):
+    # the set-mode percentile path (incl. the round-10 pre-clustered
+    # pivot) and the scale rank mode must produce exactly the
+    # small/window-mode values — mode gates change plans, never answers
+    import random
+
+    from tradingview_data_pipeline_spark.plans import (
+        fundamental_score as fs,
+    )
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        rows.append((f"S{i:04d}",
+                     f"sec{i % 5}", f"ind{i % 23}",
+                     rng.choice([None, round(rng.uniform(-50, 50), 3)]),
+                     rng.choice([None, round(rng.uniform(-5, 80), 3)]),
+                     rng.choice(["Large Cap", "Mid Cap", None])))
+    df = spark.createDataFrame(
+        rows, "symbol string, sector string, industry string, "
+              "pe_ratio double, return_on_equity_ttm double, "
+              "market_cap_category string")
+    cats = df.select("symbol", "market_cap_category")
+    base = df.drop("market_cap_category")
+    small = fs.fundamental_ranks(
+        fs.fundamental_scores(base, size_hint_rows=300), cats)
+    big = fs.fundamental_ranks(
+        fs.fundamental_scores(base, size_hint_rows=10_000_000), cats,
+        rank_mode="scale")
+    cols = ["symbol", "pe_ratio_percentile",
+            "return_on_equity_ttm_percentile", "fundamental_score",
+            "fundamental_rank"]
+    a = {r["symbol"]: tuple(r[c] for c in cols) for r in
+         small.select(cols).collect()}
+    b = {r["symbol"]: tuple(r[c] for c in cols) for r in
+         big.select(cols).collect()}
+    assert a == b and len(a) == 300

@@ -148,6 +148,13 @@ def main() -> None:
         print(json.dumps({"phase": "fundamental", "universe_rows": n,
                           "sec": rec["fundamental_sec"]}), flush=True)
         print(json.dumps(rec), flush=True)
+        # decade universes are ~5 GB each — clean as we go or repeated
+        # runs fill the disk (the round-10 'No space left on device'
+        # during a window spill was exactly this)
+        if n > 2_000_000:
+            import shutil
+            shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+            shutil.rmtree(os.path.dirname(cpath), ignore_errors=True)
 
     spark.stop()
 

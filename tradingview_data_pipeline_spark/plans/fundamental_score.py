@@ -126,10 +126,26 @@ def fundamental_scores(df: DataFrame, *,
         signed = F.when(hib_map[F.col("metric")], masked).otherwise(-masked)
         long = long.withColumn("sv", signed)
 
-        def pct_at(keys: list[str]):
+        # per-granularity peer counts as TINY aggregates + broadcast
+        # joins instead of unordered count windows (round 10): each
+        # pct_at previously planned rank + count as two STACKED
+        # WindowExecs per granularity, and their combined per-task
+        # partition buffers were the measured 16.4M-decade OOM site.
+        # The count space is business-bounded (metrics x industries),
+        # so it broadcasts; null group keys join null-safely (their
+        # pct is never chosen, but rows must not drop/duplicate).
+        for tag, keys in (("i", ["industry"]), ("s", ["sector"])):
+            cnt = (long.groupBy("metric", *keys)
+                   .agg(F.count("sv").alias(f"__n_{tag}")))
+            cond = [long["metric"].eqNullSafe(cnt["metric"])] + \
+                   [long[k].eqNullSafe(cnt[k]) for k in keys]
+            long = (long.join(F.broadcast(cnt), cond, "left")
+                    .drop(cnt["metric"])
+                    .drop(*[cnt[k] for k in keys]))
+
+        def pct_at(keys: list[str], tag: str):
             wr = Window.partitionBy("metric", *keys).orderBy(F.col("sv").asc_nulls_last())
-            wg = Window.partitionBy("metric", *keys)
-            n = F.count("sv").over(wg)
+            n = F.col(f"__n_{tag}")
             pct = F.round((F.rank().over(wr) - F.lit(1)) * 100.0 / n, 2)
             return F.when(n < 2, F.lit(50.0)).otherwise(pct)
 
@@ -150,14 +166,25 @@ def fundamental_scores(df: DataFrame, *,
                                             group_keys=["metric"],
                                             min_peers=2, round_digits=2,
                                             mode=mode)
-        chosen = F.when(F.col("peer_level") == "industry", pct_at(["industry"])) \
-                  .when(F.col("peer_level") == "sector", pct_at(["sector"])) \
+        chosen = F.when(F.col("peer_level") == "industry",
+                        pct_at(["industry"], "i")) \
+                  .when(F.col("peer_level") == "sector",
+                        pct_at(["sector"], "s")) \
                   .otherwise(F.col("__pct_all"))
         final = F.when(v.isNull(), F.lit(None).cast("double")) \
                  .when(pos_map[F.col("metric")] & (v <= 0), F.lit(0.0)) \
                  .otherwise(chosen)
         long = long.select("symbol", "metric", final.alias("pct"))
 
+        if mode == "set":
+            # decade-size path: groupBy(symbol) over the melted frame is
+            # a ~unique-key aggregate — map-side partial agg fills a
+            # multi-hundred-MB hash map per task with zero combining
+            # (the measured 16.4M UNABLE_TO_ACQUIRE_MEMORY site).
+            # Pre-clustering by symbol satisfies the aggregate's
+            # required distribution, so Catalyst plans ONE complete
+            # aggregate with no partial phase.
+            long = long.repartition(F.col("symbol"))
         wide = long.groupBy("symbol").pivot("metric", metrics).agg(F.first("pct"))
         wide = wide.select("symbol", *[F.col(m).alias(f"{m}_percentile")
                                        for m in metrics])
