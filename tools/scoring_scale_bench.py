@@ -84,7 +84,13 @@ def main() -> None:
     from tradingview_data_pipeline_spark.session import get_spark
 
     sizes = [int(a) for a in sys.argv[1:]] or SIZES
-    spark = get_spark("scoring-scale-bench")
+    # zstd shuffle/spill compression for the decade runs: the
+    # fundamental job retains ~3 wide symbol-join shuffles plus the
+    # melted-frame exchanges on disk simultaneously — lz4's ratio blew
+    # the container disk at 16.4M rows ('No space left on device'
+    # during spill); zstd roughly halves the on-disk shuffle volume
+    spark = get_spark("scoring-scale-bench",
+                      extra_conf={"spark.io.compression.codec": "zstd"})
     spark.sparkContext.setLogLevel("ERROR")
 
     import tempfile
@@ -110,8 +116,13 @@ def main() -> None:
             # pipelines' sorts need — write-through parquet instead
             # (generation still excluded from the timings)
             path = tempfile.mkdtemp(prefix="scoring_universe_") + "/u"
+            # 32 MB row groups (default 128 MB): the vectorized reader
+            # buffers one row group's projected column chunks per task,
+            # and 32 concurrent tasks x 115 columns x 128 MB groups was
+            # itself a measured decade-4 OOM site
             build_universe(spark, n).repartition(64) \
-                .write.mode("overwrite").parquet(path)
+                .write.option("parquet.block.size", 32 * 1024 * 1024) \
+                .mode("overwrite").parquet(path)
             df = spark.read.parquet(path)
         t0 = time.perf_counter()
         spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 % 7)") \
@@ -143,6 +154,16 @@ def main() -> None:
         fscored = fs.fundamental_ranks(
             fs.fundamental_scores(df, size_hint_rows=n), cats,
             rank_mode="scale" if n > 2_000_000 else "window")
+        if n > 2_000_000:
+            # measure the PRODUCTION job shape (jobs.py ships
+            # rankings_output's 8-column projection into the MERGE):
+            # Catalyst then column-prunes the ~90 passthrough columns
+            # out of every join/shuffle end-to-end. Materializing all
+            # 115 input columns through three symbol SMJs instead
+            # retains more simultaneous shuffle than the container
+            # disk holds at this decade ('No space left on device') —
+            # and is work the real job never does.
+            fscored = fs.rankings_output(fscored)
         fscored.write.format("noop").mode("overwrite").save()
         rec["fundamental_sec"] = round(time.perf_counter() - t0, 3)
         print(json.dumps({"phase": "fundamental", "universe_rows": n,

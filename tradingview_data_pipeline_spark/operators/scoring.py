@@ -168,7 +168,9 @@ def rank_within(df: DataFrame, partition_by: Sequence[str], order_metric: str,
              .join(offsets, cond)
              .select(narrow[scale_key].alias(scale_key),
                      (F.col("__off") + F.col("__rn")).alias(out_col)))
-    return df.join(ranks, scale_key, "left")
+    # merge hint: a full-row-count key join — never broadcast-right
+    # (AQE would flip on compressed size and OOM the driver build)
+    return df.join(ranks.hint("merge"), scale_key, "left")
 
 
 # ---------------------------------------------------------------------------

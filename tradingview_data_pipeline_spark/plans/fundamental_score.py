@@ -188,7 +188,11 @@ def fundamental_scores(df: DataFrame, *,
         wide = long.groupBy("symbol").pivot("metric", metrics).agg(F.first("pct"))
         wide = wide.select("symbol", *[F.col(m).alias(f"{m}_percentile")
                                        for m in metrics])
-        df = df.join(wide, "symbol", "left")
+        # merge hint: this is a full-row-count (symbol) join — its
+        # shuffle output can zstd-compress under the broadcast
+        # threshold at decade scale, and AQE's broadcast flip then
+        # fails building a 16M-row hash relation on the driver
+        df = df.join(wide.hint("merge"), "symbol", "left")
 
     for cat_col, metrics in [("quality_score", QUALITY_METRICS),
                              ("growth_score", GROWTH_METRICS),
@@ -225,8 +229,10 @@ def fundamental_ranks(df: DataFrame, categories: DataFrame | None = None,
     (rank_within docstring) — identical integer ranks, bounded tasks.
     """
     if categories is not None:
-        df = df.join(categories.select("symbol", "market_cap_category"),
-                     "symbol", "left")
+        # merge hint: same full-row-count symbol join rationale as the
+        # percentile pivot join
+        df = df.join(categories.select("symbol", "market_cap_category")
+                     .hint("merge"), "symbol", "left")
     ranked = rank_within(df, ["market_cap_category"], "fundamental_score",
                          out_col="fundamental_rank", tie_break="symbol",
                          mode=rank_mode, scale_key="symbol")
