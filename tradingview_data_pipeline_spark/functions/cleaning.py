@@ -18,16 +18,48 @@ from pyspark.sql import types as T
 # NaN/None/±Inf -> NULL; floats rounded to 2dp; strings stripped, empty -> NULL.
 # ---------------------------------------------------------------------------
 
+def round_py(col: Column, decimals: int = 2) -> Column:
+    """Python-``round``-faithful rounding of a double column.
+
+    The reference rounds with Python ``round(x, d)`` (uploadtodb.py:133 and
+    every score-sink rounding), which correctly rounds the EXACT binary
+    value half-to-even. Spark's ``F.round``/``F.bround`` instead round the
+    double's SHORTEST DECIMAL REPR (``BigDecimal(Double.toString(x))``), so
+    both diverge from Python on shortest-repr ties: 2.675 (binary
+    2.67499…) → Python 2.67 but bround 2.68; 1.625 (an exactly
+    representable midpoint) → Python 1.62 but HALF_UP ``F.round`` 1.63.
+    ``format_number`` goes through ``java.text.DecimalFormat``, which since
+    JDK-7131459 correctly rounds the exact binary value HALF_EVEN — probed
+    equal to Python ``round`` on 10k adversarial doubles including every
+    shortest-repr-tie and exact-midpoint class (tests/test_cleaning.py::
+    TestRoundPy). NaN/±Inf pass through unchanged, like Python round.
+    """
+    c = col.cast("double")
+    parsed = F.regexp_replace(F.format_number(c, decimals), ",", "") \
+              .try_cast("double")
+    return F.when(F.isnan(c) | c.isin(float("inf"), float("-inf")), c) \
+            .otherwise(parsed)
+
+
+def round_py_sql(expr: str, decimals: int = 2) -> str:
+    """DuckDB oracle mirror of :func:`round_py`: C ``printf('%.Nf')``
+    correctly rounds the exact binary value half-to-even, matching Python
+    ``round`` (probed on the same adversarial set; DuckDB's ``round`` and
+    ``round_even`` both round a decimal re-representation and mismatch)."""
+    return f"CAST(printf('%.{decimals}f', CAST(({expr}) AS DOUBLE)) AS DOUBLE)"
+
+
 def clean_value(col: Column, *, decimals: int = 2) -> Column:
     """Numeric edge-cleaning: NaN and ±Inf collapse to NULL, round to 2dp.
 
     pandas ``clean_value`` treats NaN/inf as missing; Spark doubles can hold
     NaN/Infinity from bad casts, so normalize them to SQL NULL before
-    rounding (round(NaN) would stay NaN and poison aggregates).
+    rounding. Rounding is Python-faithful (:func:`round_py`) — the
+    reference's ``round(float(v), 2)`` is banker's on the exact value.
     """
     c = col.try_cast("double")
     finite = ~(F.isnan(c) | c.isin(float("inf"), float("-inf")))
-    return F.when(c.isNotNull() & finite, F.round(c, decimals))
+    return F.when(c.isNotNull() & finite, round_py(c, decimals))
 
 
 def clean_string(col: Column) -> Column:

@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from tradingview_data_pipeline_spark.functions.cleaning import round_py
+
 
 # ---------------------------------------------------------------------------
 # W1 — global ordinal bucketing by rank (calcompositescore.py:206-218)
@@ -334,7 +336,7 @@ def attach_peer_percentile_exact(
 
     pct = (F.col("__lt") + F.col("__off")) * 100.0 / F.col("__n")
     if round_digits is not None:
-        pct = F.round(pct, round_digits)
+        pct = round_py(pct, round_digits)
     pct = F.when(F.col("__n") < min_peers, F.lit(50.0)).otherwise(pct)
 
     lookup = hist.select(

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark.functions.cleaning import (
-    guarded_rel_diff, macd_histogram, rating_to_score,
+    guarded_rel_diff, macd_histogram, rating_to_score, round_py,
 )
 from tradingview_data_pipeline_spark.operators.scoring import (
     bucket_by_global_rank, top_k,
@@ -110,7 +110,11 @@ def composite_scores(df: DataFrame, *, bucket_mode: str = "parity") -> DataFrame
     # gate: avg/stddev_samp under partial aggregation can differ from
     # the window form by last-ulp reassociation; the driver hash
     # stayed green (q37/q12 re-verified) because scores are rounded
-    # downstream and the generated metrics are low-entropy 3-dp.
+    # downstream and the generated metrics are low-entropy 3-dp; the
+    # reassociation risk is pinned by tests/test_pipelines.py::
+    # test_zscore_agg_form_equals_window_form_at_boundaries (round-11
+    # advisor catch), which drives both forms onto exact rounding
+    # midpoints and requires identical 2-dp outputs.
     keys_ind = ["market_cap_category", "sector", "industry"]
     keys_sec = ["market_cap_category", "sector"]
 
@@ -156,7 +160,7 @@ def composite_scores(df: DataFrame, *, bucket_mode: str = "parity") -> DataFrame
     for m, w in COMPOSITE_WEIGHTS.items():
         term = F.coalesce(F.col(f"{m}_normalized"), F.lit(0.0)) * F.lit(w)
         weighted = term if weighted is None else weighted + term
-    return df.withColumn("composite_score", F.round(weighted, 2))
+    return df.withColumn("composite_score", round_py(weighted, 2))
 
 
 def rankings_output(df: DataFrame) -> DataFrame:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from tradingview_data_pipeline_spark.functions.cleaning import clip_upper
+from tradingview_data_pipeline_spark.functions.cleaning import clip_upper, round_py
 from tradingview_data_pipeline_spark.operators.scoring import (
     attach_peer_percentile_exact, rank_within,
 )
@@ -146,7 +146,7 @@ def fundamental_scores(df: DataFrame, *,
         def pct_at(keys: list[str], tag: str):
             wr = Window.partitionBy("metric", *keys).orderBy(F.col("sv").asc_nulls_last())
             n = F.col(f"__n_{tag}")
-            pct = F.round((F.rank().over(wr) - F.lit(1)) * 100.0 / n, 2)
+            pct = round_py((F.rank().over(wr) - F.lit(1)) * 100.0 / n, 2)
             return F.when(n < 2, F.lit(50.0)).otherwise(pct)
 
         # "all"-level percentile per metric: a (metric)-partitioned window
@@ -207,7 +207,7 @@ def fundamental_scores(df: DataFrame, *,
             t_den = F.when(s.isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
             num = t_num if num is None else num + t_num
             den = t_den if den is None else den + t_den
-        cat_val = F.round(F.when(den > 0, num / den), 2) if den is not None \
+        cat_val = round_py(F.when(den > 0, num / den), 2) if den is not None \
             else F.lit(None).cast("double")
         df = df.withColumn(cat_col, cat_val)
 
@@ -215,7 +215,7 @@ def fundamental_scores(df: DataFrame, *,
     for cat_col, w in CATEGORY_BLEND.items():
         term = F.coalesce(F.col(cat_col), F.lit(50.0)) * F.lit(w)
         blend = term if blend is None else blend + term
-    return df.withColumn("fundamental_score", F.round(blend, 2))
+    return df.withColumn("fundamental_score", round_py(blend, 2))
 
 
 def fundamental_ranks(df: DataFrame, categories: DataFrame | None = None,

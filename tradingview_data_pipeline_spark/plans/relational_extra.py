@@ -15,6 +15,7 @@ from tradingview_data_pipeline_spark.operators import cdc
 from tradingview_data_pipeline_spark.operators import fingerprint as fp
 from tradingview_data_pipeline_spark.operators import fuzzy as fz
 from tradingview_data_pipeline_spark.operators import skew as sk
+from tradingview_data_pipeline_spark.functions.cleaning import round_py, round_py_sql
 from tradingview_data_pipeline_spark.operators.scoring import (
     attach_peer_percentile_exact,
 )
@@ -353,7 +354,7 @@ def q37_composite_shape(spark, sf_dir):
 # arithmetic + identical double association.
 # ---------------------------------------------------------------------------
 
-@register("q38_fundamental_shape", oracle="""
+@register("q38_fundamental_shape", oracle=f"""
 WITH b AS (
   SELECT p_partkey, p_brand, p_type,
          CAST(p_retailprice AS DOUBLE) AS vq,
@@ -369,23 +370,17 @@ WITH b AS (
 ), p AS (
   SELECT *,
     CASE WHEN COUNT(vq) OVER w2g < 2 THEN 50.0
-         ELSE ROUND((RANK() OVER (PARTITION BY p_brand, p_type ORDER BY vq ASC NULLS LAST) - 1)
-                    * 100.0 / COUNT(vq) OVER w2g, 2) END AS q_fine,
+         ELSE {round_py_sql("(RANK() OVER (PARTITION BY p_brand, p_type ORDER BY vq ASC NULLS LAST) - 1) * 100.0 / COUNT(vq) OVER w2g")} END AS q_fine,
     CASE WHEN COUNT(vq) OVER w1g < 2 THEN 50.0
-         ELSE ROUND((RANK() OVER (PARTITION BY p_brand ORDER BY vq ASC NULLS LAST) - 1)
-                    * 100.0 / COUNT(vq) OVER w1g, 2) END AS q_mid,
+         ELSE {round_py_sql("(RANK() OVER (PARTITION BY p_brand ORDER BY vq ASC NULLS LAST) - 1) * 100.0 / COUNT(vq) OVER w1g")} END AS q_mid,
     CASE WHEN COUNT(vq) OVER () < 2 THEN 50.0
-         ELSE ROUND((RANK() OVER (ORDER BY vq ASC NULLS LAST) - 1)
-                    * 100.0 / COUNT(vq) OVER (), 2) END AS q_all,
+         ELSE {round_py_sql("(RANK() OVER (ORDER BY vq ASC NULLS LAST) - 1) * 100.0 / COUNT(vq) OVER ()")} END AS q_all,
     CASE WHEN COUNT(vv_m) OVER w2g < 2 THEN 50.0
-         ELSE ROUND((RANK() OVER (PARTITION BY p_brand, p_type ORDER BY (-vv_m) ASC NULLS LAST) - 1)
-                    * 100.0 / COUNT(vv_m) OVER w2g, 2) END AS v_fine,
+         ELSE {round_py_sql("(RANK() OVER (PARTITION BY p_brand, p_type ORDER BY (-vv_m) ASC NULLS LAST) - 1) * 100.0 / COUNT(vv_m) OVER w2g")} END AS v_fine,
     CASE WHEN COUNT(vv_m) OVER w1g < 2 THEN 50.0
-         ELSE ROUND((RANK() OVER (PARTITION BY p_brand ORDER BY (-vv_m) ASC NULLS LAST) - 1)
-                    * 100.0 / COUNT(vv_m) OVER w1g, 2) END AS v_mid,
+         ELSE {round_py_sql("(RANK() OVER (PARTITION BY p_brand ORDER BY (-vv_m) ASC NULLS LAST) - 1) * 100.0 / COUNT(vv_m) OVER w1g")} END AS v_mid,
     CASE WHEN COUNT(vv_m) OVER () < 2 THEN 50.0
-         ELSE ROUND((RANK() OVER (ORDER BY (-vv_m) ASC NULLS LAST) - 1)
-                    * 100.0 / COUNT(vv_m) OVER (), 2) END AS v_all
+         ELSE {round_py_sql("(RANK() OVER (ORDER BY (-vv_m) ASC NULLS LAST) - 1) * 100.0 / COUNT(vv_m) OVER ()")} END AS v_all
   FROM lvl
   WINDOW w2g AS (PARTITION BY p_brand, p_type), w1g AS (PARTITION BY p_brand)
 ), s AS (
@@ -400,8 +395,7 @@ WITH b AS (
   FROM p
 )
 SELECT p_partkey, p_brand, p_type, peer_level, quality_pct, value_pct,
-       ROUND(COALESCE(quality_pct, 50.0) * 0.6
-             + COALESCE(value_pct, 50.0) * 0.4, 2) AS blended_score
+       {round_py_sql("COALESCE(quality_pct, 50.0) * 0.6 + COALESCE(value_pct, 50.0) * 0.4")} AS blended_score
 FROM s
 """)
 def q38_fundamental_shape(spark, sf_dir):
@@ -450,7 +444,7 @@ def q38_fundamental_shape(spark, sf_dir):
         wr = Window.partitionBy(*keys).orderBy(v.asc_nulls_last())
         wgk = Window.partitionBy(*keys)
         n = F.count(v).over(wgk)
-        val = F.round((F.rank().over(wr) - F.lit(1)) * 100.0 / n, 2)
+        val = round_py((F.rank().over(wr) - F.lit(1)) * 100.0 / n, 2)
         return F.when(n < 2, F.lit(50.0)).otherwise(val)
 
     vq_c, vv_c = F.col("__vq"), F.col("__vv")
@@ -463,7 +457,7 @@ def q38_fundamental_shape(spark, sf_dir):
     quality_pct = F.when(vq_c.isNull(), F.lit(None).cast("double")).otherwise(q_pick)
     value_pct = F.when(vv_c.isNull(), F.lit(None).cast("double")) \
                  .when(vv_c <= 0, F.lit(0.0)).otherwise(v_pick)
-    blended = F.round(F.coalesce(quality_pct, F.lit(50.0)) * 0.6
+    blended = round_py(F.coalesce(quality_pct, F.lit(50.0)) * 0.6
                       + F.coalesce(value_pct, F.lit(50.0)) * 0.4, 2)
     return base.select("p_partkey", "p_brand", "p_type", level.alias("peer_level"),
                        quality_pct.alias("quality_pct"), value_pct.alias("value_pct"),

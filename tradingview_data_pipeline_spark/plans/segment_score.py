@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark.functions.cleaning import (
-    minmax_normalize, parse_unit_string,
+    minmax_normalize, parse_unit_string, round_py,
 )
 
 # Holding-period weights (sectorscore.py:48-62; indscores.py mirrors)
@@ -75,7 +75,7 @@ def segment_scores(df: DataFrame) -> DataFrame:
     df = add_normalized(df)
     present = set(df.columns)
     return (
-        df.withColumn("normalized_score_3m", F.round(weighted_score(WEIGHTS_3M, present), 4))
-        .withColumn("normalized_score_6m", F.round(weighted_score(WEIGHTS_6M, present), 4))
-        .withColumn("normalized_score_1y", F.round(weighted_score(WEIGHTS_1Y, present), 4))
+        df.withColumn("normalized_score_3m", round_py(weighted_score(WEIGHTS_3M, present), 4))
+        .withColumn("normalized_score_6m", round_py(weighted_score(WEIGHTS_6M, present), 4))
+        .withColumn("normalized_score_1y", round_py(weighted_score(WEIGHTS_1Y, present), 4))
     )
