@@ -158,3 +158,71 @@ def test_domain_cap_validates_k(spark):
     df = spark.createDataFrame([(1, "https://a.com/x")], "id long, u string")
     with pytest.raises(ValueError, match="k must be >= 1"):
         ur.domain_cap(df, "id", "u", k=0)
+
+
+def test_domain_cap_mode_equivalence(spark):
+    """Window vs two-phase-salted top-k produce IDENTICAL keep sets (the
+    round-11 hot-domain reshape; a11135d mode-equivalence pattern).
+    Three configurations over a skewed fixture — pure window, everything
+    salted, and mixed (hot domain salted / small domain windowed) — must
+    match each other AND a Python brute force of the spec:
+    row_number() OVER (PARTITION BY domain ORDER BY md5(id), id) <= k."""
+    import hashlib
+    rows = [(i, f"https://hot.example.com/p/{i}") for i in range(500)]
+    rows += [(1000 + i, f"https://small.example.org/p/{i}") for i in range(50)]
+    rows += [(2000, "no scheme")]
+    df = spark.createDataFrame(rows, "id long, u string")
+    k = 7
+
+    def run(**kw):
+        out = ur.domain_cap(df, "id", "u", k=k, **kw).collect()
+        return sorted((r["id"], r["cap_domain"], r["cap_n_domain"],
+                       r["cap_keep"]) for r in out)
+
+    window_only = run()                                   # default: 5M gate
+    all_salted = run(salt_threshold=10, salt_target_rows=16)
+    mixed = run(salt_threshold=100, salt_target_rows=64)
+    assert window_only == all_salted == mixed
+
+    def brute_keep(ids):
+        order = sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))
+        return set(order[:k])
+
+    hot_keep = brute_keep(range(500))
+    small_keep = brute_keep(range(1000, 1050))
+    for rid, dom, n, keep in window_only:
+        if rid == 2000:
+            assert dom is None and n is None and keep
+        elif rid < 1000:
+            assert dom == "example.com" and n == 500
+            assert keep == (rid in hot_keep)
+        else:
+            assert dom == "example.org" and n == 50
+            assert keep == (rid in small_keep)
+
+
+def test_domain_cap_salted_phase1_discards_before_domain_sort(spark):
+    """The salted path's phase-2 window input is bounded by k x salts,
+    not the domain size: with 400 rows in one domain, k=3 and 8-row salt
+    buckets (50 salts), phase 1 must discard >= 400 - 3*50 rows before
+    any domain-wide ordering happens. Verified structurally: the plan
+    contains a (domain, salt) window AND a domain-only window, and the
+    result still equals the windowed form."""
+    rows = [(i, f"https://big.example.com/{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, u string")
+    salted = ur.domain_cap(df, "id", "u", k=3,
+                           salt_threshold=10, salt_target_rows=8)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2            # phase-1 + phase-2 windows
+    windowed = ur.domain_cap(df, "id", "u", k=3)
+    a = sorted((r["id"], r["cap_keep"]) for r in salted.collect())
+    b = sorted((r["id"], r["cap_keep"]) for r in windowed.collect())
+    assert a == b and sum(keep for _, keep in a) == 3
+
+
+def test_domain_cap_validates_salt_threshold(spark):
+    import pytest
+    df = spark.createDataFrame([(1, "https://a.com/x")], "id long, u string")
+    with pytest.raises(ValueError, match="salt_threshold"):
+        ur.domain_cap(df, "id", "u", k=10, salt_threshold=5)

@@ -91,15 +91,20 @@ def canonical_url(url: Column) -> Column:
 
 
 def url_dedup(df: DataFrame, id_col: str, url_col: str,
-              *, out_prefix: str = "url") -> DataFrame:
+              *, out_prefix: str = "url",
+              canonical_col: str | None = None) -> DataFrame:
     """Keep-one-per-canonical-URL: every input row annotated with
     ``(<p>_canonical, <p>_group, <p>_is_keeper)`` where the group is
     the smallest id sharing the canonical form. Rows whose URL does not
     canonicalize (NULL) are their own group and always keepers. Plan:
     map-side canonicalization -> one hash-aggregate on the canonical
-    string (map-side combine) -> one join back on it."""
+    string (map-side combine) -> one join back on it. Pass
+    ``canonical_col`` to reuse an already-derived canonical column (the
+    q80 shared-substrate path) instead of re-canonicalizing."""
     p = out_prefix
-    canon = df.withColumn(f"{p}_canonical", canonical_url(F.col(url_col)))
+    canon_expr = (F.col(canonical_col) if canonical_col is not None
+                  else canonical_url(F.col(url_col)))
+    canon = df.withColumn(f"{p}_canonical", canon_expr)
     owners = (canon.where(F.col(f"{p}_canonical").isNotNull())
               .groupBy(f"{p}_canonical")
               .agg(F.min(id_col).alias(f"{p}_group")))
@@ -110,17 +115,26 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str,
                         F.col(id_col) == F.col(f"{p}_group")))
 
 
-def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
+def domain_stats(df: DataFrame, url_col: str,
+                 *, canonical_col: str | None = None,
+                 domain_col: str | None = None) -> DataFrame:
     """(domain, n_docs, n_urls, n_dups) per registered domain — n_urls
     counts distinct canonical URLs, n_dups = n_docs - n_urls. Rows with
     un-canonicalizable URLs are excluded (they have no domain). One
     hash-aggregate; distinct-count via two-level agg, not expensive
-    exact distinct over the whole table at once."""
-    base = (df.select(canonical_url(F.col(url_col)).alias("__c"))
-            .where(F.col("__c").isNotNull())
-            .select(registered_domain(
-                F.regexp_extract(F.col("__c"), r"^([^/?#]*)", 1))
-                .alias("domain"), "__c"))
+    exact distinct over the whole table at once. Pass ``canonical_col``
+    (and optionally ``domain_col``) to reuse already-derived columns
+    (the q80 shared-substrate path)."""
+    canon_expr = (F.col(canonical_col) if canonical_col is not None
+                  else canonical_url(F.col(url_col)))
+    base = df.select(canon_expr.alias("__c"),
+                     *( [F.col(domain_col).alias("domain")]
+                        if domain_col is not None else [] )) \
+             .where(F.col("__c").isNotNull())
+    if domain_col is None:
+        base = base.select(registered_domain(
+            F.regexp_extract(F.col("__c"), r"^([^/?#]*)", 1))
+            .alias("domain"), "__c")
     per_url = base.groupBy("domain", "__c") \
         .agg(F.count(F.lit(1)).alias("__n"))
     return (per_url.groupBy("domain")
@@ -130,7 +144,10 @@ def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
 
 
 def domain_cap(df: DataFrame, id_col: str, url_col: str, *, k: int,
-               out_prefix: str = "cap") -> DataFrame:
+               out_prefix: str = "cap",
+               salt_threshold: int = 5_000_000,
+               salt_target_rows: int = 2_000_000,
+               domain_col: str | None = None) -> DataFrame:
     """Per-registered-domain document cap (Gopher §A.2 crawl hygiene):
     keep at most ``k`` docs per registered domain, deterministically —
     docs within a domain are ranked by ``(md5(id), id)`` (a stable,
@@ -140,47 +157,83 @@ def domain_cap(df: DataFrame, id_col: str, url_col: str, *, k: int,
     Output: input columns + ``<p>_domain`` (NULL where the URL does not
     canonicalize — such rows are uncapped), ``<p>_n_domain`` (the
     domain's total doc count; NULL for domain-less rows) and
-    ``<p>_keep``.
+    ``<p>_keep``. Pass ``domain_col`` to reuse an already-derived
+    registered-domain column (the q80 shared-substrate path) instead of
+    re-canonicalizing from ``url_col``.
 
-    Plan shape (the 100-TB consideration): a naive global window over
-    every domain sorts the WHOLE corpus within skewed domain
-    partitions — one hot domain serializes a single task. Instead the
-    per-domain counts (one map-side-combinable aggregate) split the
-    corpus: domains at or under the cap pass wholesale with keep=true
-    (NO SORT at all — at web scale that is the overwhelming majority
-    of rows and every domain in the long tail), and only rows of
-    OVER-cap domains go through the hash-ordered window — a window
-    whose total input is bounded by the hot-domain mass, not the
-    corpus. Joins against the counts frame are left unhinted: at bench
-    scale AQE broadcasts the tiny domain table, at web scale (1e8
-    domains) it stays a partitioned join — the forced-broadcast trap
-    is deliberately avoided. Equivalent to ``row_number() OVER
-    (PARTITION BY domain ORDER BY md5(id), id) <= k`` on every row —
-    under-cap domains trivially satisfy it. Requires unique
-    ``id_col`` values (rank order between duplicate ids is undefined).
+    Plan shape (the 100-TB consideration), three tiers split by the
+    per-domain counts (one map-side-combinable aggregate):
+
+    - ``n <= k`` — keep wholesale, NO SORT. At web scale this is the
+      long tail: the overwhelming majority of rows and domains.
+    - ``k < n <= salt_threshold`` — one hash-ordered ``row_number``
+      window per domain. Bounded per task by ``salt_threshold``.
+    - ``n > salt_threshold`` (the hot domains — by definition exactly
+      the rows this operator exists to process) — TWO-PHASE SALTED
+      top-k, so no task ever receives a whole hot domain (the round-10
+      weak flag): rows are salted into ``ceil(n / salt_target_rows)``
+      deterministic buckets (``pmod(xxhash64(id), S)``); phase 1 ranks
+      within (domain, salt) — any row outside its bucket's top-k cannot
+      be in the domain's top-k, so it gets ``keep = false`` without
+      ever entering a domain-wide sort; phase 2 re-ranks only the
+      ≤ ``k·S`` per-domain survivors. Task bounds: phase 1
+      ≈ ``salt_target_rows``, phase 2 ``k·ceil(n/salt_target_rows)``
+      per domain (k ~ 10²–10³, so a 10⁹-row domain re-ranks ~10⁵–10⁶
+      survivor rows; a further phase would only matter past ~10¹² rows
+      in ONE domain). Window/salted mode equivalence is pinned by
+      tests/test_registry_contract.py::test_domain_cap_mode_equivalence.
+
+    Joins against the counts frame are left unhinted: at bench scale
+    AQE broadcasts the tiny domain table, at web scale (1e8 domains) it
+    stays a partitioned join — the forced-broadcast trap is
+    deliberately avoided. Equivalent on every row to ``row_number()
+    OVER (PARTITION BY domain ORDER BY md5(id), id) <= k``. Requires
+    unique ``id_col`` values (rank order between duplicate ids is
+    undefined).
     """
     if k < 1:
         raise ValueError(f"domain_cap: k must be >= 1, got {k}")
+    if salt_threshold <= k:
+        raise ValueError("domain_cap: salt_threshold must exceed k")
     from pyspark.sql import Window
     p = out_prefix
-    canon = canonical_url(F.col(url_col))
-    dom = F.when(canon.isNotNull(), registered_domain(
-        F.regexp_extract(canon, r"^([^/?#]*)", 1)))
+    if domain_col is None:
+        canon = canonical_url(F.col(url_col))
+        dom = F.when(canon.isNotNull(), registered_domain(
+            F.regexp_extract(canon, r"^([^/?#]*)", 1)))
+    else:
+        dom = F.col(domain_col)
     base = df.withColumn(f"{p}_domain", dom)
     counts = (base.where(F.col(f"{p}_domain").isNotNull())
               .groupBy(f"{p}_domain")
               .agg(F.count(F.lit(1)).alias(f"{p}_n_domain")))
     with_n = base.join(counts, f"{p}_domain", "left")
-    under = (with_n.where(F.coalesce(F.col(f"{p}_n_domain"),
-                                     F.lit(0)) <= k)
+    n = F.col(f"{p}_n_domain")
+    under = (with_n.where(F.coalesce(n, F.lit(0)) <= k)
              .withColumn(f"{p}_keep", F.lit(True)))
-    w = Window.partitionBy(f"{p}_domain").orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    capped = (with_n.where(F.col(f"{p}_n_domain") > k)
-              .withColumn(f"{p}_keep", F.row_number().over(w) <= k))
-    return (under.unionByName(capped)
-            .select(*df.columns, f"{p}_domain", f"{p}_n_domain",
-                    f"{p}_keep"))
+
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(f"{p}_domain").orderBy(*order)
+    mid = (with_n.where((n > k) & (n <= salt_threshold))
+           .withColumn(f"{p}_keep", F.row_number().over(w) <= k))
+
+    hot = with_n.where(n > salt_threshold)
+    n_salts = F.ceil(n / F.lit(float(salt_target_rows))).cast("int")
+    hot = hot.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), n_salts))
+    w1 = Window.partitionBy(f"{p}_domain", "__salt").orderBy(*order)
+    hot = hot.withColumn("__rn1", F.row_number().over(w1))
+    losers = (hot.where(F.col("__rn1") > k)
+              .withColumn(f"{p}_keep", F.lit(False)))
+    survivors = (hot.where(F.col("__rn1") <= k)
+                 .withColumn(f"{p}_keep", F.row_number().over(w) <= k))
+
+    cols = [*df.columns, f"{p}_domain", f"{p}_n_domain", f"{p}_keep"]
+    return (under.select(*cols)
+            .unionByName(mid.select(*cols))
+            .unionByName(losers.select(*cols))
+            .unionByName(survivors.select(*cols)))
 
 
 class IncrementalUrlIndex:
