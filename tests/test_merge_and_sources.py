@@ -347,3 +347,57 @@ def test_insert_only_fastpath_preserves_time_travel(spark, tmp_path):
     old = {r["symbol"] for r in t.read(version=v1).collect()}
     assert old == {"A"}
     assert {r["symbol"] for r in t.read().collect()} == {"A", "B"}
+
+
+def test_manifest_bucket_rows_track_row_count(spark, tmp_path):
+    """row_count() reads manifest-recorded per-bucket counts (one JSON,
+    no footer walk — the round-11 advisor catch on the fastpath gate):
+    counts must stay exact through seed, fastpath hardlink append,
+    rewrite-path merge, delete-ish merge, and compact()."""
+    import json as _json
+    t = _bucketed(spark, tmp_path, "rc")
+    t.merge_upsert(spark.createDataFrame(
+        [("A", 1.0, 2.0), ("B", 3.0, 4.0)], SCHEMA))
+
+    def manifest():
+        with open(tmp_path / "rc" / "_manifest.json") as fh:
+            return _json.load(fh)
+
+    def check():
+        m = manifest()
+        live = list(m["buckets"].values())
+        assert all(d in m["bucket_rows"] for d in live)
+        assert t.row_count() == t.read().count()
+        assert t.row_count() == sum(m["bucket_rows"][d] for d in live)
+
+    check()
+    # hardlink fastpath append (pure inserts)
+    t.merge_upsert(spark.createDataFrame(
+        [("C", 5.0, 6.0), ("D", 7.0, 8.0)], SCHEMA))
+    check()
+    assert t.row_count() == 4
+    # rewrite path (update collides)
+    t.merge_upsert(spark.createDataFrame([("A", 9.0, 9.0)], SCHEMA))
+    check()
+    assert t.row_count() == 4
+    # compact rewrites every bucket; counts must survive
+    t.compact()
+    check()
+    assert t.row_count() == 4
+
+
+def test_row_count_backfills_legacy_manifest(spark, tmp_path):
+    """A manifest written before bucket_rows existed must still count
+    correctly (footer-walk fallback) and upgrade on the next commit."""
+    import json as _json
+    t = _bucketed(spark, tmp_path, "legacy")
+    t.merge_upsert(spark.createDataFrame([("A", 1.0, 2.0)], SCHEMA))
+    mf = tmp_path / "legacy" / "_manifest.json"
+    m = _json.loads(mf.read_text())
+    m.pop("bucket_rows")
+    mf.write_text(_json.dumps(m))
+    assert t.row_count() == 1                     # fallback walk
+    t.merge_upsert(spark.createDataFrame([("B", 3.0, 4.0)], SCHEMA))
+    m2 = _json.loads(mf.read_text())
+    assert all(d in m2["bucket_rows"] for d in m2["buckets"].values())
+    assert t.row_count() == 2

@@ -270,3 +270,59 @@ def test_segment_all_equal_normalizes_to_one(spark):
                                "sector string, change_pct string")
     out = ss.segment_scores(df).collect()
     assert all(r["normalized_change_pct"] == 1.0 for r in out)
+
+
+def test_zscore_agg_form_equals_window_form_at_boundaries(spark):
+    """Round-11 advisor pin: the round-10 window->aggregate+broadcast
+    z-score reshape (plans/composite_score.py) is only ulp-equivalent in
+    principle — avg/stddev_samp under partial aggregation can reassociate
+    differently from the window form. This pins the risk the advisor
+    named: both forms must produce IDENTICAL 2-dp-rounded weighted
+    z-scores on (a) groups engineered so z*weight lands exactly ON
+    representable rounding midpoints and (b) thousands of low-entropy
+    2/3-dp values (the production domain).
+    """
+    from pyspark.sql import Window
+    from tradingview_data_pipeline_spark.functions.cleaning import round_py
+
+    rows = []
+    # (a) crafted groups: values {0,1,2} give mu=1, sd=1 exactly, so
+    # z in {-1,0,1}; weights then steer z*w onto exact midpoints
+    for g in range(8):
+        for i, v in enumerate([0.0, 1.0, 2.0]):
+            rows.append((f"crafted_{g}", g * 3 + i, v))
+    # (b) low-entropy 2/3-dp values across many groups
+    rng = np.random.default_rng(11)
+    for g in range(50):
+        for i in range(40):
+            rows.append((f"rand_{g}", 10_000 + g * 40 + i,
+                         float(np.round(rng.uniform(-100, 100), 3))))
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+
+    for w in (1.625, 2.675, 3.0, 1.0):      # midpoint-steering + plain
+        agg = df.groupBy("grp").agg(
+            F.count("v").alias("n"), F.avg("v").alias("mu"),
+            F.stddev_samp("v").alias("sd"))
+        z_agg = F.when((F.col("n") < 3) | (F.col("sd") == 0)
+                       | F.col("sd").isNull(), F.lit(0.0)) \
+                 .otherwise((F.col("v") - F.col("mu")) / F.col("sd")
+                            * F.lit(w))
+        got_agg = {r["id"]: r["s"] for r in
+                   df.join(F.broadcast(agg), "grp")
+                     .select("id", round_py(z_agg, 2).alias("s")).collect()}
+
+        wd = Window.partitionBy("grp")
+        n_w = F.count("v").over(wd)
+        mu_w = F.avg("v").over(wd)
+        sd_w = F.stddev_samp("v").over(wd)
+        z_win = F.when((n_w < 3) | (sd_w == 0) | sd_w.isNull(), F.lit(0.0)) \
+                 .otherwise((F.col("v") - mu_w) / sd_w * F.lit(w))
+        got_win = {r["id"]: r["s"] for r in
+                   df.select("id", round_py(z_win, 2).alias("s")).collect()}
+
+        diff = {i: (got_agg[i], got_win[i]) for i in got_agg
+                if got_agg[i] != got_win[i]}
+        assert not diff, (w, dict(list(diff.items())[:5]))
+        # sanity: the crafted midpoints really do land on the boundary
+        if w == 1.625:
+            assert got_agg[2] == 1.62       # z=1 -> 1.625 -> banker's 1.62

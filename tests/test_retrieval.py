@@ -93,3 +93,11 @@ def test_rrf_rejects_non_positive_ranks(spark):
     bad = spark.createDataFrame([(1, 0)], "id bigint, rk bigint")
     with pytest.raises(Exception, match="1-based"):
         rt.rrf_fuse([("x", bad)], ["id"]).collect()
+    # NULL ranks (e.g. a left-joined nullable rank column) fail the same
+    # guard — assert_true treats a NULL condition as failure — with an
+    # error message that names the NULL case (round-11 advisor catch:
+    # pre-guard they were silently dropped from the RRF sum)
+    nullrk = spark.createDataFrame([(1, 3), (2, None)],
+                                   "id bigint, rk bigint")
+    with pytest.raises(Exception, match="NULL or"):
+        rt.rrf_fuse([("x", nullrk)], ["id"]).collect()

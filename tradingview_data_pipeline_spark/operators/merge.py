@@ -69,6 +69,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 _BUCKET_COL = "__bucket"
 _MANIFEST = "_manifest.json"
@@ -262,14 +263,20 @@ class ParquetTable:
         return self._read_slice(m["buckets"], bs)
 
     def row_count(self) -> int:
-        """Exact table row count from parquet footers — no Spark job
-        (see ``parquet_footer_rows``). Counts the committed snapshot's
-        live directories only."""
+        """Exact table row count — no Spark job. Manifest-committed
+        tables read the per-bucket counts recorded at commit time (one
+        JSON read, O(1) in file count — the insert-fastpath gate calls
+        this every trigger); legacy manifests without counts, and
+        unbucketed tables, fall back to the parquet-footer walk."""
         if not self.exists():
             return 0
         m = self._load_manifest() if self.buckets else None
         if m is not None:
-            dirs = [os.path.join(self.path, d) for d in m["buckets"].values()]
+            br = m.get("bucket_rows")
+            live = list(m["buckets"].values())
+            if br is not None and all(d in br for d in live):
+                return sum(int(br[d]) for d in live)
+            dirs = [os.path.join(self.path, d) for d in live]
         else:
             dirs = [self.path]
         return parquet_footer_rows(dirs)
@@ -325,7 +332,8 @@ class ParquetTable:
                 f"{declared} buckets, handle was opened with {self.buckets}")
         return m
 
-    def _commit_manifest(self, buckets: dict[str, str], version: int) -> dict:
+    def _commit_manifest(self, buckets: dict[str, str], version: int,
+                         bucket_rows: dict[str, int] | None = None) -> dict:
         """THE atomic visibility point: fsync a temp manifest, then
         ``os.replace`` it over the live one. Every directory change
         before this call is invisible to readers; everything after it
@@ -335,7 +343,19 @@ class ParquetTable:
         miniature): the on-disk version must still be the one this op
         planned against (``version - 1``); another writer's interleaved
         commit raises instead of silently losing its update. Version 1
-        commits (seed/migration) assert no manifest exists yet."""
+        commits (seed/migration) assert no manifest exists yet.
+
+        Per-bucket row counts are recorded in the manifest (Delta's
+        numRecords in miniature) so ``row_count()`` — the insert-fastpath
+        gate that runs EVERY trigger — reads one JSON instead of
+        re-walking every parquet footer in every live bucket (hardlink
+        appends grow file counts per trigger until compact(), so the
+        walk itself was becoming O(total files) driver work per trigger,
+        round-11 advisor catch). Counts carry forward by directory name
+        (dirs are immutable once committed); new dirs are footer-walked
+        once here unless the caller passes exact ``bucket_rows``
+        overrides (the fastpath does — its new dirs are mostly hardlinks
+        whose rows it already knows)."""
         cur = self._load_manifest()
         cur_version = 0 if cur is None else int(cur["version"])
         if cur_version != version - 1:
@@ -345,8 +365,18 @@ class ParquetTable:
                 f"re-run the maintenance op (MERGE is idempotent)")
         retain = self.retain_versions if self.retain_versions is not None \
             else (int(cur.get("retain_versions", 1)) if cur else 1)
+        prior_rows = (cur or {}).get("bucket_rows", {})
+        rows: dict[str, int] = {}
+        for d in buckets.values():
+            if bucket_rows is not None and d in bucket_rows:
+                rows[d] = int(bucket_rows[d])
+            elif d in prior_rows:
+                rows[d] = int(prior_rows[d])
+            else:
+                rows[d] = parquet_footer_rows([os.path.join(self.path, d)])
         m = {"format": 2, "version": version, "n_buckets": self.buckets,
-             "retain_versions": retain, "buckets": buckets}
+             "retain_versions": retain, "buckets": buckets,
+             "bucket_rows": rows}
         tmp = os.path.join(self.path, f"_manifest_tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(m, fh)
@@ -719,6 +749,8 @@ class ParquetTable:
         align_to_schema(src, self.schema) \
             .withColumn(_BUCKET_COL, self._bucket_expr()) \
             .write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(tmp)
+        prior_rows = m.get("bucket_rows", {})
+        new_rows: dict[str, int] = {}
         try:
             for b in touched:
                 new_part = os.path.join(tmp, f"{_BUCKET_COL}={b}")
@@ -728,8 +760,13 @@ class ParquetTable:
                 name = f"b{b}-{uuid.uuid4().hex[:8]}"
                 new_dir = os.path.join(self.path, name)
                 os.makedirs(new_dir)
+                base = 0
                 if key in mapping:
-                    old_dir = os.path.join(self.path, mapping[key])
+                    old_name = mapping[key]
+                    old_dir = os.path.join(self.path, old_name)
+                    base = int(prior_rows[old_name]) \
+                        if old_name in prior_rows \
+                        else parquet_footer_rows([old_dir])
                     for fn in os.listdir(old_dir):
                         if fn.endswith(".parquet"):
                             try:
@@ -738,13 +775,20 @@ class ParquetTable:
                             except OSError:
                                 shutil.copy2(os.path.join(old_dir, fn),
                                              os.path.join(new_dir, fn))
+                fresh = 0
                 for fn in os.listdir(new_part):
                     if fn.endswith(".parquet"):
-                        os.rename(os.path.join(new_part, fn),
-                                  os.path.join(new_dir, fn))
+                        f_src = os.path.join(new_part, fn)
+                        fresh += parquet_footer_rows([f_src])
+                        os.rename(f_src, os.path.join(new_dir, fn))
+                # exact count for the commit record: hardlinked base +
+                # fresh file footers — O(batch files), never a walk of
+                # the accumulated hardlink set
+                new_rows[name] = base + fresh
                 mapping[key] = name
             _fsync_dir(self.path)
-            new_m = self._commit_manifest(mapping, version + 1)
+            new_m = self._commit_manifest(mapping, version + 1,
+                                          bucket_rows=new_rows)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         self._gc_unprotected(self._protected_dirs(new_m))
@@ -839,11 +883,27 @@ class ParquetTable:
         combine = lambda tgt, s: self._merge_frames(
             tgt, s, source_cols, update_only_source_columns)
         if self.buckets:
+            src = self._pin_batch(src)
             if self._insert_only_fastpath(src):
                 return                     # pure inserts: hardlink append
             self._rewrite_touched_buckets(src, combine)
         else:
             self._replace_with(combine(self.read(), src))
+
+    def _pin_batch(self, src: DataFrame) -> DataFrame:
+        """One evaluation for the fastpath probe, the commit write, and
+        the rewrite fallback: ``dropDuplicates`` over conflicting
+        duplicate-key rows is non-deterministic, so an unpinned source
+        could commit payloads that differ from what the collision probe
+        saw (and every fallback would pay the probe's evaluation as pure
+        overhead). Checkpoint semantics (not persist) because this is a
+        CORRECTNESS pin — a retried task must not re-draw the
+        duplicate-key lottery. DISK_ONLY per the addendum-27 rule:
+        job-scale merges push decade-size frames through here, and
+        memory-backed checkpoint blocks are a hidden heap tax on the
+        single-JVM deployment."""
+        return src.localCheckpoint(eager=True,
+                                   storageLevel=StorageLevel.DISK_ONLY)
 
     def append_dedup(self, source: DataFrame) -> None:
         """K5: insert only rows whose key is not already present
@@ -863,6 +923,7 @@ class ParquetTable:
             return tgt.unionByName(fresh)
 
         if self.buckets:
+            src = self._pin_batch(src)
             if self._insert_only_fastpath(src):
                 return                     # no collisions: append == insert
             self._rewrite_touched_buckets(src, combine)

@@ -78,16 +78,19 @@ def rrf_fuse(
     icols = list(id_cols)
     tagged = None
     for name, df in legs:
-        # loud 1-based-rank guard: a rank < 1 is a caller bug and must
-        # fail identically in both engines, not skew the fused score
+        # loud 1-based-rank guard: a rank < 1 OR NULL is a caller bug
+        # and must fail identically in both engines, not skew the fused
+        # score (assert_true treats a NULL condition as failure too —
+        # a left-joined nullable rank column fails here by design, it
+        # must not be silently dropped from the RRF sum)
         rank = F.col(rank_col).cast("bigint")
         part = df.select(
             *gcols, *icols,
             F.lit(name).alias("_leg"),
             F.when(rank >= 1, rank)
              .otherwise(F.assert_true(rank >= 1, F.lit(
-                 f"rrf_fuse: leg '{name}' has a rank < 1 — ranks must "
-                 "be 1-based")).cast("bigint"))
+                 f"rrf_fuse: leg '{name}' has a rank that is NULL or "
+                 "< 1 — ranks must be 1-based and non-null")).cast("bigint"))
              .alias("_rank"))
         tagged = part if tagged is None else tagged.unionByName(part)
     contrib = F.expr(f"DIV({scale}, {rrf_k} + _rank)")

@@ -45,23 +45,49 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-_TABLE_ROWS_MEMO: dict[tuple[str, str], int] = {}
+_TABLE_ROWS_MEMO: dict[tuple[str, str, float], int] = {}
+
+
+def _table_mtime(path: str) -> float:
+    """Newest mtime under a parquet path (file or directory) — the memo
+    freshness token. A regenerated/overwritten table gets a new mtime,
+    so stale footer counts can never keep serving (round-11 advisor
+    catch: the q29/q72/q73 shuffle-width hints would otherwise silently
+    stay sized for the old decade in a long-lived session — the exact
+    OOM class the hint exists to prevent). os.stat of a handful of
+    entries, still zero Spark actions."""
+    try:
+        if os.path.isdir(path):
+            times = [os.path.getmtime(path)]
+            for root, _, names in os.walk(path):
+                times += [os.path.getmtime(os.path.join(root, n))
+                          for n in names if n.endswith(".parquet")]
+            return max(times)
+        return os.path.getmtime(path)
+    except OSError:
+        return 0.0
 
 
 def table_rows(sf_dir: str, name: str) -> int:
     """EXACT base-table row count from parquet footers, memoized per
-    (sf_dir, table) — replaces the per-query ``df.count()`` Spark action
-    several plans used purely to size partition hints (advisor catch,
-    round 9: each such action re-scanned the corpus even at scales where
-    the hint is then discarded). Footer reads are driver-side metadata
-    only, O(files); exact because these are unfiltered base tables."""
-    key = (sf_dir, name)
+    (sf_dir, table, newest-mtime) — replaces the per-query ``df.count()``
+    Spark action several plans used purely to size partition hints
+    (advisor catch, round 9: each such action re-scanned the corpus even
+    at scales where the hint is then discarded). Footer reads are
+    driver-side metadata only, O(files); exact because these are
+    unfiltered base tables. The mtime in the key invalidates the memo
+    when the table is regenerated in-place (round-11 advisor catch)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (sf_dir, name, _table_mtime(path))
     if key not in _TABLE_ROWS_MEMO:
         from tradingview_data_pipeline_spark.operators.merge import (
             parquet_footer_rows,
         )
-        _TABLE_ROWS_MEMO[key] = parquet_footer_rows(
-            [os.path.join(sf_dir, f"{name}.parquet")])
+        # drop superseded entries for the same table so the memo stays
+        # O(tables), not O(regenerations)
+        for k in [k for k in _TABLE_ROWS_MEMO if k[:2] == (sf_dir, name)]:
+            del _TABLE_ROWS_MEMO[k]
+        _TABLE_ROWS_MEMO[key] = parquet_footer_rows([path])
     return _TABLE_ROWS_MEMO[key]
 
 
