@@ -24,6 +24,7 @@ from tradingview_data_pipeline_spark.plans import temporal_queries  # noqa: E402
 from tradingview_data_pipeline_spark.plans import corpus_queries  # noqa: E402,F401  (registers queries)
 from tradingview_data_pipeline_spark.plans import vector_queries  # noqa: E402,F401  (registers queries)
 from tradingview_data_pipeline_spark.plans import timeseries_queries  # noqa: E402,F401  (registers queries)
+from tradingview_data_pipeline_spark.plans import multimodal_queries  # noqa: E402,F401  (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -48,40 +48,88 @@ WITH base AS (
            - (CAST(EXTRACT(minute FROM ts) AS INT) % 15) * INTERVAL '1 minute' AS floor15,
          value
   FROM events
+), js AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+), mo AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         o_orderpriority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM orders
+  GROUP BY date_trunc('month', o_orderdate), o_orderpriority
 )
-SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS window_start, event_type,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+SELECT 'tumbling' AS kind, event_type AS g1, CAST(NULL AS BIGINT) AS b,
+       date_trunc('hour', ts) AS ts, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 UNION ALL
-SELECT 'sliding', floor15 - k.k * INTERVAL '15 minutes',
-       NULL::VARCHAR,
-       COUNT(*),
+SELECT 'sliding', NULL::VARCHAR, CAST(NULL AS BIGINT),
+       floor15 - k.k * INTERVAL '15 minutes', COUNT(*),
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
 FROM base CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
-GROUP BY 1, 2
+GROUP BY 4
+UNION ALL
+SELECT 'json', event_type, k_bucket, CAST(NULL AS TIMESTAMP), n,
+       CAST(NULL AS DOUBLE)
+FROM js
+UNION ALL
+SELECT 'monthly', o_orderpriority, CAST(NULL AS BIGINT), month, n_orders,
+       total_price
+FROM mo
 """)
 def q18_event_windows(spark, sf_dir):
+    """Four-leg tagged union (round-11 consolidation of q18 + q21, freeing
+    the slot for q83_multimodal_codecs — COVERAGE.md headroom map):
+    'tumbling'/'sliding' — event-time windowed aggregates (the former
+    q18); 'json' — JSON property extraction + bucket count (scalar JSON
+    family); 'monthly' — calendar rollup on the orders fact (F14).
+    Unified schema (kind, g1, b, ts, n, total)."""
     e = events(spark, sf_dir)
     tumbling = (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             _dsum(F.col("value"), scale="18,2").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             _dsum(F.col("value"), scale="18,2").alias("total"))
         .select(F.lit("tumbling").alias("kind"),
-                F.col("w.start").alias("window_start"), "event_type",
-                "n_events", "total_value")
+                F.col("event_type").alias("g1"),
+                F.lit(None).cast("bigint").alias("b"),
+                F.col("w.start").alias("ts"), "n", "total")
     )
     sliding = (
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             _dsum(F.col("value"), scale="18,2").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             _dsum(F.col("value"), scale="18,2").alias("total"))
         .select(F.lit("sliding").alias("kind"),
-                F.col("w.start").alias("window_start"),
-                F.lit(None).cast("string").alias("event_type"),
-                "n_events", "total_value")
+                F.lit(None).cast("string").alias("g1"),
+                F.lit(None).cast("bigint").alias("b"),
+                F.col("w.start").alias("ts"), "n", "total")
     )
-    return tumbling.unionByName(sliding)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    js = (
+        e.groupBy("event_type", (k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("json").alias("kind"),
+                F.col("event_type").alias("g1"),
+                F.col("k_bucket").alias("b"),
+                F.lit(None).cast("timestamp").alias("ts"),
+                "n", F.lit(None).cast("double").alias("total"))
+    )
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    mo = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"),
+                  "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _dsum(F.col("o_totalprice"), scale="18,2").alias("total"))
+        .select(F.lit("monthly").alias("kind"),
+                F.col("o_orderpriority").alias("g1"),
+                F.lit(None).cast("bigint").alias("b"),
+                F.col("month").alias("ts"), "n", "total")
+    )
+    return tumbling.unionByName(sliding).unionByName(js).unionByName(mo)
 
 
 # ---------------------------------------------------------------------------
@@ -180,64 +228,9 @@ def q20_sessionization(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q21 — JSON property extraction (scalar-function family; the reference's
-# JSON surface is serialization-only, S3/K7 — here it's a data-plane op).
+# (q21_events_shapes merged into q18_event_windows's 'json'/'monthly'
+# legs, round 11 — slot reused by q83_multimodal_codecs; COVERAGE.md map)
 # ---------------------------------------------------------------------------
-
-@register("q21_events_shapes", oracle="""
-WITH js AS (
-  SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-         COUNT(*) AS n
-  FROM events
-  GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
-), mo AS (
-  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-         o_orderpriority,
-         COUNT(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-  FROM orders
-  GROUP BY date_trunc('month', o_orderdate), o_orderpriority
-)
-SELECT 'json' AS kind, event_type AS g1, k_bucket AS b,
-       CAST(NULL AS TIMESTAMP) AS month, n,
-       CAST(NULL AS DOUBLE) AS total
-FROM js
-UNION ALL
-SELECT 'monthly' AS kind, o_orderpriority AS g1, CAST(NULL AS BIGINT) AS b,
-       month, n_orders AS n, total_price AS total
-FROM mo
-""")
-def q21_events_shapes(spark, sf_dir):
-    """Tagged union (round-6 consolidation #5, COVERAGE.md map): 'json'
-    — JSON property extraction + bucket count over events (scalar JSON
-    family; the reference's JSON surface is serialization-only, S3/K7 —
-    here it's a data-plane op); 'monthly' — calendar rollup on the
-    orders fact (date-functions family F14)."""
-    e = events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    js = (
-        e.groupBy("event_type", (k % 10).alias("k_bucket"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("json").alias("kind"),
-                F.col("event_type").alias("g1"),
-                F.col("k_bucket").alias("b"),
-                F.lit(None).cast("timestamp").alias("month"),
-                "n", F.lit(None).cast("double").alias("total"))
-    )
-    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    mo = (
-        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"),
-                  "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"),
-             _dsum(F.col("o_totalprice"), scale="18,2").alias("total_price"))
-        .select(F.lit("monthly").alias("kind"),
-                F.col("o_orderpriority").alias("g1"),
-                F.lit(None).cast("bigint").alias("b"),
-                "month", F.col("n_orders").alias("n"),
-                F.col("total_price").alias("total"))
-    )
-    return js.unionByName(mo)
 
 
 # ---------------------------------------------------------------------------
