@@ -1592,3 +1592,49 @@ def test_incremental_containment_probe_validation_and_auto(spark, tmp_path):
         [(1, _words("a", 10)), (2, _words("a", 10))],
         "doc_id long, text string"))
     assert out.count() == 2                        # both directions
+
+
+def test_sharded_containment_index(spark, tmp_path):
+    """ShardedContainmentIndex (round 11, the past-50M lever as code):
+    within-shard pairs found, cross-shard containment deliberately out
+    of scope, multi-shard batches route correctly, replay/persistence
+    rides the per-shard protocol, NULL shard values fail loudly."""
+    quote = _words("q", 12)
+    page = _words("pre", 10) + " " + quote + " " + _words("post", 10)
+    idx = dd.ShardedContainmentIndex(
+        spark, str(tmp_path / "scix"), shard_col="source",
+        n=4, threshold=0.9, buckets=4)
+
+    # batch 1 (multi-shard): page registers in shard A, an identical
+    # page in shard B — no pairs yet in either shard
+    out1 = idx.add_and_find(spark.createDataFrame(
+        [("A", 1, page), ("B", 2, page)],
+        "source string, doc_id long, text string")).collect()
+    assert out1 == []
+
+    # batch 2: the quote lands in shard A -> contained in shard A's
+    # stored page ONLY; shard B's identical page is out of scope
+    out2 = {(r["source"], r["doc_id"], r["partner_doc_id"])
+            for r in idx.add_and_find(spark.createDataFrame(
+                [("A", 3, quote)],
+                "source string, doc_id long, text string")).collect()}
+    assert out2 == {("A", 3, 1)}
+
+    # persistence across a reopened handle + per-shard stores on disk
+    idx2 = dd.ShardedContainmentIndex(
+        spark, str(tmp_path / "scix"), shard_col="source",
+        n=4, threshold=0.9, buckets=4)
+    out3 = {(r["source"], r["doc_id"], r["partner_doc_id"])
+            for r in idx2.add_and_find(spark.createDataFrame(
+                [("B", 4, quote)],
+                "source string, doc_id long, text string")).collect()}
+    assert out3 == {("B", 4, 2)}
+    assert idx2.shard("A").table.read().count() == 2
+    assert idx2.shard("B").table.read().count() == 2
+
+    # NULL shard value -> loud routing error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="NULL source"):
+        idx2.add_and_find(spark.createDataFrame(
+            [(None, 9, quote)],
+            "source string, doc_id long, text string"))

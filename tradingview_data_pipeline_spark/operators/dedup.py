@@ -19,6 +19,8 @@ across engines and runs — never engine-native ``hash()``.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1419,3 +1421,89 @@ class IncrementalContainmentIndex:
     def compact(self) -> None:
         """Maintenance: rewrite live buckets to one file each."""
         self.table.compact()
+
+
+class ShardedContainmentIndex:
+    """Per-shard containment indexing — the documented past-~50M lever
+    made code (round 11; ``IncrementalContainmentIndex`` docstring: the
+    per-trigger floor is the stored-gram columnar read, ~3.6 GB at 5M
+    docs, so past ~50M "shard the corpus (per-source indexes) or raise
+    the batch size"). One ``IncrementalContainmentIndex`` per shard
+    value under ``<path>/shard_<sanitized>-<md5_8>/``; a batch routes by
+    its ``shard_col`` and each trigger reads ONLY the shards the batch
+    touches — a single-source batch against an S-shard store reads 1/S
+    of the gram mass, so per-trigger cost tracks docs-per-touched-shard,
+    not total store size (measured: tools/containment_shard_bench.py,
+    SCALING addendum 30).
+
+    Semantics contract (deliberate, documented): containment pairs are
+    reported WITHIN a shard only. Sharding by source encodes the policy
+    that quote/subset duplication is a within-source-family phenomenon
+    (the same scoping CCNet applies to per-snapshot URL dedup); a doc
+    quoting a document of ANOTHER source is out of scope by
+    construction. Callers needing global scope keep the unsharded
+    index and pay its read floor.
+
+    Crash/replay: each shard rides the underlying index's idempotent
+    protocol unchanged; a replayed batch re-touches the same shards and
+    converges. New shard values create their store lazily on first
+    batch. NULL shard values are a routing bug and fail loudly.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, *,
+                 shard_col: str, **index_kwargs):
+        self.spark, self.path = spark, path
+        self.shard_col = shard_col
+        self._kw = index_kwargs
+        self._shards: dict[str, IncrementalContainmentIndex] = {}
+
+    def _shard_dir(self, value) -> str:
+        import hashlib
+        import re as _re
+        s = str(value)
+        safe = _re.sub(r"[^A-Za-z0-9._-]", "_", s)[:40]
+        h = hashlib.md5(s.encode()).hexdigest()[:8]
+        return os.path.join(self.path, f"shard_{safe}-{h}")
+
+    def shard(self, value) -> IncrementalContainmentIndex:
+        """The per-value index handle (lazily constructed)."""
+        key = str(value)
+        if key not in self._shards:
+            self._shards[key] = IncrementalContainmentIndex(
+                self.spark, self._shard_dir(value), **self._kw)
+        return self._shards[key]
+
+    def add_and_find(self, df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+        """Route a batch to its shards; return the union of per-shard
+        DIRECTED containment rows with the shard value prepended.
+        The distinct-shard collect is bounded by sources-per-batch
+        (crawl batches are typically single-source)."""
+        batch = df.select(self.shard_col, id_col, text_col) \
+                  .localCheckpoint(eager=True)      # one eval, S filters
+        vals = [r[0] for r in
+                batch.select(self.shard_col).distinct().collect()]
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"ShardedContainmentIndex: NULL {self.shard_col} in "
+                "batch — shard routing requires a non-null shard value")
+        outs = []
+        for v in sorted(vals, key=str):
+            sub = batch.where(F.col(self.shard_col) == F.lit(v)) \
+                       .drop(self.shard_col)
+            pairs = self.shard(v).add_and_find(sub, id_col, text_col)
+            outs.append(pairs.select(
+                F.lit(v).alias(self.shard_col), "*"))
+        if not outs:
+            return self.spark.createDataFrame(
+                [], f"{self.shard_col} string, doc_id long, "
+                    "partner_doc_id long, shared bigint, n_grams bigint, "
+                    "containment double")
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    def compact(self) -> None:
+        for idx in self._shards.values():
+            idx.compact()
