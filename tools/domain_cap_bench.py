@@ -53,15 +53,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     hot_rows = int(ROWS * HOT_SHARE)
-    # Deterministic skew: ids below hot_rows land on hot.example.com;
-    # the rest spread over N_TAIL_DOMAINS distinct under-cap domains.
+    # Deterministic skew: ids below hot_rows land on hot.com (one
+    # registrable domain — subdomains of a shared parent would all
+    # collapse to the parent's eTLD+1); the rest spread over
+    # N_TAIL_DOMAINS distinct under-cap registrable domains.
     dom = F.when(F.col("id") < hot_rows, F.lit("hot"))\
         .otherwise(F.concat(F.lit("t"), (F.col("id") % N_TAIL_DOMAINS)
                             .cast("string")))
     df = (spark.range(ROWS)
           .select(F.col("id"),
-                  F.concat(F.lit("https://"), dom,
-                           F.lit(".example.com/p/"),
+                  F.concat(F.lit("https://www."), dom,
+                           F.lit(".com/p/"),
                            F.col("id").cast("string")).alias("url"))
           .repartition(32)
           .localCheckpoint(eager=True))    # isolate input gen from timings
@@ -72,7 +74,7 @@ def main() -> None:
         t0 = time.time()
         res = ur.domain_cap(df, "id", "url", k=K, **kw)
         kept_hot, total_hot = (res
-            .where(F.col("cap_domain") == "hot.example.com")
+            .where(F.col("cap_domain") == "hot.com")
             .agg(F.sum(F.col("cap_keep").cast("long")),
                  F.count(F.lit(1))).collect()[0])
         wall = time.time() - t0
