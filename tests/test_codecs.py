@@ -126,3 +126,86 @@ def test_register_real_ppm_decoder_feature_pipeline(spark):
     assert (row["width"], row["height"]) == (32, 32)
     expected = codecs.thumb_feature(img)
     assert np.allclose(row["feature"], expected, atol=1e-6)
+
+
+# --- perceptual hashing (image near-dup) ------------------------------------
+
+def _ref_phash(arr, method, th, tw):
+    """Independent pure-python reference for the signature definition."""
+    h, w = arr.shape[:2]
+    g = [[int(arr[y][x][0]) + int(arr[y][x][1]) + int(arr[y][x][2])
+          for x in range(w)] for y in range(h)]
+    gr = [[g[y * h // th][x * w // tw] for x in range(tw)] for y in range(th)]
+    bits = []
+    if method == "ahash":
+        total = sum(sum(row) for row in gr)
+        n = th * tw
+        for y in range(th):
+            for x in range(tw):
+                bits.append(1 if gr[y][x] * n > total else 0)
+    else:
+        for y in range(th):
+            for x in range(tw - 1):
+                bits.append(1 if gr[y][x] < gr[y][x + 1] else 0)
+    val = 0
+    for b in bits:
+        val = (val << 1) | b
+    return val
+
+
+def _phash_media_df(spark, arrays):
+    rows = [(f"m{i}", codecs.encode_ppm(a)) for i, a in enumerate(arrays)]
+    return spark.createDataFrame(rows, "media_id string, payload binary")
+
+
+def test_image_hashes_match_python_reference(spark):
+    rng = np.random.RandomState(7)
+    arrays = [
+        gradient_image(40, 20),
+        gradient_image(9, 5),                        # upscale path (h < grid)
+        rng.randint(0, 256, (17, 31, 3)).astype(np.uint8),
+        np.full((8, 8, 3), 128, dtype=np.uint8),     # constant: all ties -> 0
+    ]
+    df = _phash_media_df(spark, arrays).repartition(3)
+    got_a = {r["media_id"]: r["phash"]
+             for r in multimodal.image_ahash(df).collect()}
+    got_d = {r["media_id"]: r["phash"]
+             for r in multimodal.image_dhash(df).collect()}
+    for i, a in enumerate(arrays):
+        assert got_a[f"m{i}"] == _ref_phash(a, "ahash", 6, 10), i
+        assert got_d[f"m{i}"] == _ref_phash(a, "dhash", 6, 11), i
+    assert got_a["m3"] == 0 and got_d["m3"] == 0     # strict >/< : ties off
+    # width/height report the SOURCE dims
+    row = multimodal.image_ahash(df).where("media_id = 'm1'").first()
+    assert (row["width"], row["height"]) == (9, 5)
+
+
+def test_image_hash_repartition_invariance(spark):
+    arrays = [gradient_image(30 + i, 14 + i) for i in range(6)]
+    df = _phash_media_df(spark, arrays)
+    one = sorted((r["media_id"], r["phash"])
+                 for r in multimodal.image_ahash(df.coalesce(1)).collect())
+    many = sorted((r["media_id"], r["phash"])
+                  for r in multimodal.image_ahash(df.repartition(7)).collect())
+    assert one == many
+
+
+def test_image_near_dups_banded_retrieval(spark):
+    base = gradient_image(48, 24)
+    near = base.copy()
+    near[3, 5] = near[3, 5] // 2        # small edit: few resized cells move
+    near[20, 40] = 255 - near[20, 40]
+    inverted = 255 - base               # structurally different image
+    df = _phash_media_df(spark, [base, near, inverted])
+    hashes = multimodal.image_ahash(df)
+    hmap = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    d_near = bin(hmap["m0"] ^ hmap["m1"]).count("1")
+    d_far = bin(hmap["m0"] ^ hmap["m2"]).count("1")
+    assert d_near <= 3 < d_far          # the planted geometry the test needs
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in multimodal.image_near_dups(hashes).collect()}
+    assert ("m0", "m1") in pairs and pairs[("m0", "m1")] == d_near
+    assert ("m0", "m2") not in pairs and ("m1", "m2") not in pairs
+    # recall-1.0 contract: the pair survives at exactly its distance
+    tight = multimodal.image_near_dups(hashes, max_hamming=max(d_near, 1))
+    assert ("m0", "m1") in {(r["doc_a"], r["doc_b"]) for r in tight.collect()}

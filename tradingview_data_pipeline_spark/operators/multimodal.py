@@ -188,3 +188,107 @@ def extract_audio_features(df: DataFrame, n_frames: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+# --- perceptual hashing: image near-duplicate detection ---------------------
+#
+# The LAION-style image-dedup step a training-data pipeline needs: a
+# compact perceptual signature per image (robust to re-encode / resize /
+# small edits, unlike content_sha1), then banded Hamming retrieval for
+# candidate pairs.  Extension surface (the reference has no media path).
+#
+# aHash (mean threshold) and dHash (horizontal gradient) over an integer
+# grayscale — every step is exact integer arithmetic (sum-of-channels
+# luma, integer-stride nearest resize, strict-> threshold with ties -> 0)
+# so signatures are bit-reproducible across machines, partitionings, and
+# engines (q83's 'phash' leg recomputes them in closed form in DuckDB).
+#
+# Scale: hashing is map-only (mapInPandas, zero shuffle); pairing reuses
+# the ≤60-bit pigeonhole band join from operators/dedup.py (recall
+# exactly 1.0 for hamming <= bands-1, linear under the per-band bucket
+# cap) — the same plan shape as the oracle-verified q29 simhash leg.
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def _phash_batches(method: str, th: int, tw: int):
+    """Shared decode -> grayscale -> resize -> threshold-bits loop.
+
+    Grayscale is the exact channel sum (0..765) — no division, so no
+    rounding mode to mirror.  ``resize_nearest`` uses floor index maps
+    (works as up- or downscale).  Bits pack row-major, first pixel most
+    significant; nbits <= 60 keeps the signature in non-negative bigint
+    range and inside the band join's contract.
+    """
+    from tradingview_data_pipeline_spark.operators import codecs
+    import numpy as np
+
+    nbits = th * tw if method == "ahash" else th * (tw - 1)
+    assert 0 < nbits <= 60, "grid must give 1..60 bits"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, ws, hs, vals = [], [], [], []
+            for mid, p in zip(b["media_id"], b["payload"]):
+                arr = codecs.decode_ppm(p)
+                h, w = arr.shape[:2]
+                g = arr.astype(np.int64).sum(axis=2)
+                gr = codecs.resize_nearest(g, tw, th)
+                if method == "ahash":
+                    bits = (gr * nbits > int(gr.sum())).reshape(-1)
+                else:                                   # dhash
+                    bits = (gr[:, :-1] < gr[:, 1:]).reshape(-1)
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                ids.append(mid); ws.append(w); hs.append(h); vals.append(val)
+            yield pd.DataFrame({"media_id": ids, "width": ws,
+                                "height": hs, "phash": vals})
+
+    return run
+
+
+def image_ahash(df: DataFrame, grid: tuple[int, int] = (6, 10)) -> DataFrame:
+    """Average-hash signatures for PPM payloads: bit(y, x) = 1 iff the
+    resized grayscale pixel strictly exceeds the grid mean
+    (``g * nbits > sum(g)`` — exact integers, ties -> 0).  Default
+    (6, 10) grid = 60 bits, matching ``simhash_candidate_pairs``'
+    default signature width."""
+    th, tw = grid
+    return df.select("media_id", "payload").mapInPandas(
+        _phash_batches("ahash", th, tw), PHASH_SCHEMA)
+
+
+def image_dhash(df: DataFrame, grid: tuple[int, int] = (6, 11)) -> DataFrame:
+    """Difference-hash signatures: bit(y, x) = 1 iff grayscale increases
+    left-to-right between horizontally adjacent resized pixels.  Default
+    (6, 11) grid = 6*10 = 60 bits."""
+    th, tw = grid
+    return df.select("media_id", "payload").mapInPandas(
+        _phash_batches("dhash", th, tw), PHASH_SCHEMA)
+
+
+def image_near_dups(hashes: DataFrame, *, id_col: str = "media_id",
+                    hash_col: str = "phash", bits: int = 60,
+                    bands: int = 4, max_hamming: int = 3,
+                    max_bucket: int | None = None) -> DataFrame:
+    """Candidate near-duplicate image pairs from perceptual-hash
+    signatures: distinct (doc_a < doc_b, hamming) with Hamming distance
+    <= ``max_hamming``, via the pigeonhole band join (recall exactly 1.0
+    while ``max_hamming <= bands - 1``).  Delegates to
+    ``dedup.simhash_candidate_pairs`` with precomputed signatures — one
+    banded plan shape for text and image near-dup."""
+    from tradingview_data_pipeline_spark.operators import dedup
+
+    if max_bucket is None:
+        max_bucket = dedup.LSH_MAX_BUCKET_DEFAULT
+    sigs = hashes.select(F.col(id_col),
+                         F.col(hash_col).cast("long").alias("simhash"))
+    return dedup.simhash_candidate_pairs(
+        hashes, id_col, text_col=id_col,   # unused: sigs provided
+        bits=bits, bands=bands, max_hamming=max_hamming,
+        max_bucket=max_bucket, sigs=sigs)

@@ -23,8 +23,18 @@ deterministically from ``doc_id`` with integer arithmetic:
   and the final float32 cast (AUDIO_FEATURES_SCHEMA) is IEEE-identical
   to DuckDB's CAST(... AS REAL). v1 carries n_samples from the decoder.
 
+- phash (round-11 third leg): `multimodal.image_ahash` over the SAME
+  encoded payloads — decode → integer grayscale (channel sum, 0..765)
+  → nearest-resize to the 6x10 grid (60 bits) → strict-mean threshold
+  → row-major MSB-first bigint. The 6x4 source upscales with floor
+  index maps rows ys=(y*4)//6, cols xs=(x*6)//10, so resized
+  g(y, x) = Σ_c (doc_id + 7*ys + 13*xs + 29*c) % 256 — the oracle
+  rebuilds the full 60-bit signature with integer SQL (v1) plus the
+  set-bit count (v2 = Σ bit ≡ Spark `bit_count`). Exact by
+  construction: no division anywhere on the image side.
+
 Everything stays Arrow-batched mapInPandas (no per-row UDFs); the
-media frame is built once and pinned for both modality legs (the q80
+media frame is built once and pinned for all modality legs (the q80
 substrate rule). Reference parity: the reference has no media path at
 all — this is training-data-extension surface (SURVEY §6 scope).
 """
@@ -91,6 +101,28 @@ wav AS (
                ((doc_id * 31 + 17 * i) % 4096) - 2048 AS s
         FROM ids CROSS JOIN range(64) AS ti(i))
   GROUP BY doc_id, f
+),
+gray AS (
+  SELECT doc_id, y, x,
+         CAST(SUM((doc_id + 7*((y*4)//6) + 13*((x*6)//10) + 29*c) % 256)
+              AS BIGINT) AS g
+  FROM ids
+  CROSS JOIN range(6) AS ty(y)
+  CROSS JOIN range(10) AS tx(x)
+  CROSS JOIN range(3) AS tc(c)
+  GROUP BY doc_id, y, x
+),
+ph AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN g * 60 > total
+                       THEN CAST(1 AS BIGINT) << (59 - (y*10 + x))
+                       ELSE 0 END) AS BIGINT) AS v1,
+         CAST(SUM(CASE WHEN g * 60 > total THEN 1 ELSE 0 END)
+              AS DOUBLE) AS v2
+  FROM (SELECT doc_id, y, x, g,
+               CAST(SUM(g) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+        FROM gray)
+  GROUP BY doc_id
 )
 SELECT 'img' AS kind, doc_id, c AS idx, v1,
        CAST(v1 AS DOUBLE) / 6.0 AS v2
@@ -100,6 +132,9 @@ SELECT 'wav' AS kind, doc_id, f AS idx, CAST(64 AS BIGINT) AS v1,
        CAST(CAST(sqrt(CAST(ss AS DOUBLE) / 8.0) / 32768.0 AS REAL)
             AS DOUBLE) AS v2
 FROM wav
+UNION ALL
+SELECT 'phash' AS kind, doc_id, CAST(0 AS BIGINT) AS idx, v1, v2
+FROM ph
 """)
 def q83_multimodal_codecs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -131,4 +166,12 @@ def q83_multimodal_codecs(spark, sf_dir):
     ).select("kind", "doc_id", F.col("idx").cast("bigint").alias("idx"),
              "v1", F.col("rms").cast("double").alias("v2"))
 
-    return img_leg.unionByName(wav_leg)
+    ah = mm.image_ahash(img_media, grid=(6, 10))
+    ph_leg = ah.select(
+        F.lit("phash").alias("kind"),
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        F.lit(0).cast("bigint").alias("idx"),
+        F.col("phash").alias("v1"),
+        F.bit_count("phash").cast("double").alias("v2"))
+
+    return img_leg.unionByName(wav_leg).unionByName(ph_leg)
