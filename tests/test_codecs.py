@@ -209,3 +209,41 @@ def test_image_near_dups_banded_retrieval(spark):
     # recall-1.0 contract: the pair survives at exactly its distance
     tight = multimodal.image_near_dups(hashes, max_hamming=max(d_near, 1))
     assert ("m0", "m1") in {(r["doc_a"], r["doc_b"]) for r in tight.collect()}
+
+
+def test_video_phash_and_clip_containment(spark):
+    rng = np.random.RandomState(11)
+    frames_a = [rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+                for _ in range(8)]
+    # b: a near-copy of a's frames (tiny edits) plus 2 unrelated frames
+    frames_b = [f.copy() for f in frames_a]
+    for f in frames_b:
+        f[3, 5] = f[3, 5] // 2
+    frames_b += [rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+                 for _ in range(2)]
+    frames_c = [rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+                for _ in range(6)]
+    rows = [(vid, [codecs.encode_ppm(f) for f in fr])
+            for vid, fr in (("va", frames_a), ("vb", frames_b),
+                            ("vc", frames_c))]
+    df = spark.createDataFrame(
+        rows, "media_id string, frames array<binary>").repartition(3)
+
+    vp = multimodal.video_phash(df)
+    got = {r["media_id"]: r for r in vp.collect()}
+    assert got["va"]["n_frames"] == 8 and got["vb"]["n_frames"] == 10
+    # frame hashes == per-image ahash of the same payloads
+    singles = multimodal.image_ahash(_phash_media_df(spark, frames_a))
+    expect = [r["phash"] for r in singles.orderBy("media_id").collect()]
+    assert list(got["va"]["frame_hashes"]) == expect
+
+    pairs = {(r["vid_a"], r["vid_b"]): r
+             for r in multimodal.video_near_dups(vp).collect()}
+    assert set(pairs) == {("va", "vb")}
+    p = pairs[("va", "vb")]
+    assert p["frac_a"] == 1.0                  # clip fully contained
+    assert abs(p["frac_b"] - 0.8) < 1e-12      # 8 of b's 10 frames match
+    # symmetric containment threshold: 1.0 >= 0.5 kept even though b
+    # alone is 0.8; raising past 1.0 drops everything
+    none = multimodal.video_near_dups(vp, min_shared_frac=1.01).collect()
+    assert none == []

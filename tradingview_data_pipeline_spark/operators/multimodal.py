@@ -215,8 +215,10 @@ PHASH_SCHEMA = T.StructType([
 ])
 
 
-def _phash_batches(method: str, th: int, tw: int):
-    """Shared decode -> grayscale -> resize -> threshold-bits loop.
+def _hash_one_image(payload: bytes, method: str, th: int, tw: int,
+                    nbits: int) -> tuple[int, int, int]:
+    """Decode -> grayscale -> resize -> threshold-bits for ONE payload;
+    returns (width, height, signature).
 
     Grayscale is the exact channel sum (0..765) — no division, so no
     rounding mode to mirror.  ``resize_nearest`` uses floor index maps
@@ -224,27 +226,38 @@ def _phash_batches(method: str, th: int, tw: int):
     significant; nbits <= 60 keeps the signature in non-negative bigint
     range and inside the band join's contract.
     """
-    from tradingview_data_pipeline_spark.operators import codecs
     import numpy as np
 
+    from tradingview_data_pipeline_spark.operators import codecs
+
+    arr = codecs.decode_ppm(payload)
+    h, w = arr.shape[:2]
+    g = arr.astype(np.int64).sum(axis=2)
+    gr = codecs.resize_nearest(g, tw, th)
+    if method == "ahash":
+        bits = (gr * nbits > int(gr.sum())).reshape(-1)
+    else:                                   # dhash
+        bits = (gr[:, :-1] < gr[:, 1:]).reshape(-1)
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return w, h, val
+
+
+def _phash_nbits(method: str, th: int, tw: int) -> int:
     nbits = th * tw if method == "ahash" else th * (tw - 1)
     assert 0 < nbits <= 60, "grid must give 1..60 bits"
+    return nbits
+
+
+def _phash_batches(method: str, th: int, tw: int):
+    nbits = _phash_nbits(method, th, tw)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids, ws, hs, vals = [], [], [], []
             for mid, p in zip(b["media_id"], b["payload"]):
-                arr = codecs.decode_ppm(p)
-                h, w = arr.shape[:2]
-                g = arr.astype(np.int64).sum(axis=2)
-                gr = codecs.resize_nearest(g, tw, th)
-                if method == "ahash":
-                    bits = (gr * nbits > int(gr.sum())).reshape(-1)
-                else:                                   # dhash
-                    bits = (gr[:, :-1] < gr[:, 1:]).reshape(-1)
-                val = 0
-                for bit in bits:
-                    val = (val << 1) | int(bit)
+                w, h, val = _hash_one_image(p, method, th, tw, nbits)
                 ids.append(mid); ws.append(w); hs.append(h); vals.append(val)
             yield pd.DataFrame({"media_id": ids, "width": ws,
                                 "height": hs, "phash": vals})
@@ -292,3 +305,102 @@ def image_near_dups(hashes: DataFrame, *, id_col: str = "media_id",
         hashes, id_col, text_col=id_col,   # unused: sigs provided
         bits=bits, bands=bands, max_hamming=max_hamming,
         max_bucket=max_bucket, sigs=sigs)
+
+# --- video near-dup via frame-level perceptual hashes -----------------------
+
+VIDEO_PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("frame_hashes", T.ArrayType(T.LongType())),
+])
+
+
+def video_phash(df: DataFrame, grid: tuple[int, int] = (6, 10),
+                method: str = "ahash",
+                frames_col: str = "frames") -> DataFrame:
+    """Per-frame perceptual hashes for videos stored as frame arrays
+    (``array<binary>`` of PPM payloads — the honest representation this
+    container can own: real decodes, no fake video demuxer).  Map-only
+    mapInPandas; one signature per frame, order preserved."""
+    th, tw = grid
+    nbits = _phash_nbits(method, th, tw)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, ns, hs = [], [], []
+            for mid, frames in zip(b["media_id"], b[frames_col]):
+                frames = list(frames) if frames is not None else []
+                vals = [_hash_one_image(p, method, th, tw, nbits)[2]
+                        for p in frames]
+                ids.append(mid); ns.append(len(vals)); hs.append(vals)
+            yield pd.DataFrame({"media_id": ids, "n_frames": ns,
+                                "frame_hashes": hs})
+
+    return df.select("media_id", F.col(frames_col).alias("frames")) \
+             .mapInPandas(run, VIDEO_PHASH_SCHEMA)
+
+
+def video_near_dups(vp: DataFrame, *, bits: int = 60, bands: int = 4,
+                    max_hamming: int = 3, min_shared_frac: float = 0.5,
+                    max_bucket: int | None = None) -> DataFrame:
+    """Near-duplicate / clip-containment detection between videos from
+    ``video_phash`` output: (vid_a < vid_b, frac_a, frac_b, n_matched)
+    where ``frac_a`` is the fraction of a's DISTINCT frame positions
+    whose hash is within ``max_hamming`` of some frame of b.
+
+    Asymmetric by design (Broder containment, the q72 semantics): a
+    short clip cut from a long video scores frac_clip = 1.0 while the
+    long side stays low — filter on GREATEST(frac_a, frac_b) >=
+    ``min_shared_frac``, which this function applies.
+
+    Scale shape: explode to (frame_id, hash) — map-side — then the SAME
+    pigeonhole band join as text SimHash on frame signatures (recall
+    1.0 for d <= bands-1, per-band bucket cap), then one aggregate on
+    the matched-pair stream keyed by the video pair.  No video-level
+    all-pairs anywhere; cost is bounded by frame-hash collisions, not
+    corpus size squared.
+    """
+    from tradingview_data_pipeline_spark.operators import dedup
+
+    if max_bucket is None:
+        max_bucket = dedup.LSH_MAX_BUCKET_DEFAULT
+    frames = vp.select(
+        "media_id", "n_frames",
+        F.posexplode("frame_hashes").alias("fidx", "fhash"))
+    # '#' cannot appear before it in media_id? Keep the split robust:
+    # encode position FIRST (fixed width) so the video id is recoverable
+    # whatever characters it contains.
+    fid = F.concat_ws("#", F.format_string("%09d", F.col("fidx")),
+                      F.col("media_id"))
+    sigs = frames.select(fid.alias("frame_id"),
+                         F.col("fhash").alias("simhash"))
+    pairs = dedup.simhash_candidate_pairs(
+        sigs, "frame_id", text_col="frame_id",   # unused: sigs provided
+        bits=bits, bands=bands, max_hamming=max_hamming,
+        max_bucket=max_bucket, sigs=sigs)
+    vid = lambda c: F.expr(f"substring({c}, 11)")          # noqa: E731
+    pos = lambda c: F.expr(f"substring({c}, 1, 9)")        # noqa: E731
+    cross = (pairs
+             .select(vid("doc_a").alias("va"), pos("doc_a").alias("pa"),
+                     vid("doc_b").alias("vb"), pos("doc_b").alias("pb"))
+             .where(F.col("va") != F.col("vb"))
+             .select(F.least("va", "vb").alias("vid_a"),
+                     F.greatest("va", "vb").alias("vid_b"),
+                     F.when(F.col("va") < F.col("vb"), F.col("pa"))
+                      .otherwise(F.col("pb")).alias("pos_a"),
+                     F.when(F.col("va") < F.col("vb"), F.col("pb"))
+                      .otherwise(F.col("pa")).alias("pos_b")))
+    matched = cross.groupBy("vid_a", "vid_b").agg(
+        F.countDistinct("pos_a").alias("m_a"),
+        F.countDistinct("pos_b").alias("m_b"),
+        F.count(F.lit(1)).alias("n_matched"))
+    counts = vp.select(F.col("media_id"), F.col("n_frames"))
+    out = (matched
+           .join(counts.withColumnRenamed("media_id", "vid_a")
+                 .withColumnRenamed("n_frames", "nf_a"), "vid_a")
+           .join(counts.withColumnRenamed("media_id", "vid_b")
+                 .withColumnRenamed("n_frames", "nf_b"), "vid_b")
+           .select("vid_a", "vid_b", "n_matched",
+                   (F.col("m_a") / F.col("nf_a")).alias("frac_a"),
+                   (F.col("m_b") / F.col("nf_b")).alias("frac_b")))
+    return out.where(F.greatest("frac_a", "frac_b") >= F.lit(min_shared_frac))
