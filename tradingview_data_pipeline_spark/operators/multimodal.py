@@ -360,10 +360,16 @@ def video_near_dups(vp: DataFrame, *, bits: int = 60, bands: int = 4,
     all-pairs anywhere; cost is bounded by frame-hash collisions, not
     corpus size squared.
     """
-    from tradingview_data_pipeline_spark.operators import dedup
+    from pyspark import StorageLevel
+
+    from tradingview_data_pipeline_spark.operators import dedup, pins
 
     if max_bucket is None:
         max_bucket = dedup.LSH_MAX_BUCKET_DEFAULT
+    # vp feeds three consumers (frame explode + both n_frames joins);
+    # unpinned, the per-frame DECODE pass would run three times — pin
+    # the hash table, not the payloads (NOTES-31/34 DISK_ONLY rule).
+    vp = pins.track(vp.persist(StorageLevel.DISK_ONLY))
     frames = vp.select(
         "media_id", "n_frames",
         F.posexplode("frame_hashes").alias("fidx", "fhash"))
