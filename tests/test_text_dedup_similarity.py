@@ -224,9 +224,9 @@ def test_incremental_index_stored_side_unshuffled(spark, tmp_path,
     plans = []
     real = DataFrame.localCheckpoint
 
-    def capturing(self, eager=True):
+    def capturing(self, eager=True, **kwargs):
         plans.append(self._jdf.queryExecution().executedPlan().toString())
-        return real(self, eager=eager)
+        return real(self, eager=eager, **kwargs)
 
     monkeypatch.setattr(DataFrame, "localCheckpoint", capturing)
     got = {(r["doc_a"], r["doc_b"]) for r in idx.add_and_find(
