@@ -42,20 +42,27 @@ def _synth(batches):
 
     from tradingview_data_pipeline_spark.operators import codecs
 
+    # Chunked yields: a 10k-row Arrow batch of 9 KB payloads is ~90 MB
+    # per in-flight task — 32 concurrent tasks blew the default heap at
+    # the 500k decade (GCLocker retry OOM). 512-row output frames bound
+    # the Arrow buffer per task; same addendum-28 class as row-group
+    # sizing for fat binary rows.
+    CHUNK = 512
     for b in batches:
-        ids, payloads = [], []
-        for i in b["id"]:
-            i = int(i)
-            base = i - 1 if i % 100 == 1 else i
-            rng = np.random.RandomState(base % (2**31))
-            arr = rng.randint(0, 256, (IMG_H, IMG_W, 3)).astype("uint8")
-            if base != i:  # near-copy: perturb a few pixels
-                arr = arr.copy()
-                arr[5, 7] = arr[5, 7] // 2
-                arr[40, 60] = 255 - arr[40, 60]
-            ids.append(f"m{i:09d}")
-            payloads.append(codecs.encode_ppm(arr))
-        yield pd.DataFrame({"media_id": ids, "payload": payloads})
+        all_ids = [int(i) for i in b["id"]]
+        for c0 in range(0, len(all_ids), CHUNK):
+            ids, payloads = [], []
+            for i in all_ids[c0:c0 + CHUNK]:
+                base = i - 1 if i % 100 == 1 else i
+                rng = np.random.RandomState(base % (2**31))
+                arr = rng.randint(0, 256, (IMG_H, IMG_W, 3)).astype("uint8")
+                if base != i:  # near-copy: perturb a few pixels
+                    arr = arr.copy()
+                    arr[5, 7] = arr[5, 7] // 2
+                    arr[40, 60] = 255 - arr[40, 60]
+                ids.append(f"m{i:09d}")
+                payloads.append(codecs.encode_ppm(arr))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
 
 def main() -> None:
@@ -64,14 +71,20 @@ def main() -> None:
     from tradingview_data_pipeline_spark.operators import multimodal as mm
     from tradingview_data_pipeline_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     out = "PHASH_SCALE_r11.jsonl"
-    if "--out" in sys.argv:
-        out = sys.argv[sys.argv.index("--out") + 1]
-    decades = [int(a) for a in args] or [50_000, 500_000]
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    decades = [int(a) for a in argv] or [50_000, 500_000]
 
     spark = get_spark("phash-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # fat binary rows: the default 10k-record Arrow batch is ~90 MB of
+    # payloads per in-flight task — bound the Python transfer the same
+    # way the synth side chunks its yields
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
     rows = []
     for n in decades:
         work = tempfile.mkdtemp(prefix="phash_bench_")
@@ -80,7 +93,9 @@ def main() -> None:
             t0 = time.perf_counter()
             (spark.range(n).repartition(32)
              .mapInPandas(_synth, "media_id string, payload binary")
-             .write.mode("overwrite").parquet(media_path))
+             .write.mode("overwrite")
+             .option("parquet.block.size", 32 * 1024 * 1024)
+             .parquet(media_path))
             synth_sec = round(time.perf_counter() - t0, 2)
 
             media = spark.read.parquet(media_path)
