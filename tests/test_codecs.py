@@ -247,3 +247,62 @@ def test_video_phash_and_clip_containment(spark):
     # alone is 0.8; raising past 1.0 drops everything
     none = multimodal.video_near_dups(vp, min_shared_frac=1.01).collect()
     assert none == []
+
+
+def _song(seed, n=16384, rate=8000):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / rate
+    x = np.zeros(n)
+    for f0, f1, amp in [(400, 900, 8000), (1200, 600, 6000),
+                        (2000, 2400, 4000)]:
+        f = f0 + (f1 - f0) * t / t[-1] + rng.uniform(-5, 5)
+        x += amp * np.sin(2 * np.pi * np.cumsum(f) / rate)
+    x += rng.normal(0, 200, n)
+    return np.clip(x, -32768, 32767).astype(np.int16)
+
+
+def test_audio_fingerprint_and_near_dups(spark):
+    rate = 8000
+    a = _song(1)
+    half = (a.astype(np.int32) // 2).astype(np.int16)   # volume-scaled copy
+    other = _song(2)
+    rows = [(mid, codecs.encode_wav(s, rate))
+            for mid, s in (("a", a), ("a_half", half), ("other", other))]
+    df = spark.createDataFrame(
+        rows, "media_id string, payload binary").repartition(3)
+
+    fps = multimodal.audio_fingerprint(df)
+    got = {r["media_id"]: r for r in fps.collect()}
+    assert got["a"]["n_frames"] == 126          # (16384-256)//128 + 1 - 1
+    assert all(0 <= v < 2**32 for v in got["a"]["subfps"])
+    # volume invariance: the two fingerprints agree on >90% of frames
+    same = sum(1 for x, y in zip(got["a"]["subfps"], got["a_half"]["subfps"])
+               if x == y)
+    assert same / 126 > 0.9
+
+    pairs = {(r["vid_a"], r["vid_b"]): r
+             for r in multimodal.audio_near_dups(fps).collect()}
+    assert set(pairs) == {("a", "a_half")}
+    assert pairs[("a", "a_half")]["frac_a"] > 0.9
+    # repartition invariance of the fingerprints themselves
+    again = {r["media_id"]: list(r["subfps"])
+             for r in multimodal.audio_fingerprint(df.coalesce(1)).collect()}
+    assert again["a"] == list(got["a"]["subfps"])
+
+
+def test_audio_near_dups_silence_bucket_guard(spark):
+    rate = 8000
+    silence = np.zeros(16384, dtype=np.int16)
+    rows = [(f"s{i}", codecs.encode_wav(silence, rate)) for i in range(4)]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    fps = multimodal.audio_fingerprint(df)
+    # every frame of every clip shares subfp 0 -> the degenerate bucket:
+    # with the cap it pairs nothing instead of quadratically matching
+    # all quiet clips
+    assert multimodal.audio_near_dups(fps, max_bucket=100).collect() == []
+    # short clips (< 2 frames) fingerprint to empty, never pair
+    tiny = spark.createDataFrame(
+        [("t", codecs.encode_wav(np.zeros(64, dtype=np.int16), rate))],
+        "media_id string, payload binary")
+    row = multimodal.audio_fingerprint(tiny).first()
+    assert row["n_frames"] == 0 and list(row["subfps"]) == []

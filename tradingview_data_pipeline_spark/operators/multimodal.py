@@ -410,3 +410,124 @@ def video_near_dups(vp: DataFrame, *, bits: int = 60, bands: int = 4,
                    (F.col("m_a") / F.col("nf_a")).alias("frac_a"),
                    (F.col("m_b") / F.col("nf_b")).alias("frac_b")))
     return out.where(F.greatest("frac_a", "frac_b") >= F.lit(min_shared_frac))
+
+# --- audio near-dup via spectral fingerprints (Haitsma-Kalker style) --------
+
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("subfps", T.ArrayType(T.LongType())),
+])
+
+
+def audio_fingerprint(df: DataFrame, *, frame_len: int = 256,
+                      hop: int = 128, n_bands: int = 33,
+                      f_min: float = 300.0,
+                      f_max: float = 3000.0) -> DataFrame:
+    """Per-frame spectral subfingerprints for WAV PCM payloads — the
+    Haitsma-Kalker (2002) construction: FFT magnitude per frame ->
+    log-spaced band energies -> one bit per band pair from the SIGN of
+    the time-and-band energy difference
+    ``(E[n,m] - E[n,m+1]) - (E[n-1,m] - E[n-1,m+1]) > 0``.
+
+    Signs are invariant to overall volume scaling (energies scale by
+    c^2 uniformly), which is the robustness the fingerprint is for.
+    Default 33 bands = 32 bits per frame, frame 0 has no predecessor so
+    fingerprints start at frame 1.  Map-only mapInPandas; FFTs are
+    numpy-vectorized over all frames of a clip at once.  Float FFT
+    means bits near a zero difference are machine-stable but not
+    oracle-expressible — evidence level is pytest, like the other
+    iterative/float families (NOTES: logreg, BPE pattern).
+    """
+    from tradingview_data_pipeline_spark.operators import codecs
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, ns, fps = [], [], []
+            for mid, p in zip(b["media_id"], b["payload"]):
+                samples, rate = codecs.decode_wav(p)
+                x = samples.astype(np.float64)
+                n_frames = max(0, (len(x) - frame_len) // hop + 1)
+                if n_frames < 2:
+                    ids.append(mid); ns.append(0); fps.append([])
+                    continue
+                idx = (np.arange(n_frames)[:, None] * hop
+                       + np.arange(frame_len)[None, :])
+                spec = np.abs(np.fft.rfft(x[idx], axis=1)) ** 2
+                hi = min(f_max, 0.45 * rate)
+                edges = f_min * (hi / f_min) ** (np.arange(n_bands + 1)
+                                                 / n_bands)
+                bins = np.clip((edges * frame_len / rate).astype(np.int64),
+                               1, spec.shape[1] - 1)
+                e = np.add.reduceat(spec, bins[:-1], axis=1)
+                # reduceat gives [bins[m], bins[m+1]) except the last
+                # slice runs to the end — trim it to the band edge
+                tail = spec[:, bins[-1]:].sum(axis=1)
+                e[:, -1] -= tail
+                d = e[:, :-1] - e[:, 1:]                  # band pairs
+                bits = (d[1:] - d[:-1]) > 0               # vs prev frame
+                weights = (1 << np.arange(n_bands - 1, dtype=np.int64)
+                           [::-1])
+                vals = (bits.astype(np.int64) * weights).sum(axis=1)
+                ids.append(mid); ns.append(len(vals))
+                fps.append([int(v) for v in vals])
+            yield pd.DataFrame({"media_id": ids, "n_frames": ns,
+                                "subfps": fps})
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dups(fps: DataFrame, *, min_shared_frac: float = 0.35,
+                    max_bucket: int | None = None) -> DataFrame:
+    """Near-duplicate audio pairs from ``audio_fingerprint`` output:
+    (vid_a < vid_b, n_matched, frac_a, frac_b) where frac is the
+    fraction of a clip's DISTINCT frame positions whose 32-bit
+    subfingerprint matches SOME frame of the other clip EXACTLY — the
+    H-K lookup-table method (robustness comes from needing only a
+    fraction of frames to survive bit flips, not from fuzzy matching).
+
+    Scale shape: explode -> equi-join on the subfingerprint value ->
+    one aggregate per clip pair.  ``max_bucket`` drops degenerate
+    subfingerprints first (all-silence frames hash to 0 and would
+    otherwise pair every quiet clip quadratically) — same guard and
+    default as the LSH/banding family.
+    """
+    from pyspark import StorageLevel
+
+    from tradingview_data_pipeline_spark.operators import dedup, pins
+
+    if max_bucket is None:
+        max_bucket = dedup.LSH_MAX_BUCKET_DEFAULT
+    fps = pins.track(fps.persist(StorageLevel.DISK_ONLY))
+    frames = fps.select(
+        "media_id",
+        F.posexplode("subfps").alias("fidx", "subfp"))
+    over = (frames.groupBy("subfp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+            .select("subfp"))
+    frames = frames.join(F.broadcast(over), "subfp", "left_anti")
+    a = frames.alias("a")
+    b = frames.alias("b")
+    cross = (a.join(b, (F.col("a.subfp") == F.col("b.subfp"))
+                    & (F.col("a.media_id") < F.col("b.media_id")))
+             .select(F.col("a.media_id").alias("vid_a"),
+                     F.col("a.fidx").alias("pos_a"),
+                     F.col("b.media_id").alias("vid_b"),
+                     F.col("b.fidx").alias("pos_b"))
+             .distinct())
+    matched = cross.groupBy("vid_a", "vid_b").agg(
+        F.countDistinct("pos_a").alias("m_a"),
+        F.countDistinct("pos_b").alias("m_b"),
+        F.count(F.lit(1)).alias("n_matched"))
+    counts = fps.select("media_id", "n_frames")
+    out = (matched
+           .join(counts.withColumnRenamed("media_id", "vid_a")
+                 .withColumnRenamed("n_frames", "nf_a"), "vid_a")
+           .join(counts.withColumnRenamed("media_id", "vid_b")
+                 .withColumnRenamed("n_frames", "nf_b"), "vid_b")
+           .select("vid_a", "vid_b", "n_matched",
+                   (F.col("m_a") / F.col("nf_a")).alias("frac_a"),
+                   (F.col("m_b") / F.col("nf_b")).alias("frac_b")))
+    return out.where(F.greatest("frac_a", "frac_b") >= F.lit(min_shared_frac))
