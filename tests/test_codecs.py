@@ -306,3 +306,38 @@ def test_audio_near_dups_silence_bucket_guard(spark):
         "media_id string, payload binary")
     row = multimodal.audio_fingerprint(tiny).first()
     assert row["n_frames"] == 0 and list(row["subfps"]) == []
+
+
+def test_media_dedup_exact_then_perceptual(spark):
+    base = gradient_image(48, 24)
+    near = base.copy()
+    near[3, 5] = near[3, 5] // 2
+    other = 255 - base
+    # viral must be structurally distinct from base: a same-size
+    # gradient would hash near-identical (the scale-invariance working)
+    viral = np.random.RandomState(3).randint(
+        0, 256, (30, 40, 3)).astype(np.uint8)
+    viral_near = viral.copy()
+    viral_near[7, 11] = viral_near[7, 11] // 3
+    rows = [("m01", base), ("m02", base), ("m03", base),   # exact copies
+            ("m04", near),                                 # perceptual dup
+            ("m05", other)]                                # unrelated
+    # a 'viral' image: 40 exact copies + 1 near-copy, bucket cap 5 —
+    # the exact stage must collapse them BEFORE banding or the cap
+    # would drop the whole family
+    rows += [(f"v{i:02d}", viral) for i in range(1, 41)]
+    rows += [("v41", viral_near)]
+    df = spark.createDataFrame(
+        [(mid, codecs.encode_ppm(a)) for mid, a in rows],
+        "media_id string, payload binary").repartition(5)
+
+    out = {r["media_id"]: r for r in
+           multimodal.media_dedup(df, max_bucket=5).collect()}
+    assert len(out) == len(rows)                    # every id keeps a row
+    m_cluster = {out[f"m{i:02d}"]["cluster_id"] for i in range(1, 5)}
+    assert m_cluster == {"m01"}                     # exact ∪ perceptual
+    assert out["m05"]["cluster_id"] == "m05"        # isolated: own cluster
+    v_cluster = {out[f"v{i:02d}"]["cluster_id"] for i in range(1, 42)}
+    assert v_cluster == {"v01"}                     # survived the cap
+    keepers = sorted(mid for mid, r in out.items() if r["keep"])
+    assert keepers == ["m01", "m05", "v01"]

@@ -531,3 +531,69 @@ def audio_near_dups(fps: DataFrame, *, min_shared_frac: float = 0.35,
                    (F.col("m_a") / F.col("nf_a")).alias("frac_a"),
                    (F.col("m_b") / F.col("nf_b")).alias("frac_b")))
     return out.where(F.greatest("frac_a", "frac_b") >= F.lit(min_shared_frac))
+
+# --- end-to-end media dedup (exact -> perceptual -> components -> keeper) ---
+
+
+def media_dedup(df: DataFrame, *, grid: tuple[int, int] = (6, 10),
+                method: str = "ahash", bands: int = 4,
+                max_hamming: int = 3,
+                max_bucket: int | None = None) -> DataFrame:
+    """Image-corpus deduplication pipeline (the run_corpus_prep shape
+    for media): (media_id, cluster_id, keep) with exactly one keeper —
+    the minimum media_id — per duplicate cluster.
+
+    Stage order matters at crawl scale:
+
+    1. **Exact first** (sha2-256 over payload bytes, one hash agg):
+       byte-identical copies collapse to their min-id representative
+       BEFORE any decode.  A viral image duplicated millions of times
+       would otherwise flood one perceptual-hash band bucket — the
+       bucket cap would drop it, exactly the failure mode the simhash
+       docstring warns about (catch exact dups with exact dedup, which
+       has no quadratic path).  Only representatives pay the decode.
+    2. **Perceptual near-dup on representatives** (``image_ahash`` /
+       ``image_dhash`` -> ``image_near_dups`` banded Hamming join).
+    3. **Connected components** over the pair set (tiny, pair-bounded)
+       -> cluster_id = min media_id in the component; sha-group members
+       inherit their representative's cluster, so the keeper is the
+       global min id across exact AND perceptual duplicates.
+
+    All ids keep their row; callers filter ``keep`` (the quality-gate
+    convention).  min-id on string ids is lexicographic — zero-pad ids
+    if numeric order matters.
+    """
+    from pyspark import StorageLevel
+
+    from tradingview_data_pipeline_spark.operators import dedup, pins
+
+    with_sha = df.select("media_id",
+                         F.sha2(F.col("payload"), 256).alias("__sha"),
+                         "payload")
+    groups = pins.track(
+        with_sha.groupBy("__sha").agg(
+            F.min("media_id").alias("rep_id"),
+            # payloads within a sha group are byte-identical — any
+            # member is THE representative payload
+            F.first("payload").alias("payload"))
+        .persist(StorageLevel.DISK_ONLY))
+
+    reps = groups.select(F.col("rep_id").alias("media_id"), "payload")
+    hasher = image_ahash if method == "ahash" else image_dhash
+    hashes = hasher(reps, grid=grid)
+    pairs = image_near_dups(hashes, bands=bands, max_hamming=max_hamming,
+                            max_bucket=max_bucket)
+    comp = dedup.connected_components(
+        pairs.select("doc_a", "doc_b"))           # (doc_id, cluster_id)
+
+    rep_cluster = (groups.select("__sha", "rep_id")
+                   .join(comp.withColumnRenamed("doc_id", "rep_id"),
+                         "rep_id", "left")
+                   .select("__sha",
+                           F.coalesce("cluster_id", "rep_id")
+                           .alias("cluster_id")))
+    return (with_sha.select("media_id", "__sha")
+            .join(rep_cluster, "__sha")
+            .select("media_id", "cluster_id",
+                    (F.col("media_id") == F.col("cluster_id"))
+                    .alias("keep")))
