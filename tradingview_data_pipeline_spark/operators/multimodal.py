@@ -11,11 +11,23 @@ RMS features), exercised end-to-end by ``resize_images`` and
 remain behind ``register_decoder`` with a deterministic fake until
 their libraries exist in this container.
 
+Round 11 adds the media DEDUP families on top of the codecs — image
+perceptual hashing (``image_ahash``/``image_dhash``/``image_near_dups``),
+video clip containment (``video_phash``/``video_near_dups``), audio
+spectral fingerprints (``audio_fingerprint``/``audio_near_dups``), and
+the exact-first pipeline composition (``media_dedup``).
+
 Layout guidance for 100 TB: store media as parquet/Lance-style binary
 columns partitioned by (modality, date) with the metadata struct in the
 same row group — filter/prune on metadata happens without touching bytes;
-the binary column is only deserialized inside the mapInPandas stage, and
-``spark.sql.files.maxPartitionBytes`` bounds per-task memory.
+the binary column is only deserialized inside the mapInPandas stage.
+Three measured sizing rules for fat binary rows (SCALING addenda 31-32):
+32 MB parquet row groups on media writes; Arrow batches bounded
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` ~1024 — the default
+10k-row batch of 9 KB payloads is ~90 MB per in-flight task and OOMs a
+default heap at 32-way concurrency); and for CPU-heavy per-byte stages,
+32 MB parquet SPLITS (``spark.sql.files.maxPartitionBytes``) so the
+scan produces enough tasks to fill the machine.
 """
 
 from __future__ import annotations
@@ -362,14 +374,18 @@ def video_near_dups(vp: DataFrame, *, bits: int = 60, bands: int = 4,
     """
     from pyspark import StorageLevel
 
-    from tradingview_data_pipeline_spark.operators import dedup, pins
+    from tradingview_data_pipeline_spark.operators import dedup
 
     if max_bucket is None:
         max_bucket = dedup.LSH_MAX_BUCKET_DEFAULT
-    # vp feeds three consumers (frame explode + both n_frames joins);
-    # unpinned, the per-frame DECODE pass would run three times — pin
-    # the hash table, not the payloads (NOTES-31/34 DISK_ONLY rule).
-    vp = pins.track(vp.persist(StorageLevel.DISK_ONLY))
+    # vp feeds three consumers (frame explode on BOTH band-join sides +
+    # the n_frames joins) that run in PARALLEL stages — a lazy persist
+    # races and the per-frame decode pass runs up to three times
+    # (measured 24.6 s vs 7 s single-pass at 40k frames). EAGER
+    # DISK_ONLY checkpoint = one evaluation, the merge._pin_batch
+    # pattern; not pins-tracked because checkpoint truncates lineage
+    # (an early release could not lazily recompute).
+    vp = vp.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     frames = vp.select(
         "media_id", "n_frames",
         F.posexplode("frame_hashes").alias("fidx", "fhash"))

@@ -234,27 +234,64 @@ def q20_sessionization(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q39 — conversion funnel: for each user, 'view' events followed by a
-# 'click' within 30 minutes (temporal range self-join — the
-# event-sequence op a training-data pipeline needs for behavioral
-# filtering). Plan: equi-join on user_id with the time bounds as a
-# post-join range filter; at scale both sides pre-bucketed by user_id.
+# q39 — user-behavior shapes, tagged union (round-11 registry merge #21:
+# q39 funnel + q57 cohort retention — they share the per-user event
+# scan; slot freed for q84_video_neardup).
+#   'funnel': per user, 'view' events followed by a 'click' within 30
+#     minutes (temporal range self-join; at scale both sides
+#     pre-bucketed by user_id).
+#   'retention': users grouped by first-activity week, distinct active
+#     users per week offset as columns w0..w5 (declared-value pivot —
+#     one aggregate, no values-discovery scan).
+# Shared schema (kind, g, key_ts, n1..n6): funnel rows carry
+# (user_id, first_conversion_ts, pairs, converting_views, NULLs);
+# retention rows carry (NULL, cohort_week, w0..w5).
 # ---------------------------------------------------------------------------
 
-@register("q39_event_funnel", oracle="""
-SELECT v.user_id,
-       COUNT(*) AS view_click_pairs,
-       COUNT(DISTINCT v.event_id) AS converting_views,
-       MIN(c.ts) AS first_conversion_ts
-FROM events v
-JOIN events c
-  ON c.user_id = v.user_id
- AND v.event_type = 'view' AND c.event_type = 'click'
- AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
-GROUP BY v.user_id
+_WEEK_OFFSETS = [0, 1, 2, 3, 4, 5]
+
+@register("q39_user_behavior", oracle=f"""
+WITH funnel AS (
+  SELECT v.user_id AS g,
+         MIN(c.ts) AS key_ts,
+         COUNT(*) AS n1,
+         COUNT(DISTINCT v.event_id) AS n2
+  FROM events v
+  JOIN events c
+    ON c.user_id = v.user_id
+   AND v.event_type = 'view' AND c.event_type = 'click'
+   AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+  GROUP BY v.user_id
+), firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+  FROM events
+), j AS (
+  SELECT f.cohort_week, a.user_id,
+         CAST(floor((epoch(a.act_week) - epoch(f.cohort_week)) / 604800.0)
+              AS BIGINT) AS week_offset
+  FROM act a JOIN firsts f USING (user_id)
+), retention AS (
+  SELECT cohort_week,
+         {", ".join(f"COUNT(DISTINCT user_id) FILTER (WHERE week_offset = {k}) AS w{k}"
+                    for k in _WEEK_OFFSETS)}
+  FROM j GROUP BY cohort_week
+)
+SELECT 'funnel' AS kind, g, key_ts, n1, n2,
+       CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+       CAST(NULL AS BIGINT) AS n5, CAST(NULL AS BIGINT) AS n6
+FROM funnel
+UNION ALL
+SELECT 'retention' AS kind, CAST(NULL AS BIGINT) AS g,
+       cohort_week AS key_ts, w0 AS n1, w1 AS n2, w2 AS n3,
+       w3 AS n4, w4 AS n5, w5 AS n6
+FROM retention
 """)
-def q39_event_funnel(spark, sf_dir):
+def q39_user_behavior(spark, sf_dir):
     e = events(spark, sf_dir)
+
     v = e.where(F.col("event_type") == "view") \
          .select(F.col("user_id"), F.col("event_id").alias("view_id"),
                  F.col("ts").alias("v_ts"))
@@ -263,7 +300,32 @@ def q39_event_funnel(spark, sf_dir):
     joined = v.join(c, "user_id").where(
         (F.col("c_ts") > F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")))
-    return (joined.groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("view_click_pairs"),
-                 F.countDistinct("view_id").alias("converting_views"),
-                 F.min("c_ts").alias("first_conversion_ts")))
+    nulls = [F.lit(None).cast("bigint").alias(f"n{k}") for k in range(3, 7)]
+    funnel = (joined.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n1"),
+                   F.countDistinct("view_id").alias("n2"),
+                   F.min("c_ts").alias("key_ts"))
+              .select(F.lit("funnel").alias("kind"),
+                      F.col("user_id").alias("g"), "key_ts",
+                      "n1", "n2", *nulls))
+
+    firsts = (e.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    act = e.select("user_id",
+                   F.date_trunc("week", F.col("ts")).alias("act_week")) \
+           .distinct()
+    off = F.floor(
+        (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week"))
+        / F.lit(604800.0)).cast("bigint")
+    long = act.join(firsts, "user_id").withColumn("week_offset", off)
+    wide = (long.groupBy("cohort_week")
+            .pivot("week_offset", _WEEK_OFFSETS)
+            .agg(F.countDistinct("user_id")))
+    retention = wide.select(
+        F.lit("retention").alias("kind"),
+        F.lit(None).cast("bigint").alias("g"),
+        F.col("cohort_week").alias("key_ts"),
+        *[F.coalesce(F.col(str(k)), F.lit(0)).alias(f"n{k + 1}")
+          for k in _WEEK_OFFSETS])
+
+    return funnel.unionByName(retention)

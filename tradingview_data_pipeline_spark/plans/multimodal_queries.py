@@ -175,3 +175,134 @@ def q83_multimodal_codecs(spark, sf_dir):
         F.bit_count("phash").cast("double").alias("v2"))
 
     return img_leg.unionByName(wav_leg).unionByName(ph_leg)
+
+
+# ---------------------------------------------------------------------------
+# q84 — video near-dup / clip containment, DRIVER-VERIFIED (round 11;
+# slot freed by registry merge #21, q39+q57). Exercises the FULL chain
+# multimodal.video_phash -> video_near_dups (per-frame aHash over real
+# PPM decodes -> banded-Hamming frame join -> per-pair distinct-position
+# containment fractions) against a DuckDB oracle that rebuilds every
+# frame signature in closed-form integer SQL and mirrors the pairing
+# with an exhaustive bit_count(xor) join — exact because the band join's
+# recall is 1.0 for hamming <= bands-1 = max_hamming = 3.
+#
+# Planted structure: doc pairs (2k, 2k+1) share frames 0..5 of 8 (same
+# content seed), own frames 6..7 — so every planted pair scores
+# frac = 6/8 exactly (dyadic: cross-engine identical doubles). Frame
+# pixels come from a two-round xorshift-multiply hash (NOT the affine
+# q83 formula: affine pixels make frames near-translates of each other
+# and 60-bit signatures collapse to ~80 distinct values with thousands
+# of accidental hamming<=3 cross-matches — measured before shipping;
+# the hash chain yields exactly the 250 planted pairs and zero extras).
+# Every step is integer (grayscale = channel sum, strict-> threshold),
+# and the second multiply operates on a value reduced mod 2^31 so the
+# BIGINT product cannot overflow DuckDB's signed arithmetic.
+# ---------------------------------------------------------------------------
+
+_V_FRAMES, _V_SHARED = 8, 6
+_M1, _M2 = 2654435761, 2246822519
+
+
+def _vpix_block(seed: int):
+    """(6, 10, 3) uint8 frame for one content seed — the xorshift-multiply
+    chain, vectorized; mirrored literally in q84's oracle SQL. 10x6
+    matches the (6, 10) aHash grid EXACTLY ON PURPOSE: an upscaled
+    smaller source duplicates grid columns, which collapses per-chunk
+    signature entropy and blows the band join up (measured: 6x4 source
+    -> 29M raw join pairs at 40k frames from ~9 effective bits/chunk;
+    1:1 grid -> ~7k pairs, max bucket 6)."""
+    y = np.arange(6, dtype=np.int64)[:, None, None]
+    x = np.arange(10, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    a = seed * 4096 + y * 1024 + x * 64 + c
+    h = (a * _M1) % 2**32
+    h = h ^ (h >> 15)
+    h = h % 2**31
+    h = (h * _M2) % 2**32
+    h = h ^ (h >> 13)
+    return ((h >> 8) % 256).astype(np.uint8)
+
+
+def _encode_videos(batches):
+    for b in batches:
+        ids, frames = [], []
+        for did in b["doc_id"]:
+            did = int(did)
+            base = did - did % 2
+            fr = []
+            for j in range(_V_FRAMES):
+                seed = base * 16 + j if j < _V_SHARED else did * 16 + j
+                fr.append(codecs.encode_ppm(_vpix_block(seed)))
+            ids.append(f"{did:09d}")
+            frames.append(fr)
+        yield pd.DataFrame({"media_id": ids, "frames": frames})
+
+
+@register("q84_video_neardup", oracle="""
+WITH fr AS (
+  SELECT doc_id, j,
+         CASE WHEN j < 6 THEN (doc_id - doc_id % 2) * 16 + j
+              ELSE doc_id * 16 + j END AS seed
+  FROM documents CROSS JOIN range(8) AS tj(j)
+),
+h1 AS (
+  SELECT doc_id, j, y, x, c,
+         ((seed*4096 + y*1024 + x*64 + c) * 2654435761)
+         % 4294967296 AS h
+  FROM fr
+  CROSS JOIN range(6) AS ty(y)
+  CROSS JOIN range(10) AS tx(x)
+  CROSS JOIN range(3) AS tc(c)
+),
+px AS (
+  SELECT doc_id, j, y, x,
+         (xor(h3, h3 >> 13) >> 8) % 256 AS p
+  FROM (SELECT doc_id, j, y, x,
+               ((xor(h, h >> 15) % 2147483648) * 2246822519)
+               % 4294967296 AS h3
+        FROM h1)
+),
+gray AS (
+  SELECT doc_id, j, y, x, CAST(SUM(p) AS BIGINT) AS g
+  FROM px GROUP BY doc_id, j, y, x
+),
+sig AS (
+  SELECT doc_id, j,
+         CAST(SUM(CASE WHEN g * 60 > total
+                       THEN CAST(1 AS BIGINT) << (59 - (y*10 + x))
+                       ELSE 0 END) AS BIGINT) AS s
+  FROM (SELECT doc_id, j, y, x, g,
+               CAST(SUM(g) OVER (PARTITION BY doc_id, j) AS BIGINT) AS total
+        FROM gray)
+  GROUP BY doc_id, j
+),
+m AS (
+  SELECT a.doc_id AS da, a.j AS ja, b.doc_id AS db, b.j AS jb
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND bit_count(xor(a.s, b.s)) <= 3
+),
+agg AS (
+  SELECT da, db, COUNT(*) AS n_matched,
+         COUNT(DISTINCT ja) AS ma, COUNT(DISTINCT jb) AS mb
+  FROM m GROUP BY da, db
+)
+SELECT da AS doc_a, db AS doc_b, CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(ma AS DOUBLE) / 8.0 AS frac_a,
+       CAST(mb AS DOUBLE) / 8.0 AS frac_b
+FROM agg
+WHERE GREATEST(ma, mb) >= 4
+""")
+def q84_video_neardup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    videos = d.mapInPandas(_encode_videos,
+                           "media_id string, frames array<binary>")
+    vp = mm.video_phash(videos)                       # grid (6,10), 60 bits
+    out = mm.video_near_dups(vp, max_hamming=3, min_shared_frac=0.5)
+    return out.select(
+        F.col("vid_a").cast("bigint").alias("doc_a"),
+        F.col("vid_b").cast("bigint").alias("doc_b"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        F.col("frac_a").cast("double").alias("frac_a"),
+        F.col("frac_b").cast("double").alias("frac_b"))

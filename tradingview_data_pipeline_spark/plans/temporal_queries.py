@@ -171,52 +171,6 @@ def _q50_interval_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q57 — cohort retention, pivoted wide: users grouped by first-activity
-# week, distinct active users per week offset AS COLUMNS (the retention
-# matrix analysts actually read).  Two hash aggregates + one join on
-# user_id; week offsets are exact integer arithmetic on week-truncated
-# epochs; the pivot uses a DECLARED value list (one aggregate, no
-# second values-discovery scan — the only pivot form that is sane on
-# 100 TB).  Consolidates the former q57 (long-form retention) and q58
-# (pivot operator demo); the oracle is the equivalent conditional
-# aggregation.
+# (q57_cohort_retention merged into q39_user_behavior's 'retention' leg,
+# round 11 — slot reused by q84_video_neardup; COVERAGE.md merge #21)
 # ---------------------------------------------------------------------------
-
-_WEEK_OFFSETS = [0, 1, 2, 3, 4, 5]
-
-@register("q57_cohort_retention", oracle=f"""
-WITH firsts AS (
-  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
-  FROM events GROUP BY user_id
-), act AS (
-  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
-  FROM events
-), j AS (
-  SELECT f.cohort_week, a.user_id,
-         CAST(floor((epoch(a.act_week) - epoch(f.cohort_week)) / 604800.0)
-              AS BIGINT) AS week_offset
-  FROM act a JOIN firsts f USING (user_id)
-)
-SELECT cohort_week,
-       {", ".join(f"COUNT(DISTINCT user_id) FILTER (WHERE week_offset = {k}) AS w{k}"
-                  for k in _WEEK_OFFSETS)}
-FROM j GROUP BY cohort_week
-""")
-def q57_cohort_retention(spark, sf_dir):
-    e = events(spark, sf_dir)
-    firsts = (e.groupBy("user_id")
-              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
-    act = e.select("user_id",
-                   F.date_trunc("week", F.col("ts")).alias("act_week")) \
-           .distinct()
-    off = F.floor(
-        (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week"))
-        / F.lit(604800.0)).cast("bigint")
-    long = act.join(firsts, "user_id").withColumn("week_offset", off)
-    wide = (long.groupBy("cohort_week")
-            .pivot("week_offset", _WEEK_OFFSETS)
-            .agg(F.countDistinct("user_id")))
-    return wide.select(
-        "cohort_week",
-        *[F.coalesce(F.col(str(k)), F.lit(0)).alias(f"w{k}")
-          for k in _WEEK_OFFSETS])
