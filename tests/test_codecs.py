@@ -341,3 +341,38 @@ def test_media_dedup_exact_then_perceptual(spark):
     assert v_cluster == {"v01"}                     # survived the cap
     keepers = sorted(mid for mid, r in out.items() if r["keep"])
     assert keepers == ["m01", "m05", "v01"]
+
+
+def test_audio_ber_matching_noise_and_shift(spark):
+    rate = 8000
+    a = _song(21)
+    rng = np.random.RandomState(5)
+    # additive FRESH noise at half volume — the exact-join matcher's
+    # documented blind spot (addendum 32)
+    noisy = np.clip(0.5 * a.astype(np.float64)
+                    + rng.normal(0, 50, len(a)),
+                    -32768, 32767).astype(np.int16)
+    # time-shifted clip: the tail of a, cut at a frame boundary
+    shifted = a[128 * 40:]
+    other = _song(22)
+    rows = [(mid, codecs.encode_wav(s, rate))
+            for mid, s in (("a", a), ("noisy", noisy),
+                           ("shift", shifted), ("other", other))]
+    df = spark.createDataFrame(
+        rows, "media_id string, payload binary").repartition(2)
+    fps = multimodal.audio_fingerprint(df)
+
+    # exact-join matcher misses the noisy copy entirely...
+    exact_pairs = {(r["vid_a"], r["vid_b"])
+                   for r in multimodal.audio_near_dups(fps).collect()}
+    assert ("a", "noisy") not in exact_pairs
+    # ...block-BER finds it, plus the shifted clip at its exact offset
+    got = {(r["vid_a"], r["vid_b"]): r
+           for r in multimodal.audio_near_dups_ber(fps).collect()}
+    assert ("a", "noisy") in got
+    p = got[("a", "noisy")]
+    assert p["offset"] == 0 and p["ber"] < 0.3
+    assert ("a", "shift") in got
+    s = got[("a", "shift")]
+    assert s["offset"] == -40 and s["ber"] == 0.0   # bit-identical overlap
+    assert not any("other" in k for k in got)       # unrelated stays out

@@ -613,3 +613,104 @@ def media_dedup(df: DataFrame, *, grid: tuple[int, int] = (6, 10),
             .select("media_id", "cluster_id",
                     (F.col("media_id") == F.col("cluster_id"))
                     .alias("keep")))
+
+def audio_near_dups_ber(fps: DataFrame, *, max_ber: float = 0.35,
+                        min_overlap: int = 8,
+                        best_per_pair: bool = True,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Block-BER audio matching — the FULL Haitsma-Kalker search, closing
+    the boundary ``audio_near_dups`` documents (SCALING addendum 32):
+    additive fresh noise flips ~6/32 bits per frame, so exact-join
+    matching finds nothing, but the bit-error-rate over an ALIGNED run
+    of frames stays far below 0.5.
+
+    Three stages, all corpus-linear:
+
+    1. **Anchor probing** (H-K's lookup strategy distributed): each
+       frame probes its subfingerprint plus all 32 one-bit flips
+       against the stored exact table — an anchor exists wherever two
+       clips share a frame within Hamming <= 1.  33x row amplification
+       on the probe side, plain equi-join, no fuzzy bucketing (byte
+       chunks of 32-bit words have 256-bucket entropy and go quadratic
+       at corpus scale — measured class, q84 docstring).
+    2. **Alignment candidates**: anchors dedup to distinct
+       (vid_a, vid_b, offset) — offset = pos_b − pos_a, so a clip cut
+       from a longer recording at ANY frame offset aligns (exact-join
+       matching also lacked this).
+    3. **BER verify**: one JVM-side ``aggregate`` over the aligned
+       overlap (arrays fetched from the pinned fingerprint table —
+       no per-frame shuffle), accept if mean ``bit_count(xor)``/32
+       <= ``max_ber`` over >= ``min_overlap`` frames.
+
+    Recall is bounded by anchor existence: P(a frame survives with
+    <= 1 flip) at ~6-flip noise is ~2%, so a 126-frame clip anchors
+    with ~92% probability — the classic H-K trade, documented not
+    hidden.  Returns (vid_a, vid_b, offset, n_overlap, ber); with
+    ``best_per_pair`` only the lowest-BER alignment per pair survives.
+    ``max_bucket`` drops degenerate subfingerprints on BOTH join sides
+    (silence -> 0) before probing.
+    """
+    from pyspark import StorageLevel
+
+    from tradingview_data_pipeline_spark.operators import dedup
+
+    if max_bucket is None:
+        max_bucket = dedup.LSH_MAX_BUCKET_DEFAULT
+    fps = fps.localCheckpoint(eager=True,
+                              storageLevel=StorageLevel.DISK_ONLY)
+    frames = fps.select(
+        "media_id", F.posexplode("subfps").alias("fidx", "subfp"))
+    over = (frames.groupBy("subfp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+            .select("subfp"))
+    frames = frames.join(F.broadcast(over), "subfp", "left_anti")
+
+    probes = frames.select(
+        "media_id", "fidx",
+        F.explode(F.expr(
+            "concat(array(subfp), "
+            "transform(sequence(0, 31), b -> subfp ^ shiftleft(CAST(1 AS BIGINT), b)))"
+        )).alias("probe"))
+    anchors = (probes.alias("a")
+               .join(frames.alias("b"),
+                     (F.col("a.probe") == F.col("b.subfp"))
+                     & (F.col("a.media_id") < F.col("b.media_id")))
+               .select(F.col("a.media_id").alias("vid_a"),
+                       F.col("b.media_id").alias("vid_b"),
+                       (F.col("b.fidx") - F.col("a.fidx")).alias("offset"))
+               .distinct())
+
+    arrs = fps.select("media_id", "n_frames", "subfps")
+    cand = (anchors
+            .join(arrs.withColumnRenamed("media_id", "vid_a")
+                  .withColumnRenamed("n_frames", "nf_a")
+                  .withColumnRenamed("subfps", "fa"), "vid_a")
+            .join(arrs.withColumnRenamed("media_id", "vid_b")
+                  .withColumnRenamed("n_frames", "nf_b")
+                  .withColumnRenamed("subfps", "fb"), "vid_b"))
+    # aligned overlap: positions i of a with 0 <= i < nf_a and
+    # 0 <= i+offset < nf_b; element_at is 1-based
+    lo = F.greatest(F.lit(0), -F.col("offset"))
+    hi = F.least(F.col("nf_a") - 1, F.col("nf_b") - 1 - F.col("offset"))
+    n_overlap = (hi - lo + 1)
+    ber_sum = F.expr(
+        "aggregate(sequence(__lo, __hi), CAST(0 AS BIGINT), (acc, i) -> "
+        "acc + bit_count(element_at(fa, i + 1) ^ "
+        "element_at(fb, i + 1 + offset)))")
+    scored = (cand
+              .withColumn("__lo", lo).withColumn("__hi", hi)
+              .where(n_overlap >= F.lit(min_overlap))
+              .withColumn("n_overlap", n_overlap)
+              .withColumn("ber", ber_sum
+                          / (F.lit(32.0) * F.col("n_overlap")))
+              .where(F.col("ber") <= F.lit(max_ber))
+              .select("vid_a", "vid_b", "offset", "n_overlap", "ber"))
+    if best_per_pair:
+        scored = (scored.groupBy("vid_a", "vid_b")
+                  .agg(F.min_by(
+                      F.struct("offset", "n_overlap", "ber"),
+                      F.struct("ber", "offset")).alias("__best"))
+                  .select("vid_a", "vid_b", "__best.offset",
+                          "__best.n_overlap", "__best.ber"))
+    return scored
