@@ -38,6 +38,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_SAMPLES, RATE = 16384, 8000
+NOISY = False   # --noisy: copies get FRESH additive noise (the
+                # out-of-contract workload for the exact matcher; the
+                # BER matcher's positive case — addendum 32 closure)
 
 
 def _synth(batches):
@@ -68,6 +71,9 @@ def _synth(batches):
                 x = song(base)
                 if base != i:   # half-volume re-quantized near-copy
                     x = 0.5 * x
+                    if NOISY:   # plus fresh noise: exact-match killer
+                        rng2 = np.random.RandomState((i + 7) % (2**31))
+                        x = x + rng2.normal(0, 50, N_SAMPLES)
                 s = np.clip(x, -32768, 32767).astype(np.int16)
                 ids.append(f"c{i:09d}")
                 payloads.append(codecs.encode_wav(s, RATE))
@@ -81,7 +87,11 @@ def main() -> None:
     from tradingview_data_pipeline_spark.operators import pins
     from tradingview_data_pipeline_spark.session import get_spark
 
+    global NOISY
     argv = sys.argv[1:]
+    if "--noisy" in argv:
+        NOISY = True
+        argv.remove("--noisy")
     out = "AUDIO_FP_SCALE_r11.jsonl"
     if "--out" in argv:
         i = argv.index("--out")
@@ -129,16 +139,38 @@ def main() -> None:
             pair_sec = round(time.perf_counter() - t0, 2)
             pins.release_all()
 
+            ber_row = None
+            if NOISY:
+                t0 = time.perf_counter()
+                bp = mm.audio_near_dups_ber(fps)
+                ber_pairs = bp.count()
+                ber_found = (
+                    bp.where(
+                        F.expr("CAST(substring(vid_b, 2) AS BIGINT) = "
+                               "CAST(substring(vid_a, 2) AS BIGINT) + 1")
+                        & (F.expr("CAST(substring(vid_b, 2) AS BIGINT)")
+                           % 100 == 1)
+                    ).count())
+                ber_sec = round(time.perf_counter() - t0, 2)
+                ber_row = {"variant": "ber_pairs", "clips": n,
+                           "sec": ber_sec, "n_pairs": ber_pairs,
+                           "planted_found": ber_found, "noisy": True}
+
             planted = sum(1 for i in range(n) if i % 100 == 1)
             for variant, sec in (("synth+write", synth_sec),
                                  ("fingerprint", fp_sec),
                                  ("pairs", pair_sec)):
-                row = {"variant": variant, "clips": n, "sec": sec}
+                row = {"variant": variant, "clips": n, "sec": sec,
+                       **({"noisy": True} if NOISY else {})}
                 if variant == "pairs":
                     row.update(n_pairs=n_pairs, planted=planted,
                                planted_found=planted_found)
                 rows.append(row)
                 print(json.dumps(row), flush=True)
+            if ber_row is not None:
+                ber_row["planted"] = planted
+                rows.append(ber_row)
+                print(json.dumps(ber_row), flush=True)
         finally:
             shutil.rmtree(work, ignore_errors=True)
 

@@ -615,7 +615,7 @@ def media_dedup(df: DataFrame, *, grid: tuple[int, int] = (6, 10),
                     .alias("keep")))
 
 def audio_near_dups_ber(fps: DataFrame, *, max_ber: float = 0.35,
-                        min_overlap: int = 8,
+                        min_overlap: int = 32,
                         best_per_pair: bool = True,
                         max_bucket: int | None = None) -> DataFrame:
     """Block-BER audio matching — the FULL Haitsma-Kalker search, closing
@@ -645,7 +645,13 @@ def audio_near_dups_ber(fps: DataFrame, *, max_ber: float = 0.35,
     Recall is bounded by anchor existence: P(a frame survives with
     <= 1 flip) at ~6-flip noise is ~2%, so a 126-frame clip anchors
     with ~92% probability — the classic H-K trade, documented not
-    hidden.  Returns (vid_a, vid_b, offset, n_overlap, ber); with
+    hidden.  ``min_overlap`` is the other dial: short chance
+    alignments between structurally-similar clips can sit just under
+    ``max_ber`` (measured: overlap-8..19 edge alignments at BER
+    0.30-0.35 between unrelated swept-tone clips; zero at overlap 32
+    — H-K's own 256-frame blocks make the same trade), so the default
+    requires 32 aligned frames (~0.5 s) and bounds the shortest
+    detectable clip.  Returns (vid_a, vid_b, offset, n_overlap, ber); with
     ``best_per_pair`` only the lowest-BER alignment per pair survives.
     ``max_bucket`` drops degenerate subfingerprints on BOTH join sides
     (silence -> 0) before probing.
