@@ -173,6 +173,7 @@ def main():
         # block-manager spill (pins are performance artifacts; results
         # stay correct if one is ever released early)
         pins.release_all()
+        pins.release_checkpoints()   # media-substrate checkpoint blocks
 
     try:
         _bench_pipelines(spark, timings)

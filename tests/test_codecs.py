@@ -376,3 +376,108 @@ def test_audio_ber_matching_noise_and_shift(spark):
     s = got[("a", "shift")]
     assert s["offset"] == -40 and s["ber"] == 0.0   # bit-identical overlap
     assert not any("other" in k for k in got)       # unrelated stays out
+
+
+# --- round-12 hardening (r11 verdict task 2 + advisor catches) -------------
+
+def test_media_dedup_single_sha_substrate(spark):
+    """The r11 weak flag: payload must be hashed ONCE — every sha2 in
+    the executed plan sits inside a cached-relation scan of the pinned
+    (media_id, __sha) substrate, never recomputed over the corpus."""
+    from tradingview_data_pipeline_spark.operators import pins
+
+    base = np.random.RandomState(3).randint(
+        0, 256, (20, 30, 3)).astype(np.uint8)
+    rows = [("m1", base), ("m2", base), ("m3", 255 - base)]
+    df = spark.createDataFrame(
+        [(m, codecs.encode_ppm(a)) for m, a in rows],
+        "media_id string, payload binary")
+    out = multimodal.media_dedup(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # each sha2 occurrence is the cached plan printed under an
+    # InMemoryTableScan — zero sha2 outside the pin means zero
+    # recomputation; and payload feeds no aggregation exchange
+    assert plan.count("sha2") == plan.count("InMemoryTableScan") > 0
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got["m2"]["cluster_id"] == "m1" and not got["m2"]["keep"]
+    assert got["m3"]["keep"]
+    pins.release_all()
+
+
+def test_checkpoint_registry_releases_blocks(spark):
+    """pins.checkpoint tracks localCheckpoint blocks for deterministic
+    release at query boundaries (r11 advisor catch: untracked media
+    checkpoints accumulated disk blocks until context GC)."""
+    from tradingview_data_pipeline_spark.operators import pins
+
+    sc = spark.sparkContext
+    pins.release_checkpoints()          # clean slate
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    ck = pins.checkpoint(spark.range(10000).selectExpr("id", "id * 2 AS v"))
+    assert ck.count() == 10000
+    after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    assert len(after - before) == 1     # exactly the checkpoint's blocks
+    assert pins.release_checkpoints() == 1
+    now = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    assert now - before == set()
+    assert pins.release_checkpoints() == 0   # idempotent
+
+
+def test_audio_fingerprint_band_collapse_guard(spark):
+    """44.1 kHz at frame_len=256 cannot hold 34 distinct band edges:
+    explicit frame_len fails loudly; frame_len=None auto-scales."""
+    rate = 44100
+    rng = np.random.RandomState(7)
+    samples = rng.randint(-8000, 8000, 4 * 4096).astype(np.int16)
+    df = spark.createDataFrame(
+        [("hi", codecs.encode_wav(samples, rate))],
+        "media_id string, payload binary")
+    with pytest.raises(Exception, match="band edges collapse"):
+        multimodal.audio_fingerprint(df).collect()
+    row = multimodal.audio_fingerprint(df, frame_len=None, hop=None).first()
+    assert row["n_frames"] > 0
+    assert all(0 <= v < 2 ** 32 for v in row["subfps"])
+    # auto resolution is deterministic in the clip alone: same result
+    # at a different partitioning
+    again = multimodal.audio_fingerprint(
+        df.repartition(3), frame_len=None, hop=None).first()
+    assert list(again["subfps"]) == list(row["subfps"])
+
+
+def test_image_near_dups_bits_follow_grid(spark):
+    """A non-default grid must drive the band width (r11 advisor catch:
+    bits=60 over 40-bit signatures gives every signature an all-zero
+    top chunk that the bucket cap then drops wholesale)."""
+    base = gradient_image(40, 20)
+    near = base.copy()
+    near[3, 5] = near[3, 5] // 2
+    far = 255 - base
+    df = spark.createDataFrame(
+        [(m, codecs.encode_ppm(a))
+         for m, a in (("m0", base), ("m1", near), ("m2", far))],
+        "media_id string, payload binary")
+    hashes = multimodal.image_ahash(df, grid=(4, 10))       # 40 bits
+    pairs = multimodal.image_near_dups(hashes, grid=(4, 10), max_bucket=2)
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs.collect()} == {
+        ("m0", "m1")}
+    with pytest.raises(ValueError, match="contradicts"):
+        multimodal.image_near_dups(hashes, grid=(4, 10), bits=60)
+
+
+def test_audio_ber_nbits_parameterized(spark):
+    """Non-default band counts flow through the BER matcher (r11
+    advisor catch: hardcoded 32 mis-scored 16-bit fingerprints)."""
+    rate = 8000
+    a = _song(31)
+    shifted = a[128 * 24:]
+    rows = [(m, codecs.encode_wav(s, rate))
+            for m, s in (("a", a), ("shift", shifted))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    fps = multimodal.audio_fingerprint(df, n_bands=17)      # 16-bit subfps
+    assert all(0 <= v < 2 ** 16
+               for r in fps.collect() for v in r["subfps"])
+    got = {(r["vid_a"], r["vid_b"]): r
+           for r in multimodal.audio_near_dups_ber(fps, n_bits=16).collect()}
+    assert ("a", "shift") in got
+    s = got[("a", "shift")]
+    assert s["offset"] == -24 and s["ber"] == 0.0

@@ -89,6 +89,7 @@ def test_registry_oracle_types_match_spark_schemas(spark):
             sdf = fn(spark, sf_dir)
         finally:
             pins.release_all()
+            pins.release_checkpoints()
         rel = con.sql(sql)
         probs = type_lint(sdf.dtypes, rel.columns, rel.types)
         if probs:

@@ -114,6 +114,7 @@ def main() -> None:
             # the timed block) — see operators/pins.py
             from tradingview_data_pipeline_spark.operators import pins
             pins.release_all()
+            pins.release_checkpoints()
         rec = {"sf_dir": sf_dir, "calibration_sec": calibration,
                "total_sec": round(sum(timings.values()), 3),
                "queries": timings, "rows": rows,

@@ -197,6 +197,7 @@ def types_only(sf_dir, only):
         finally:
             from tradingview_data_pipeline_spark.operators import pins
             pins.release_all()
+            pins.release_checkpoints()
         try:
             rel = con.sql(oracles[name])
         except Exception as e:
@@ -253,6 +254,7 @@ def main():
             # block-manager spill (operators/pins.py)
             from tradingview_data_pipeline_spark.operators import pins
             pins.release_all()
+            pins.release_checkpoints()
         if name not in oracles:
             print(f"ok?   {name}: rows={len(srows)} (no oracle — rows-only check)")
             continue

@@ -298,7 +298,9 @@ def image_dhash(df: DataFrame, grid: tuple[int, int] = (6, 11)) -> DataFrame:
 
 
 def image_near_dups(hashes: DataFrame, *, id_col: str = "media_id",
-                    hash_col: str = "phash", bits: int = 60,
+                    hash_col: str = "phash", bits: int | None = None,
+                    grid: tuple[int, int] | None = None,
+                    method: str = "ahash",
                     bands: int = 4, max_hamming: int = 3,
                     max_bucket: int | None = None) -> DataFrame:
     """Candidate near-duplicate image pairs from perceptual-hash
@@ -306,9 +308,26 @@ def image_near_dups(hashes: DataFrame, *, id_col: str = "media_id",
     <= ``max_hamming``, via the pigeonhole band join (recall exactly 1.0
     while ``max_hamming <= bands - 1``).  Delegates to
     ``dedup.simhash_candidate_pairs`` with precomputed signatures — one
-    banded plan shape for text and image near-dup."""
+    banded plan shape for text and image near-dup.
+
+    ``bits`` must equal the signature width the hasher produced: a
+    too-wide value gives every signature an all-zero top band chunk,
+    which the bucket cap then drops wholesale — silently breaking the
+    recall contract (round-11 advisor catch).  Pass ``grid`` (and
+    ``method``) from the hashing call and the width is derived via
+    ``_phash_nbits``; an explicit ``bits`` alongside ``grid`` must
+    agree or this raises."""
     from tradingview_data_pipeline_spark.operators import dedup
 
+    if grid is not None:
+        derived = _phash_nbits(method, *grid)
+        if bits is not None and bits != derived:
+            raise ValueError(
+                f"bits={bits} contradicts grid={grid}/method={method} "
+                f"(signature width {derived})")
+        bits = derived
+    elif bits is None:
+        bits = 60                       # the default (6,10)/(6,11) grids
     if max_bucket is None:
         max_bucket = dedup.LSH_MAX_BUCKET_DEFAULT
     sigs = hashes.select(F.col(id_col),
@@ -372,9 +391,7 @@ def video_near_dups(vp: DataFrame, *, bits: int = 60, bands: int = 4,
     all-pairs anywhere; cost is bounded by frame-hash collisions, not
     corpus size squared.
     """
-    from pyspark import StorageLevel
-
-    from tradingview_data_pipeline_spark.operators import dedup
+    from tradingview_data_pipeline_spark.operators import dedup, pins
 
     if max_bucket is None:
         max_bucket = dedup.LSH_MAX_BUCKET_DEFAULT
@@ -383,9 +400,10 @@ def video_near_dups(vp: DataFrame, *, bits: int = 60, bands: int = 4,
     # races and the per-frame decode pass runs up to three times
     # (measured 24.6 s vs 7 s single-pass at 40k frames). EAGER
     # DISK_ONLY checkpoint = one evaluation, the merge._pin_batch
-    # pattern; not pins-tracked because checkpoint truncates lineage
-    # (an early release could not lazily recompute).
-    vp = vp.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    # pattern; tracked in the checkpoint registry (NOT release_all's,
+    # whose lazy-recompute safety contract truncated lineage breaks)
+    # so harnesses can free the blocks at query boundaries.
+    vp = pins.checkpoint(vp)
     frames = vp.select(
         "media_id", "n_frames",
         F.posexplode("frame_hashes").alias("fidx", "fhash"))
@@ -436,8 +454,8 @@ AUDIO_FP_SCHEMA = T.StructType([
 ])
 
 
-def audio_fingerprint(df: DataFrame, *, frame_len: int = 256,
-                      hop: int = 128, n_bands: int = 33,
+def audio_fingerprint(df: DataFrame, *, frame_len: int | None = 256,
+                      hop: int | None = 128, n_bands: int = 33,
                       f_min: float = 300.0,
                       f_max: float = 3000.0) -> DataFrame:
     """Per-frame spectral subfingerprints for WAV PCM payloads — the
@@ -454,6 +472,17 @@ def audio_fingerprint(df: DataFrame, *, frame_len: int = 256,
     means bits near a zero difference are machine-stable but not
     oracle-expressible — evidence level is pytest, like the other
     iterative/float families (NOTES: logreg, BPE pattern).
+
+    FFT resolution must give the 34 log-spaced band edges strictly
+    increasing bin indices: at a fixed ``frame_len`` a higher sample
+    rate widens each bin (rate/frame_len Hz) until adjacent edges
+    collapse into the same bin, silently producing zero-width
+    double-counted bands and low-entropy fingerprints (round-11
+    advisor catch: 17 of 34 edges collapse at 44.1 kHz with
+    frame_len=256).  Pass ``frame_len=None``/``hop=None`` to scale
+    resolution with each clip's rate (power-of-2 multiple of 256/128,
+    keeping ~32 ms frames); with explicit values, a clip whose rate
+    collapses the edges fails loudly instead.
     """
     from tradingview_data_pipeline_spark.operators import codecs
     import numpy as np
@@ -464,18 +493,52 @@ def audio_fingerprint(df: DataFrame, *, frame_len: int = 256,
             for mid, p in zip(b["media_id"], b["payload"]):
                 samples, rate = codecs.decode_wav(p)
                 x = samples.astype(np.float64)
-                n_frames = max(0, (len(x) - frame_len) // hop + 1)
-                if n_frames < 2:
-                    ids.append(mid); ns.append(0); fps.append([])
-                    continue
-                idx = (np.arange(n_frames)[:, None] * hop
-                       + np.arange(frame_len)[None, :])
-                spec = np.abs(np.fft.rfft(x[idx], axis=1)) ** 2
                 hi = min(f_max, 0.45 * rate)
                 edges = f_min * (hi / f_min) ** (np.arange(n_bands + 1)
                                                  / n_bands)
-                bins = np.clip((edges * frame_len / rate).astype(np.int64),
-                               1, spec.shape[1] - 1)
+
+                def band_bins(fl):
+                    # rfft output has fl//2 + 1 bins; clip into [1, fl//2]
+                    return np.clip((edges * fl / rate).astype(np.int64),
+                                   1, fl // 2)
+
+                if frame_len is None:
+                    # auto: grow until the log-spaced edges land on
+                    # strictly increasing bins without repair
+                    flen = 256
+                    while (flen < 1 << 20
+                           and not np.all(np.diff(band_bins(flen)) > 0)):
+                        flen *= 2
+                else:
+                    flen = frame_len
+                bins = band_bins(flen)
+                # Repair collided edges by bumping duplicates to the next
+                # bin — zero-width bands would double-count one FFT bin
+                # through reduceat and flatten fingerprint entropy (r11
+                # advisor catch; even 8 kHz/256 collides one low-band
+                # pair).  A repair may only round an edge UP one step
+                # from its floor position — anything further would
+                # silently redraw the log band geometry (the 44.1 kHz
+                # failure mode), so that fails loudly instead.
+                base = bins.copy()
+                for i in range(1, len(bins)):
+                    if bins[i] <= bins[i - 1]:
+                        bins[i] = bins[i - 1] + 1
+                if bins[-1] > flen // 2 or np.any(bins > base + 1):
+                    raise ValueError(
+                        f"band edges collapse at rate={rate} with "
+                        f"frame_len={flen} ({len(np.unique(base))} of "
+                        f"{len(base)} distinct FFT bins): raise "
+                        f"frame_len or pass frame_len=None to "
+                        f"auto-scale with the sample rate")
+                fhop = (flen // 2) if hop is None else hop
+                n_frames = max(0, (len(x) - flen) // fhop + 1)
+                if n_frames < 2:
+                    ids.append(mid); ns.append(0); fps.append([])
+                    continue
+                idx = (np.arange(n_frames)[:, None] * fhop
+                       + np.arange(flen)[None, :])
+                spec = np.abs(np.fft.rfft(x[idx], axis=1)) ** 2
                 e = np.add.reduceat(spec, bins[:-1], axis=1)
                 # reduceat gives [bins[m], bins[m+1]) except the last
                 # slice runs to the end — trim it to the band edge
@@ -578,44 +641,56 @@ def media_dedup(df: DataFrame, *, grid: tuple[int, int] = (6, 10),
     All ids keep their row; callers filter ``keep`` (the quality-gate
     convention).  min-id on string ids is lexicographic — zero-pad ids
     if numeric order matters.
+
+    Substrate plan (round-12 fix of the r11 weak flag): sha2 runs over
+    payload bytes EXACTLY ONCE — the tiny (media_id, __sha) projection
+    is pinned (the q80 substrate rule) and both the group structure and
+    the final membership join derive from the pin.  The r11 form
+    re-selected from the unpinned ``with_sha`` for the membership join
+    (second full-corpus read + second sha pass) and fanned
+    ``first(payload)`` through the sha groupBy (~full-corpus payload
+    shuffle whenever dup rate is low).  Now payload bytes never ride an
+    aggregation shuffle; representatives re-attach bytes via a semi
+    join on rep ids, where AQE self-selects the regime — viral corpora
+    have few reps, so the rep side broadcasts and the payload side
+    never shuffles; low-dup corpora pay one payload shuffle, the same
+    volume the old groupBy moved.  The second payload *scan* is the
+    deliberate price: the one-scan alternatives either persist the
+    payload corpus to disk or collect_list members through a skewed
+    agg (unbounded row under a viral image).
     """
     from pyspark import StorageLevel
 
     from tradingview_data_pipeline_spark.operators import dedup, pins
 
-    with_sha = df.select("media_id",
-                         F.sha2(F.col("payload"), 256).alias("__sha"),
-                         "payload")
-    groups = pins.track(
-        with_sha.groupBy("__sha").agg(
-            F.min("media_id").alias("rep_id"),
-            # payloads within a sha group are byte-identical — any
-            # member is THE representative payload
-            F.first("payload").alias("payload"))
+    ids_sha = pins.track(
+        df.select("media_id", F.sha2(F.col("payload"), 256).alias("__sha"))
         .persist(StorageLevel.DISK_ONLY))
+    groups = ids_sha.groupBy("__sha").agg(F.min("media_id").alias("rep_id"))
 
-    reps = groups.select(F.col("rep_id").alias("media_id"), "payload")
+    reps = (df.select("media_id", "payload")
+            .join(groups.select(F.col("rep_id").alias("media_id")),
+                  "media_id", "left_semi"))
     hasher = image_ahash if method == "ahash" else image_dhash
     hashes = hasher(reps, grid=grid)
-    pairs = image_near_dups(hashes, bands=bands, max_hamming=max_hamming,
-                            max_bucket=max_bucket)
+    pairs = image_near_dups(hashes, grid=grid, method=method, bands=bands,
+                            max_hamming=max_hamming, max_bucket=max_bucket)
     comp = dedup.connected_components(
         pairs.select("doc_a", "doc_b"))           # (doc_id, cluster_id)
 
-    rep_cluster = (groups.select("__sha", "rep_id")
+    rep_cluster = (groups
                    .join(comp.withColumnRenamed("doc_id", "rep_id"),
                          "rep_id", "left")
                    .select("__sha",
                            F.coalesce("cluster_id", "rep_id")
                            .alias("cluster_id")))
-    return (with_sha.select("media_id", "__sha")
-            .join(rep_cluster, "__sha")
+    return (ids_sha.join(rep_cluster, "__sha")
             .select("media_id", "cluster_id",
                     (F.col("media_id") == F.col("cluster_id"))
                     .alias("keep")))
 
 def audio_near_dups_ber(fps: DataFrame, *, max_ber: float = 0.35,
-                        min_overlap: int = 32,
+                        min_overlap: int = 32, n_bits: int = 32,
                         best_per_pair: bool = True,
                         max_bucket: int | None = None) -> DataFrame:
     """Block-BER audio matching — the FULL Haitsma-Kalker search, closing
@@ -654,16 +729,17 @@ def audio_near_dups_ber(fps: DataFrame, *, max_ber: float = 0.35,
     detectable clip.  Returns (vid_a, vid_b, offset, n_overlap, ber); with
     ``best_per_pair`` only the lowest-BER alignment per pair survives.
     ``max_bucket`` drops degenerate subfingerprints on BOTH join sides
-    (silence -> 0) before probing.
+    (silence -> 0) before probing.  ``n_bits`` is the subfingerprint
+    width — it sizes both the one-bit-flip probe fan-out and the BER
+    denominator, and must equal ``audio_fingerprint``'s ``n_bands - 1``
+    (round-11 advisor catch: the old hardcoded 32 silently mis-scored
+    fingerprints built with non-default band counts).
     """
-    from pyspark import StorageLevel
-
-    from tradingview_data_pipeline_spark.operators import dedup
+    from tradingview_data_pipeline_spark.operators import dedup, pins
 
     if max_bucket is None:
         max_bucket = dedup.LSH_MAX_BUCKET_DEFAULT
-    fps = fps.localCheckpoint(eager=True,
-                              storageLevel=StorageLevel.DISK_ONLY)
+    fps = pins.checkpoint(fps)
     frames = fps.select(
         "media_id", F.posexplode("subfps").alias("fidx", "subfp"))
     over = (frames.groupBy("subfp")
@@ -676,7 +752,8 @@ def audio_near_dups_ber(fps: DataFrame, *, max_ber: float = 0.35,
         "media_id", "fidx",
         F.explode(F.expr(
             "concat(array(subfp), "
-            "transform(sequence(0, 31), b -> subfp ^ shiftleft(CAST(1 AS BIGINT), b)))"
+            f"transform(sequence(0, {n_bits - 1}), "
+            "b -> subfp ^ shiftleft(CAST(1 AS BIGINT), b)))"
         )).alias("probe"))
     anchors = (probes.alias("a")
                .join(frames.alias("b"),
@@ -709,7 +786,7 @@ def audio_near_dups_ber(fps: DataFrame, *, max_ber: float = 0.35,
               .where(n_overlap >= F.lit(min_overlap))
               .withColumn("n_overlap", n_overlap)
               .withColumn("ber", ber_sum
-                          / (F.lit(32.0) * F.col("n_overlap")))
+                          / (F.lit(float(n_bits)) * F.col("n_overlap")))
               .where(F.col("ber") <= F.lit(max_ber))
               .select("vid_a", "vid_b", "offset", "n_overlap", "ber"))
     if best_per_pair:
