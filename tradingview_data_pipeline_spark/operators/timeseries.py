@@ -144,7 +144,7 @@ def ema_macd(
     few dozen Python round-trips instead of one per key.  Every step is
     two IEEE multiplies + one add in a fixed association order, so the
     result is bit-identical to any engine computing the same recurrence
-    — including a DuckDB RECURSIVE CTE (oracle q60 'ema' leg).
+    — including a DuckDB RECURSIVE CTE (oracle q63).
     """
     import pandas as pd
     from pyspark.sql import types as T

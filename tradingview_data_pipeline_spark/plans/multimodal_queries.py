@@ -306,242 +306,3 @@ def q84_video_neardup(spark, sf_dir):
         F.col("n_matched").cast("bigint").alias("n_matched"),
         F.col("frac_a").cast("double").alias("frac_a"),
         F.col("frac_b").cast("double").alias("frac_b"))
-
-
-# ---------------------------------------------------------------------------
-# q85 — the audio dedup family's DRIVER-VERIFIED oracle row (round 12;
-# slot freed by registry merge #22, q60+q63). VERDICT r11 named audio
-# the only first-class dedup family without one. Three legs on the
-# (kind, a, b, n1, n2, v1, v2) schema:
-#
-#   'exact'  — the FULL WAV pipeline: deterministic pseudorandom PCM
-#              clips -> multimodal.audio_fingerprint (real decode, real
-#              FFT, Haitsma-Kalker subfingerprints) ->
-#              audio_near_dups exact-match containment. Odd docs are
-#              hop-aligned CUTS of their even partner's samples,
-#              volume-scaled by exactly 2: IEEE binary floats are
-#              scale-invariant under powers of two, so every FFT
-#              intermediate scales exactly and the H-K sign bits are
-#              bit-identical — the fingerprint layer needs no float
-#              oracle because the planted structure forces exact
-#              subfingerprint equality on the 39 aligned frames. The
-#              oracle states the structural result: n_matched = 39,
-#              frac_long = 39/79, frac_short = 1.0 per pair. (Planted
-#              pairs dominate; accidental 32-bit collisions between
-#              unrelated clips score frac <= 1/39 and fall below the
-#              0.35 threshold — verified collision-free at all three
-#              SFs, deterministic content.)
-#   'ber'    — audio_near_dups_ber over the same fingerprints: anchor
-#              probing finds the alignment at offset = -off(k),
-#              n_overlap = 39, and the aligned BER is exactly 0.0
-#              (bit_count of xor of equal values); chance alignments
-#              sit near BER 0.5 and max_ber filters them, so
-#              best_per_pair returns exactly the planted row.
-#   'mdedup' — the media_dedup pipeline end-to-end (sha exact-collapse
-#              -> representative aHash -> banded near-dup -> connected
-#              components -> min-id keeper): doc quartets plant two
-#              exact copies, one pixel-perturbed near-copy, and one
-#              unrelated image; the oracle REBUILDS every
-#              representative signature in closed-form integer SQL
-#              (q84's xorshift-multiply pixel hash, multiplier 8192 so
-#              seed blocks cannot share pixel rows), mirrors the
-#              pairing with an exhaustive bit_count(xor) join (exact:
-#              banding recall is 1.0 at max_hamming = bands - 1), and
-#              derives clusters via a recursive transitive closure —
-#              robust even to accidental cross-group edges.
-#
-# Scale shape: everything rides the operators' own plans (capped
-# equi-join, 33x linear anchor probe, banded Hamming join, pinned sha
-# substrate) — the query adds only map-side payload synthesis.
-# ---------------------------------------------------------------------------
-
-_A_LONG_F, _A_SHORT_F = 80, 40            # frames; fingerprints = F - 1
-_A_HOP, _A_FLEN, _A_RATE = 128, 256, 8000
-_A_NLONG = _A_FLEN + _A_HOP * (_A_LONG_F - 1)
-_A_NSHORT = _A_FLEN + _A_HOP * (_A_SHORT_F - 1)
-
-
-def _hash_chain(a):
-    """The q84 xorshift-multiply chain over an int64 array (mod-2^31
-    reduction before the second multiply keeps BIGINT products inside
-    DuckDB's signed range when mirrored in SQL)."""
-    h = (a * _M1) % 2**32
-    h = h ^ (h >> 15)
-    h = ((h % 2**31) * _M2) % 2**32
-    return h ^ (h >> 13)
-
-
-def _pair_samples(k: int):
-    """Deterministic pseudorandom int16 samples (|s| <= 8191 so the
-    exact x2 volume scaling cannot clip) for pair k's long clip."""
-    i = np.arange(_A_NLONG, dtype=np.int64)
-    h = _hash_chain(k * 1_000_003 + i)
-    return ((h % 16383) - 8191).astype(np.int16)
-
-
-def _encode_audio(batches):
-    for b in batches:
-        ids, wavs = [], []
-        for did in b["doc_id"]:
-            did = int(did)
-            k = did // 2
-            base = _pair_samples(k)
-            if did % 2 == 0:
-                s = base
-            else:
-                off = 2 + (k % 30)
-                seg = base[off * _A_HOP: off * _A_HOP + _A_NSHORT]
-                s = (seg.astype(np.int32) * 2).astype(np.int16)
-            ids.append(f"{did:09d}")
-            wavs.append(codecs.encode_wav(s, _A_RATE))
-        yield pd.DataFrame({"media_id": ids, "payload": wavs})
-
-
-def _img_pixels(seed: int, pert: bool):
-    """(6, 10, 3) uint8 image; perturbation pins two pixels to the
-    extremes (a near-copy whose aHash distance both engines compute,
-    not assume)."""
-    y = np.arange(6, dtype=np.int64)[:, None, None]
-    x = np.arange(10, dtype=np.int64)[None, :, None]
-    c = np.arange(3, dtype=np.int64)[None, None, :]
-    p = ((_hash_chain(seed * 8192 + y * 1024 + x * 64 + c) >> 8) % 256) \
-        .astype(np.uint8)
-    if pert:
-        p[0, 0, :] = 255
-        p[2, 3, :] = 0
-    return p
-
-
-def _encode_images(batches):
-    for b in batches:
-        ids, imgs = [], []
-        for did in b["doc_id"]:
-            did = int(did)
-            m = did % 4
-            seed = did - m if m < 3 else did
-            ids.append(f"{did:09d}")
-            imgs.append(codecs.encode_ppm(_img_pixels(seed, m == 2)))
-        yield pd.DataFrame({"media_id": ids, "payload": imgs})
-
-
-@register("q85_audio_neardup", oracle="""
-WITH RECURSIVE pairs AS (
-  SELECT a.doc_id AS e, 2 + (a.doc_id // 2) % 30 AS off
-  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-  WHERE a.doc_id % 2 = 0
-),
-quart AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 4 < 3 THEN doc_id - doc_id % 4
-              ELSE doc_id END AS seed,
-         CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS pert
-  FROM documents
-),
-grp AS (SELECT seed, pert, MIN(doc_id) AS rep FROM quart
-        GROUP BY seed, pert),
-h1 AS (
-  SELECT rep, pert, y, x, c,
-         ((seed*8192 + y*1024 + x*64 + c) * 2654435761)
-         % 4294967296 AS h
-  FROM grp
-  CROSS JOIN range(6) AS ty(y)
-  CROSS JOIN range(10) AS tx(x)
-  CROSS JOIN range(3) AS tc(c)
-),
-px AS (
-  SELECT rep, y, x, c,
-         CASE WHEN pert = 1 AND y = 0 AND x = 0 THEN 255
-              WHEN pert = 1 AND y = 2 AND x = 3 THEN 0
-              ELSE (xor(h3, h3 >> 13) >> 8) % 256 END AS p
-  FROM (SELECT rep, pert, y, x, c,
-               ((xor(h, h >> 15) % 2147483648) * 2246822519)
-               % 4294967296 AS h3
-        FROM h1)
-),
-gray AS (
-  SELECT rep, y, x, CAST(SUM(p) AS BIGINT) AS g
-  FROM px GROUP BY rep, y, x
-),
-sig AS (
-  SELECT rep,
-         CAST(SUM(CASE WHEN g * 60 > total
-                       THEN CAST(1 AS BIGINT) << (59 - (y*10 + x))
-                       ELSE 0 END) AS BIGINT) AS s
-  FROM (SELECT rep, y, x, g,
-               CAST(SUM(g) OVER (PARTITION BY rep) AS BIGINT) AS total
-        FROM gray)
-  GROUP BY rep
-),
-e0 AS (
-  SELECT a.rep AS ra, b.rep AS rb
-  FROM sig a JOIN sig b
-    ON a.rep < b.rep AND bit_count(xor(a.s, b.s)) <= 3
-),
-edges AS (SELECT ra, rb FROM e0 UNION ALL SELECT rb AS ra, ra AS rb FROM e0),
-reach(src, dst) AS (
-  SELECT rep, rep FROM grp
-  UNION
-  SELECT r.src, e.rb FROM reach r JOIN edges e ON e.ra = r.dst
-),
-clus AS (SELECT src AS rep, MIN(dst) AS cluster FROM reach GROUP BY src),
-mem AS (
-  SELECT q.doc_id, c.cluster
-  FROM quart q
-  JOIN grp g ON g.seed = q.seed AND g.pert = q.pert
-  JOIN clus c ON c.rep = g.rep
-)
-SELECT 'exact' AS kind, e AS a, e + 1 AS b,
-       CAST(39 AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
-       CAST(39 AS DOUBLE) / 79.0 AS v1, CAST(1.0 AS DOUBLE) AS v2
-FROM pairs
-UNION ALL
-SELECT 'ber' AS kind, e AS a, e + 1 AS b,
-       CAST(39 AS BIGINT) AS n1, CAST(-off AS BIGINT) AS n2,
-       CAST(0.0 AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
-FROM pairs
-UNION ALL
-SELECT 'mdedup' AS kind, doc_id AS a, cluster AS b,
-       CAST(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END AS BIGINT) AS n1,
-       CAST(NULL AS BIGINT) AS n2,
-       CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
-FROM mem
-""")
-def q85_audio_neardup(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id")
-
-    wav = d.mapInPandas(_encode_audio, "media_id string, payload binary")
-    fps = mm.audio_fingerprint(wav)
-    # audio_near_dups persists fps (lazy pin) BEFORE audio_near_dups_ber's
-    # eager checkpoint triggers evaluation, so the decode+FFT pass runs
-    # once and both matchers read the cache.
-    exact = mm.audio_near_dups(fps)
-    ber = mm.audio_near_dups_ber(fps)
-    exact_leg = exact.select(
-        F.lit("exact").alias("kind"),
-        F.col("vid_a").cast("bigint").alias("a"),
-        F.col("vid_b").cast("bigint").alias("b"),
-        F.col("n_matched").cast("bigint").alias("n1"),
-        F.lit(None).cast("bigint").alias("n2"),
-        F.col("frac_a").cast("double").alias("v1"),
-        F.col("frac_b").cast("double").alias("v2"))
-    ber_leg = ber.select(
-        F.lit("ber").alias("kind"),
-        F.col("vid_a").cast("bigint").alias("a"),
-        F.col("vid_b").cast("bigint").alias("b"),
-        F.col("n_overlap").cast("bigint").alias("n1"),
-        F.col("offset").cast("bigint").alias("n2"),
-        F.col("ber").cast("double").alias("v1"),
-        F.lit(None).cast("double").alias("v2"))
-
-    imgs = d.mapInPandas(_encode_images, "media_id string, payload binary")
-    md = mm.media_dedup(imgs)
-    md_leg = md.select(
-        F.lit("mdedup").alias("kind"),
-        F.col("media_id").cast("bigint").alias("a"),
-        F.col("cluster_id").cast("bigint").alias("b"),
-        F.col("keep").cast("bigint").alias("n1"),
-        F.lit(None).cast("bigint").alias("n2"),
-        F.lit(None).cast("double").alias("v1"),
-        F.lit(None).cast("double").alias("v2"))
-
-    return exact_leg.unionByName(ber_leg).unionByName(md_leg)

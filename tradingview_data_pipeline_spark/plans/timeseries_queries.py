@@ -1,13 +1,11 @@
-"""Time-series queries over ``events``: rolling technical indicators,
-exact pairwise activity correlation, and the EMA/MACD family as a
-recurrence with a recursive-CTE oracle — all legs of
-``q60_timeseries_stats`` since round-12 merge #22 (the 'corr' leg was
-q61, 'ema' was q63).
+"""Time-series queries over ``events``: rolling technical indicators
+(q60), exact pairwise activity correlation (q61), and the EMA/MACD
+family as a recurrence with a recursive-CTE oracle (q63).
 
 Reference counterpart: the scoring jobs consume a moving-average /
 momentum / MACD indicator family as input columns
 (calcompositescore.py's ``sma20``/``ema``-era technicals;
-functions/cleaning.py's MACD histogram) — q60 produces that family
+functions/cleaning.py's MACD histogram) — q60/q63 produce that family
 inside the engine.  q61 is the cross-sectional analysis layer on top
 (which activity streams move together), kept integer-exact so it
 oracle-checks bit-for-bit.
@@ -29,43 +27,6 @@ from tradingview_data_pipeline_spark.plans.events_queries import events
 # exact count), rolling min/max/range, 3-row momentum.  One shuffle on
 # user_id; every frame shares the (ts, event_id) sort.
 # ---------------------------------------------------------------------------
-
-_AF, _AS_, _AG = "(2.0/13.0)", "(2.0/27.0)", "(2.0/10.0)"
-_NEW_EF = f"{_AF} * b.value + (1.0 - {_AF}) * r.ema_fast"
-_NEW_ES = f"{_AS_} * b.value + (1.0 - {_AS_}) * r.ema_slow"
-_NEW_MACD = f"({_NEW_EF}) - ({_NEW_ES})"
-
-
-def _q63_oracle() -> str:
-    """EMA(12)/EMA(26)/MACD/signal(9)/histogram recurrence as a DuckDB
-    RECURSIVE CTE stepping row_number-ordered events — both engines
-    evaluate α·x + (1−α)·s with identical literals and association
-    order, so every intermediate double is bit-identical (a rare case
-    of a sequential recurrence with a full SQL oracle, not rows-only).
-    Recursion depth = max events per key (≤ 86 at the gate's sf0.01)."""
-    return f"""
-WITH RECURSIVE base AS (
-  SELECT user_id, event_id, ts, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
-), rec AS (
-  SELECT user_id, event_id, ts, value, rn,
-         value AS ema_fast, value AS ema_slow,
-         CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS macd_signal
-  FROM base WHERE rn = 1
-  UNION ALL
-  SELECT b.user_id, b.event_id, b.ts, b.value, b.rn,
-         {_NEW_EF},
-         {_NEW_ES},
-         {_NEW_MACD},
-         {_AG} * ({_NEW_MACD}) + (1.0 - {_AG}) * r.macd_signal
-  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
-)
-SELECT user_id, event_id, ts, value, ema_fast, ema_slow, macd, macd_signal,
-       macd - macd_signal AS macd_hist
-FROM rec
-"""
-
 
 def _q60_oracle() -> str:
     rolling = """
@@ -93,30 +54,17 @@ SELECT 'corr' AS kind, series_a AS key_a, series_b AS key_b,
        CAST(NULL AS DOUBLE) AS v6
 FROM ({}) __corr
 """.format(_q61_oracle())
-    ema = """
-SELECT 'ema' AS kind, CAST(user_id AS VARCHAR) AS key_a,
-       CAST(NULL AS VARCHAR) AS key_b, event_id, ts,
-       CAST(NULL AS BIGINT) AS n,
-       value AS v1, ema_fast AS v2, ema_slow AS v3,
-       macd AS v4, macd_signal AS v5, macd_hist AS v6
-FROM ({}) __ema
-""".format(_q63_oracle())
-    return rolling + " UNION ALL " + corr + " UNION ALL " + ema
+    return rolling + " UNION ALL " + corr
 
 
 def q60_timeseries_stats(spark, sf_dir):
-    """Tagged union (round-6 consolidation #4; round-12 merge #22 folds
-    q63 in, freeing the slot for q85_audio_neardup):
+    """Tagged union (round-6 consolidation #4 of the COVERAGE.md map):
     'rolling' — per-stream rolling indicators (5-row SMA via DECIMAL
     sum / exact count, rolling min/max/range, 3-row momentum; one
     shuffle on user_id, every frame shares the (ts, event_id) sort);
     'corr' — exact pairwise Pearson of hourly event-type activity
     (dense declared pivot -> one BIGINT-sums aggregate -> 10 pair
-    rows; integer arithmetic until the closing IEEE divide/sqrt);
-    'ema' — EMA(12)/EMA(26)/MACD/signal(9)/histogram per user stream
-    (the applyInPandas recurrence, operators/timeseries.ema_macd —
-    the escape hatch for order-dependent state; formerly standalone
-    q63, sharing the rolling leg's per-user events scan)."""
+    rows; integer arithmetic until the closing IEEE divide/sqrt)."""
     e = events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     roll = tso.rolling_features(e, "user_id", "ts", "value",
                                 window_rows=5, momentum_lag=3,
@@ -136,18 +84,7 @@ def q60_timeseries_stats(spark, sf_dir):
         F.lit(None).cast("timestamp").alias("ts"),
         F.col("n_periods").alias("n"), F.col("corr").alias("v1"),
         *[F.lit(None).cast("double").alias(f"v{i}") for i in range(2, 7)])
-    ema = tso.ema_macd(e.select("user_id", "event_id", "ts", "value"),
-                       "user_id", "ts", "value",
-                       fast=12, slow=26, signal=9, tiebreak="event_id")
-    ema = ema.select(
-        F.lit("ema").alias("kind"),
-        F.col("user_id").cast("string").alias("key_a"),
-        F.lit(None).cast("string").alias("key_b"),
-        "event_id", "ts", F.lit(None).cast("bigint").alias("n"),
-        F.col("value").alias("v1"), F.col("ema_fast").alias("v2"),
-        F.col("ema_slow").alias("v3"), F.col("macd").alias("v4"),
-        F.col("macd_signal").alias("v5"), F.col("macd_hist").alias("v6"))
-    return roll.unionByName(corr).unionByName(ema)
+    return roll.unionByName(corr)
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +136,51 @@ def _q61_event_correlation(spark, sf_dir):
 # Registration happens here because _q60_oracle() embeds _q61_oracle()
 # (defined above) as the 'corr' leg.
 register("q60_timeseries_stats", oracle=_q60_oracle())(q60_timeseries_stats)
+
+
+# ---------------------------------------------------------------------------
+# q63 — EMA(12)/EMA(26)/MACD/signal(9)/histogram per user stream.  The
+# Spark side is the applyInPandas recurrence (operators/timeseries.
+# ema_macd — the escape hatch for order-dependent state); the oracle
+# expresses the SAME recurrence as a DuckDB RECURSIVE CTE stepping
+# row_number-ordered events.  Both sides evaluate α·x + (1−α)·s with
+# identical literals and association order, so every intermediate double
+# is bit-identical and the value hash matches exactly — a rare case of a
+# sequential recurrence with a full SQL oracle (not rows-only).
+# Recursion depth = max events per key (≤ 86 at the gate's sf0.01).
+# ---------------------------------------------------------------------------
+
+_AF, _AS_, _AG = "(2.0/13.0)", "(2.0/27.0)", "(2.0/10.0)"
+_NEW_EF = f"{_AF} * b.value + (1.0 - {_AF}) * r.ema_fast"
+_NEW_ES = f"{_AS_} * b.value + (1.0 - {_AS_}) * r.ema_slow"
+_NEW_MACD = f"({_NEW_EF}) - ({_NEW_ES})"
+
+@register("q63_ema_macd", oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, event_id, ts, value, rn,
+         value AS ema_fast, value AS ema_slow,
+         CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS macd_signal
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.ts, b.value, b.rn,
+         {_NEW_EF},
+         {_NEW_ES},
+         {_NEW_MACD},
+         {_AG} * ({_NEW_MACD}) + (1.0 - {_AG}) * r.macd_signal
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, ts, value, ema_fast, ema_slow, macd, macd_signal,
+       macd - macd_signal AS macd_hist
+FROM rec
+""")
+def q63_ema_macd(spark, sf_dir):
+    e = events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    return tso.ema_macd(e, "user_id", "ts", "value",
+                        fast=12, slow=26, signal=9, tiebreak="event_id")
 
 
 # ---------------------------------------------------------------------------

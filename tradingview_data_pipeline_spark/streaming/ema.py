@@ -1,5 +1,5 @@
 """Streaming EMA/MACD via ``applyInPandasWithState`` — the live form of
-``operators/timeseries.ema_macd`` (q60 'ema' leg), maintaining the recurrence
+``operators/timeseries.ema_macd`` (q63), maintaining the recurrence
 state (ema_fast, ema_slow, macd_signal, last event time) per key across
 micro-batches.
 
