@@ -1,0 +1,80 @@
+"""Per-query micro-bench: time registered queries with the noop sink,
+repeated N times on one warm session, reporting min/median of the repeats.
+
+bench.py stays the driver-contract artifact (one cold pass over the whole
+registry); this tool is for OPTIMIZATION deep dives — repeats isolate a
+single query's steady-state cost from session warm-up and neighbors, and
+`setJobDescription` labels make the UI/event-log attribution readable.
+
+Usage:
+
+    python tools/qbench.py [-n repeats] [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    repeats = 3
+    if args and args[0] == "-n":
+        repeats = int(args[1])
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    names = args[1:]
+
+    from tradingview_data_pipeline_spark.session import get_spark
+    from tradingview_data_pipeline_spark.operators import pins
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("qbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    if names:
+        queries = {n: queries[n] for n in names}
+
+    # warm-up (JVM/JIT + parquet footer caches), same as bench.py
+    from tradingview_data_pipeline_spark.plans import analytics
+    analytics.QUERIES["q1_grouped_aggs"](spark, sf_dir) \
+        .write.format("noop").mode("overwrite").save()
+
+    out: dict[str, dict] = {}
+    for name, fn in queries.items():
+        runs = []
+        for i in range(repeats):
+            spark.sparkContext.setJobDescription(f"{name} run {i}")
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # noqa: BLE001
+                out[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+                break
+            finally:
+                pins.release_all()
+                pins.release_checkpoints()
+                # per-session substrate memos would make repeat 2+ measure
+                # a cache hit, not the query — clear them between repeats
+                try:
+                    from tradingview_data_pipeline_spark.plans import training_queries
+                    training_queries._DEDUP_CACHE.clear()
+                except Exception:
+                    pass
+        if runs:
+            srt = sorted(runs)
+            out[name] = {"runs": runs, "min": srt[0],
+                         "median": srt[len(srt) // 2]}
+        print(f"{name}: {out[name]}", flush=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

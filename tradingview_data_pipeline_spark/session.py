@@ -39,6 +39,15 @@ _LOCAL_DEFAULTS = {
     # is already on by default in Spark 4.
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r12 (guide §4/§7.3 — the Python boundary at PLAN-BUILD time):
+    # PySpark 4 wraps every DataFrame/Column op to capture the user call
+    # site for error context; each wrapped op costs ~4 extra py4j round
+    # trips (conf.get + PySparkCurrentOrigin.set/clear) plus a Python
+    # stack walk. Measured on composite_scores plan construction:
+    # 2.8 s -> 1.2 s with capture off. Pure driver-side overhead — the
+    # executed plan is byte-identical; only error messages lose the
+    # "user code line" enrichment.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # wide scoring plans chain one WindowExec per (partition, order) spec;
