@@ -34,11 +34,48 @@ def round_py(col: Column, decimals: int = 2) -> Column:
     shortest-repr-tie and exact-midpoint class (tests/test_cleaning.py::
     TestRoundPy). NaN/±Inf pass through unchanged, like Python round.
     """
-    c = col.cast("double")
-    parsed = F.regexp_replace(F.format_number(c, decimals), ",", "") \
-              .try_cast("double")
-    return F.when(F.isnan(c) | c.isin(float("inf"), float("-inf")), c) \
-            .otherwise(parsed)
+    # Arithmetic fast path (r12, guide §1.2 "per-task work"; NOTES 79):
+    # the DecimalFormat -> regexp -> try_cast chain costs ~1.4 s/bench on
+    # the fundamental sinks, but string-rounding is only NEEDED on exact
+    # half-ties. Let e = exact(c * 10^d) and s = fl(c * 10^d) (one
+    # correctly-rounded multiply, |error| <= ulp(s)/2). Decision
+    # boundaries of round-half-even sit on the half-integer grid; for
+    # |s| < 2^50 every half-integer near s is representable, so e and s
+    # can only fall on DIFFERENT sides of a boundary b when s == b
+    # exactly (|e - b| < ulp/2 forces fl(e) = b). frac(s) == 0 is still
+    # safe (e just above or below an integer r rounds to r either way);
+    # frac(s) == 0.5 is the ONE ambiguous cell (true tie / near-tie
+    # indistinguishable) and falls back to the string path, as do
+    # |s| >= 2^50 (boundary grid no longer representable) and +-0.0
+    # (sign of zero must match DecimalFormat's). Equality with the
+    # string path on every other double is forced by the argument
+    # above; the adversarial midpoint families + 10k-double probe in
+    # tests/test_cleaning.py::TestRoundPy pin it empirically.
+    #
+    # EVALUATE-ONCE BINDING (the _rep_signal_exprs lambda-variable
+    # trick): this expression references its input ~10 times, and
+    # round_py nests (blended scores round already-rounded percentiles),
+    # so inlining the input would square the tree (~100 copies of the
+    # underlying window expressions — measured 3.8 s -> 12.7 s on q38
+    # from analyzer/codegen cost alone). transform() binds the input to
+    # a lambda VARIABLE: one copy of the input tree, references are
+    # slot reads.
+    p = F.lit(float(10 ** decimals))
+
+    def body(x):
+        parsed = F.regexp_replace(F.format_number(x, decimals), ",", "") \
+                  .try_cast("double")
+        s = x * p
+        r = F.floor(s)                   # |s| < 2^50 -> exact BIGINT
+        frac = s - r
+        fast_ok = (F.abs(s) < F.lit(float(2 ** 50))) \
+            & (x != F.lit(0.0)) & (frac != F.lit(0.5))
+        fast = (r + F.when(frac > F.lit(0.5), F.lit(1)).otherwise(F.lit(0))) \
+            .cast("double") / p
+        return F.when(F.isnan(x) | x.isin(float("inf"), float("-inf")), x) \
+                .otherwise(F.when(fast_ok, fast).otherwise(parsed))
+
+    return F.element_at(F.transform(F.array(col.cast("double")), body), 1)
 
 
 def round_py_sql(expr: str, decimals: int = 2) -> str:

@@ -471,7 +471,9 @@ def dup_span_profile(
 def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
                      *, n: int = 8, min_docs: int = 2,
                      keep_min_doc: bool = False,
-                     partitions: int | None = None) -> DataFrame:
+                     partitions: int | None = None,
+                     gram_pos: DataFrame | None = None,
+                     shared_grams: DataFrame | None = None) -> DataFrame:
     """The ACTION half of ``dup_span_profile``: rewrite every document
     with its cross-document duplicated spans EXCISED — the cut step of
     suffix-array substring dedup ("Deduplicating Training Data Makes
@@ -506,19 +508,23 @@ def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
     join via an index filter over the token array (no word-level
     explode of the corpus, no collect_list re-assembly shuffle).
     """
-    gp = gram_positions(df, id_col, text_col, n=n)
+    # ``gram_pos`` / ``shared_grams``: optional precomputed substrates
+    # (``gram_positions`` / ``shared_gram_owners``) — multi-leg callers
+    # (q73 runs BOTH cut policies over one corpus) pin them once so the
+    # tokenize + shingle + md5 pass and the shared-gram aggregate run
+    # once, not once per leg (guide §2.4; the q72 gram_counts rule).
+    gp = gram_pos if gram_pos is not None \
+        else gram_positions(df, id_col, text_col, n=n)
     # width hint (``partitions``, the span_gram_counts rule): the
     # positional gram stream is ~90x the doc count; at the 5M-doc
     # decade its sort-merge join against the shared-gram table OOMs at
     # the session's small-data shuffle width. Widening the gp side
     # here widens the SMJ on both sides (the join requires matching
     # partitioning); the aggregates hash-spill and need no hint.
-    if partitions is not None:
+    if partitions is not None and gram_pos is None:
         gp = gp.repartition(partitions, F.col("h"))
-    shared = (gp.select(id_col, "h").distinct()
-              .groupBy("h").agg(F.count(F.lit(1)).alias("nd"),
-                                F.min(id_col).alias("__owner"))
-              .where(F.col("nd") >= min_docs).select("h", "__owner"))
+    shared = shared_grams if shared_grams is not None \
+        else shared_gram_owners(gp, id_col, min_docs=min_docs)
     cutting = gp.join(shared, "h")
     if keep_min_doc:
         cutting = cutting.where(F.col(id_col) != F.col("__owner"))
@@ -554,6 +560,17 @@ def token_rarity_profile(df: DataFrame, id_col: str,
                     F.explode(tx.tokens(F.col(text_col))).alias("tok"))
           .select(F.col(id_col), tx.md5_hash60(F.col("tok")).alias("th")))
     per_tok = th.groupBy(id_col, "th").agg(F.count(F.lit(1)).alias("c"))
+    # per_tok feeds TWO consumers (the document-frequency aggregate and
+    # the join back) whose differing pushed null filters defeat exchange
+    # reuse — unpinned, the tokenize + explode + (doc, hash) shuffle
+    # runs twice (the bigram_lm_profile NOTES-31 lesson, guide §2.4).
+    # DISK_ONLY for the same reason as bigram's pin: the pre-aggregated
+    # frame is corpus-token-sized and a memory pin would compete with
+    # the downstream aggregates' execution memory at the 5M-doc decade.
+    from pyspark import StorageLevel
+
+    from tradingview_data_pipeline_spark.operators import pins
+    per_tok = pins.track(per_tok.persist(StorageLevel.DISK_ONLY))
     dfreq = per_tok.groupBy("th").agg(F.count(F.lit(1)).alias("tdf"))
     per = (per_tok.join(dfreq, "th")
            .groupBy(id_col)
@@ -668,6 +685,18 @@ def unpersist_pins(df: DataFrame, *, blocking: bool = False) -> None:
     frames that carry no pins."""
     for dep in getattr(df, "_pinned_deps", ()):
         dep.unpersist(blocking=blocking)
+
+
+def shared_gram_owners(gp: DataFrame, id_col: str, *,
+                       min_docs: int = 2) -> DataFrame:
+    """(h, __owner) for every gram hash appearing in >= ``min_docs``
+    distinct documents, with the MIN-id owner — the shared-gram table of
+    ``remove_dup_spans``, factored out so multi-leg callers (q73) can
+    compute and pin it once over a shared ``gram_positions`` frame."""
+    return (gp.select(id_col, "h").distinct()
+            .groupBy("h").agg(F.count(F.lit(1)).alias("nd"),
+                              F.min(id_col).alias("__owner"))
+            .where(F.col("nd") >= min_docs).select("h", "__owner"))
 
 
 def gram_positions(df: DataFrame, id_col: str, text_col: str,

@@ -420,6 +420,16 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     g = _minhash_agg(df, id_col, text_col, k, shingles=shingles)
     banded = _banded_signatures(g, id_col, k, bands)
+    # the banded frame feeds THREE subtrees (the over-cap bucket count
+    # and both sides of the band self-join) whose differing downstream
+    # aggregates defeat canonical-plan exchange reuse — unpinned, the
+    # minhash shuffle+aggregate (and the shingle explode under it when
+    # the caller didn't pass a pinned ``shingles``) re-runs per subtree.
+    # Eager-checkpoint the tiny (id, band, 16-byte bh) frame once
+    # (docs × bands rows, never the text): one signature pass feeds all
+    # three consumers (guide §2.4; the q29/video substrate rule).
+    from tradingview_data_pipeline_spark.operators import pins
+    banded = pins.checkpoint(banded)
     if max_bucket is not None:
         over = (banded.groupBy("band", "bh")
                 .agg(F.count(F.lit(1)).alias("__n"))
@@ -1041,7 +1051,17 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
     ideally cached) to reuse the shingle/LSH work across operators —
     the threshold is applied here as a plain filter either way."""
     if scored_pairs is None:
-        shingles = shingle_rows(df, id_col, text_col)
+        # the shingle frame feeds the minhash aggregate AND all three
+        # jaccard_verify subtrees (sizes, both join sides) — unpinned,
+        # the tokenize + explode + md5 pass re-runs per consumer (the
+        # q28 _scored_pairs lesson, guide §2.4). DISK_ONLY: corpus-
+        # sized, must not compete with the verify joins' execution
+        # memory (addendum-16 rule).
+        from pyspark import StorageLevel
+
+        from tradingview_data_pipeline_spark.operators import pins
+        shingles = pins.track(shingle_rows(df, id_col, text_col)
+                              .persist(StorageLevel.DISK_ONLY))
         pairs = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands,
                                     shingles=shingles, max_bucket=max_bucket)
         scored_pairs = jaccard_verify(pairs, shingles, id_col)

@@ -250,9 +250,12 @@ def _hash_one_image(payload: bytes, method: str, th: int, tw: int,
         bits = (gr * nbits > int(gr.sum())).reshape(-1)
     else:                                   # dhash
         bits = (gr[:, :-1] < gr[:, 1:]).reshape(-1)
-    val = 0
-    for bit in bits:
-        val = (val << 1) | int(bit)
+    # vectorized MSB-first pack (identical to the per-bit shift fold:
+    # val = Σ bits[i] << (n-1-i)); n <= 60 keeps every term and the sum
+    # inside int64
+    n = bits.size
+    val = int((bits.astype(np.int64)
+               << np.arange(n - 1, -1, -1, dtype=np.int64)).sum())
     return w, h, val
 
 

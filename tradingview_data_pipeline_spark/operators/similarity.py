@@ -958,8 +958,19 @@ def embedding_near_dups_lsh(corpus: DataFrame, id_col: str, vec_col: str, *,
     20k->200k step and the re-sized 16-bit keys at x2.0."""
     if size_hint is not None:
         bits = bands * suggest_lsh_chunk_bits(size_hint)
-    br = embedding_lsh_bands(corpus, id_col, vec_col, bits=bits,
-                             bands=bands, dim=dim, method=method)
+    # the banded frame feeds FOUR consumers (sig, the over-cap bucket
+    # scan, and both sides of the banded self-join); canonical-plan
+    # exchange reuse never fires across their differing aggregates, so
+    # the unpinned plan re-runs the signature mapInPandas (and the
+    # corpus scan under it) four times — r12 plan audit counted 68
+    # Exchange / 18 Python nodes for q29. Eager-checkpoint the tiny
+    # (id, pos, key) frame once (bands BIGINTs per vector, never the
+    # vector): one signature pass, lineage truncated under all four
+    # consumers (the video_near_dups substrate rule, guide §2.4).
+    from tradingview_data_pipeline_spark.operators import pins
+    br = pins.checkpoint(
+        embedding_lsh_bands(corpus, id_col, vec_col, bits=bits,
+                            bands=bands, dim=dim, method=method))
     sig = (br.groupBy(id_col)
            .agg(F.array_sort(F.collect_list(F.struct("pos", "key"))).alias("a"))
            .select(id_col,
@@ -976,8 +987,14 @@ def embedding_near_dups_lsh(corpus: DataFrame, id_col: str, vec_col: str, *,
         .select("id_a", "id_b").distinct())
     good = cosine_verify_pairs(pairs, corpus, id_col, vec_col,
                                threshold=threshold).select("id_a", "id_b")
-    deg = (good.select(F.col("id_a").alias(id_col))
-           .unionAll(good.select(F.col("id_b").alias(id_col)))
+    # degree count via explode, NOT unionAll of two projections: the
+    # union form executes the whole pair pipeline (banded join + cosine
+    # verify + two corpus scans) once per branch; explode emits both
+    # endpoints from ONE execution of `good` (guide §2.4 — remove
+    # shuffled subtree duplication outright). Same multiset by
+    # construction: each pair contributes exactly id_a and id_b.
+    deg = (good.select(F.explode(F.array(F.col("id_a"), F.col("id_b")))
+                       .alias(id_col))
            .groupBy(id_col).agg(F.count(F.lit(1)).alias("neardup_n")))
     return (sig.join(deg, id_col, "left")
             .select(id_col, "sig_key",

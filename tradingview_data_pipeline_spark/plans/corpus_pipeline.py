@@ -149,13 +149,19 @@ def run_corpus_prep(
     ``labels`` column (``packing.causal_lm_labels`` — pad positions
     loss-masked) into the shipped sequences, so the output is
     directly trainer-consumable."""
+    from pyspark import StorageLevel
+
+    from tradingview_data_pipeline_spark.operators import pins
+
     n_input = docs.count()
 
-    # exact dedup is recomputed by the clustering build and the export
-    # pass below; a production build would persist it as a table between
-    # stages (merge.ParquetTable) — inline recompute keeps this job
-    # self-contained and it is one md5 hash-agg either way
-    exact = dd.drop_exact_duplicates(docs, "text", "doc_id")
+    # the exact-dedup frame feeds the clustering build (shingles +
+    # cluster join) AND the keeper semi-join — unpinned, the md5
+    # hash-agg + corpus semi-join re-ran per consumer (guide §2.4).
+    # DISK_ONLY (corpus-sized, carries full text); released with the
+    # pipeline's other pins once the shards land.
+    exact = pins.track(dd.drop_exact_duplicates(docs, "text", "doc_id")
+                       .persist(StorageLevel.DISK_ONLY))
 
     # one LSH/clustering pass, reused by keeper-selection AND the split;
     # checkpointed, so its row count (= post-exact-dedup corpus) is free
@@ -253,6 +259,12 @@ def run_corpus_prep(
         spark.read.parquet(out_dir).groupBy("split").agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("n_tokens").alias("tokens")).collect()}
+
+    # shards are on disk and metrics were read back from them — the
+    # pipeline's DISK_ONLY pins (exact frame, clustering shingles) are
+    # dead weight now; free the blocks instead of leaking them until
+    # context GC (long-lived sessions run this repeatedly)
+    pins.release_all()
 
     metrics = {
         "input_rows": n_input,

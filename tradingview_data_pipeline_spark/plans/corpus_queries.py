@@ -656,6 +656,9 @@ UNION ALL
 {_q73_leg('keepone', 'WHERE grams.doc_id <> shared.owner')}
 """)
 def q73_dup_span_removal(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from tradingview_data_pipeline_spark.operators import pins
     d = _t(spark, sf_dir, "documents")
     # same size-gated width hint as q72 (SCALING addendum 22): the
     # positional gram SMJ OOMs at the 5M-doc decade on the session's
@@ -664,10 +667,22 @@ def q73_dup_span_removal(spark, sf_dir):
     n_parts = int(table_rows(sf_dir, "documents") * 90 // 1_500_000)
     if n_parts <= 32:
         n_parts = None
+    # the two cut policies differ ONLY in the owner filter on the
+    # cutting frame — unshared, each leg re-ran the tokenize + shingle
+    # + md5 positional-gram pass AND the shared-gram aggregate from
+    # scratch (guide §2.4; the q72 substrate rule). Pin the (id, pos,
+    # 8-byte h) stream and the tiny (h, owner) table once; both legs'
+    # joins read the pins.
+    gp = cp.gram_positions(d, "doc_id", "text", n=8)
+    if n_parts is not None:
+        gp = gp.repartition(n_parts, F.col("h"))
+    gp = pins.track(gp.persist(StorageLevel.DISK_ONLY))
+    shared = pins.track(cp.shared_gram_owners(gp, "doc_id", min_docs=2)
+                        .persist(StorageLevel.DISK_ONLY))
 
     def leg(kind, **kw):
         return cp.remove_dup_spans(d, "doc_id", "text", n=8,
-                                   partitions=n_parts, **kw) \
+                                   gram_pos=gp, shared_grams=shared, **kw) \
             .select(F.lit(kind).alias("kind"), "doc_id", "text_clean",
                     "n_words", "n_removed")
 
@@ -1133,9 +1148,15 @@ def q82_hybrid_retrieval(spark, sf_dir):
     from tradingview_data_pipeline_spark.operators import similarity as sim
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    bm = (cp.bm25_scores(d, "doc_id", "text", _BM25_TERMS,
-                         k1=_BM25_K1, b=_BM25_B, k=_RRF_LEG_K)
-          .select("doc_id", "rk"))
+    from tradingview_data_pipeline_spark.operators import pins
+    # the BM25 top-k feeds BOTH legs ('single' directly, 'multi' via
+    # the per-query cross join) — unpinned, the corpus tokenize + TF/DF
+    # aggregates ran twice (guide §2.4). The result is k rows; the
+    # eager checkpoint is one tiny write.
+    bm = pins.checkpoint(
+        cp.bm25_scores(d, "doc_id", "text", _BM25_TERMS,
+                       k1=_BM25_K1, b=_BM25_B, k=_RRF_LEG_K)
+        .select("doc_id", "rk"))
     ann = (sim.brute_force_topk(e, e.where(F.col("vec_id") == 0),
                                 "vec_id", "embedding", k=_RRF_LEG_K)
            .select(F.col("neighbor_id").alias("doc_id"), "rk"))

@@ -429,8 +429,11 @@ def q29_signature_neardup(spark, sf_dir):
         .localCheckpoint(eager=True)
     pairs = dd.simhash_candidate_pairs(d, "doc_id", "text", bits=60,
                                        bands=4, max_hamming=3, sigs=sigs)
-    deg = (pairs.selectExpr("doc_a AS doc_id")
-           .unionAll(pairs.selectExpr("doc_b AS doc_id"))
+    # explode, not unionAll-of-two-projections: the union form executes
+    # the banded-join pair pipeline once per branch (no exchange reuse
+    # across the differing projections); explode emits both endpoints
+    # from ONE execution — same multiset by construction (guide §2.4)
+    deg = (pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("near_dups")))
     text_leg = (sigs.join(deg, "doc_id", "left")
                 .select(F.lit("text").alias("kind"),
