@@ -45,6 +45,54 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_small_scan(spark: SparkSession, df: DataFrame,
+                      path: str) -> DataFrame:
+    """Scale-adaptive scan widening (guide §2.6/§6) for MAP-DOMINANT
+    plans only. A parquet input smaller than
+    ``spark.sql.files.maxPartitionBytes`` arrives as ONE scan split, so
+    every map-side operator above it runs single-threaded while the
+    rest of the session idles. Round-robin repartition to session width
+    when the file cannot split wide enough on its own; at production
+    scale inputs arrive in >= cores splits and this is a NO-OP by
+    construction (the gate reads the file size and the session's own
+    maxPartitionBytes, not a tuned constant).
+
+    MEASURED NEGATIVE as a blanket ``_t`` policy (r12): applying it to
+    every scan moved the sf0.1 bench 84.9 -> 114.2 s — for any query
+    with downstream exchanges, the extra stage + 32-way task scheduling
+    overhead exceeds the single-task map cost at local data sizes, and
+    only the zero-shuffle per-row profile queries (q23, q75) won. It is
+    therefore OPT-IN for exactly those plan shapes: heavy per-row
+    expression work with no or one downstream exchange. Results are
+    layout-independent by the engine's determinism policy, so the
+    repartition never changes what a query computes."""
+    try:
+        if os.path.isdir(path):
+            size = sum(os.path.getsize(os.path.join(r, f))
+                       for r, _, fs in os.walk(path)
+                       for f in fs if f.endswith(".parquet"))
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    try:
+        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
+                     .lower().removesuffix("b"))
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    cores = spark.sparkContext.defaultParallelism
+    if max(1, -(-size // max_pb)) >= cores:
+        return df
+    return df.repartition(cores)
+
+
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + ``spread_small_scan`` — the opt-in reader for the
+    map-dominant zero/one-exchange queries named above."""
+    return spread_small_scan(spark, _t(spark, sf_dir, name),
+                             os.path.join(sf_dir, f"{name}.parquet"))
+
+
 _TABLE_ROWS_MEMO: dict[tuple[str, str, float], int] = {}
 
 

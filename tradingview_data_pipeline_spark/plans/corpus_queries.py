@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 from tradingview_data_pipeline_spark.operators import corpus as cp
 from tradingview_data_pipeline_spark.operators import sampling as sp
 from tradingview_data_pipeline_spark.operators import text as tx
-from tradingview_data_pipeline_spark.plans.analytics import register, _t, table_rows
+from tradingview_data_pipeline_spark.plans.analytics import (
+    register, _t, _t_wide, table_rows)
 
 # \S+ extraction, mirroring tx.tokens — trim()+split leaves a phantom
 # "" token for tab/newline-leading text in BOTH engines (trim strips
@@ -859,7 +860,9 @@ def q75_repetition_profile(spark, sf_dir):
     Both are map-side over the SAME scan, composed as projections —
     the whole query stays zero-exchange (a doc_id self-join here would
     shuffle the corpus twice for columns one pass computes)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # zero-exchange per-row profile: widen the single-split local scan
+    # (spread_small_scan docstring; the other measured r12 winner)
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
     sig = cp.dedupe_lines(cp.with_repetition_signals(d, "text"),
                           "text", out_col="__clean")
     txt = F.coalesce(F.col("text"), F.lit(""))

@@ -18,7 +18,8 @@ from tradingview_data_pipeline_spark.operators import dedup as dd
 from tradingview_data_pipeline_spark.operators import packing as pk
 from tradingview_data_pipeline_spark.operators import similarity as sim
 from tradingview_data_pipeline_spark.operators import text as tx
-from tradingview_data_pipeline_spark.plans.analytics import register, _t, table_rows
+from tradingview_data_pipeline_spark.plans.analytics import (
+    register, _t, _t_wide, table_rows)
 
 # --- shared DuckDB fragments (mirror operators/text.py exactly) -----------
 
@@ -97,7 +98,10 @@ def _pii_total_sql() -> str:
 
 @register("q23_text_profile", oracle=_text_profile_oracle())
 def q23_text_profile(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # zero-exchange per-row profile: the one plan shape where widening a
+    # single-split local scan wins (spread_small_scan docstring; measured
+    # r12 — blanket application regressed everything else)
+    d = _t_wide(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
     step = d.select(
         "doc_id", "lang", "n_chars", "text",
