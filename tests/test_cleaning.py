@@ -171,6 +171,37 @@ class TestRoundPy:
         assert math.isnan(out[0]) and out[1] == float("inf") \
             and out[2] == float("-inf") and out[3] is None
 
+    def test_spark_sql_text_form_equivalence(self, spark):
+        """round_py_spark_sql / clean_value_spark_sql (the one-parse
+        construction fast path, r12) must agree with the Column forms on
+        every adversarial family: both NULL, both NaN, or bit-equal."""
+        vals = self._values() + [float("nan"), float("inf"),
+                                 float("-inf"), None]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        for d in (2, 4):
+            rows = df.select(
+                fx.round_py(F.col("x"), d).alias("col_r"),
+                F.expr(fx.round_py_spark_sql("x", d)).alias("sql_r"),
+                fx.clean_value(F.col("x"), decimals=d).alias("col_c"),
+                F.expr(fx.clean_value_spark_sql("x", decimals=d))
+                 .alias("sql_c"),
+            ).collect()
+            for v, r in zip(vals, rows):
+                for a, b in ((r["col_r"], r["sql_r"]),
+                             (r["col_c"], r["sql_c"])):
+                    same = (a is None and b is None) or \
+                        (a is not None and b is not None and
+                         ((math.isnan(a) and math.isnan(b)) or a == b))
+                    assert same, (v, d, a, b)
+        # clean_string text form over string edge cases
+        sdf = spark.createDataFrame(
+            [("  a  ",), ("   ",), ("",), (None,)], "x string")
+        rows = sdf.select(
+            fx.clean_string(F.col("x")).alias("c"),
+            F.expr(fx.clean_string_spark_sql("x")).alias("s")).collect()
+        assert [(r["c"], r["s"]) for r in rows] == \
+            [("a", "a"), (None, None), (None, None), (None, None)]
+
     def test_four_decimals(self, spark):
         # segment_score rounds to 4dp; 0.06245 is a shortest-repr tie at 4dp
         vals = [0.06245, 0.12345, 1.00005, -0.06245]

@@ -116,14 +116,24 @@ def parquet_footer_rows(paths: list[str]) -> int:
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project onto the declared schema: missing columns -> typed NULLs,
     extra columns dropped, types cast (tolerant sink alignment,
-    sectormerged_improved.py:655-680)."""
+    sectormerged_improved.py:655-680).
+
+    Built as ONE selectExpr (r12, guide §7.3): the per-column
+    ``Column.try_cast(DataType)`` form pays a getActiveSession +
+    parseDataType py4j round trip per column (~19 ms each on this
+    container — 2.6 s per merge on the 137-column stock schema); the
+    TryCast expressions the parser builds here are identical."""
+    cols = set(df.columns)
     exprs = []
     for f in schema.fields:
-        if f.name in df.columns:
-            exprs.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
+        nq = f.name.replace("`", "``")
+        if f.name in cols:
+            exprs.append(f"try_cast(`{nq}` AS {f.dataType.simpleString()})"
+                         f" AS `{nq}`")
         else:
-            exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
-    return df.select(*exprs)
+            exprs.append(f"CAST(NULL AS {f.dataType.simpleString()})"
+                         f" AS `{nq}`")
+    return df.selectExpr(*exprs)
 
 
 class ParquetTable:

@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tradingview_data_pipeline_spark.functions.cleaning import clean_value, clean_string
+from tradingview_data_pipeline_spark.functions.cleaning import (
+    clean_value_spark_sql, clean_string_spark_sql)
 
 
 def sniff_delimiter(path: str, default: str = ",") -> str:
@@ -116,23 +117,30 @@ def read_csv_with_mapping(
         raw = raw.toDF(*cols)
 
     target_fields = {f.name: f for f in schema.fields}
+    # SQL-text projection (r12, guide §7.3): the cleaning expressions are
+    # built as strings and parsed in ONE selectExpr — the per-column
+    # Column forms cost ~50 py4j round trips each (the 32 clean_value
+    # lambdas alone measured ~6 s of the ingest pipeline). Same
+    # expression trees (tests/test_cleaning.py pins form equivalence).
     exprs = []
     mapped = {src: dst for src, dst in header_map.items() if dst in target_fields}
     for src, dst in mapped.items():
         f = target_fields[dst]
+        dq = dst.replace("`", "``")
         if src in raw.columns:
-            col = F.col(f"`{src}`")
+            sq = f"`{src.replace('`', '``')}`"
             if isinstance(f.dataType, T.DoubleType):
-                exprs.append(clean_value(col).alias(dst))
+                e = clean_value_spark_sql(sq)
             elif isinstance(f.dataType, T.LongType):
-                exprs.append(col.try_cast("double").cast("long").alias(dst))
+                e = f"CAST(try_cast({sq} AS DOUBLE) AS BIGINT)"
             elif isinstance(f.dataType, T.TimestampType):
-                exprs.append(col.try_cast("timestamp").alias(dst))
+                e = f"try_cast({sq} AS TIMESTAMP)"
             else:
-                exprs.append(clean_string(col).alias(dst))
+                e = clean_string_spark_sql(sq)
         else:
-            exprs.append(F.lit(None).cast(f.dataType).alias(dst))
-    out = raw.select(*exprs)
+            e = f"CAST(NULL AS {f.dataType.simpleString()})"
+        exprs.append(f"{e} AS `{dq}`")
+    out = raw.selectExpr(*exprs)
     if audit_col and audit_col in target_fields:
         out = out.withColumn(audit_col, F.current_timestamp())
     return out

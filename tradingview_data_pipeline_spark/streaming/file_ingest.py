@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tradingview_data_pipeline_spark.functions.cleaning import clean_string, clean_value
+from tradingview_data_pipeline_spark.functions.cleaning import (
+    clean_string_spark_sql, clean_value_spark_sql)
 from tradingview_data_pipeline_spark.operators.merge import ParquetTable
 
 
@@ -29,22 +30,26 @@ def _mapped_select(df: DataFrame, header_map: dict[str, str],
     a streaming DataFrame (no duplicate-header rewrite — streaming reads
     use the declared all-string schema, so headers are already unique)."""
     target_fields = {f.name: f for f in schema.fields}
+    # SQL-text projection — same single-parse rationale and form-
+    # equivalence pin as sources.csv_adapter (r12, guide §7.3)
     exprs = []
     for src, dst in header_map.items():
         f = target_fields.get(dst)
         if f is None:
             continue
+        dq = dst.replace("`", "``")
         if src in df.columns:
-            col = F.col(f"`{src}`")
+            sq = f"`{src.replace('`', '``')}`"
             if isinstance(f.dataType, T.DoubleType):
-                exprs.append(clean_value(col).alias(dst))
+                e = clean_value_spark_sql(sq)
             elif isinstance(f.dataType, T.LongType):
-                exprs.append(col.try_cast("double").cast("long").alias(dst))
+                e = f"CAST(try_cast({sq} AS DOUBLE) AS BIGINT)"
             else:
-                exprs.append(clean_string(col).alias(dst))
+                e = clean_string_spark_sql(sq)
         else:
-            exprs.append(F.lit(None).cast(f.dataType).alias(dst))
-    out = df.select(*exprs)
+            e = f"CAST(NULL AS {f.dataType.simpleString()})"
+        exprs.append(f"{e} AS `{dq}`")
+    out = df.selectExpr(*exprs)
     if audit_col in target_fields:
         out = out.withColumn(audit_col, F.current_timestamp())
     return out
