@@ -231,7 +231,10 @@ _RATING_SCORES = {
 
 def rating_to_score(col: Column) -> Column:
     filled = F.coalesce(col, F.lit("Hold"))
-    mapping = F.create_map(*[F.lit(x) for kv in _RATING_SCORES.items() for x in kv])
+    # constant map as ONE parsed expression (r12 §7.3) — the create_map
+    # Column form costs 34 lit round trips per call site
+    mapping = F.expr("map(" + ", ".join(
+        f"'{k}', {v}" for k, v in _RATING_SCORES.items()) + ")")
     return F.coalesce(mapping[filled], F.lit(3))
 
 

@@ -67,21 +67,23 @@ def add_derived_columns(df: DataFrame) -> DataFrame:
     """F5 rating map, F6 guarded relative diffs, F7 MACD histogram
     (calcompositescore.py:99-139)."""
     price = F.col("price")
-    return (
-        df.withColumn("analyst_rating_score",
-                      rating_to_score(F.col("analyst_rating")).cast("double"))
-        .withColumn("sma50_relative", guarded_rel_diff(F.col("sma_50_1_day"), price))
-        .withColumn("sma200_relative", guarded_rel_diff(F.col("sma_200_1_day"), price))
-        .withColumn("bollinger_upper_relative",
-                    guarded_rel_diff(F.col("bollinger_upper_20_1_day"), price))
-        .withColumn("bollinger_middle_relative",
-                    guarded_rel_diff(F.col("bollinger_basis_20_1_day"), price))
-        .withColumn("bollinger_lower_relative",
-                    guarded_rel_diff(F.col("bollinger_lower_20_1_day"), price))
-        .withColumn("macd_histogram",
-                    macd_histogram(F.col("macd_12_26_level_1_day"),
-                                   F.col("macd_12_26_signal_1_day")))
-    )
+    # one withColumns call: each chained withColumn re-analyzes the whole
+    # accumulated plan JVM-side (~40 ms apiece at this width, r12 §7.3)
+    return df.withColumns({
+        "analyst_rating_score":
+            rating_to_score(F.col("analyst_rating")).cast("double"),
+        "sma50_relative": guarded_rel_diff(F.col("sma_50_1_day"), price),
+        "sma200_relative": guarded_rel_diff(F.col("sma_200_1_day"), price),
+        "bollinger_upper_relative":
+            guarded_rel_diff(F.col("bollinger_upper_20_1_day"), price),
+        "bollinger_middle_relative":
+            guarded_rel_diff(F.col("bollinger_basis_20_1_day"), price),
+        "bollinger_lower_relative":
+            guarded_rel_diff(F.col("bollinger_lower_20_1_day"), price),
+        "macd_histogram":
+            macd_histogram(F.col("macd_12_26_level_1_day"),
+                           F.col("macd_12_26_signal_1_day")),
+    })
 
 
 def composite_scores(df: DataFrame, *, bucket_mode: str = "parity") -> DataFrame:

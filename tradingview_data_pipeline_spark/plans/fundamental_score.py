@@ -70,10 +70,11 @@ CATEGORY_BLEND = {"quality_score": 0.40, "growth_score": 0.30,
 
 def apply_caps(df: DataFrame) -> DataFrame:
     """F8 (calfundamentalscore.py:183-193)."""
-    for m, (_, _, cap) in ALL_METRICS.items():
-        if cap is not None and m in df.columns:
-            df = df.withColumn(m, clip_upper(F.col(m), cap))
-    return df
+    caps = {m: clip_upper(F.col(m), cap)
+            for m, (_, _, cap) in ALL_METRICS.items()
+            if cap is not None and m in df.columns}
+    # one withColumns call — chained withColumn re-analyzes per column
+    return df.withColumns(caps) if caps else df
 
 
 def fundamental_scores(df: DataFrame, *,
@@ -116,10 +117,13 @@ def fundamental_scores(df: DataFrame, *,
             "symbol", "sector", "industry", "peer_level",
             F.expr(f"stack({len(metrics)}, {stack}) AS (metric, v)"))
 
-        hib_map = F.create_map(*[x for m in metrics
-                                 for x in (F.lit(m), F.lit(ALL_METRICS[m][1]))])
-        pos_map = F.create_map(*[x for m in metrics
-                                 for x in (F.lit(m), F.lit(m in VALUATION_METRICS))])
+        # constant maps as ONE parsed expression each (r12 §7.3): the
+        # create_map Column form costs 2 x 36 lit round trips
+        hib_map = F.expr("map(" + ", ".join(
+            f"'{m}', {str(ALL_METRICS[m][1]).lower()}" for m in metrics) + ")")
+        pos_map = F.expr("map(" + ", ".join(
+            f"'{m}', {str(m in VALUATION_METRICS).lower()}" for m in metrics)
+            + ")")
         v = F.col("v")
         masked = F.when(pos_map[F.col("metric")] & (v <= 0), F.lit(None).cast("double")) \
                   .otherwise(v)
@@ -194,6 +198,7 @@ def fundamental_scores(df: DataFrame, *,
         # fails building a 16M-row hash relation on the driver
         df = df.join(wide.hint("merge"), "symbol", "left")
 
+    cat_cols = {}
     for cat_col, metrics in [("quality_score", QUALITY_METRICS),
                              ("growth_score", GROWTH_METRICS),
                              ("valuation_score", VALUATION_METRICS),
@@ -207,9 +212,11 @@ def fundamental_scores(df: DataFrame, *,
             t_den = F.when(s.isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
             num = t_num if num is None else num + t_num
             den = t_den if den is None else den + t_den
-        cat_val = round_py(F.when(den > 0, num / den), 2) if den is not None \
-            else F.lit(None).cast("double")
-        df = df.withColumn(cat_col, cat_val)
+        cat_cols[cat_col] = round_py(F.when(den > 0, num / den), 2) \
+            if den is not None else F.lit(None).cast("double")
+    # one withColumns: the four category columns are independent of each
+    # other (each reads only *_percentile), so batching is semantics-free
+    df = df.withColumns(cat_cols)
 
     blend = None
     for cat_col, w in CATEGORY_BLEND.items():
