@@ -47,7 +47,8 @@ from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark.operators import codecs
 from tradingview_data_pipeline_spark.operators import multimodal as mm
-from tradingview_data_pipeline_spark.plans.analytics import _t, register
+from tradingview_data_pipeline_spark.plans.analytics import (
+    _t, _t_wide, register)
 
 _IMG_W, _IMG_H = 6, 4
 _N_SAMPLES, _RATE, _N_FRAMES = 64, 8000, 8
@@ -295,7 +296,11 @@ FROM agg
 WHERE GREATEST(ma, mb) >= 4
 """)
 def q84_video_neardup(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # widen the single-split scan BEFORE the synth/decode mapInPandas:
+    # otherwise every frame encodes + hashes in ONE Python worker while
+    # 31 cores idle (spread_small_scan docstring; measured 6.4 -> 5.0 s
+    # warm, consistent across interleaved A/B runs)
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
     videos = d.mapInPandas(_encode_videos,
                            "media_id string, frames array<binary>")
     vp = mm.video_phash(videos)                       # grid (6,10), 60 bits
