@@ -481,3 +481,35 @@ def test_audio_ber_nbits_parameterized(spark):
     assert ("a", "shift") in got
     s = got[("a", "shift")]
     assert s["offset"] == -24 and s["ber"] == 0.0
+
+
+def test_hash_image_batch_equals_per_image_loop():
+    """The r12 vectorized batch hasher must be bit-identical to the
+    single-image reference on mixed shapes, mixed methods, and the
+    upscale/constant/tie edge cases — same integer ops, stacked."""
+    rng = np.random.RandomState(23)
+    arrays = [
+        gradient_image(40, 20),
+        gradient_image(9, 5),                        # upscale (h < grid)
+        rng.randint(0, 256, (17, 31, 3)).astype(np.uint8),
+        np.full((8, 8, 3), 128, dtype=np.uint8),     # constant: ties -> 0
+        rng.randint(0, 256, (17, 31, 3)).astype(np.uint8),  # repeat shape
+        rng.randint(0, 256, (6, 10, 3)).astype(np.uint8),   # 1:1 grid
+    ]
+    payloads = [codecs.encode_ppm(a) for a in arrays]
+    for method, th, tw in (("ahash", 6, 10), ("dhash", 6, 11)):
+        nbits = multimodal._phash_nbits(method, th, tw)
+        ref = [multimodal._hash_one_image(p, method, th, tw, nbits)
+               for p in payloads]
+        got = multimodal._hash_image_batch(payloads, method, th, tw, nbits)
+        assert got == ref, method
+    assert multimodal._hash_image_batch([], "ahash", 6, 10, 60) == []
+
+
+def test_vpix_stack_equals_per_seed_block():
+    """q84's vectorized frame synth is bit-equal to the per-seed chain."""
+    from tradingview_data_pipeline_spark.plans import multimodal_queries as mq
+    seeds = [0, 1, 15, 16, 17, 12345, 2**31 - 1, 40000 * 16 + 7]
+    stack = mq._vpix_stack(seeds)
+    for i, s in enumerate(seeds):
+        assert np.array_equal(stack[i], mq._vpix_block(s)), s

