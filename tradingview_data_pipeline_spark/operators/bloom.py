@@ -102,8 +102,13 @@ def bloom_contains(h1: Column, h2: Column, words: list[int], *,
     # one true array LITERAL, not CreateArray(1024 children): the
     # expression tree form is NOT constant-folded, so every row paid a
     # fresh 1024-element array build PER PROBE — measured 3.2x on the
-    # whole membership filter (4.8 -> 1.5 s over 238k pinned rows)
-    lit_words = F.lit([int(w) for w in words])
+    # whole membership filter (4.8 -> 1.5 s over 238k pinned rows).
+    # Delivered as SQL TEXT, not F.lit(list): the py4j list converter
+    # ships one element per round trip (measured 1.7 s for 1024 longs
+    # vs 1.5 ms for the parsed text — guide §4's plan-build boundary);
+    # the parsed array(<n>L, ...) folds to the identical array literal.
+    lit_words = F.expr(
+        "array(" + ",".join(f"{int(w)}L" for w in words) + ")")
     out = None
     for p in _positions(h1, h2, n_bits, k):
         word = F.element_at(lit_words, (p / _WORD_BITS).cast("int") + 1)
