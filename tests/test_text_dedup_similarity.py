@@ -1638,3 +1638,39 @@ def test_sharded_containment_index(spark, tmp_path):
         idx2.add_and_find(spark.createDataFrame(
             [(None, 9, quote)],
             "source string, doc_id long, text string"))
+
+
+def test_sql_text_helpers_match_column_forms(spark):
+    """r12: the SQL-text fast paths of dot/l2_norm_sq/int_dot/
+    quantize_int8/quantize_grid must produce the same values as the
+    Column-lambda forms (same parsed lambda tree)."""
+    from pyspark.sql import functions as F
+
+    from tradingview_data_pipeline_spark.operators import similarity as sim
+
+    rows = [(1, [0.5, -1.25, 3.0], [2.0, 0.25, -0.5]),
+            (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+            (3, [1e-7, -1e30, 2.5], [-1e-7, 1e30, 0.125])]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>")
+    got = df.select(
+        sim.dot("a", "b").alias("d_t"),
+        sim.dot(F.col("a"), F.col("b")).alias("d_c"),
+        sim.l2_norm_sq("a").alias("n_t"),
+        sim.l2_norm_sq(F.col("a")).alias("n_c"),
+        sim.quantize_int8("a").alias("q8_t"),
+        sim.quantize_int8(F.col("a")).alias("q8_c"),
+        sim.quantize_grid("a").alias("qg_t"),
+        sim.quantize_grid(F.col("a")).alias("qg_c"),
+    ).collect()
+    for r in got:
+        assert r["d_t"] == r["d_c"]
+        assert r["n_t"] == r["n_c"]
+        assert list(r["q8_t"]) == list(r["q8_c"])
+        assert list(r["qg_t"]) == list(r["qg_c"])
+    qdf = df.select(sim.quantize_int8("a").alias("qa"),
+                    sim.quantize_int8("b").alias("qb"))
+    for r in qdf.select(sim.int_dot("qa", "qb").alias("t"),
+                        sim.int_dot(F.col("qa"), F.col("qb")).alias("c")
+                        ).collect():
+        assert r["t"] == r["c"]

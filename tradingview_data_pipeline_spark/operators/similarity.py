@@ -19,20 +19,43 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def dot(a: Column, b: Column) -> Column:
+# Each higher-order function built through the Column API (F.aggregate /
+# F.transform / F.zip_with with a Python lambda) costs ~10 py4j round
+# trips of plan-build time; the SQL TEXT form parses the IDENTICAL
+# named-lambda tree in one (the round-12 round_py_spark_sql pattern,
+# guide §4's plan-build boundary). The helpers below dispatch on input
+# type: a string (column name / SQL fragment) takes the parsed path,
+# a composed Column keeps the Column API. Equality of the two forms is
+# pinned by tests/test_text_dedup_similarity.py::test_sql_text_helpers.
+
+def _as_sql(c: "Column | str") -> str | None:
+    return c if isinstance(c, str) else None
+
+
+def dot(a: "Column | str", b: "Column | str") -> Column:
     """Left-to-right fold of element products, all in double."""
+    sa, sb = _as_sql(a), _as_sql(b)
+    if sa is not None and sb is not None:
+        return F.expr(
+            f"aggregate(zip_with({sa}, {sb}, (x, y) -> CAST(x AS DOUBLE)"
+            f" * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def l2_norm_sq(a: Column) -> Column:
+def l2_norm_sq(a: "Column | str") -> Column:
+    sa = _as_sql(a)
+    if sa is not None:
+        return F.expr(
+            f"aggregate(transform({sa}, x -> CAST(x AS DOUBLE)"
+            f" * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
     return F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: "Column | str", b: "Column | str") -> Column:
     return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
 
 
@@ -47,13 +70,13 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     per-pair fold.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       F.sqrt(l2_norm_sq(F.col(vec_col))).alias("qn"))
+                       F.sqrt(l2_norm_sq(f"`{vec_col}`")).alias("qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                      F.sqrt(l2_norm_sq(F.col(vec_col))).alias("cn"))
+                      F.sqrt(l2_norm_sq(f"`{vec_col}`")).alias("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("cos", dot("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -140,14 +163,14 @@ def bucketed_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                        F.col(bucket_col).alias("bk"),
-                       F.sqrt(l2_norm_sq(F.col(vec_col))).alias("qn"))
+                       F.sqrt(l2_norm_sq(f"`{vec_col}`")).alias("qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
                       F.col(bucket_col).alias("bk"),
-                      F.sqrt(l2_norm_sq(F.col(vec_col))).alias("cn"))
+                      F.sqrt(l2_norm_sq(f"`{vec_col}`")).alias("cn"))
     scored = (
         c.join(F.broadcast(q), "bk")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("cos", dot("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -179,7 +202,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     carr = _centroid_arrays(centroids_long, bucket_col)
     q0 = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("qv"),
-                        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("qn"))
+                        F.sqrt(l2_norm_sq(f"`{vec_col}`")).alias("qn"))
     sq = F.zip_with(F.col("qv"), F.col("cvec"),
                     lambda x, c: (x.cast("double") - c) * (x.cast("double") - c))
     pw = Window.partitionBy("query_id").orderBy(F.col("__cd").asc(),
@@ -194,11 +217,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv"),
                       F.col(bucket_col).alias("bk"),
-                      F.sqrt(l2_norm_sq(F.col(vec_col))).alias("cn"))
+                      F.sqrt(l2_norm_sq(f"`{vec_col}`")).alias("cn"))
     scored = (
         c.join(F.broadcast(probes), "bk")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", dot(F.col("qv"), F.col("cv"))
+        .withColumn("cos", dot("qv", "cv")
                     / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
@@ -225,10 +248,10 @@ def embedding_near_dups(corpus: DataFrame, id_col: str, vec_col: str,
     Mirrored in q32's DuckDB oracle; ``None`` disables."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                       F.col(bucket_col).alias("bk"),
-                      F.sqrt(l2_norm_sq(F.col(vec_col))).alias("na"))
+                      F.sqrt(l2_norm_sq(f"`{vec_col}`")).alias("na"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                       F.col(bucket_col).alias("bk"),
-                      F.sqrt(l2_norm_sq(F.col(vec_col))).alias("nb"))
+                      F.sqrt(l2_norm_sq(f"`{vec_col}`")).alias("nb"))
     if max_bucket is not None:
         over = (a.groupBy("bk").agg(F.count(F.lit(1)).alias("__n"))
                 .where(F.col("__n") > max_bucket).select("bk"))
@@ -237,7 +260,7 @@ def embedding_near_dups(corpus: DataFrame, id_col: str, vec_col: str,
     return (
         a.join(b, "bk")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn("cos", dot("va", "vb") / (F.col("na") * F.col("nb")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "bk", "cos")
     )
@@ -776,11 +799,20 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
 # oracle bit-for-bit.
 # ---------------------------------------------------------------------------
 
-def quantize_int8(v: Column) -> Column:
+def quantize_int8(v: "Column | str") -> Column:
     """array<float> -> array<bigint> in [-127, 127]; zero vectors -> all
     zeros. The x == -max element computes x*127/max = -127 exactly only
     when the divide is exact; double rounding can land just below and
     floor to -128, so the clamp enforces the documented lower bound."""
+    sv = _as_sql(v)
+    if sv is not None:
+        # the scale subtree appears twice, exactly like the Column
+        # form's reused `s` (Column reuse duplicates the subtree too)
+        s = f"array_max(transform({sv}, y -> abs(CAST(y AS DOUBLE))))"
+        return F.expr(
+            f"transform({sv}, x -> CAST(CASE WHEN {s} > 0.0D THEN "
+            f"greatest(CAST(-127 AS BIGINT), floor(CAST(x AS DOUBLE)"
+            f" * 127.0D / {s})) ELSE 0 END AS BIGINT))")
     s = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     return F.transform(
         v, lambda x: F.when(s > 0.0,
@@ -789,7 +821,12 @@ def quantize_int8(v: Column) -> Column:
                       .otherwise(F.lit(0)).cast("bigint"))
 
 
-def int_dot(a: Column, b: Column) -> Column:
+def int_dot(a: "Column | str", b: "Column | str") -> Column:
+    sa, sb = _as_sql(a), _as_sql(b)
+    if sa is not None and sb is not None:
+        return F.expr(
+            f"aggregate(zip_with({sa}, {sb}, (x, y) -> x * y), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)")
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("bigint"), lambda acc, v: acc + v)
@@ -802,13 +839,13 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     ``brute_force_topk``; at 100 TB the quantized corpus column is what
     gets scanned — 1/4 the bytes, integer SIMD-friendly scoring."""
     q = queries.select(F.col(id_col).alias("query_id"),
-                       quantize_int8(F.col(vec_col)).alias("qq"))
+                       quantize_int8(f"`{vec_col}`").alias("qq"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      quantize_int8(F.col(vec_col)).alias("cq"))
+                      quantize_int8(f"`{vec_col}`").alias("cq"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("qdot", int_dot(F.col("qq"), F.col("cq")))
+        .withColumn("qdot", int_dot("qq", "cq"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(),
                                                F.col("neighbor_id").asc())
@@ -862,8 +899,12 @@ def hyperplane_signs(bits: int, dim: int) -> list[list[int]]:
              else -1 for d in range(dim)] for i in range(bits)]
 
 
-def quantize_grid(v: Column) -> Column:
+def quantize_grid(v: "Column | str") -> Column:
     """array<float> -> array<bigint> on the 2^-20 grid (exact)."""
+    sv = _as_sql(v)
+    if sv is not None:
+        return F.expr(f"transform({sv}, x -> CAST(floor(CAST(x AS DOUBLE)"
+                      f" * {EMB_QUANT!r}D) AS BIGINT))")
     return F.transform(
         v, lambda x: F.floor(x.cast("double") * F.lit(EMB_QUANT)).cast("bigint"))
 
@@ -900,7 +941,7 @@ def embedding_lsh_bands(df: DataFrame, id_col: str, vec_col: str, *,
             schema="i INT, d INT, s BIGINT")
         vq = df.select(
             F.col(id_col),
-            F.posexplode(quantize_grid(F.col(vec_col))).alias("d", "x"))
+            F.posexplode(quantize_grid(f"`{vec_col}`")).alias("d", "x"))
         bitsum = (vq.join(F.broadcast(sdf), "d")
                   .groupBy(id_col, "i")
                   .agg(F.sum(F.col("s") * F.col("x")).alias("bs")))
@@ -1009,7 +1050,7 @@ def cosine_verify_pairs(pairs: DataFrame, vectors: DataFrame, id_col: str,
     keeping pairs with cos >= threshold.  Returns (id_a, id_b, cos).
     Cost is |pairs| folds — run it AFTER an LSH/banding funnel, never
     on all pairs."""
-    vq = (vectors.select(F.col(id_col), quantize_grid(F.col(vec_col)).alias("vq"))
+    vq = (vectors.select(F.col(id_col), quantize_grid(f"`{vec_col}`").alias("vq"))
           .withColumn("n2", int_dot(F.col("vq"), F.col("vq"))))
     return (
         pairs
@@ -1017,7 +1058,7 @@ def cosine_verify_pairs(pairs: DataFrame, vectors: DataFrame, id_col: str,
                         F.col("n2").alias("na2")), "id_a")
         .join(vq.select(F.col(id_col).alias("id_b"), F.col("vq").alias("vb"),
                         F.col("n2").alias("nb2")), "id_b")
-        .withColumn("cos", int_dot(F.col("va"), F.col("vb")).cast("double")
+        .withColumn("cos", int_dot("va", "vb").cast("double")
                     / (F.sqrt(F.col("na2").cast("double"))
                        * F.sqrt(F.col("nb2").cast("double"))))
         .where(F.col("cos") >= F.lit(threshold))
