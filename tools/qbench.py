@@ -1,5 +1,11 @@
 """Per-query micro-bench: time registered queries with the noop sink,
-repeated N times on one warm session, reporting min/median of the repeats.
+repeated N times on one warm session, reporting min/median of the repeats
+plus the CGROUP CPU SECONDS each run consumed (r12): on a host with
+bursty hypervisor steal (this round's sandbox showed multi-minute 2-4x
+slowdowns; /proc/stat steal 8-22% under load), wall time of a single run
+is meaningless — cpuacct.usage counts only cycles actually delivered, so
+cpu_min is the steal-robust before/after signal and wall_min the
+optimistic wall clock.
 
 bench.py stays the driver-contract artifact (one cold pass over the whole
 registry); this tool is for OPTIMIZATION deep dives — repeats isolate a
@@ -17,6 +23,16 @@ import json
 import os
 import sys
 import time
+
+_CPUACCT = "/sys/fs/cgroup/cpuacct/cpuacct.usage"
+
+
+def _cpu_sec() -> float:
+    try:
+        with open(_CPUACCT) as fh:
+            return int(fh.read()) / 1e9
+    except OSError:
+        return 0.0
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -48,12 +64,15 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name, fn in queries.items():
         runs = []
+        cpu_runs = []
         for i in range(repeats):
             spark.sparkContext.setJobDescription(f"{name} run {i}")
+            c0 = _cpu_sec()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(round(time.perf_counter() - t0, 3))
+                cpu_runs.append(round(_cpu_sec() - c0, 3))
             except Exception as exc:  # noqa: BLE001
                 out[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
                 break
@@ -70,7 +89,9 @@ def main() -> None:
         if runs:
             srt = sorted(runs)
             out[name] = {"runs": runs, "min": srt[0],
-                         "median": srt[len(srt) // 2]}
+                         "median": srt[len(srt) // 2],
+                         "cpu_runs": cpu_runs,
+                         "cpu_min": min(cpu_runs) if cpu_runs else None}
         print(f"{name}: {out[name]}", flush=True)
     print(json.dumps(out))
     spark.stop()

@@ -80,6 +80,21 @@ _LOCAL_DEFAULTS = {
     # build (SPARK_GRAFT_CPUS env or extra_conf), the posture the
     # module docstring documents for the 1000-executor profile.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # r12 (guide §2.1/§2.2 — shuffle file machinery): thread-dump
+    # sampling during the q72 containment leg showed the hot executor
+    # stacks in BypassMergeSortShuffleWriter's file plumbing
+    # (DiskBlockObjectWriter.initialize, copyFileStreamNIO), not in
+    # compute — the bypass writer opens one temp file PER REDUCE
+    # PARTITION per map task (32x32 per exchange on this profile) and
+    # then concatenates them. Threshold 1 routes every multi-partition
+    # shuffle through the sort writer (ONE spill file per map task).
+    # Measured (cgroup-CPU, min-of-4, interleaved with base): q72
+    # 35->20 s CPU / 10.6->2.5 s wall, q74 13->6.4 s CPU, q42/q80/q10
+    # each ~10-20% CPU down. Scale-aligned, not a local trick: shuffles
+    # wider than the 200-partition default never bypassed anyway, so
+    # production plans are unchanged; this only aligns the narrow-
+    # shuffle path with the same single-file-per-map-task behavior.
+    "spark.shuffle.sort.bypassMergeThreshold": "1",
     # zstd over default snappy: ~30-40% smaller parquet at comparable
     # speed — at the 100 TB design point scan bytes are the dominant
     # cost, and every maintained table (MERGE/rollup/SCD2/export) is
