@@ -67,7 +67,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread_small_scan(spark: SparkSession, df: DataFrame,
-                      path: str) -> DataFrame:
+                      path: str, rows_per_task: int | None = None) -> DataFrame:
     """Scale-adaptive scan widening (guide §2.6/§6) for MAP-DOMINANT
     plans only. A parquet input smaller than
     ``spark.sql.files.maxPartitionBytes`` arrives as ONE scan split, so
@@ -104,14 +104,40 @@ def spread_small_scan(spark: SparkSession, df: DataFrame,
     cores = spark.sparkContext.defaultParallelism
     if max(1, -(-size // max_pb)) >= cores:
         return df
-    return df.repartition(cores)
+    width = cores
+    if rows_per_task is not None:
+        # WORK-proportional width for Python-boundary stages (r12,
+        # guide §4): each mapInPandas task costs ~0.2 s of worker CPU +
+        # ~0.4 s of JVM runner overhead regardless of batch size, so
+        # once the per-row work is batch-vectorized, session-width
+        # spreading of a tiny input is pure overhead. Width sweep on
+        # q84 (5k docs, interleaved min-of-4): width 32 = 2.1 s wall /
+        # 26 s CPU, width 4-8 = 1.5 s wall / 6-7 s CPU, width 1 =
+        # 5.4 s wall. At production sizes the file splits naturally
+        # and this whole branch is a no-op.
+        from tradingview_data_pipeline_spark.operators.merge import (
+            parquet_footer_rows,
+        )
+        try:
+            n_rows = parquet_footer_rows(
+                [os.path.join(path, f) for f in os.listdir(path)
+                 if f.endswith(".parquet")] if os.path.isdir(path)
+                else [path])
+        except OSError:
+            return df.repartition(width)
+        width = max(1, min(cores, -(-n_rows // rows_per_task)))
+        if width == 1:
+            return df
+    return df.repartition(width)
 
 
-def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t_wide(spark: SparkSession, sf_dir: str, name: str,
+            rows_per_task: int | None = None) -> DataFrame:
     """``_t`` + ``spread_small_scan`` — the opt-in reader for the
     map-dominant zero/one-exchange queries named above."""
     return spread_small_scan(spark, _t(spark, sf_dir, name),
-                             os.path.join(sf_dir, f"{name}.parquet"))
+                             os.path.join(sf_dir, f"{name}.parquet"),
+                             rows_per_task=rows_per_task)
 
 
 _TABLE_ROWS_MEMO: dict[tuple[str, str, float], int] = {}

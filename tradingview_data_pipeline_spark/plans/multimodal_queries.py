@@ -317,11 +317,14 @@ FROM agg
 WHERE GREATEST(ma, mb) >= 4
 """)
 def q84_video_neardup(spark, sf_dir):
-    # widen the single-split scan BEFORE the synth/decode mapInPandas:
-    # otherwise every frame encodes + hashes in ONE Python worker while
-    # 31 cores idle (spread_small_scan docstring; measured 6.4 -> 5.0 s
-    # warm, consistent across interleaved A/B runs)
-    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    # widen the single-split scan BEFORE the synth/decode mapInPandas —
+    # but only WORK-proportionally (rows_per_task): with the r12
+    # batch-vectorized synth+hash, session-width spreading was 26 s of
+    # task overhead CPU for ~0.6 s of numpy work (width sweep in
+    # spread_small_scan's docstring; 4-8 tasks is the measured optimum
+    # at 5k docs and the file splits naturally at production sizes)
+    d = _t_wide(spark, sf_dir, "documents",
+                rows_per_task=1000).select("doc_id")
     videos = d.mapInPandas(_encode_videos,
                            "media_id string, frames array<binary>")
     vp = mm.video_phash(videos)                       # grid (6,10), 60 bits
