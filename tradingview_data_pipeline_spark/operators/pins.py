@@ -21,6 +21,7 @@ from __future__ import annotations
 
 _LIVE: list = []
 _LIVE_CKPT: list = []          # (spark_context, rdd_id) of localCheckpoints
+_SUBSTRATE_PLANS: list = []    # (label, executed-plan string) per checkpoint
 
 
 def track(df):
@@ -64,7 +65,38 @@ def checkpoint(df, *, storage_level=None):
         _LIVE_CKPT.append((ck.sparkSession.sparkContext, rdd_id))
     except Exception:   # plan shape drift — leak (old behavior), don't fail
         pass
+    try:
+        # r12 (VERDICT r11 "what's wrong" #4): a checkpoint truncates
+        # lineage, so a post-hoc plan audit sees only the LogicalRDD
+        # stub and a cartesian/unpruned scan UPSTREAM of the pin would
+        # be invisible. The eager checkpoint just executed df's own
+        # QueryExecution, so its finalized adaptive plan is available
+        # here — record it for tools/plan_audit.py to audit alongside
+        # the query's visible plan.
+        _SUBSTRATE_PLANS.append(
+            ("checkpoint", df._jdf.queryExecution().executedPlan().toString()))
+    except Exception:   # diagnostics only — never fail the operator
+        pass
     return ck
+
+
+def record_plan(df, label: str = "substrate") -> None:
+    """Capture ``df``'s finalized executed plan for the audit WITHOUT
+    release-tracking — for checkpoints whose lifecycle is owned by a
+    session memo (q28's _DEDUP_CACHE) rather than the per-query release."""
+    try:
+        _SUBSTRATE_PLANS.append(
+            (label, df._jdf.queryExecution().executedPlan().toString()))
+    except Exception:
+        pass
+
+
+def drain_substrate_plans() -> list:
+    """Return and clear the pre-truncation plans captured by
+    :func:`checkpoint` since the last drain (plan-audit hook)."""
+    out = list(_SUBSTRATE_PLANS)
+    _SUBSTRATE_PLANS.clear()
+    return out
 
 
 def release_checkpoints(*, blocking: bool = False) -> int:

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from tradingview_data_pipeline_spark.operators import dedup as dd
 from tradingview_data_pipeline_spark.operators import packing as pk
+from tradingview_data_pipeline_spark.operators import pins
 from tradingview_data_pipeline_spark.operators import similarity as sim
 from tradingview_data_pipeline_spark.operators import text as tx
 from tradingview_data_pipeline_spark.plans.analytics import (
@@ -268,9 +269,14 @@ def _scored_pairs(spark, sf_dir):
     # verify joins sort the ~100x-exploded shingle frame; footer-sized,
     # no count() action
     n_parts = int(table_rows(sf_dir, "documents") * 100 // 1_500_000)
-    scored = dd.jaccard_verify(pairs, shingles, "doc_id",
-                               partitions=n_parts if n_parts > 32 else None) \
-        .localCheckpoint(eager=True)
+    pre = dd.jaccard_verify(pairs, shingles, "doc_id",
+                            partitions=n_parts if n_parts > 32 else None)
+    scored = pre.localCheckpoint(eager=True)
+    # audit visibility only (r12, plan-audit checkpoint blind spot):
+    # this checkpoint's lifecycle belongs to _DEDUP_CACHE (q28/q42/q70
+    # share it across queries), so it must NOT be release-tracked —
+    # record the pre-truncation plan without registering the blocks
+    pins.record_plan(pre, "scored_pairs")
     shingles.unpersist()
     _DEDUP_CACHE[key] = (spark, scored)
     return scored
@@ -427,10 +433,9 @@ def q29_signature_neardup(spark, sf_dir):
     # frame is ~60x docs and the arrow path's per-task sort OOMs at the
     # 5M-doc decade on the session width; footer-sized, no count()
     sh_parts = int(table_rows(sf_dir, "documents") * 60 // 1_500_000)
-    sigs = dd.simhash_table(d, "doc_id", "text", bits=60, impl="arrow",
-                            partitions=sh_parts if sh_parts > 32
-                            else None) \
-        .localCheckpoint(eager=True)
+    sigs = pins.checkpoint(
+        dd.simhash_table(d, "doc_id", "text", bits=60, impl="arrow",
+                         partitions=sh_parts if sh_parts > 32 else None))
     pairs = dd.simhash_candidate_pairs(d, "doc_id", "text", bits=60,
                                        bands=4, max_hamming=3, sigs=sigs)
     # explode, not unionAll-of-two-projections: the union form executes
@@ -473,7 +478,6 @@ def q29_signature_neardup(spark, sf_dir):
         # query fits the 8g default.
         from pyspark import StorageLevel
 
-        from tradingview_data_pipeline_spark.operators import pins
         emb_leg = pins.track(emb_leg.persist(StorageLevel.DISK_ONLY))
         emb_leg.count()
     return text_leg.unionByName(emb_leg)
