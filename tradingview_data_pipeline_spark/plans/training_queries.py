@@ -433,9 +433,17 @@ def q29_signature_neardup(spark, sf_dir):
     # frame is ~60x docs and the arrow path's per-task sort OOMs at the
     # 5M-doc decade on the session width; footer-sized, no count()
     sh_parts = int(table_rows(sf_dir, "documents") * 60 // 1_500_000)
+    from pyspark import StorageLevel
+    # MEMORY_AND_DISK (the pre-r12 localCheckpoint default), NOT the
+    # pins DISK_ONLY default: the sigs frame is (id, 8-byte sig) —
+    # ~80 MB even at the 5M-doc decade — and forcing it to disk
+    # measured q29 2.43 -> 2.9 s wall / 5.5 -> 7.0 s CPU (min-of-4,
+    # interleaved). MEMORY_AND_DISK still spills if a bigger corpus
+    # ever needs it.
     sigs = pins.checkpoint(
         dd.simhash_table(d, "doc_id", "text", bits=60, impl="arrow",
-                         partitions=sh_parts if sh_parts > 32 else None))
+                         partitions=sh_parts if sh_parts > 32 else None),
+        storage_level=StorageLevel.MEMORY_AND_DISK)
     pairs = dd.simhash_candidate_pairs(d, "doc_id", "text", bits=60,
                                        bands=4, max_hamming=3, sigs=sigs)
     # explode, not unionAll-of-two-projections: the union form executes
