@@ -95,15 +95,13 @@ _LOCAL_DEFAULTS = {
     # production plans are unchanged; this only aligns the narrow-
     # shuffle path with the same single-file-per-map-task behavior.
     "spark.shuffle.sort.bypassMergeThreshold": "1",
-    # r12 (guide §2.2 — fewer, larger reduce partitions): AQE's
-    # coalescing is parallelism-first by default, so a 2 MB shuffle
-    # still runs ~32 reduce tasks. An 8 MB floor collapses sub-(8 MB x
-    # cores) shuffles to few tasks; at production sizes the target
-    # max(minPartitionSize, bytes/parallelism) is dominated by the
-    # second term, so wide-cluster plans are unchanged. Interleaved
-    # min-of-4 cgroup-CPU: q72 20->16 s, q74 9.6->8.0 s, others
-    # neutral; full-registry sweep shows no outlier.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8m",
+    # r12 NEGATIVE RESULT (guide §2.2), measured then REVERTED: an 8 MB
+    # coalescePartitions.minPartitionSize floor cut exchange-machinery
+    # CPU on the tiny-shuffle dedup queries (q72 20->16 s, q74
+    # 9.6->8.0 s cgroup-CPU) but serialized every window/Arrow stage
+    # whose real per-row work needs the parallelism: q63 1.35->3.58 s,
+    # q20 0.82->2.76 s, q18 0.81->1.97 s, q60 1.12->2.98 s wall
+    # (interleaved min-of-4). Parallelism-first coalescing stays.
     # zstd over default snappy: ~30-40% smaller parquet at comparable
     # speed — at the 100 TB design point scan bytes are the dominant
     # cost, and every maintained table (MERGE/rollup/SCD2/export) is
