@@ -513,3 +513,91 @@ def test_vpix_stack_equals_per_seed_block():
     stack = mq._vpix_stack(seeds)
     for i, s in enumerate(seeds):
         assert np.array_equal(stack[i], mq._vpix_block(s)), s
+
+
+def test_resize_images_grouped_equals_per_row(spark):
+    """r13: grouped-vectorized resize_images must emit byte-identical
+    payloads/dims to the per-row decode->resize_nearest->encode chain,
+    across mixed shapes, identity (no-downscale) groups, and upscale-
+    never behavior."""
+    rng = np.random.RandomState(7)
+    arrays = [
+        gradient_image(40, 20),
+        rng.randint(0, 256, (17, 31, 3)).astype(np.uint8),
+        rng.randint(0, 256, (17, 31, 3)).astype(np.uint8),  # repeat shape
+        rng.randint(0, 256, (4, 6, 3)).astype(np.uint8),    # below max_side
+        np.full((8, 8, 3), 128, dtype=np.uint8),
+    ]
+    payloads = [codecs.encode_ppm(a) for a in arrays]
+    df = spark.createDataFrame(
+        [(f"m{i}", p) for i, p in enumerate(payloads)],
+        "media_id string, payload binary")
+    got = {r["media_id"]: r for r in
+           multimodal.resize_images(df, max_side=8).collect()}
+    for i, (a, p) in enumerate(zip(arrays, payloads)):
+        h, w = a.shape[:2]
+        scale = min(1.0, 8 / max(w, h))
+        tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
+        ref = codecs.encode_ppm(codecs.resize_nearest(a, tw, th)
+                                if (tw, th) != (w, h) else a)
+        r = got[f"m{i}"]
+        assert (r["width"], r["height"]) == (tw, th)
+        assert bytes(r["payload"]) == ref, i
+
+
+def test_extract_audio_features_grouped_equals_frame_rms(spark):
+    """r13: the stacked same-length RMS computation must match the
+    per-row codecs.frame_rms doubles bit-for-bit (after the schema's
+    float32 cast), across mixed lengths and short/odd clips."""
+    rng = np.random.RandomState(11)
+    clips = [
+        (rng.randint(-2048, 2048, 64)).astype(np.int16),
+        (rng.randint(-32768, 32767, 64)).astype(np.int16),  # same length
+        (rng.randint(-32768, 32767, 37)).astype(np.int16),  # odd length
+        (rng.randint(-32768, 32767, 5)).astype(np.int16),   # < n_frames
+        np.zeros(64, dtype=np.int16),
+    ]
+    payloads = [codecs.encode_wav(s, 8000) for s in clips]
+    df = spark.createDataFrame(
+        [(f"a{i}", p) for i, p in enumerate(payloads)],
+        "media_id string, payload binary")
+    got = {r["media_id"]: r for r in
+           multimodal.extract_audio_features(df, n_frames=8).collect()}
+    for i, s in enumerate(clips):
+        ref = [np.float32(v) for v in codecs.frame_rms(s, 8)]
+        r = got[f"a{i}"]
+        assert r["n_samples"] == len(s)
+        assert [np.float32(v) for v in r["rms_frames"]] == ref, i
+
+
+def test_encode_media_and_channel_sums_vectorized():
+    """r13: q83's batched payload synthesis must emit the exact bytes of
+    the per-row codec calls, and the grouped channel sums the exact
+    per-row integer sums."""
+    import pandas as pd
+
+    from tradingview_data_pipeline_spark.plans import multimodal_queries as mq
+
+    ids = [0, 1, 7, 255, 4999]
+    out = list(mq._encode_media(iter([pd.DataFrame({"doc_id": ids})])))[0]
+    for i, did in enumerate(ids):
+        y = np.arange(mq._IMG_H)[:, None, None]
+        x = np.arange(mq._IMG_W)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        ref_img = codecs.encode_ppm(
+            ((did + 7 * y + 13 * x + 29 * c) % 256).astype(np.uint8))
+        ref_wav = codecs.encode_wav(
+            (((did * 31 + 17 * np.arange(mq._N_SAMPLES)) % 4096) - 2048)
+            .astype(np.int16), mq._RATE)
+        assert bytes(out["img"][i]) == ref_img, did
+        assert bytes(out["wav"][i]) == ref_wav, did
+    sums = list(mq._channel_sums(iter([pd.DataFrame(
+        {"media_id": [str(i) for i in ids], "payload": list(out["img"])})])))[0]
+    k = 0
+    for i, did in enumerate(ids):
+        arr = codecs.decode_ppm(bytes(out["img"][i])).astype(np.int64)
+        for ch in range(3):
+            assert sums["media_id"][k] == str(did)
+            assert sums["idx"][k] == ch
+            assert int(sums["v1"][k]) == int(arr[:, :, ch].sum())
+            k += 1

@@ -65,12 +65,15 @@ def main() -> None:
     from tradingview_data_pipeline_spark.session import get_spark
 
     spark = get_spark("plan-audit")
+    pins.CAPTURE_PLANS = True   # capture is opt-in (r13: unbounded growth)
     cols = list(FEATURES) + ["codegen", "final"]
     bad = 0
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
-        pins.drain_substrate_plans()        # don't attribute stale captures
+        stale = pins.drain_substrate_plans()   # don't attribute stale captures
+        if stale:
+            print(f"  (discarded {len(stale)} stale substrate captures)")
         try:
             df = fn(spark, sf_dir)
             t0 = time.monotonic()
@@ -100,9 +103,12 @@ def main() -> None:
             if counts["cartesian"]:
                 flag = "  <-- CARTESIAN"
                 bad += 1
+            # substrate rows share the parent's execution — print the
+            # timing only on the parent row (r13 advisor catch)
+            sec = f"  sec={secs:.2f}" if rname == name else "  sec=-"
             print("  ".join([f"{rname:28s}"]
                             + [f"{k}={counts[k]}" for k in cols])
-                  + f"  sec={secs:.2f}" + flag)
+                  + sec + flag)
     spark.stop()
     sys.exit(1 if bad else 0)
 

@@ -24,15 +24,27 @@ import os
 import sys
 import time
 
-_CPUACCT = "/sys/fs/cgroup/cpuacct/cpuacct.usage"
+_CPUACCT_V1 = "/sys/fs/cgroup/cpuacct/cpuacct.usage"
+_CPUSTAT_V2 = "/sys/fs/cgroup/cpu.stat"
 
 
-def _cpu_sec() -> float:
+def _cpu_sec() -> float | None:
+    """Cgroup CPU seconds (v1 cpuacct, else v2 cpu.stat usage_usec) or
+    None when neither is readable — cpu_min must then report null, not a
+    misleading 0.0 (r13 advisor catch)."""
     try:
-        with open(_CPUACCT) as fh:
+        with open(_CPUACCT_V1) as fh:
             return int(fh.read()) / 1e9
     except OSError:
-        return 0.0
+        pass
+    try:
+        with open(_CPUSTAT_V2) as fh:
+            for line in fh:
+                if line.startswith("usage_usec"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return None
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -72,7 +84,9 @@ def main() -> None:
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(round(time.perf_counter() - t0, 3))
-                cpu_runs.append(round(_cpu_sec() - c0, 3))
+                c1 = _cpu_sec()
+                if c0 is not None and c1 is not None:
+                    cpu_runs.append(round(c1 - c0, 3))
             except Exception as exc:  # noqa: BLE001
                 out[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
                 break

@@ -556,6 +556,25 @@ def token_rarity_profile(df: DataFrame, id_col: str,
     (P ~ vocab²/2^61), shifting a count by noise; acceptable for a
     quality SIGNAL.
     """
+    per = _token_rarity_stats(df, id_col, text_col)
+    n = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+    return (df.select(id_col).join(per, id_col, "left")
+            .select(F.col(id_col), n.alias("n_tokens"),
+                    F.when(n > 0, F.col("sum_df").cast("double")
+                           / n.cast("double"))
+                    .otherwise(F.lit(0.0)).alias("mean_token_df"),
+                    F.when(n > 0, F.col("n_rare").cast("double")
+                           / n.cast("double"))
+                    .otherwise(F.lit(0.0)).alias("rare_frac")))
+
+
+def _token_rarity_stats(df: DataFrame, id_col: str,
+                        text_col: str) -> DataFrame:
+    """The aggregate half of :func:`token_rarity_profile` — one row per
+    document WITH tokens: (id, n_tokens, sum_df, n_rare). Factored out
+    (r13, guide §2.4) so multi-profile plans (q74) can attach several
+    per-doc stats frames to the corpus with ONE document-side join
+    instead of one per profile."""
     th = (df.select(F.col(id_col),
                     F.explode(tx.tokens(F.col(text_col))).alias("tok"))
           .select(F.col(id_col), tx.md5_hash60(F.col("tok")).alias("th")))
@@ -572,21 +591,12 @@ def token_rarity_profile(df: DataFrame, id_col: str,
     from tradingview_data_pipeline_spark.operators import pins
     per_tok = pins.track(per_tok.persist(StorageLevel.DISK_ONLY))
     dfreq = per_tok.groupBy("th").agg(F.count(F.lit(1)).alias("tdf"))
-    per = (per_tok.join(dfreq, "th")
-           .groupBy(id_col)
-           .agg(F.sum("c").alias("n_tokens"),
-                F.sum(F.col("c") * F.col("tdf")).alias("sum_df"),
-                F.sum(F.when(F.col("tdf") == 1, F.col("c")).otherwise(0))
-                .alias("n_rare")))
-    n = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
-    return (df.select(id_col).join(per, id_col, "left")
-            .select(F.col(id_col), n.alias("n_tokens"),
-                    F.when(n > 0, F.col("sum_df").cast("double")
-                           / n.cast("double"))
-                    .otherwise(F.lit(0.0)).alias("mean_token_df"),
-                    F.when(n > 0, F.col("n_rare").cast("double")
-                           / n.cast("double"))
-                    .otherwise(F.lit(0.0)).alias("rare_frac")))
+    return (per_tok.join(dfreq, "th")
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.sum(F.col("c") * F.col("tdf")).alias("sum_df"),
+                 F.sum(F.when(F.col("tdf") == 1, F.col("c")).otherwise(0))
+                 .alias("n_rare")))
 
 
 def bigram_lm_profile(df: DataFrame, id_col: str,
@@ -622,6 +632,23 @@ def bigram_lm_profile(df: DataFrame, id_col: str,
     calling this repeatedly should ``unpersist_pins(result)`` after
     the result materializes, or disk-cached blocks accumulate until
     GC happens to collect the handles."""
+    agg, per = _bigram_lm_stats(df, id_col, text_col, scale=scale)
+    zero = F.lit(0).cast("bigint")
+    out = (df.select(id_col).join(agg, id_col, "left")
+           .select(id_col,
+                   F.coalesce(F.col("__n"), zero).alias("n_bigrams"),
+                   F.coalesce(F.col("__s"), zero).alias("bigram_score")))
+    out._pinned_deps = [per]  # see docstring: unpersist_pins(out)
+    return out
+
+
+def _bigram_lm_stats(df: DataFrame, id_col: str, text_col: str,
+                     *, scale: int = 1_000_000):
+    """The aggregate half of :func:`bigram_lm_profile` — returns
+    ``(agg, per)``: one stats row per document WITH bigrams
+    (id, __n, __s) plus the DISK_ONLY-pinned per-(doc, bigram) frame
+    (already ``pins.track``-ed). Factored out (r13, guide §2.4) so q74
+    can attach both corpus-frequency profiles with one document join."""
     toks = tx.tokens(F.coalesce(F.col(text_col), F.lit("")))
 
     def bigram_structs(t: Column) -> Column:
@@ -667,15 +694,9 @@ def bigram_lm_profile(df: DataFrame, id_col: str,
            .groupBy(id_col)
            .agg(F.sum("__c").alias("__n"),
                 F.sum(F.col("__q") * F.col("__c")).alias("__s")))
-    zero = F.lit(0).cast("bigint")
-    out = (df.select(id_col).join(agg, id_col, "left")
-           .select(id_col,
-                   F.coalesce(F.col("__n"), zero).alias("n_bigrams"),
-                   F.coalesce(F.col("__s"), zero).alias("bigram_score")))
-    out._pinned_deps = [per]  # see docstring: unpersist_pins(out)
     from tradingview_data_pipeline_spark.operators import pins
     pins.track(per)           # bulk-releasable by long-lived harnesses
-    return out
+    return agg, per
 
 
 def unpersist_pins(df: DataFrame, *, blocking: bool = False) -> None:

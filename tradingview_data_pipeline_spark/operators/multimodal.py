@@ -163,19 +163,49 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
     """
     from tradingview_data_pipeline_spark.operators import codecs
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r13 (guide §4.2, the _hash_image_batch recipe): group the
+        # batch's payloads by decoded (w, h) — every group shares its
+        # scale/target dims and output header, so the whole group
+        # decodes with ONE frombuffer and resizes as one stacked
+        # fancy-index. resize_nearest's floor index maps are applied
+        # verbatim, so output bytes are identical to the per-row path.
         for b in batches:
-            ids, ws, hs, outs = [], [], [], []
-            for mid, p in zip(b["media_id"], b["payload"]):
-                arr = codecs.decode_ppm(p)
-                h, w = arr.shape[:2]
+            payloads = list(b["payload"])
+            mids = list(b["media_id"])
+            groups: dict = {}
+            for i, p in enumerate(payloads):
+                p = bytes(p)
+                w, h, maxval, off = codecs._ppm_header(p)
+                if maxval != 255:
+                    raise ValueError("only 8-bit PPM supported")
+                groups.setdefault((w, h), []).append(
+                    (i, p[off:off + w * h * 3]))
+            ws = [0] * len(payloads)
+            hs = [0] * len(payloads)
+            outs = [b""] * len(payloads)
+            for (w, h), items in groups.items():
+                k = len(items)
+                data = np.frombuffer(b"".join(s for _, s in items),
+                                     np.uint8).reshape(k, h, w, 3)
                 scale = min(1.0, max_side / max(w, h))
                 tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
                 if (tw, th) != (w, h):
-                    arr = codecs.resize_nearest(arr, tw, th)
-                ids.append(mid); ws.append(tw); hs.append(th)
-                outs.append(codecs.encode_ppm(arr))
-            yield pd.DataFrame({"media_id": ids, "width": ws,
+                    rows = np.arange(th) * h // th   # resize_nearest maps
+                    cols = np.arange(tw) * w // tw
+                    data = data[:, rows][:, :, cols]
+                # header from the codec itself (encode output = header +
+                # raw bytes), so the emitted bytes provably match per-row
+                # encode_ppm
+                hdr = codecs.encode_ppm(
+                    np.zeros((th, tw, 3), np.uint8))[:-th * tw * 3]
+                for (i, _), a in zip(items, data):
+                    ws[i] = tw
+                    hs[i] = th
+                    outs[i] = hdr + a.tobytes()
+            yield pd.DataFrame({"media_id": mids, "width": ws,
                                 "height": hs, "payload": outs})
 
     return df.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
@@ -186,18 +216,43 @@ def extract_audio_features(df: DataFrame, n_frames: int = 8) -> DataFrame:
     per-frame RMS energy + duration metadata, Arrow-batched."""
     from tradingview_data_pipeline_spark.operators import codecs
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r13 (guide §4.2): the RMS math runs stacked over groups of
+        # equal-length clips — frame bounds are a function of length
+        # only, and numpy's pairwise reduction over the last axis of a
+        # stacked (k, len) array is the per-row frame_rms reduction
+        # bit-for-bit (pinned by tests/test_codecs.py equivalence).
+        # The header chunk-walk (decode_wav) stays per row: it is a
+        # few-µs byte scan with data returned as a zero-copy view.
         for b in batches:
-            rows = {"media_id": [], "n_samples": [], "sample_rate": [],
-                    "duration_ms": [], "rms_frames": []}
-            for mid, p in zip(b["media_id"], b["payload"]):
-                samples, rate = codecs.decode_wav(p)
-                rows["media_id"].append(mid)
-                rows["n_samples"].append(len(samples))
-                rows["sample_rate"].append(rate)
-                rows["duration_ms"].append(len(samples) * 1000 // rate)
-                rows["rms_frames"].append(codecs.frame_rms(samples, n_frames))
-            yield pd.DataFrame(rows)
+            decoded = [codecs.decode_wav(bytes(p)) for p in b["payload"]]
+            rms: list = [None] * len(decoded)
+            groups: dict = {}
+            for i, (samples, _rate) in enumerate(decoded):
+                groups.setdefault(len(samples), []).append(i)
+            for ln, idxs in groups.items():
+                if ln == 0:
+                    for i in idxs:
+                        rms[i] = [0.0] * n_frames
+                    continue
+                x = np.stack([decoded[i][0] for i in idxs]) \
+                    .astype(np.float64) / 32768.0
+                bounds = [ln * j // n_frames for j in range(n_frames + 1)]
+                cols = []
+                for j in range(n_frames):
+                    seg = x[:, bounds[j]:max(bounds[j + 1], bounds[j] + 1)]
+                    cols.append(np.sqrt(np.mean(seg * seg, axis=1)))
+                mat = np.stack(cols, axis=1)
+                for r, i in enumerate(idxs):
+                    rms[i] = [float(v) for v in mat[r]]
+            yield pd.DataFrame({
+                "media_id": list(b["media_id"]),
+                "n_samples": [len(s) for s, _ in decoded],
+                "sample_rate": [r for _, r in decoded],
+                "duration_ms": [len(s) * 1000 // r for s, r in decoded],
+                "rms_frames": rms})
 
     return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 

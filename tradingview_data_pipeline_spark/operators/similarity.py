@@ -14,6 +14,8 @@ across engines.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -28,8 +30,19 @@ from pyspark.sql import types as T
 # a composed Column keeps the Column API. Equality of the two forms is
 # pinned by tests/test_text_dedup_similarity.py::test_sql_text_helpers.
 
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def _as_sql(c: "Column | str") -> str | None:
-    return c if isinstance(c, str) else None
+    """CONTRACT (documented; r13 advisor catch): a string argument to
+    these helpers is a SQL FRAGMENT, deliberately wider than pyspark's
+    bare-string-is-a-column-name convention — callers pass pre-built
+    expressions (e.g. "`vec`", "transform(...)"). A string that is a
+    plain identifier is backtick-quoted here so an unquoted column name
+    resolves as a name and can never reparse as an expression."""
+    if not isinstance(c, str):
+        return None
+    return f"`{c}`" if _PLAIN_IDENT.match(c) else c
 
 
 def dot(a: "Column | str", b: "Column | str") -> Column:

@@ -89,31 +89,39 @@ def pairwise_pearson_counts(
     # rather than O(pairs) Column-API calls: with k series the pair
     # block alone was ~40 py4j round trips per pair of plan-build time
     # (r12; measured 0.64 s for k=5 on q60). The parsed trees are the
-    # exact CASE/CAST twins of the previous Column forms.
+    # exact CASE/CAST twins of the previous Column forms. Caller-supplied
+    # series names are escaped at every interpolation point (backticks
+    # doubled in identifiers, quotes doubled in string literals — r13
+    # advisor catch), so a hostile column name cannot break the parse or
+    # misresolve.
+    series_cols = list(series_cols)
+    ident = {c: c.replace("`", "``") for c in series_cols}
     aggs = [("count(1)", "__n")]
     for c in series_cols:
-        cc = f"CAST(`{c}` AS BIGINT)"
+        cc = f"CAST(`{ident[c]}` AS BIGINT)"
         aggs.append((f"sum({cc})", f"__s_{c}"))
         aggs.append((f"sum({cc} * {cc})", f"__ss_{c}"))
     for a, b in combinations(series_cols, 2):
-        aggs.append((f"sum(CAST(`{a}` AS BIGINT) * CAST(`{b}` AS BIGINT))",
+        aggs.append((f"sum(CAST(`{ident[a]}` AS BIGINT)"
+                     f" * CAST(`{ident[b]}` AS BIGINT))",
                      f"__p_{a}_{b}"))
     row = counts.groupBy().agg(
         *[F.expr(t).alias(name) for t, name in aggs])
 
     structs = []
     for a, b in combinations(series_cols, 2):
-        sa, sb = f"`__s_{a}`", f"`__s_{b}`"
-        ssa, ssb = f"`__ss_{a}`", f"`__ss_{b}`"
-        p = f"`__p_{a}_{b}`"
+        sa, sb = f"`__s_{ident[a]}`", f"`__s_{ident[b]}`"
+        ssa, ssb = f"`__ss_{ident[a]}`", f"`__ss_{ident[b]}`"
+        p = f"`__p_{ident[a]}_{ident[b]}`"
         num = f"CAST(__n * {p} - {sa} * {sb} AS DOUBLE)"
         dena = f"CAST(__n * {ssa} - {sa} * {sa} AS DOUBLE)"
         denb = f"CAST(__n * {ssb} - {sb} * {sb} AS DOUBLE)"
         corr = (f"CASE WHEN (__n >= {int(min_periods)}) AND ({dena} > 0)"
                 f" AND ({denb} > 0) THEN {num} / (SQRT({dena})"
                 f" * SQRT({denb})) ELSE CAST(NULL AS DOUBLE) END")
+        la, lb = a.replace("'", "''"), b.replace("'", "''")
         structs.append(
-            f"struct('{a}' AS series_a, '{b}' AS series_b, "
+            f"struct('{la}' AS series_a, '{lb}' AS series_b, "
             f"CAST(__n AS BIGINT) AS n_periods, {corr} AS corr)")
     return (row.select(F.expr("explode(array(" + ", ".join(structs) + "))")
                        .alias("__r"))
@@ -163,23 +171,53 @@ def ema_macd(
     sort_cols = [time_col] + ([tiebreak] if tiebreak else [])
 
     def _fold(pdf):
-        x = pdf[value_col].astype("float64").to_numpy()
-        n = len(x)
+        # ONE pass over a whole sorted batch holding MANY groups (r13,
+        # guide §4.2): the key column is sorted, so a group restarts
+        # exactly where consecutive keys differ — the previous
+        # per-group pandas groupby/copy/concat cost ~200 µs of frame
+        # machinery per key (measured dominant at 1,500 keys × 67
+        # rows). Arithmetic is UNCHANGED expression-for-expression
+        # (Python floats are IEEE doubles; hoisting the (1-α)
+        # constants is exact), so every output double stays
+        # bit-identical to the recursive-CTE oracle.
+        import numpy as np
+        n = len(pdf)
+        ks = pdf[key].to_numpy()
+        restart = np.empty(n, dtype=bool)
+        restart[0] = True
+        restart[1:] = ks[1:] != ks[:-1]
+        xs = pdf[value_col].astype("float64").tolist()
+        rs = restart.tolist()
         ef = [0.0] * n
         es = [0.0] * n
         macd = [0.0] * n
         sig = [0.0] * n
+        hist = [0.0] * n
+        cf, cs, cg = 1.0 - a_f, 1.0 - a_s, 1.0 - a_g
+        pf = ps = pg = 0.0
         for i in range(n):
-            ef[i] = x[i] if i == 0 else a_f * x[i] + (1.0 - a_f) * ef[i - 1]
-            es[i] = x[i] if i == 0 else a_s * x[i] + (1.0 - a_s) * es[i - 1]
-            macd[i] = ef[i] - es[i]
-            sig[i] = macd[i] if i == 0 else a_g * macd[i] + (1.0 - a_g) * sig[i - 1]
+            x = xs[i]
+            if rs[i]:
+                pf = x
+                ps = x
+                m = pf - ps
+                pg = m
+            else:
+                pf = a_f * x + cf * pf
+                ps = a_s * x + cs * ps
+                m = pf - ps
+                pg = a_g * m + cg * pg
+            ef[i] = pf
+            es[i] = ps
+            macd[i] = m
+            sig[i] = pg
+            hist[i] = m - pg
         pdf = pdf.copy()
         pdf["ema_fast"] = ef
         pdf["ema_slow"] = es
         pdf["macd"] = macd
         pdf["macd_signal"] = sig
-        pdf["macd_hist"] = [m - s for m, s in zip(macd, sig)]
+        pdf["macd_hist"] = hist
         return pdf
 
     def compute(batches):
@@ -191,12 +229,11 @@ def ema_macd(
             if not len(pdf):
                 continue
             last_key = pdf[key].iloc[-1]
-            tail = pdf[key] == last_key
-            carry = pdf[tail.to_numpy()]
-            head = pdf[~tail.to_numpy()]
+            tail = (pdf[key] == last_key).to_numpy()
+            carry = pdf[tail]
+            head = pdf[~tail]       # sorted ⇒ all complete groups
             if len(head):
-                yield pd.concat([_fold(g) for _, g in head.groupby(key, sort=False)],
-                                ignore_index=True)
+                yield _fold(head)
         if carry is not None and len(carry):
             yield _fold(carry)
 

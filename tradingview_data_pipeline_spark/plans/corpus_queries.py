@@ -319,18 +319,28 @@ def q48_decontamination(spark, sf_dir):
         F.lit("exact").alias("kind"), "doc_id",
         F.col("n_hits").alias("v1"),
         F.col("n_benchmark_docs").alias("v2"))
-    cand = corp.where(bl.bloom_contains(
-        F.col("h1"), F.col("h2"), bwords, n_bits=_Q48_BITS, k=_Q48_K))
-    tot = corp.groupBy("doc_id").agg(F.countDistinct("h1").alias("__n"))
     # every corpus doc rides the leg (v1 = 0 when no gram passes the
     # filter) — the hash then pins the filter's exact bit pattern over
-    # the WHOLE corpus, not just the contaminated tail
-    bloom_leg = (tot.join(cand.groupBy("doc_id")
-                          .agg(F.countDistinct("h1").alias("__c")),
-                          "doc_id", "left")
+    # the WHOLE corpus, not just the contaminated tail.
+    # r13 tiny-exchange collapse (guide §2.4): bloom membership is a
+    # per-ROW predicate over the pinned corp frame, so candidate and
+    # total distinct-gram counts come out of ONE aggregate chain —
+    # dedup to (doc, h1) keeping whether ANY (h1, h2) row passes all k
+    # probes (h1 repeats within a doc only on a 60-bit collision, where
+    # OR-across-rows is exactly COUNT(DISTINCT CASE WHEN ...) semantics),
+    # then count per doc — instead of two countDistinct aggregates plus
+    # a doc-keyed left join. No Expand, no distinct-rewrite machinery.
+    is_cand = bl.bloom_contains(
+        F.col("h1"), F.col("h2"), bwords, n_bits=_Q48_BITS, k=_Q48_K)
+    per_h1 = (corp.select("doc_id", "h1", is_cand.alias("__cand"))
+              .groupBy("doc_id", "h1")
+              .agg(F.max("__cand").alias("__cand")))
+    bloom_leg = (per_h1.groupBy("doc_id")
+                 .agg(F.sum(F.when(F.col("__cand"), 1).otherwise(0))
+                      .alias("__c"),
+                      F.count(F.lit(1)).alias("__n"))
                  .select(F.lit("bloom").alias("kind"), "doc_id",
-                         F.coalesce(F.col("__c"), F.lit(0).cast("bigint"))
-                         .alias("v1"),
+                         F.col("__c").alias("v1"),
                          F.col("__n").alias("v2")))
     out = exact_leg.unionByName(bloom_leg)
     out._pinned_deps = [corp]
@@ -552,7 +562,6 @@ FROM cont WHERE containment >= {_Q72_CTHRESH}
 def q72_dup_spans(spark, sf_dir):
     from pyspark import StorageLevel
 
-    from tradingview_data_pipeline_spark.operators import dedup as dd
     from tradingview_data_pipeline_spark.operators import pins
     d = _t(spark, sf_dir, "documents")
     # both legs consume the tokenize+explode+first-shuffle substrate
@@ -576,24 +585,61 @@ def q72_dup_spans(spark, sf_dir):
     # legs need (profile filters nd>=2, containment nd in [2, cap]) —
     # same compute-once contract as the substrate (review catch, r9)
     pgh = pg.repartition(n_parts, "h") if n_parts else pg
-    ndf = pins.track(pgh.groupBy("h")
-                     .agg(F.count(F.lit(1)).alias("nd"))
-                     .persist(StorageLevel.DISK_ONLY))
-    profile = (cp.dup_span_profile(d, "doc_id", "text", gram_counts=pg,
-                                   gram_doc_freq=ndf,
-                                   partitions=n_parts)
+    ndf = pgh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    # r13 tiny-exchange collapse (guide §2.4): attach nd to every
+    # (doc, h, c) row ONCE and pin the joined frame — it serves all
+    # three downstream consumers (the per-doc stats aggregate and both
+    # sides of the containment self-join). Previously the profile leg
+    # ran THREE per-doc aggregates (n_spans, n_dup_spans, containment
+    # sizes) over separate pg/pg⋈nd frames plus two document-side
+    # joins; one aggregate now computes all three stats, so two
+    # corpus-gram-sized exchanges and one doc-level join disappear.
+    # At decade scale pgh and ndf are both hash-partitioned by h (the
+    # explicit width hint / the aggregate's own exchange), so the
+    # attach join adds no exchange there either.
+    pgn = pins.track(pgh.join(ndf, "h").persist(StorageLevel.DISK_ONLY))
+    docstats = (pgn.groupBy("doc_id")
+                .agg(F.sum("c").alias("n_spans"),
+                     F.sum(F.when(F.col("nd") >= 2, F.col("c"))
+                           .otherwise(F.lit(0))).alias("n_dup_spans"),
+                     F.count(F.when((F.col("nd") >= 2)
+                                    & (F.col("nd") <= _Q72_CCAP),
+                                    F.lit(1))).alias("n_grams")))
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0))
+    profile = (d.select("doc_id").join(docstats, "doc_id", "left")
                .select(F.lit("profile").alias("kind"), "doc_id",
                        F.lit(None).cast("bigint").alias("partner_id"),
-                       F.col("n_spans").alias("c1"),
-                       F.col("n_dup_spans").alias("c2"),
-                       F.col("dup_frac").alias("frac")))
-    cont = (dd.containment_pairs(d, "doc_id", "text",
-                                 threshold=_Q72_CTHRESH,
-                                 max_gram_docs=_Q72_CCAP,
-                                 gram_counts=pg, gram_doc_freq=ndf,
-                                 partitions=n_parts)
-            .select(F.lit("containment").alias("kind"), "doc_id",
-                    F.col("partner_doc_id").alias("partner_id"),
+                       n_spans.alias("c1"),
+                       F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("c2"),
+                       F.when(n_spans > 0,
+                              F.col("n_dup_spans").cast("double")
+                              / F.col("n_spans").cast("double"))
+                       .otherwise(F.lit(0.0)).alias("frac")))
+    # containment over the df-capped universe: same rows as
+    # dedup.containment_pairs (kept = grams with nd in [2, cap]); the
+    # denominator n_grams now comes from the combined aggregate instead
+    # of its own groupBy pass
+    kept = (pgn.where((F.col("nd") >= 2) & (F.col("nd") <= _Q72_CCAP))
+            .select("doc_id", "h"))
+    a = kept.select(F.col("doc_id").alias("_ida"), "h")
+    b = kept.select(F.col("doc_id").alias("_idb"), "h")
+    shared = (a.join(b, "h")
+              .where(F.col("_ida") < F.col("_idb"))
+              .groupBy("_ida", "_idb")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    directed = shared.unionByName(
+        shared.select(F.col("_idb").alias("_ida"),
+                      F.col("_ida").alias("_idb"), "shared"))
+    sizes = (docstats.where(F.col("n_grams") > 0)
+             .select(F.col("doc_id").alias("_ida"), "n_grams"))
+    cont = (directed.join(sizes, "_ida")
+            .withColumn("containment",
+                        F.col("shared").cast("double")
+                        / F.col("n_grams").cast("double"))
+            .where(F.col("containment") >= F.lit(_Q72_CTHRESH))
+            .select(F.lit("containment").alias("kind"),
+                    F.col("_ida").alias("doc_id"),
+                    F.col("_idb").alias("partner_id"),
                     F.col("shared").alias("c1"),
                     F.col("n_grams").alias("c2"),
                     F.col("containment").alias("frac")))
@@ -752,8 +798,29 @@ LEFT JOIN bs USING (doc_id)
 """)
 def q74_token_rarity(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return (cp.token_rarity_profile(d, "doc_id", "text")
-            .join(cp.bigram_lm_profile(d, "doc_id", "text"), "doc_id"))
+    # r13 (guide §2.4): attach BOTH per-doc stats frames with ONE
+    # document-side join instead of assembling each profile against the
+    # corpus separately and inner-joining the two assembled outputs —
+    # the previous shape paid two extra doc-keyed joins of doc-count
+    # frames purely as machinery. Values are identical: both operators
+    # emit exactly one row per document, so left⋈left over d ≡ the old
+    # inner join of the two left-joined outputs.
+    rar = cp._token_rarity_stats(d, "doc_id", "text")
+    big, _per = cp._bigram_lm_stats(d, "doc_id", "text")
+    n = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    return (d.select("doc_id")
+            .join(rar, "doc_id", "left")
+            .join(big, "doc_id", "left")
+            .select(F.col("doc_id"), n.alias("n_tokens"),
+                    F.when(n > 0, F.col("sum_df").cast("double")
+                           / n.cast("double"))
+                    .otherwise(F.lit(0.0)).alias("mean_token_df"),
+                    F.when(n > 0, F.col("n_rare").cast("double")
+                           / n.cast("double"))
+                    .otherwise(F.lit(0.0)).alias("rare_frac"),
+                    F.coalesce(F.col("__n"), zero).alias("n_bigrams"),
+                    F.coalesce(F.col("__s"), zero).alias("bigram_score")))
 
 
 # ---------------------------------------------------------------------------

@@ -55,34 +55,62 @@ _N_SAMPLES, _RATE, _N_FRAMES = 64, 8000, 8
 
 
 def _encode_media(batches):
-    """doc_id -> deterministic PPM + WAV payloads (the 'storage' form)."""
+    """doc_id -> deterministic PPM + WAV payloads (the 'storage' form).
+
+    r13 (guide §4.2, the 5490401 grouped-vectorization recipe): all
+    payloads share one shape, so the pixel/sample arithmetic runs as
+    ONE int64 tensor op per batch instead of ~30 small numpy ops per
+    row. Headers come from the codecs themselves (encode output =
+    header + raw bytes, and header depends only on the fixed dims /
+    rate), so the emitted bytes are provably identical to the per-row
+    ``encode_ppm`` / ``encode_wav`` calls."""
+    y = np.arange(_IMG_H)[None, :, None, None]
+    x = np.arange(_IMG_W)[None, None, :, None]
+    c = np.arange(3)[None, None, None, :]
+    samp = 17 * np.arange(_N_SAMPLES, dtype=np.int64)[None, :]
+    img_hdr = codecs.encode_ppm(
+        np.zeros((_IMG_H, _IMG_W, 3), np.uint8))[:-_IMG_H * _IMG_W * 3]
+    wav_hdr = codecs.encode_wav(
+        np.zeros(_N_SAMPLES, np.int16), _RATE)[:-_N_SAMPLES * 2]
     for b in batches:
-        ids, imgs, wavs = [], [], []
-        for did in b["doc_id"]:
-            did = int(did)
-            y = np.arange(_IMG_H)[:, None, None]
-            x = np.arange(_IMG_W)[None, :, None]
-            c = np.arange(3)[None, None, :]
-            arr = ((did + 7 * y + 13 * x + 29 * c) % 256).astype(np.uint8)
-            imgs.append(codecs.encode_ppm(arr))
-            s = (((did * 31 + 17 * np.arange(_N_SAMPLES)) % 4096) - 2048) \
-                .astype(np.int16)
-            wavs.append(codecs.encode_wav(s, _RATE))
-            ids.append(did)
-        yield pd.DataFrame({"doc_id": ids, "img": imgs, "wav": wavs})
+        ids = b["doc_id"].astype("int64").to_numpy()
+        arr = ((ids[:, None, None, None] + 7 * y + 13 * x + 29 * c)
+               % 256).astype(np.uint8)
+        smat = (((ids[:, None] * 31 + samp) % 4096) - 2048).astype(np.int16)
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "img": [img_hdr + a.tobytes() for a in arr],
+            "wav": [wav_hdr + s.tobytes() for s in smat]})
 
 
 def _channel_sums(batches):
-    """Decode resized PPM payloads -> per-channel integer sums."""
+    """Decode resized PPM payloads -> per-channel integer sums.
+
+    r13 (guide §4.2): payloads grouped by decoded (w, h) — one
+    ``frombuffer`` + one stacked int64 channel-sum per group instead of
+    a decode + 3 sums per row; int64 sums are associative so values are
+    exactly the per-row ones. Output order (payload-major, channel 0..2)
+    is unchanged."""
     for b in batches:
-        out = {"media_id": [], "idx": [], "v1": []}
-        for mid, p in zip(b["media_id"], b["payload"]):
-            arr = codecs.decode_ppm(p).astype(np.int64)
-            for ch in range(3):
-                out["media_id"].append(mid)
-                out["idx"].append(ch)
-                out["v1"].append(int(arr[:, :, ch].sum()))
-        yield pd.DataFrame(out)
+        payloads = list(b["payload"])
+        groups: dict = {}
+        for i, p in enumerate(payloads):
+            p = bytes(p)
+            w, h, maxval, off = codecs._ppm_header(p)
+            if maxval != 255:
+                raise ValueError("only 8-bit PPM supported")
+            groups.setdefault((w, h), []).append((i, p[off:off + w * h * 3]))
+        sums = np.empty((len(payloads), 3), dtype=np.int64)
+        for (w, h), items in groups.items():
+            k = len(items)
+            data = np.frombuffer(b"".join(s for _, s in items), np.uint8)
+            s3 = data.reshape(k, h, w, 3).astype(np.int64).sum(axis=(1, 2))
+            for (i, _), row in zip(items, s3):
+                sums[i] = row
+        yield pd.DataFrame({
+            "media_id": np.repeat(np.asarray(b["media_id"], dtype=object), 3),
+            "idx": np.tile(np.arange(3, dtype=np.int64), len(payloads)),
+            "v1": sums.reshape(-1)})
 
 
 @register("q83_multimodal_codecs", oracle="""

@@ -519,11 +519,26 @@ def q40_quantile_cube(spark, sf_dir):
                 F.col("p90_bal").alias("v2"))
     )
     li = _t(spark, sf_dir, "lineitem")
+    # r13 (guide §2.3 "aggregate before you shuffle"): CUBE plans as an
+    # Expand that multiplies every lineitem row ×4 (one copy per
+    # grouping set) ahead of the hash aggregate. COUNT and the exact
+    # decimal SUM are reassociable, so pre-aggregate by (flag, status)
+    # once — one pass over the fact rows, ~|flag×status| output cells —
+    # and run the CUBE over the tiny cell table: sum-of-counts and
+    # sum-of-decimal-partials are exactly the direct answers (decimal
+    # addition is exact; the terminal double cast sees the identical
+    # numeric value), and grouping_id/NULL-key semantics are unchanged
+    # because CUBE over a (flag, status) pre-aggregate groups the same
+    # cells the row-level CUBE groups rows.
+    base = (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+                 .alias("__sq")))
     cu = (
-        li.cube("l_returnflag", "l_linestatus")
+        base.cube("l_returnflag", "l_linestatus")
         .agg(F.grouping_id().cast("bigint").alias("gid"),
-             F.count(F.lit(1)).alias("n_rows"),
-             _dsum(F.col("l_quantity")).alias("sum_qty"))
+             F.sum("__n").alias("n_rows"),
+             F.sum("__sq").cast("double").alias("sum_qty"))
         .select(F.lit("cube").alias("kind"),
                 F.col("l_returnflag").alias("g1"),
                 F.col("l_linestatus").alias("g2"),
