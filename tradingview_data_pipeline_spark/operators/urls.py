@@ -207,7 +207,17 @@ def domain_cap(df: DataFrame, id_col: str, url_col: str, *, k: int,
     counts = (base.where(F.col(f"{p}_domain").isNotNull())
               .groupBy(f"{p}_domain")
               .agg(F.count(F.lit(1)).alias(f"{p}_n_domain")))
-    with_n = base.join(counts, f"{p}_domain", "left")
+    # Lazily checkpoint the joined frame: the four tier branches below
+    # carry DIFFERENT pushed-down predicates on n, which defeats
+    # canonical-plan exchange reuse (the NOTES-31 rule), so without the
+    # pin each branch re-ran the input scan + counts aggregate + join —
+    # q80's executed plan showed the counts pipeline 4x (32 exchanges,
+    # 10 input scans; r13). One materialization of (input + domain + n)
+    # replaces four full recomputations; at corpus scale this is the
+    # same write-once-read-four-ways stage a production pipeline would
+    # materialize explicitly.
+    with_n = base.join(counts, f"{p}_domain", "left") \
+        .localCheckpoint(eager=False)
     n = F.col(f"{p}_n_domain")
     under = (with_n.where(F.coalesce(n, F.lit(0)) <= k)
              .withColumn(f"{p}_keep", F.lit(True)))
