@@ -186,6 +186,18 @@ def main():
         errors["pipeline_corpus_prep"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
+    # Substrate attribution (additive, r13 — VERDICT r12 task 9): the
+    # session-shared LSH scored-pairs frame is built once, inside the
+    # FIRST consumer's timed region (registry order: q28), and q42/q70
+    # then ride the checkpointed frame. This field states how many of
+    # the first toucher's seconds were the shared build, so per-query
+    # comparisons across rounds aren't misled by first-toucher order.
+    from tradingview_data_pipeline_spark.plans import training_queries as tq
+    substrates = {
+        name: {"sec": sec, "charged_to": "q28_lsh_near_dup",
+               "consumers": ["q28_lsh_near_dup", "q42_dedup_graph",
+                             "q70_leakage_safe_split"]}
+        for name, sec in tq.SUBSTRATE_BUILD_SEC.items()}
     print(json.dumps({
         "metric": "declared_queries_plus_pipelines_total",
         "value": total,
@@ -194,6 +206,7 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
         "calibration_runs": cal_runs,
+        **({"substrates": substrates} if substrates else {}),
         **({"errors": errors} if errors else {}),
     }))
     spark.stop()

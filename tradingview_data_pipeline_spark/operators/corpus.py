@@ -473,7 +473,8 @@ def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
                      keep_min_doc: bool = False,
                      partitions: int | None = None,
                      gram_pos: DataFrame | None = None,
-                     shared_grams: DataFrame | None = None) -> DataFrame:
+                     shared_grams: DataFrame | None = None,
+                     cutting: DataFrame | None = None) -> DataFrame:
     """The ACTION half of ``dup_span_profile``: rewrite every document
     with its cross-document duplicated spans EXCISED — the cut step of
     suffix-array substring dedup ("Deduplicating Training Data Makes
@@ -513,19 +514,27 @@ def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
     # (q73 runs BOTH cut policies over one corpus) pin them once so the
     # tokenize + shingle + md5 pass and the shared-gram aggregate run
     # once, not once per leg (guide §2.4; the q72 gram_counts rule).
-    gp = gram_pos if gram_pos is not None \
-        else gram_positions(df, id_col, text_col, n=n)
-    # width hint (``partitions``, the span_gram_counts rule): the
-    # positional gram stream is ~90x the doc count; at the 5M-doc
-    # decade its sort-merge join against the shared-gram table OOMs at
-    # the session's small-data shuffle width. Widening the gp side
-    # here widens the SMJ on both sides (the join requires matching
-    # partitioning); the aggregates hash-spill and need no hint.
-    if partitions is not None and gram_pos is None:
-        gp = gp.repartition(partitions, F.col("h"))
-    shared = shared_grams if shared_grams is not None \
-        else shared_gram_owners(gp, id_col, min_docs=min_docs)
-    cutting = gp.join(shared, "h")
+    # ``cutting``: optional precomputed gp⋈shared frame (must carry
+    # id_col, pos and __owner) — q73 runs BOTH cut policies, which
+    # differ only in the owner filter below; that filter pushes into
+    # the join differently per leg, defeating exchange reuse (the
+    # NOTES-31 rule), so without a shared pinned frame each leg re-ran
+    # the positional-gram ⋈ shared-gram join from scratch (r13).
+    if cutting is None:
+        gp = gram_pos if gram_pos is not None \
+            else gram_positions(df, id_col, text_col, n=n)
+        # width hint (``partitions``, the span_gram_counts rule): the
+        # positional gram stream is ~90x the doc count; at the 5M-doc
+        # decade its sort-merge join against the shared-gram table OOMs
+        # at the session's small-data shuffle width. Widening the gp
+        # side here widens the SMJ on both sides (the join requires
+        # matching partitioning); the aggregates hash-spill and need no
+        # hint.
+        if partitions is not None and gram_pos is None:
+            gp = gp.repartition(partitions, F.col("h"))
+        shared = shared_grams if shared_grams is not None \
+            else shared_gram_owners(gp, id_col, min_docs=min_docs)
+        cutting = gp.join(shared, "h")
     if keep_min_doc:
         cutting = cutting.where(F.col(id_col) != F.col("__owner"))
     return cut_covered_positions(df, id_col, text_col,

@@ -726,10 +726,16 @@ def q73_dup_span_removal(spark, sf_dir):
     gp = pins.track(gp.persist(StorageLevel.DISK_ONLY))
     shared = pins.track(cp.shared_gram_owners(gp, "doc_id", min_docs=2)
                         .persist(StorageLevel.DISK_ONLY))
+    # r13: pin the JOINED cutting frame too — the two legs' owner
+    # filters push into the gp⋈shared join differently (NOTES-31), so
+    # with only gp/shared pinned each leg still re-ran the join; both
+    # legs now read one materialization of the (doc, pos, owner) rows.
+    cutting = pins.track(gp.join(shared, "h")
+                         .persist(StorageLevel.DISK_ONLY))
 
     def leg(kind, **kw):
         return cp.remove_dup_spans(d, "doc_id", "text", n=8,
-                                   gram_pos=gp, shared_grams=shared, **kw) \
+                                   cutting=cutting, **kw) \
             .select(F.lit(kind).alias("kind"), "doc_id", "text_clean",
                     "n_words", "n_removed")
 

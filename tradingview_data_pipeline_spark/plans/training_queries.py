@@ -233,6 +233,15 @@ comp AS (SELECT doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY doc_id)"""
 # fraction of the corpus at any scale).
 _DEDUP_CACHE: dict[tuple[int, str], tuple] = {}
 
+# Wall seconds spent materializing each session-shared substrate, keyed
+# by substrate name (r13, VERDICT r12 task 9): the LSH scored-pairs
+# frame is built once per (session, sf_dir) INSIDE whichever consumer
+# touches it first (registry order: q28), so q28's bench number carries
+# the build and q42/q70 ride it. bench.py emits this dict as an
+# additive "substrates" field so a reader comparing those queries
+# across rounds can see the attribution instead of guessing.
+SUBSTRATE_BUILD_SEC: dict[str, float] = {}
+
 
 def _scored_pairs(spark, sf_dir):
     key = (id(spark), sf_dir)
@@ -246,6 +255,8 @@ def _scored_pairs(spark, sf_dir):
             except Exception:
                 pass
         _DEDUP_CACHE.clear()
+    import time as _time
+    _t0 = _time.perf_counter()
     d = _t(spark, sf_dir, "documents")
     # DISK_ONLY, not .cache(): the exploded shingle frame is
     # corpus-sized (~100 hashes/doc -> ~500M rows at the 5M-doc
@@ -279,6 +290,8 @@ def _scored_pairs(spark, sf_dir):
     pins.record_plan(pre, "scored_pairs")
     shingles.unpersist()
     _DEDUP_CACHE[key] = (spark, scored)
+    SUBSTRATE_BUILD_SEC["lsh_scored_pairs"] = round(
+        _time.perf_counter() - _t0, 3)
     return scored
 
 
