@@ -438,12 +438,20 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         banded = banded.join(F.broadcast(over), ["band", "bh"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
+    # Checkpoint the pair list itself (r13): jaccard_verify consumes it
+    # TWICE (the intersection join and the final pair-metadata join)
+    # and the differing downstream join keys defeat exchange reuse, so
+    # the band self-join + distinct re-ran per consumer. The frame is
+    # two ids per row and bounded by the LSH funnel + bucket cap — the
+    # cheapest thing in this pipeline to materialize, and it caps the
+    # self-join at exactly one execution no matter how many consumers.
+    return pins.checkpoint(out)
 
 
 # ---------------------------------------------------------------------------
